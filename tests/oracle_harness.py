@@ -1,0 +1,84 @@
+"""Local replica of the driver's DuckDB-oracle comparison: run the
+Spark query and the oracle SQL over the same parquet tables, then
+compare row count, column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from ureplicator_spark.sources.parquet import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, int):
+        return int(v)
+    try:  # Decimal and numpy scalars
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            return int(v) if f.is_integer() else round(f, 9)
+    except Exception:
+        pass
+    return str(v)
+
+
+def compare(spark_df, sql: str, sf_dir: str, sort_rows: bool = True) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    o_cols, o_rows = run_oracle(sql, sf_dir)
+
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}")
+
+    # align column order by sorted name (the driver sorts columns by name)
+    order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    s_idx = {c: i for i, c in enumerate(s_cols)}
+    o_idx = {c: i for i, c in enumerate(o_cols)}
+    keys = sorted(s_cols)
+
+    def proj(rows, idx):
+        return [tuple(_norm(r[idx[c]]) for c in keys) for r in rows]
+
+    sp = proj(s_rows, s_idx)
+    op = proj(o_rows, o_idx)
+    if sort_rows:
+        skey = sorted(map(repr, sp))
+        okey = sorted(map(repr, op))
+    else:
+        skey, okey = list(map(repr, sp)), list(map(repr, op))
+    if skey != okey:
+        diff_s = [r for r in skey if r not in set(okey)][:5]
+        diff_o = [r for r in okey if r not in set(skey)][:5]
+        problems.append(f"value mismatch; spark-only={diff_s} oracle-only={diff_o}")
+    return problems

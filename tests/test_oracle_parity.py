@@ -1,0 +1,25 @@
+"""The correctness gate, run locally: every registered query must
+hash-match its DuckDB oracle at sf0.001 and sf0.01 (the driver runs
+sf0.01). Mirrors the driver's CORRECTNESS check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ureplicator_spark.queries import QUERIES
+from tests.oracle_harness import compare
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES.keys()))
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_query_matches_oracle(spark, name, sf):
+    fn, sql = QUERIES[name]
+    df = fn(spark, sf)
+    assert df.count() >= 0  # runs
+    if sql is None:
+        pytest.skip("no SQL oracle (non-SQL-expressible op); rows-only check")
+    problems = compare(df, sql, sf)
+    assert not problems, f"{name}@{sf}: " + "; ".join(problems)

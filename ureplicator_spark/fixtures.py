@@ -1,0 +1,149 @@
+"""Replication-domain views derived deterministically from the driver
+fixture tables.
+
+The driver's testdata has no Kafka-record table, so the replication
+domain (records / mappings / clusters / assignments) is DERIVED from
+``events`` with pure, engine-agnostic arithmetic. Each derivation
+exists twice — as a DataFrame builder (Spark) and as a SQL CTE string
+(DuckDB oracle) — with IDENTICAL semantics, using only constructs whose
+behavior matches bit-for-bit across both engines (integer arithmetic,
+md5, length, string ops).
+
+Mapping of events → Kafka record (reference data unit,
+DefaultMessageTransformer.java:44-56):
+    topic      := event_type
+    partition  := CAST(user_id % 4 AS INT)          (non-negative ids)
+    offset     := event_id                          (unique, monotone)
+    ts_sec     := ts // 1e9 (event ns → epoch secs, exact int division)
+    value_size := length(props)                     (payload byte proxy)
+    value      := value                             (numeric payload)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ureplicator_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# constants shared by Spark builders and DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+N_SRC_PARTITIONS = 4
+N_INSTANCES = 3
+
+# topicmapping.properties equivalent (WorkerInstance.java:385-397)
+TOPIC_MAPPING_ROWS = [("click", "click_mirror"), ("purchase", "purchase_v2")]
+
+# destination-cluster partition counts (TopicPartitionCountObserver.java:96-118)
+# click_mirror < 4 exercises the p % dstCount remap; purchase_v2 likewise;
+# topics absent here get partition NULL (reference: null → default partitioner)
+PARTITION_COUNT_ROWS = [("click_mirror", 3), ("purchase_v2", 2), ("signup", 4)]
+
+# topics present on the destination cluster (KafkaBrokerTopicObserver)
+DST_TOPIC_ROWS = ["click", "purchase", "signup", "view", "dstonly"]
+# extra source-cluster topics beyond the live event topics
+SRC_EXTRA_TOPIC_ROWS = ["__consumer_offsets", "srconly"]
+# ZK blacklist (AutoTopicWhitelistingManager ZK blacklist)
+BLACKLIST_ROWS = ["purchase"]
+# exclude regex (AutoTopicWhitelistingManager.java:174-185)
+EXCLUDE_REGEX = "^__.*"
+
+# offset snapshot cutoffs (epoch seconds, within the Jan-2024 event range)
+SNAPSHOT_T1 = 1705708800  # 2024-01-20 00:00:00 UTC
+SNAPSHOT_T2 = 1706313600  # 2024-01-27 00:00:00 UTC
+
+# workload window width (reference 10-minute buckets, C3QueryUtils)
+WINDOW_SEC = 600
+
+# capacity constants (ControllerConf.java:161-171)
+DEFAULT_BYTES_PER_SEC = 1000.0
+DEFAULT_MSGS_PER_SEC = 1.0
+MAX_WORKLOAD_PER_WORKER = 8 * 1024 * 1024  # 8 MiB/s
+
+# ---------------------------------------------------------------------------
+# Spark builders
+# ---------------------------------------------------------------------------
+
+
+def records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka-record-shaped log derived from events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % N_SRC_PARTITIONS).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.expr("ts div 1000000000").alias("ts_sec"),
+        F.length("props").alias("value_size"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+def topic_mapping(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TOPIC_MAPPING_ROWS, "src_topic string, dst_topic string")
+
+
+def partition_counts(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PARTITION_COUNT_ROWS, "topic string, num_partitions int")
+
+
+def dst_topics(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(t,) for t in DST_TOPIC_ROWS], "topic string")
+
+
+def src_extra_topics(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(t,) for t in SRC_EXTRA_TOPIC_ROWS], "topic string")
+
+
+def blacklist(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(t,) for t in BLACKLIST_ROWS], "topic string")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle CTE fragments (same semantics as the builders above)
+# ---------------------------------------------------------------------------
+
+RECORDS_CTE = """
+records AS (
+  SELECT event_type AS topic,
+         CAST(user_id % 4 AS INT) AS "partition",
+         event_id AS "offset",
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         length(props) AS value_size,
+         value,
+         props
+  FROM events
+)
+""".strip()
+
+TOPIC_MAPPING_CTE = (
+    "topic_mapping AS (SELECT * FROM (VALUES "
+    + ", ".join(f"('{s}', '{d}')" for s, d in TOPIC_MAPPING_ROWS)
+    + ") AS t(src_topic, dst_topic))"
+)
+
+PARTITION_COUNTS_CTE = (
+    "partition_counts AS (SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}', {n})" for t, n in PARTITION_COUNT_ROWS)
+    + ") AS t(topic, num_partitions))"
+)
+
+DST_TOPICS_CTE = (
+    "dst_topics AS (SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}')" for t in DST_TOPIC_ROWS)
+    + ") AS t(topic))"
+)
+
+SRC_EXTRA_TOPICS_CTE = (
+    "src_extra_topics AS (SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}')" for t in SRC_EXTRA_TOPIC_ROWS)
+    + ") AS t(topic))"
+)
+
+BLACKLIST_CTE = (
+    "blacklist AS (SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}')" for t in BLACKLIST_ROWS)
+    + ") AS t(topic))"
+)

@@ -1,0 +1,69 @@
+"""Scalar function library (SURVEY.md §2.7, F1-F6) plus shared
+deterministic hashing used by the dedup/similarity operators.
+
+Everything here is a Catalyst Column expression — JVM-side, codegen'd,
+no Python UDFs. ``md5_long`` is the one hash primitive whose output is
+reproducible in any engine (DuckDB, Trino, ...) for oracle checking,
+unlike Spark's murmur3 ``F.hash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column | str, salt: str = "") -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 → bigint.
+
+    Engine-portable (DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``).
+    Used for minhash/simhash/LSH where the oracle must reproduce values.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(F.lit(salt), F.lit(":"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def fetcher_index(topic: Column | str, partition: Column | str, num_fetchers: int) -> Column:
+    """F1: hash(topic, partition) % numFetchers (FetcherManager.java:246-249).
+
+    Spark owns task routing; exposed for parity/observability only.
+    """
+    return F.pmod(F.hash(topic, partition), F.lit(num_fetchers))
+
+
+def route_format(src: Column | str, dst: Column | str, route_id: Column | str) -> Column:
+    """F3 inverse: build '@src@dst@routeId' (InstanceTopicPartitionHolder.java:57-59)."""
+    return F.concat_ws("@", F.lit(""), src, dst, route_id)
+
+
+def route_parse(route: Column | str) -> list[Column]:
+    """F3: split '@src@dst@routeId' → (src, dst, route_id) (HelixUtils.java:114-120)."""
+    c = F.col(route) if isinstance(route, str) else route
+    parts = F.split(c, "@")
+    return [
+        parts.getItem(1).alias("src"),
+        parts.getItem(2).alias("dst"),
+        parts.getItem(3).cast("int").alias("route_id"),
+    ]
+
+
+def same_region(src: Column | str, dst: Column | str) -> Column:
+    """F4: first-3-char region prefix equality (HelixMirrorMakerManager.java:422-428)."""
+    s = F.col(src) if isinstance(src, str) else src
+    d = F.col(dst) if isinstance(dst, str) else dst
+    return F.substring(s, 1, 3) == F.substring(d, 1, 3)
+
+
+def clamp_lag(latest: Column | str, commit: Column | str) -> Column:
+    """F6: max(0, latest - commit) lag gauge clamp (OffsetMonitor.java:391-400)."""
+    lt = F.col(latest) if isinstance(latest, str) else latest
+    cm = F.col(commit) if isinstance(commit, str) else commit
+    return F.greatest(F.lit(0).cast("long"), lt - cm)
+
+
+def json_get(col: Column | str, field: str) -> Column:
+    """F5: JSON field extraction (fastjson parse, OffsetMonitor.java:148-151)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$.{field}")

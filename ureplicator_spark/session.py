@@ -1,0 +1,70 @@
+"""SparkSession construction and runtime tuning.
+
+Scale posture: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), adaptive broadcast selection, parquet filter pushdown and
+column pruning left to Catalyst. On a real cluster the same code runs
+unchanged; only ``master`` / executor sizing differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every entry point applies, so the engine
+# behaves identically whether the session was built by us or handed to
+# us (e.g. the verification driver builds its own).
+_RUNTIME_CONFS = {
+    # /root/testdata events.parquet stores TIMESTAMP(NANOS) which Spark
+    # cannot represent natively; read as long (nanoseconds since epoch).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock math in queries (matches DuckDB's UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime adaptivity: coalesce post-shuffle partitions, split skewed
+    # joins — essential at 100 TB where static planning is wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some envs
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "ureplicator-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    ``local[$SPARK_GRAFT_CPUS]`` for tests/bench; on a cluster the
+    master comes from spark-submit and this builder only sets SQL confs.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Arrow for the few pandas-UDF paths (multimodal decode).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
