@@ -1,0 +1,116 @@
+"""Assignment / validation analytics (ValidationManager,
+TopicAssignmentViewBuilder, the rebalancer's ranking logic).
+
+Reference semantics:
+  * A9 validation counts by Helix state ONLINE/OFFLINE/ERROR, per
+    instance and total (ValidationManager.java:155-230)
+  * A10 assignment view: topic → {server → partitions, counts}
+    (TopicAssignmentViewBuilder.java:34-82)
+  * J5 IdealState ⋈ ExternalView mismatch (ValidationManager.java:167-204)
+  * O1 partitions sorted by workload desc
+    (AutoRebalanceLiveInstanceChangeListener.java:599-603)
+  * O2 least-loaded instance ranking (InstanceTopicPartitionHolder.java:134-173)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def derive_assignments(records: DataFrame, n_instances: int) -> DataFrame:
+    """Deterministic assignment table from the record log: one row per
+    (topic, partition) with instance and Helix-like state.
+
+    The state rule is an arbitrary-but-fixed function so validation
+    queries have ERROR/OFFLINE rows to count (driver fixtures carry no
+    Helix metadata).
+    """
+    tp = records.select("topic", "partition").distinct()
+    keyed = tp.withColumn("k", F.col("partition") + F.length("topic"))
+    return keyed.select(
+        "topic",
+        "partition",
+        F.concat(F.lit("worker-"), (F.col("k") % n_instances).cast("string")).alias("instance"),
+        F.when(F.col("k") % 5 == 0, "ERROR")
+        .when(F.col("k") % 5 == 1, "OFFLINE")
+        .otherwise("ONLINE")
+        .alias("state"),
+    )
+
+
+def validation_counts(assignments: DataFrame) -> DataFrame:
+    """A9 (total): partition count per state."""
+    return assignments.groupBy("state").agg(F.count("*").alias("n_partitions"))
+
+
+def validation_by_instance(assignments: DataFrame) -> DataFrame:
+    """A9 (per instance): state counts per worker instance."""
+    return assignments.groupBy("instance", "state").agg(F.count("*").alias("n_partitions"))
+
+
+def assignment_view(assignments: DataFrame) -> DataFrame:
+    """A10: per instance — partition count + canonical sorted list.
+
+    collect_list order is nondeterministic under parallel aggregation,
+    so the list is sort_array'd before joining to a canonical string —
+    same trick any engine needs for a deterministic grouped list.
+    """
+    return assignments.groupBy("instance").agg(
+        F.count("*").alias("n_partitions"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", F.col("topic"), F.col("partition").cast("string"))
+                )
+            ),
+            ",",
+        ).alias("serving"),
+    )
+
+
+def ideal_vs_actual(assignments: DataFrame) -> DataFrame:
+    """J5: desired (IdealState) vs observed (ExternalView) assignment.
+
+    The derived external view omits ERROR rows (a worker that failed to
+    come ONLINE reports nothing), so mismatches are exactly the ERROR
+    set — shape-faithful to ValidationManager's full comparison.
+    """
+    ideal = assignments.select("topic", "partition", "instance")
+    actual = assignments.filter(F.col("state") != "ERROR").select(
+        "topic", "partition", F.col("instance").alias("actual_instance")
+    )
+    j = ideal.join(actual, ["topic", "partition"], "full_outer")
+    return j.select(
+        "topic",
+        "partition",
+        F.when(F.col("instance").isNull(), "missing-in-ideal")
+        .when(F.col("actual_instance").isNull(), "missing-in-external-view")
+        .when(F.col("instance") != F.col("actual_instance"), "instance-mismatch")
+        .otherwise("match")
+        .alias("status"),
+    ).filter(F.col("status") != "match")
+
+
+def top_partitions_by_workload(partition_wl: DataFrame, k: int) -> DataFrame:
+    """O1/O3: heaviest-first ranking with a total (deterministic) order."""
+    w = Window.orderBy(
+        F.col("total_bytes").desc(), F.col("topic"), F.col("partition")
+    )
+    return (
+        partition_wl.select("topic", "partition", "total_bytes")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def least_loaded_ranking(instance_loads: DataFrame) -> DataFrame:
+    """O2: the greedy assigner's instance preference order (lightest
+    first; ties by partition count then name — TreeSet comparator in
+    InstanceTopicPartitionHolder.getTotalWorkloadComparator)."""
+    w = Window.orderBy(
+        F.col("total_bytes").asc(), F.col("n_partitions").asc(), F.col("instance")
+    )
+    return instance_loads.select(
+        "instance", "total_bytes", "n_partitions"
+    ).withColumn("pick_order", F.row_number().over(w))

@@ -1,0 +1,159 @@
+"""Workload analytics (WorkloadInfoRetriever / C3QueryUtils /
+InstanceTopicPartitionHolder).
+
+Reference semantics:
+  * A5 ingestion rate per 10-min window: (bytes/period, msgs/period)
+    (C3QueryUtils.java:45-111) — here computed from the log itself.
+  * A4 max workload within a lookback window, with engineered defaults
+    (1000 B/s, 1 msg/s) for topics lacking fresh data
+    (WorkloadInfoRetriever.java:145-168, 209-237; ControllerConf.java:161-165)
+  * A6 instance total workload (InstanceTopicPartitionHolder.java:116-132)
+  * A7 overloaded = load > avg × ratio
+    (AutoRebalanceLiveInstanceChangeListener.java:678-714)
+  * A8 expected workers = round(total / 8 MiB) + 1
+    (AdminRestletResource.java:92-132)
+
+Determinism note: per-entity byte totals are INTEGER sums (exact,
+order-independent); double division happens once per output row, so
+results are bit-identical across engines/partitionings — important
+both for the oracle gate and for reproducible autoscaling decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ureplicator_spark.fixtures import (
+    DEFAULT_BYTES_PER_SEC,
+    DEFAULT_MSGS_PER_SEC,
+    MAX_WORKLOAD_PER_WORKER,
+    WINDOW_SEC,
+)
+
+
+def workload_windows(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame:
+    """A5/T7: tumbling-window per-topic rates from the record log."""
+    win = (F.col("ts_sec") - (F.col("ts_sec") % width_sec)).alias("window_start")
+    return (
+        records.groupBy("topic", win)
+        .agg(
+            F.sum("value_size").alias("window_bytes"),
+            F.count("*").alias("window_msgs"),
+        )
+        .select(
+            "topic",
+            "window_start",
+            F.round(F.col("window_bytes") / float(width_sec), 6).alias("bytes_per_sec"),
+            F.round(F.col("window_msgs") / float(width_sec), 6).alias("msgs_per_sec"),
+        )
+    )
+
+
+def max_workload_lookback(
+    windows: DataFrame,
+    topics: DataFrame,
+    lookback_sec: int,
+    default_bytes: float = DEFAULT_BYTES_PER_SEC,
+    default_msgs: float = DEFAULT_MSGS_PER_SEC,
+) -> DataFrame:
+    """A4: per-topic max rate over the lookback; defaults when absent.
+
+    ``topics`` is the serving-topic list (may include topics with no
+    traffic — they get the engineered defaults, matching
+    WorkloadInfoRetriever's fallback TopicWorkload).
+    """
+    horizon = windows.agg(F.max("window_start").alias("max_ws"))
+    fresh = (
+        windows.crossJoin(F.broadcast(horizon))
+        .filter(F.col("window_start") >= F.col("max_ws") - lookback_sec)
+        .groupBy("topic")
+        .agg(
+            F.max("bytes_per_sec").alias("max_bytes_per_sec"),
+            F.max("msgs_per_sec").alias("max_msgs_per_sec"),
+        )
+    )
+    return topics.join(fresh, "topic", "left").select(
+        "topic",
+        F.coalesce("max_bytes_per_sec", F.lit(default_bytes)).alias("max_bytes_per_sec"),
+        F.coalesce("max_msgs_per_sec", F.lit(default_msgs)).alias("max_msgs_per_sec"),
+    )
+
+
+def partition_workload(records: DataFrame) -> DataFrame:
+    """Per-(topic, partition) exact byte/msg totals + span-based rates."""
+    span = records.agg(
+        (F.max("ts_sec") - F.min("ts_sec")).cast("long").alias("span_sec")
+    )
+    return (
+        records.groupBy("topic", "partition")
+        .agg(
+            F.sum("value_size").cast("long").alias("total_bytes"),
+            F.count("*").alias("total_msgs"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            "topic",
+            "partition",
+            "total_bytes",
+            "total_msgs",
+            F.round(F.col("total_bytes") / F.col("span_sec"), 6).alias("bytes_per_sec"),
+            F.round(F.col("total_msgs") / F.col("span_sec"), 6).alias("msgs_per_sec"),
+        )
+    )
+
+
+def instance_load(partition_wl: DataFrame, n_instances: int) -> DataFrame:
+    """A6: Σ workload per instance (deterministic topic+partition hash
+    assignment, mirroring the greedy Helix placement's balanced result)."""
+    assigned = partition_wl.withColumn(
+        "instance",
+        F.concat(
+            F.lit("worker-"),
+            ((F.col("partition") + F.length("topic")) % n_instances).cast("string"),
+        ),
+    )
+    return assigned.groupBy("instance").agg(
+        F.sum("total_bytes").cast("long").alias("total_bytes"),
+        F.sum("total_msgs").cast("long").alias("total_msgs"),
+        F.count("*").alias("n_partitions"),
+    )
+
+
+def overloaded_instances(loads: DataFrame, ratio_num: int = 6, ratio_den: int = 5) -> DataFrame:
+    """A7: overloaded if load > avg × (ratio_num/ratio_den), computed in
+    exact integer arithmetic: bytes × n_instances × den > total × num."""
+    totals = loads.agg(
+        F.sum("total_bytes").cast("long").alias("grand_bytes"),
+        F.count("*").alias("n_instances"),
+    )
+    return (
+        loads.crossJoin(F.broadcast(totals))
+        .select(
+            "instance",
+            "total_bytes",
+            "n_partitions",
+            (
+                F.col("total_bytes") * F.col("n_instances") * ratio_den
+                > F.col("grand_bytes") * ratio_num
+            ).alias("overloaded"),
+        )
+    )
+
+
+def expected_workers(records: DataFrame, per_worker_bytes: int = MAX_WORKLOAD_PER_WORKER) -> DataFrame:
+    """A8: round(total bytes/s ÷ per-worker capacity) + 1.
+
+    Total rate from exact integer byte/span sums (one double division →
+    order-independent, engine-identical).
+    """
+    return records.agg(
+        F.sum("value_size").cast("long").alias("grand_bytes"),
+        (F.max("ts_sec") - F.min("ts_sec")).cast("long").alias("span_sec"),
+    ).select(
+        F.round(F.col("grand_bytes") / F.col("span_sec"), 6).alias("total_bytes_per_sec"),
+        (
+            F.round((F.col("grand_bytes") / F.col("span_sec")) / F.lit(float(per_worker_bytes)), 0).cast("int")
+            + 1
+        ).alias("expected_workers"),
+    )
