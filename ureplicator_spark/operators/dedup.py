@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines, designed for
+100 TB scale.
+
+Four families, all shuffle-disciplined:
+  * exact        — hash-groupBy on content digest. ONE shuffle on a
+                   64-hex key; at scale this is the cheapest possible
+                   dedup (map-side partial agg collapses dups early).
+  * minhash-LSH  — shingle → K minhashes → band → bucket-join. The
+                   candidate-pair join is on (band, band_hash), never
+                   all-pairs; cost is Σ bucket² which LSH keeps tiny.
+  * simhash      — 16-bit portable simhash; near-dup buckets by exact
+                   simhash match (or Hamming-ball probing later).
+  * n-gram Jaccard — exact verification on candidate pairs that share
+                   a shingle (inverted-index self-join, blocked).
+
+Hash portability: all hashing is md5-derived (``md5_long``) so the
+DuckDB oracle reproduces signatures bit-for-bit. In production you'd
+swap in xxhash64 for speed; the topology is unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ureplicator_spark.functions import md5_long
+
+N_MINHASH = 8
+N_BANDS = 4  # → 2 hashes per band
+SHINGLE_WORDS = 3
+SIMHASH_BITS = 16
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Exact dedup: content-hash groups with keeper = min doc_id."""
+    return (
+        documents.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def shingles(documents: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, shingle) distinct word-k-gram view via array ops —
+    stays inside codegen; the explode is the only row expansion."""
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        documents.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, minhash): K independent md5-salted min-hashes.
+
+    Relational formulation: explode shingles × seeds, min per (doc,
+    seed). Map-side partial min means the shuffle carries only
+    #docs × K rows regardless of document length.
+    """
+    sh = shingles(documents)
+    seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs with
+    estimated Jaccard = matching-minhash fraction.
+
+    The join key is (band, band_hash) so only same-bucket docs meet —
+    the LSH property that makes near-dedup feasible at 100 TB.
+    """
+    rows_per_band = n_hashes // n_bands
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # estimated jaccard: fraction of equal minhash positions
+    sa = signatures.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ha")
+    )
+    sb = signatures.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("hb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Portable 16-bit simhash over tokens: bit_j = sign of Σ(±1 per
+    token's hash bit j). All bitwise ops are integer-exact."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("h", md5_long(F.col("token")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0),
+    )
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_buckets(documents: DataFrame) -> DataFrame:
+    """Near-dup buckets: docs sharing an identical simhash."""
+    return (
+        simhash(documents)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs sharing ≥1 shingle
+    (inverted-index self-join), global top-k by similarity.
+
+    At scale: the self-join is on the shingle key (skew-prone for
+    stop-shingles — AQE skew handling + a frequency cap mitigate);
+    top-k keeps driver output bounded.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)

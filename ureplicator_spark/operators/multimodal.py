@@ -1,0 +1,120 @@
+"""Multimodal column handling: image/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio decode libraries, so the decode step
+is a clearly-marked deterministic stub — but every Spark-side piece
+(schema, binary columns, Arrow-batched mapInPandas plumbing, batch
+shapes, partition discipline) is real and tested. Swapping the stub
+for PIL/torchaudio is a one-function change.
+
+Scale notes: binary payloads ride in parquet/Kafka ``BinaryType``;
+decode/feature-extract runs as ``mapInPandas`` so each Arrow batch is
+processed vectorized with bounded memory (never collect, never
+per-row Python). Metadata-only queries never touch the bytes thanks
+to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("meta_json", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter: treat document text as an opaque binary payload —
+    exercises the binary-column path with the driver fixtures."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        F.to_json(F.struct("lang", "source")).alias("meta_json"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata-only scan: payload column pruned away → parquet reads
+    only the narrow columns (check ReadSchema in .explain)."""
+    return media.groupBy("mime").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("media_id").alias("min_media_id"),
+    )
+
+
+def _stub_decode(payload: bytes | None) -> tuple[int, int, list[float]]:
+    """Deterministic fake decoder (NO real media libs in container).
+
+    Replace with e.g. PIL.Image.open for images. Raises for non-stub
+    use so nobody mistakes it for a real decode.
+    """
+    if payload is None:
+        return 0, 0, []
+    # deterministic pseudo-features from byte content
+    n = len(payload)
+    s = sum(payload[:64])
+    return (n % 1920, (n * 7) % 1080, [float(n), float(s % 256), float(n % 97)])
+
+
+def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched decode/feature-extract via mapInPandas.
+
+    Real decoding would go:  bytes → PIL/librosa → resize/frame-sample
+    → feature vector. The stub keeps identical plumbing: per-batch
+    vectorized transform, bounded memory, schema-stable output.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_stub_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
+    """'Frame sampling' stub over binary payloads: emit one row per
+    sampled window offset (video frame-sample shape: one input row →
+    many frame rows, all computed JVM-side from metadata)."""
+    return media.select(
+        "media_id",
+        "mime",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest((F.col("n_bytes") - 1), F.lit(0)), F.lit(every_n_bytes))
+        ).alias("frame_offset"),
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — the correctness baseline. Relational
+    formulation (posexplode + join + sum) so the oracle reproduces it
+    exactly; at scale you'd swap the inner product to
+    ``F.aggregate(F.zip_with(...))`` (same plan shape, no row blowup)
+    — provided as ``cosine_knn_arrays``.
+  * hyperplane-LSH bucketing — the scale path: 2^P buckets from
+    deterministic md5-derived random hyperplanes; ANN search only
+    joins within a bucket, turning O(N·Q) into O(Q·bucket).
+
+Scale notes: queries are broadcast (Q ≪ N); the corpus side never
+shuffles for brute force. For LSH, the one shuffle keys on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ureplicator_spark.functions import md5_long
+
+N_PLANES = 8
+
+
+def _components(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, i, x) 1-based component view, double precision."""
+    return embeddings.select(
+        F.col(id_col),
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(id_col, (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+
+
+def norms(embeddings: DataFrame) -> DataFrame:
+    comp = _components(embeddings)
+    return comp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"))
+
+
+def cosine_knn(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """Brute-force cosine top-k of every corpus vector for the first
+    ``n_queries`` vectors (relational dot product — oracle-matched)."""
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    qc = _components(queries).select(
+        F.col("vec_id").alias("q_id"), "i", F.col("x").alias("qx")
+    )
+    cc = _components(embeddings).select(
+        F.col("vec_id").alias("c_id"), "i", F.col("x").alias("cx")
+    )
+    dots = (
+        F.broadcast(qc)
+        .join(cc, "i")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    nq = norms(queries).select(F.col("vec_id").alias("q_id"), F.col("norm").alias("qn"))
+    nc = norms(embeddings).select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn"))
+    scored = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nc, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def cosine_knn_arrays(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """Production-shaped brute force: broadcast cross join + zip_with
+    dot product (no row explosion; one codegen stage per corpus split).
+    Same semantics as :func:`cosine_knn`; preferred at scale.
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (
+                    F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+                    * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(spark, dim: int, n_planes: int = N_PLANES) -> DataFrame:
+    """Deterministic ±1 random hyperplanes from md5 — reproducible in
+    any engine (the 'seeded RNG' of the relational world)."""
+    planes = (
+        spark.range(n_planes)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(1, dim + 1).select(F.col("id").cast("int").alias("i")))
+    )
+    sign = F.when(
+        md5_long(F.concat_ws("_", F.col("p").cast("string"), F.col("i").cast("string"))) % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return planes.select("p", "i", sign.alias("sign"))
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """vec_id → 2^P-ary bucket from hyperplane sign bits."""
+    comp = _components(embeddings)
+    planes = hyperplanes(embeddings.sparkSession, 64, n_planes)
+    bits = (
+        comp.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
+        .select(
+            "vec_id",
+            "p",
+            F.when(F.col("proj") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        )
+    )
+    return bits.groupBy("vec_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")).cast("long")).cast("long").alias("bucket")
+    )
+
+
+def lsh_bucket_histogram(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Bucket occupancy — the tuning view for recall/cost trade-off."""
+    return (
+        lsh_buckets(embeddings, n_planes)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )

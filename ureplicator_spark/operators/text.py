@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extensions beyond the reference surface (SURVEY.md §7 / BASELINE.json
+north star): language-ID, quality scoring, token counting, document
+fingerprinting — all pure Catalyst column expressions / relational
+plans (no Python UDFs), so they run JVM-side with whole-stage codegen
+and scale linearly with input splits.
+
+Determinism: token math uses only length/replace arithmetic and
+explode+join relational counts; every ratio is a single division of
+exact integer counts → bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# language → characteristic stopwords (tiny demo profiles; extend freely)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "das"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "la", "les"],
+    "zh": ["de", "le", "he"],
+}
+
+
+def tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) — the relational token view."""
+    return documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting via pure string arithmetic (no explode, no UDF):
+    n_tokens = #separators + 1 on single-space text; avg token length
+    derived from exact char counts."""
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).alias("n_tokens")
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens,
+        F.round(
+            (F.length(F.regexp_replace("text", " ", "")))
+            / (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1),
+            6,
+        ).alias("avg_token_len"),
+        # BPE-ish subword proxy: vowel-group count (regexp_extract_all is
+        # codegen'd JVM-side; the pattern is RE2/Java-portable)
+        F.expr("size(regexp_extract_all(text, '[aeiou]+', 0))").alias("n_subword_units"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Quality heuristics: type-token ratio + stopword ratio + length,
+    combined into a keep/drop signal (the standard pretraining filter
+    shape: Gopher/C4-style rules over exact counts)."""
+    tok = tokens(documents)
+    en_stop = [w for w in LANG_PROFILES["en"]]
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.sum(F.when(F.col("token").isin(en_stop), 1).otherwise(0)).alias("n_stop"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        (
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_distinct") * 10 >= F.col("n_tokens"))  # TTR ≥ 0.1, exact ints
+            & (F.col("n_stop") > 0)
+        ).alias("keep"),
+    )
+
+
+def lang_id(documents: DataFrame, spark: SparkSession) -> DataFrame:
+    """N-gram/stopword language ID: score each language profile by
+    token hits, argmax with deterministic tie-break; 'unknown' when no
+    profile matches. Reports prediction vs the labeled lang column."""
+    profile_rows = [(lang, w) for lang, ws in LANG_PROFILES.items() for w in ws]
+    profiles = spark.createDataFrame(profile_rows, "plang string, token string")
+    tok = tokens(documents)
+    scores = (
+        tok.join(F.broadcast(profiles), "token")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("plang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        documents.select("doc_id", "lang")
+        .join(best.select("doc_id", "plang", "hits"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("plang", F.lit("unknown")).alias("lang_pred"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce("plang", F.lit("unknown")) == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprints: full-content md5, prefix fingerprint, and
+    a 60-bit portable integer fingerprint (for joins/sharding)."""
+    from ureplicator_spark.functions import md5_long
+
+    return documents.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_md5"),
+        md5_long(F.col("text")).alias("fingerprint60"),
+        F.length("text").alias("n_chars"),
+    )

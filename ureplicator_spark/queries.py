@@ -581,3 +581,547 @@ def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("int")).cast("long").alias("sum_k"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis (extension surface, SURVEY §7)
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_SQL = """
+SELECT doc_id, length(text) AS n_chars,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+       ROUND(length(replace(text, ' ', '')) * 1.0
+             / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_token_len,
+       len(regexp_extract_all(text, '[aeiou]+')) AS n_subword_units
+FROM documents
+"""
+
+
+@register("text_token_stats", _TOKEN_STATS_SQL)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + subword-unit proxy, no UDFs."""
+    from ureplicator_spark.operators import text as TX
+    from ureplicator_spark.sources.parquet import load_table
+
+    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+)
+""".strip()
+
+_QUALITY_SQL = _with(
+    _TOK_CTE,
+    """
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+         SUM(CASE WHEN token IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY doc_id
+)
+""".strip(),
+    """
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(n_distinct * 1.0 / n_tokens, 6) AS type_token_ratio,
+       ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       (n_tokens >= 10 AND n_distinct * 10 >= n_tokens AND n_stop > 0) AS keep
+FROM per
+""",
+)
+
+
+@register("text_quality_score", _QUALITY_SQL)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-filter quality signals (TTR, stopword ratio, length)."""
+    from ureplicator_spark.operators import text as TX
+    from ureplicator_spark.sources.parquet import load_table
+
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+from ureplicator_spark.operators.text import LANG_PROFILES  # noqa: E402
+
+_PROFILES_CTE = (
+    "profiles AS (SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_PROFILES.items() for w in ws
+    )
+    + ") AS t(plang, token))"
+)
+
+_LANG_ID_SQL = _with(
+    _TOK_CTE,
+    _PROFILES_CTE,
+    """
+scores AS (
+  SELECT doc_id, plang, COUNT(*) AS hits
+  FROM tok JOIN profiles USING (token) GROUP BY doc_id, plang
+)
+""".strip(),
+    """
+best AS (
+  SELECT doc_id, plang, hits FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+""".strip(),
+    """
+SELECT d.doc_id, d.lang,
+       COALESCE(b.plang, 'unknown') AS lang_pred,
+       CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits,
+       (COALESCE(b.plang, 'unknown') = d.lang) AS correct
+FROM documents d LEFT JOIN best b USING (doc_id)
+""",
+)
+
+
+@register("text_lang_id", _LANG_ID_SQL)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with argmax + deterministic ties."""
+    from ureplicator_spark.operators import text as TX
+    from ureplicator_spark.sources.parquet import load_table
+
+    return TX.lang_id(load_table(spark, sf_dir, "documents"), spark)
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS content_md5, md5(substr(text, 1, 64)) AS prefix_md5,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint60,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_SQL)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digests + 60-bit portable integer fingerprint."""
+    from ureplicator_spark.operators import text as TX
+    from ureplicator_spark.sources.parquet import load_table
+
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", _EXACT_DEDUP_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (one shuffle on the digest)."""
+    from ureplicator_spark.operators import dedup as DD
+    from ureplicator_spark.sources.parquet import load_table
+
+    return DD.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLES_CTE = """
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+)
+""".strip()
+
+_MINHASH_CTE = """
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS minhash
+  FROM shingles, (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY doc_id, seed
+)
+""".strip()
+
+_MINHASH_SIG_SQL = _with(
+    _SHINGLES_CTE,
+    _MINHASH_CTE,
+    "SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM mh",
+)
+
+
+@register("dedup_minhash_signatures", _MINHASH_SIG_SQL)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=8 md5-salted minhashes per doc over word-3-gram shingles."""
+    from ureplicator_spark.operators import dedup as DD
+    from ureplicator_spark.sources.parquet import load_table
+
+    return DD.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_LSH_PAIRS_SQL = _with(
+    _SHINGLES_CTE,
+    _MINHASH_CTE,
+    """
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY seed), ',')) AS band_hash
+  FROM mh GROUP BY doc_id, CAST(seed // 2 AS INT)
+)
+""".strip(),
+    """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+""".strip(),
+    """
+SELECT c.doc_a, c.doc_b,
+       ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS est_jaccard
+FROM cand c
+JOIN mh sa ON sa.doc_id = c.doc_a
+JOIN mh sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+GROUP BY c.doc_a, c.doc_b
+""",
+)
+
+
+@register("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (band-bucket join) + estimated Jaccard."""
+    from ureplicator_spark.operators import dedup as DD
+    from ureplicator_spark.sources.parquet import load_table
+
+    return DD.lsh_candidate_pairs(
+        DD.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    )
+
+
+_SIMHASH_CTE = """
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+)
+""".strip()
+
+_SIMHASH_BITS_CTE = """
+bits16 AS (
+  SELECT doc_id,
+         SUM(((h >> 0) & 1) * 2 - 1) AS s0,
+         SUM(((h >> 1) & 1) * 2 - 1) AS s1,
+         SUM(((h >> 2) & 1) * 2 - 1) AS s2,
+         SUM(((h >> 3) & 1) * 2 - 1) AS s3,
+         SUM(((h >> 4) & 1) * 2 - 1) AS s4,
+         SUM(((h >> 5) & 1) * 2 - 1) AS s5,
+         SUM(((h >> 6) & 1) * 2 - 1) AS s6,
+         SUM(((h >> 7) & 1) * 2 - 1) AS s7,
+         SUM(((h >> 8) & 1) * 2 - 1) AS s8,
+         SUM(((h >> 9) & 1) * 2 - 1) AS s9,
+         SUM(((h >> 10) & 1) * 2 - 1) AS s10,
+         SUM(((h >> 11) & 1) * 2 - 1) AS s11,
+         SUM(((h >> 12) & 1) * 2 - 1) AS s12,
+         SUM(((h >> 13) & 1) * 2 - 1) AS s13,
+         SUM(((h >> 14) & 1) * 2 - 1) AS s14,
+         SUM(((h >> 15) & 1) * 2 - 1) AS s15
+  FROM th GROUP BY doc_id
+)
+""".strip()
+
+_SIMHASH_SQL = _with(
+    _SIMHASH_CTE,
+    _SIMHASH_BITS_CTE,
+    """
+SELECT doc_id, CAST(CASE WHEN s0 > 0 THEN 1 ELSE 0 END + CASE WHEN s1 > 0 THEN 2 ELSE 0 END + CASE WHEN s2 > 0 THEN 4 ELSE 0 END + CASE WHEN s3 > 0 THEN 8 ELSE 0 END + CASE WHEN s4 > 0 THEN 16 ELSE 0 END + CASE WHEN s5 > 0 THEN 32 ELSE 0 END + CASE WHEN s6 > 0 THEN 64 ELSE 0 END + CASE WHEN s7 > 0 THEN 128 ELSE 0 END + CASE WHEN s8 > 0 THEN 256 ELSE 0 END + CASE WHEN s9 > 0 THEN 512 ELSE 0 END + CASE WHEN s10 > 0 THEN 1024 ELSE 0 END + CASE WHEN s11 > 0 THEN 2048 ELSE 0 END + CASE WHEN s12 > 0 THEN 4096 ELSE 0 END + CASE WHEN s13 > 0 THEN 8192 ELSE 0 END + CASE WHEN s14 > 0 THEN 16384 ELSE 0 END + CASE WHEN s15 > 0 THEN 32768 ELSE 0 END AS BIGINT) AS simhash
+FROM bits16
+""",
+)
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-bit simhash per document."""
+    from ureplicator_spark.operators import dedup as DD
+    from ureplicator_spark.sources.parquet import load_table
+
+    return DD.simhash(load_table(spark, sf_dir, "documents"))
+
+
+_NGRAM_JACCARD_SQL = _with(
+    _SHINGLES_CTE,
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM shingles GROUP BY doc_id)",
+    """
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+""".strip(),
+    """
+SELECT doc_a, doc_b, jaccard, rank FROM (
+  SELECT doc_a, doc_b, jaccard,
+         ROW_NUMBER() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rank
+  FROM (
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  )
+) WHERE rank <= 20
+""",
+)
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on inverted-index candidates, global top-20."""
+    from ureplicator_spark.operators import dedup as DD
+    from ureplicator_spark.sources.parquet import load_table
+
+    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COMP_CTE = """
+comp AS (
+  SELECT vec_id, r.i, CAST(embedding[r.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+)
+""".strip()
+
+_KNN_SQL = _with(
+    _COMP_CTE,
+    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    """
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
+  FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+""".strip(),
+    """
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT d.q_id, d.c_id,
+         ROUND(d.dot / (nq.nrm * nc.nrm), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.q_id
+                            ORDER BY ROUND(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.c_id) AS rank
+  FROM dots d
+  JOIN nrms nq ON nq.vec_id = d.q_id
+  JOIN nrms nc ON nc.vec_id = d.c_id
+) WHERE rank <= 3
+""",
+)
+
+
+@register("similarity_knn_bruteforce", _KNN_SQL)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 10 query vectors."""
+    from ureplicator_spark.operators import similarity as SIM
+    from ureplicator_spark.sources.parquet import load_table
+
+    return SIM.cosine_knn(load_table(spark, sf_dir, "embeddings"))
+
+
+_LSH_HIST_SQL = _with(
+    _COMP_CTE,
+    """
+planes AS (
+  SELECT p, i,
+         CASE WHEN (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM (SELECT unnest(range(0, 8)) AS p) pp
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+)
+""".strip(),
+    """
+bits AS (
+  SELECT c.vec_id, pl.p,
+         CASE WHEN SUM(c.x * pl.sign) > 0 THEN 1 ELSE 0 END AS bit
+  FROM comp c JOIN planes pl ON c.i = pl.i
+  GROUP BY c.vec_id, pl.p
+)
+""".strip(),
+    """
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id FROM (
+  SELECT vec_id, CAST(SUM(bit * (1 << p)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+) GROUP BY bucket
+""",
+)
+
+
+@register("similarity_lsh_buckets", _LSH_HIST_SQL)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket histogram (the ANN scale path)."""
+    from ureplicator_spark.operators import similarity as SIM
+    from ureplicator_spark.sources.parquet import load_table
+
+    return SIM.lsh_bucket_histogram(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: multimodal binary columns
+# ---------------------------------------------------------------------------
+
+_MEDIA_META_SQL = """
+SELECT 'text/plain' AS mime, COUNT(*) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS min_media_id
+FROM documents GROUP BY 1
+"""
+
+
+@register("multimodal_metadata", _MEDIA_META_SQL)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata rollup (payload column pruned at scan)."""
+    from ureplicator_spark.operators import multimodal as MM
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.media_metadata(media)
+
+
+# ---------------------------------------------------------------------------
+# General relational suite (bench headliners)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: exact-decimal grouped pricing summary."""
+    from ureplicator_spark.operators import relational as REL
+    from ureplicator_spark.sources.parquet import load_table
+
+    return REL.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+_Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue, rank FROM (
+  SELECT l_orderkey, o_orderdate, revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+  FROM (
+    SELECT l_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+  )
+) WHERE rank <= 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast dim chain + top-k revenue ranking."""
+    from ureplicator_spark.operators import relational as REL
+    from ureplicator_spark.sources.parquet import load_table
+
+    return REL.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", _Q5_SQL)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join, dims broadcast, one fact shuffle."""
+    from ureplicator_spark.operators import relational as REL
+    from ureplicator_spark.sources.parquet import load_table
+
+    return REL.local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan-filter-agg with full predicate pushdown."""
+    from ureplicator_spark.operators import relational as REL
+    from ureplicator_spark.sources.parquet import load_table
+
+    return REL.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+_SESSION_SQL = _with(
+    "ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events)",
+    """
+d AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+                   OR ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 21600
+              THEN 1 ELSE 0 END AS is_start
+  FROM ev
+)
+""".strip(),
+    """
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM d GROUP BY user_id
+""",
+)
+
+
+@register("event_sessionization", _SESSION_SQL)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window lag (per-user ordering)."""
+    from ureplicator_spark.operators import relational as REL
+
+    rec = FX.records(spark, sf_dir)
+    ev = rec.sparkSession.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.expr("ts div 1000000000").alias("ts_sec")
+    )
+    return REL.sessionize(ev)
