@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect overhead). Queries run once, cold-cache within one
+session — the same discipline the correctness driver uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: data plane, control plane, relational, LLM-pipeline
+BENCH_QUERIES = [
+    "replicate_transform",
+    "bounded_replication",
+    "consumer_lag",
+    "workload_windows",
+    "workload_max_lookback",
+    "instance_load",
+    "event_sessionization",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "text_token_stats",
+    "text_quality_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "similarity_knn_bruteforce",
+    "similarity_lsh_buckets",
+]
+
+
+def F_col_id():
+    from pyspark.sql import functions as F
+
+    return F.col("id")
+
+
+def main() -> None:
+    from ureplicator_spark.queries import QUERIES
+    from ureplicator_spark.session import get_spark
+
+    spark = get_spark("ureplicator-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup (not data-dependent): one tiny job through the
+    # scan→shuffle→noop path so the first timed query isn't paying JIT
+    # + executor startup.
+    spark.range(1_000_000).groupBy((F_col_id() % 10).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

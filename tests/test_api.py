@@ -1,0 +1,89 @@
+"""Engine facade tests — the REST-surface semantics (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ureplicator_spark import fixtures as FX
+from ureplicator_spark.api import Engine
+from ureplicator_spark.sources.kafka import (
+    sink_options,
+    source_options,
+    starting_offsets_json,
+)
+
+
+@pytest.fixture()
+def engine(spark, sf_dir):
+    return Engine(spark, FX.records(spark, sf_dir))
+
+
+def test_topic_management(engine):
+    engine.add_topic("click", dst_topic="click_mirror", partitions=4)
+    engine.add_topic("view")
+    engine.expand_topic("view", 8)
+    assert engine.topics().filter(F.col("topic") == "view").collect()[0].partitions == 8
+    engine.delete_topic("view")
+    assert engine.topics().filter(F.col("topic") == "view").count() == 0
+    with pytest.raises(KeyError):
+        engine.expand_topic("nope", 2)
+
+
+def test_lag_and_offsets(engine):
+    lag = engine.lag(FX.SNAPSHOT_T1)
+    row = lag.filter((F.col("topic") == "click") & (F.col("partition") == 0)).collect()[0]
+    assert row.lag >= 0 and row.latest_offset >= row.commit_offset
+
+
+def test_no_progress_and_validation(engine):
+    np_df = engine.no_progress(FX.SNAPSHOT_T1, FX.SNAPSHOT_T2)
+    assert np_df.filter(F.col("lag") <= 0).count() == 0
+    states = {r.state for r in engine.validate().collect()}
+    assert states <= {"ONLINE", "OFFLINE", "ERROR"} and "ONLINE" in states
+
+
+def test_workload_and_sizing(engine):
+    assert engine.expected_workers().collect()[0].expected_workers >= 1
+    assert engine.instance_load().count() == FX.N_INSTANCES
+
+
+def test_blacklist_and_whitelist(engine, spark):
+    engine.add_topic("click")
+    engine.blacklist_add("purchase")
+    cands = {
+        r.topic
+        for r in engine.whitelist_candidates(FX.dst_topics(spark)).collect()
+    }
+    assert "purchase" not in cands  # blacklisted
+    assert "click" not in cands  # already whitelisted
+    assert "signup" in cands and "view" in cands
+
+
+def test_health(engine):
+    h = engine.health()
+    assert h["status"] == "OK" and h["n_routes"] == 0
+
+
+def test_kafka_option_builders():
+    opts = source_options(
+        "b:9092",
+        assign={"click": [0, 1]},
+        starting_offsets={"click": {"0": 100, "1": 200}},
+        ending_offsets={"click": {"0": 500, "1": 600}},
+        max_offsets_per_trigger=10000,
+    )
+    assert opts["assign"] == '{"click": [0, 1]}'
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    with pytest.raises(ValueError):
+        source_options("b:9092")  # no selector
+    with pytest.raises(ValueError):
+        source_options("b:9092", topics=["a"], pattern=".*")  # two selectors
+
+    sink = sink_options("b:9092")
+    # the reference's ordering contract (ProducerThread.java:84-88)
+    assert sink["kafka.max.in.flight.requests.per.connection"] == "1"
+    assert sink["kafka.acks"] == "all"
+
+    j = starting_offsets_json({("t", 0): 5, ("t", 1): 7, ("u", 0): 0})
+    assert j == '{"t": {"0": 5, "1": 7}, "u": {"0": 0}}'

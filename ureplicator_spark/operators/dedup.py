@@ -44,68 +44,87 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 
 def shingles(documents: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
     """(doc_id, shingle) distinct word-k-gram view via array ops —
-    stays inside codegen; the explode is the only row expansion."""
-    toks = F.split("text", " ")
+    stays inside codegen; the explode is the only row expansion.
+
+    The token array is materialized in its own projection BEFORE the
+    lambda so the split regex runs once per row, not once per shingle
+    (a 5× difference even at test scale).
+    """
+    toked = documents.select("doc_id", F.split("text", " ").alias("toks"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.array_join(F.slice("toks", i, k), " "),
     )
-    return (
-        documents.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+    return toked.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+def minhash_wide(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, m0..m{K-1}): all K minhashes in ONE aggregation pass.
+
+    The K salted hashes are computed as K columns per shingle row (no
+    seed cross-join → no K× row/shuffle blowup) and min-aggregated
+    map-side. Shuffle volume is #docs × K values total — the shape that
+    survives 100 TB.
+    """
+    sh = shingles(documents)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            md5_long(
+                F.concat(F.lit(str(s)), F.lit(":"), F.col("shingle"))
+            ).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(n_hashes)]
     )
 
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, seed, minhash): K independent md5-salted min-hashes.
-
-    Relational formulation: explode shingles × seeds, min per (doc,
-    seed). Map-side partial min means the shuffle carries only
-    #docs × K rows regardless of document length.
-    """
-    sh = shingles(documents)
-    seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    """(doc_id, seed, minhash) long view — unpivoted from the wide
+    one-pass aggregation (stack is a zero-shuffle projection)."""
+    wide = minhash_wide(documents, n_hashes)
+    stack_args = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stack_args}) as (seed, minhash)"
     )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
+    documents: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
 ) -> DataFrame:
     """Band the signatures and self-join buckets → candidate pairs with
     estimated Jaccard = matching-minhash fraction.
 
     The join key is (band, band_hash) so only same-bucket docs meet —
-    the LSH property that makes near-dedup feasible at 100 TB.
+    the LSH property that makes near-dedup feasible at 100 TB. The
+    Jaccard estimate compares wide signature rows directly (no per-seed
+    join): one broadcast-or-shuffle join per pair side, K column
+    compares per pair.
     """
     rows_per_band = n_hashes // n_bands
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    wide = minhash_wide(documents, n_hashes)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
                 )
-            ).alias("band_hash")
+            ).alias("band_hash"),
         )
-    )
+        for b in range(n_bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_hash").alias("band_hash"))
+
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -115,29 +134,21 @@ def lsh_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # estimated jaccard: fraction of equal minhash positions
-    sa = signatures.select(
-        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ha")
-    )
-    sb = signatures.select(
-        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("hb")
+    wa = wide.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(n_hashes)])
+    wb = wide.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{s}").alias(f"b{s}") for s in range(n_hashes)])
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(n_hashes)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
-                / F.count("*"),
-                6,
-            ).alias("est_jaccard")
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
         )
     )
 

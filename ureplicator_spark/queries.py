@@ -794,9 +794,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.operators import dedup as DD
     from ureplicator_spark.sources.parquet import load_table
 
-    return DD.lsh_candidate_pairs(
-        DD.minhash_signatures(load_table(spark, sf_dir, "documents"))
-    )
+    return DD.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
 _SIMHASH_CTE = """

@@ -1,0 +1,204 @@
+"""ReplicationJob — the reference's WorkerInstance as ONE Structured
+Streaming query (SURVEY.md §3.1, component map §7).
+
+Reference lifecycle collapsed:
+  WorkerInstance.start (WorkerInstance.java:100-139)   → job.start()
+  Fetcher/Producer thread pipeline + bounded queues    → micro-batch
+    execution (built-in backpressure, T5)
+  DefaultMessageTransformer                             → replicate_transform
+  ZookeeperCheckpointManager commit-after-flush (T1)   → checkpointLocation
+    offset WAL + commit log per micro-batch (at-least-once)
+  offset.commit.interval.ms (T3)                        → trigger interval
+  RateLimiter (T4)                                      → maxOffsetsPerTrigger
+  bounded replication (T10, WorkerInstance.java:189-206)→ batch read with
+    ending offsets
+
+Source kinds:
+  * ``kafka``  — production path (needs the Kafka connector jar).
+  * ``files``  — parquet-dir stream of Kafka-record-shaped rows; used
+    by tests and by any replay-from-archive deployment. Same schema,
+    same transform, same checkpoint semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ureplicator_spark.operators.replicate import bounded_filter, replicate_transform
+from ureplicator_spark.session import tune
+from ureplicator_spark.sources import kafka as K
+
+
+@dataclass
+class Route:
+    """Federation route '@src@dst@routeId' (ControllerHelixManager)."""
+
+    src_cluster: str
+    dst_cluster: str
+    route_id: int = 0
+    topic_mapping: dict[str, str] = field(default_factory=dict)
+    partition_counts: dict[str, int] = field(default_factory=dict)
+    max_records_per_trigger: int | None = None  # T4 rate limit
+    trigger_interval: str | None = None  # T3 commit cadence
+
+    @property
+    def name(self) -> str:
+        return f"@{self.src_cluster}@{self.dst_cluster}@{self.route_id}"
+
+
+class ReplicationJob:
+    """One route = one streaming query (the Spark-first WorkerInstance)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        route: Route,
+        checkpoint_dir: str,
+        source_kind: str = "files",
+        source_path: str | None = None,
+        bootstrap_servers: str | None = None,
+        topics: list[str] | None = None,
+    ) -> None:
+        self.spark = tune(spark)
+        self.route = route
+        self.checkpoint_dir = checkpoint_dir
+        self.source_kind = source_kind
+        self.source_path = source_path
+        self.bootstrap_servers = bootstrap_servers
+        self.topics = topics
+        self.query: StreamingQuery | None = None
+
+    # -- source ------------------------------------------------------------
+    def _source(self) -> DataFrame:
+        if self.source_kind == "kafka":
+            opts = K.source_options(
+                self.bootstrap_servers or "",
+                topics=self.topics,
+                max_offsets_per_trigger=self.route.max_records_per_trigger,
+            )
+            df = self.spark.readStream.format("kafka").options(**opts).load()
+            # Kafka wire schema → engine record view (ts seconds + size)
+            return df.select(
+                "topic",
+                "partition",
+                "offset",
+                F.col("timestamp").cast("long").alias("ts_sec"),
+                F.octet_length("value").alias("value_size"),
+                "key",
+                "value",
+            )
+        if self.source_kind == "files":
+            static = self.spark.read.parquet(self.source_path)
+            reader = (
+                self.spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", "8")  # T5 backpressure analog
+            )
+            return reader.parquet(self.source_path)
+        raise ValueError(f"unknown source kind {self.source_kind!r}")
+
+    # -- transform ---------------------------------------------------------
+    def _transform(self, df: DataFrame) -> DataFrame:
+        mapping = self.spark.createDataFrame(
+            list(self.route.topic_mapping.items()) or [("", "")],
+            "src_topic string, dst_topic string",
+        )
+        counts = self.spark.createDataFrame(
+            list(self.route.partition_counts.items()) or [("", 0)],
+            "topic string, num_partitions int",
+        )
+        return replicate_transform(df, mapping, counts)
+
+    # -- sinks -------------------------------------------------------------
+    def start(self, out_path: str, available_now: bool = False) -> StreamingQuery:
+        """Streaming replication to a parquet sink (tests/archive) —
+        checkpointed, at-least-once, per-micro-batch commit (T1/T3)."""
+        out = self._transform(self._source())
+        writer = (
+            out.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.route.name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self.route.trigger_interval:
+            writer = writer.trigger(processingTime=self.route.trigger_interval)
+        self.query = writer.start()
+        return self.query
+
+    def start_kafka(self, preserve_order: bool = True) -> StreamingQuery:
+        """Streaming replication into the destination Kafka cluster with
+        the reference's ordering contract (T2)."""
+        out = self._transform(self._source()).select(
+            F.col("dst_topic").alias("topic"),
+            F.col("dst_partition").alias("partition"),
+            "key",
+            "value",
+        )
+        writer = (
+            out.writeStream.format("kafka")
+            .options(**K.sink_options(self.bootstrap_servers or "", preserve_order))
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.route.name)
+        )
+        if self.route.trigger_interval:
+            writer = writer.trigger(processingTime=self.route.trigger_interval)
+        self.query = writer.start()
+        return self.query
+
+    # -- bounded mode (T10) -------------------------------------------------
+    def run_bounded(
+        self,
+        out_path: str,
+        start_offset: int | None = None,
+        end_offset: int | None = None,
+    ) -> int:
+        """Bounded [start, end) replication as a batch job
+        (PartitionOffsetInfo semantics); returns records written."""
+        src = (
+            self.spark.read.parquet(self.source_path)
+            if self.source_kind == "files"
+            else self.spark.read.format("kafka")
+            .options(K.source_options(self.bootstrap_servers or "", topics=self.topics))
+            .load()
+        )
+        out = self._transform(bounded_filter(src, start_offset, end_offset))
+        out.write.mode("append").parquet(out_path)
+        return self.spark.read.parquet(out_path).count()
+
+
+class RouteRegistry:
+    """Manager-level route table (§3.3): route → running query, plus a
+    DataFrame view for the control-plane queries."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.jobs: dict[str, ReplicationJob] = {}
+
+    def add(self, job: ReplicationJob) -> None:
+        self.jobs[job.route.name] = job
+
+    def remove(self, name: str) -> None:
+        job = self.jobs.pop(name, None)
+        if job and job.query and job.query.isActive:
+            job.query.stop()
+
+    def to_df(self) -> DataFrame:
+        rows = [
+            (
+                j.route.name,
+                j.route.src_cluster,
+                j.route.dst_cluster,
+                j.route.route_id,
+                bool(j.query and j.query.isActive),
+            )
+            for j in self.jobs.values()
+        ] or [("", "", "", 0, False)]
+        return self.spark.createDataFrame(
+            rows, "route string, src string, dst string, route_id int, active boolean"
+        )
