@@ -1,0 +1,82 @@
+"""Plan-shape assertions: the 100 TB scale contract of each operator,
+checked against the actual Catalyst physical plan. A failure here means
+a pushdown/broadcast/shuffle regression that correctness tests can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ureplicator_spark import fixtures as FX
+from ureplicator_spark.operators import dedup as DD
+from ureplicator_spark.operators import relational as REL
+from ureplicator_spark.operators import replicate as R
+from ureplicator_spark.plans import (
+    assert_broadcast_join,
+    assert_max_shuffles,
+    assert_pushed_filters,
+    count_shuffles,
+    read_schemas,
+)
+from ureplicator_spark.queries import QUERIES
+from ureplicator_spark.sources.parquet import load_table
+
+
+def test_replicate_transform_is_shuffle_free(spark, sf_dir):
+    """The data-plane hot path must be a pure map pipeline: broadcast
+    joins only, zero data-moving exchanges, at any input size."""
+    out = R.replicate_transform(
+        FX.records(spark, sf_dir),
+        FX.topic_mapping(spark),
+        FX.partition_counts(spark),
+        drop_predicate=F.col("topic") == "error",
+    )
+    assert_max_shuffles(out, 0)
+    assert_broadcast_join(out, at_least=2)
+
+
+def test_bounded_scan_pushes_offset_filters(spark, sf_dir):
+    """S3 bounds must reach the parquet scan as row-group filters."""
+    out = R.bounded_filter(FX.records(spark, sf_dir), 100, 600)
+    assert_pushed_filters(out, "GreaterThanOrEqual(event_id,100)", "LessThan(event_id,600)")
+
+
+def test_q6_scan_filter_pushdown_and_pruning(spark, sf_dir):
+    """Q6: predicates pushed; scan reads only the 4 needed columns."""
+    df = REL.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+    assert_pushed_filters(df, "l_discount", "l_quantity")
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema in plan"
+    assert all("l_orderkey" not in s for s in schemas), f"pruning lost: {schemas}"
+    assert_max_shuffles(df, 1)  # single global aggregate exchange
+
+
+def test_q5_broadcasts_dimension_chain(spark, sf_dir):
+    """Q5: every dim side broadcasts; only the fact join may shuffle."""
+    df = QUERIES["q5_local_supplier_volume"][0](spark, sf_dir)
+    assert_broadcast_join(df, at_least=3)
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    """Q1 is one partial-agg + one exchange on the group keys."""
+    df = REL.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    assert_max_shuffles(df, 1)
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    df = DD.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+    assert_max_shuffles(df, 1)
+
+
+def test_lag_join_reuses_aggregation_partitioning(spark, sf_dir):
+    """consumer_lag: two aggs + join on the same keys — Catalyst must
+    not add a third repartitioning for the join."""
+    df = QUERIES["consumer_lag"][0](spark, sf_dir)
+    assert count_shuffles(df) <= 2, f"lag plan shuffles: {count_shuffles(df)}"
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    """records() projects 5 of 6 event columns; ReadSchema must shrink."""
+    rec = FX.records(spark, sf_dir).select("topic", "offset")
+    schemas = read_schemas(rec)
+    assert schemas and all("props" not in s for s in schemas), schemas

@@ -1,0 +1,109 @@
+"""Stateful streaming no-progress detector (T8/A2) tests."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from ureplicator_spark.streaming.stateful import (
+    no_progress_detector,
+    streaming_workload_windows,
+)
+
+UPDATE_SCHEMA = (
+    "topic string, partition int, commit_offset long, latest_offset long, ts_sec long"
+)
+
+
+def _run_stream(spark, src_dir, build, ckpt):
+    static = spark.read.schema(UPDATE_SCHEMA).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"mem_{int(time.time() * 1000)}")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {q.name}")
+
+
+def test_no_progress_detector_flags_stalled_partition(spark, tmp_path):
+    src = str(tmp_path / "updates")
+    # tick 1: both partitions progressing
+    spark.createDataFrame(
+        [("t", 0, 100, 110, 1000), ("t", 1, 200, 210, 1000)], UPDATE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    # tick 2 (+700 s): partition 0 commit unchanged with lag → stuck;
+    # partition 1 advanced → healthy
+    spark.createDataFrame(
+        [("t", 0, 100, 130, 1700), ("t", 1, 260, 270, 1700)], UPDATE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    res = _run_stream(
+        spark, src, lambda s: no_progress_detector(s, 600), str(tmp_path / "ck")
+    )
+    rows = {(r.topic, r.partition): r for r in res.collect()}
+    assert ("t", 0) in rows, f"stalled partition not flagged: {rows}"
+    r = rows[("t", 0)]
+    assert r.stalled_for_sec >= 600 and r.lag == 30
+    assert ("t", 1) not in rows  # progressing partition stays quiet
+
+
+def test_no_progress_detector_no_lag_no_alert(spark, tmp_path):
+    src = str(tmp_path / "updates2")
+    # commit stalls but lag is zero (fully caught up) → never stuck
+    spark.createDataFrame([("t", 0, 100, 100, 1000)], UPDATE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([("t", 0, 100, 100, 1700)], UPDATE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    res = _run_stream(
+        spark, src, lambda s: no_progress_detector(s, 600), str(tmp_path / "ck2")
+    )
+    assert res.count() == 0
+
+
+def test_streaming_workload_windows_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked streaming agg produces the same windows as the
+    batch operator once the stream drains (availableNow)."""
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.operators.workload import workload_windows
+
+    src = str(tmp_path / "rec")
+    FX.records(spark, sf_dir).coalesce(2).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        streaming_workload_windows(stream)
+        .writeStream.format("memory")
+        .queryName("wl_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from wl_windows")
+    expected = workload_windows(FX.records(spark, sf_dir))
+    # append mode emits only windows sealed by the watermark; every
+    # emitted window must match the batch result exactly
+    joined = got.join(
+        expected.withColumnRenamed("bytes_per_sec", "exp_bps"),
+        ["topic", "window_start"],
+        "left",
+    )
+    assert joined.filter(F.col("exp_bps").isNull()).count() == 0
+    assert joined.filter(F.col("bytes_per_sec") != F.col("exp_bps")).count() == 0
+    assert got.count() > 0

@@ -159,3 +159,78 @@ def lsh_bucket_histogram(embeddings: DataFrame, n_planes: int = N_PLANES) -> Dat
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
+
+
+def lsh_ann(embeddings: DataFrame, n_queries: int = 10, n_planes: int = N_PLANES) -> DataFrame:
+    """ANN: nearest neighbor per query vector, searched ONLY within the
+    query's LSH bucket (the O(Q·bucket) scale path; recall traded for
+    the 2^P candidate reduction)."""
+    buckets = lsh_buckets(embeddings, n_planes)
+    comp = _components(embeddings)
+    nr = norms(embeddings)
+
+    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "bucket"
+    )
+    cb = buckets.select(F.col("vec_id").alias("c_id"), "bucket")
+    cand = qb.join(cb, "bucket").filter(F.col("q_id") != F.col("c_id"))
+
+    qc = comp.select(F.col("vec_id").alias("q_id"), "i", F.col("x").alias("qx"))
+    cc = comp.select(F.col("vec_id").alias("c_id"), "i", F.col("x").alias("cx"))
+    dots = (
+        cand.join(qc, "q_id")
+        .join(cc, ["c_id", "i"])
+        .groupBy("q_id", "c_id", "bucket")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    nq = nr.select(F.col("vec_id").alias("q_id"), F.col("norm").alias("qn"))
+    nc = nr.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn"))
+    scored = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(F.broadcast(nc), "c_id")
+        .select(
+            "q_id", "c_id", "bucket",
+            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "c_id", "bucket", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, top_k: int = 10, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs from shared LSH
+    buckets, ranked by cosine — the scale-safe version of all-pairs
+    near-dup (only same-bucket pairs are scored)."""
+    buckets = lsh_buckets(embeddings, n_planes)
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+
+    comp = _components(embeddings)
+    ca = comp.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
+    cb = comp.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb"))
+    dots = (
+        cand.join(ca, "vec_a")
+        .join(cb, ["vec_b", "i"])
+        .groupBy("vec_a", "vec_b", "bucket")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    nr = norms(embeddings)
+    na = nr.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("norm_a"))
+    nb = nr.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("norm_b"))
+    scored = (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .select(
+            "vec_a", "vec_b", "bucket",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)

@@ -1,0 +1,9 @@
+from ureplicator_spark.plans.inspect import (  # noqa: F401
+    assert_broadcast_join,
+    assert_max_shuffles,
+    assert_pushed_filters,
+    count_broadcast_joins,
+    count_shuffles,
+    plan_string,
+    read_schemas,
+)

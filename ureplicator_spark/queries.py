@@ -1123,3 +1123,277 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.expr("ts div 1000000000").alias("ts_sec")
     )
     return REL.sessionize(ev)
+
+
+# ---------------------------------------------------------------------------
+# Second-wave coverage: A3, P6, LSH-ANN, embedding near-dup, frame sampling
+# ---------------------------------------------------------------------------
+
+_LAG_TIME_SQL = _with(
+    FX.RECORDS_CTE,
+    _COMMITTED_CTE,
+    _LATEST_CTE,
+    _PARTITION_WL_CTE,
+    _SPAN_CTE,
+    """
+lagt AS (
+  SELECT l.topic, l."partition",
+         GREATEST(0, l.latest_offset - GREATEST(COALESCE(c.commit_offset, 0), 0)) AS lag
+  FROM latest l LEFT JOIN committed c USING (topic, "partition")
+)
+""".strip(),
+    """
+pw AS (
+  SELECT topic, "partition", ROUND(total_msgs / span_sec, 6) AS msgs_per_sec
+  FROM partition_wl, span
+)
+""".strip(),
+    """
+SELECT l.topic, l."partition" AS partition, l.lag,
+       ROUND(l.lag * 1.0 / GREATEST(1.0, COALESCE(p.msgs_per_sec, 0.0)), 4) AS lag_time_sec
+FROM lagt l LEFT JOIN pw p USING (topic, "partition")
+""",
+)
+
+
+@register("lag_time_estimate", _LAG_TIME_SQL)
+def q_lag_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: lagTime = lag / max(1, msgs_per_sec) (HelixMirrorMakerManager.java:398-420)."""
+    rec = FX.records(spark, sf_dir)
+    lag_df = LAG.consumer_lag(
+        LAG.latest_offsets(rec), LAG.committed_offsets(rec, FX.SNAPSHOT_T1)
+    ).select("topic", "partition", "lag")
+    return LAG.lag_time(lag_df, WKL.partition_workload(rec))
+
+
+_REPLAY_SKIP_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+SELECT topic, "partition" AS partition, COUNT(*) AS n_records, MIN("offset") AS min_offset
+FROM records WHERE "offset" >= 300
+GROUP BY topic, "partition"
+""",
+)
+
+
+@register("replay_skip", _REPLAY_SKIP_SQL)
+def q_replay_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: records below consumeOffset skipped on chunk replay
+    (ConsumerIterator.java:81-83)."""
+    rec = R.bounded_filter(FX.records(spark, sf_dir), consume_offset=300)
+    return rec.groupBy("topic", "partition").agg(
+        F.count("*").alias("n_records"), F.min("offset").alias("min_offset")
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT media_id, mime, frame_offset FROM (
+  SELECT doc_id AS media_id, 'text/plain' AS mime,
+         unnest(range(0, length(text), 1000)) AS frame_offset
+  FROM documents
+)
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_SQL)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: one row per sampled payload window."""
+    from ureplicator_spark.operators import multimodal as MM
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.frame_sample(media, 1000)
+
+
+_PLANES_CTE = """
+planes AS (
+  SELECT p, i,
+         CASE WHEN (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM (SELECT unnest(range(0, 8)) AS p) pp
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+)
+""".strip()
+
+_BITS_CTE = """
+bits AS (
+  SELECT c.vec_id, pl.p,
+         CASE WHEN SUM(c.x * pl.sign) > 0 THEN 1 ELSE 0 END AS bit
+  FROM comp c JOIN planes pl ON c.i = pl.i
+  GROUP BY c.vec_id, pl.p
+)
+""".strip()
+
+_BUCKETS_CTE = """
+buckets AS (
+  SELECT vec_id, CAST(SUM(bit * (1 << p)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+)
+""".strip()
+
+_NRM_CTE = "nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM comp GROUP BY vec_id)"
+
+_LSH_ANN_SQL = _with(
+    _COMP_CTE,
+    _PLANES_CTE,
+    _BITS_CTE,
+    _BUCKETS_CTE,
+    _NRM_CTE,
+    """
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+""".strip(),
+    """
+dots AS (
+  SELECT cand.q_id, cand.c_id, cand.bucket, SUM(q.x * c.x) AS dot
+  FROM cand
+  JOIN comp q ON q.vec_id = cand.q_id
+  JOIN comp c ON c.vec_id = cand.c_id AND c.i = q.i
+  GROUP BY cand.q_id, cand.c_id, cand.bucket
+)
+""".strip(),
+    """
+SELECT q_id, c_id, bucket, cosine FROM (
+  SELECT d.q_id, d.c_id, d.bucket,
+         ROUND(d.dot / (nq.n * nc.n), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.q_id
+                            ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+  FROM dots d
+  JOIN nrm nq ON nq.vec_id = d.q_id
+  JOIN nrm nc ON nc.vec_id = d.c_id
+) WHERE rn = 1
+""",
+)
+
+
+@register("similarity_lsh_ann", _LSH_ANN_SQL)
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN nearest-neighbor within the query's LSH bucket."""
+    from ureplicator_spark.operators import similarity as SIM
+    from ureplicator_spark.sources.parquet import load_table
+
+    return SIM.lsh_ann(load_table(spark, sf_dir, "embeddings"))
+
+
+_NEAR_DUP_SQL = _with(
+    _COMP_CTE,
+    _PLANES_CTE,
+    _BITS_CTE,
+    _BUCKETS_CTE,
+    _NRM_CTE,
+    """
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+""".strip(),
+    """
+dots AS (
+  SELECT cand.vec_a, cand.vec_b, cand.bucket, SUM(x1.x * x2.x) AS dot
+  FROM cand
+  JOIN comp x1 ON x1.vec_id = cand.vec_a
+  JOIN comp x2 ON x2.vec_id = cand.vec_b AND x2.i = x1.i
+  GROUP BY cand.vec_a, cand.vec_b, cand.bucket
+)
+""".strip(),
+    """
+SELECT vec_a, vec_b, bucket, cosine, rank FROM (
+  SELECT d.vec_a, d.vec_b, d.bucket,
+         ROUND(d.dot / (na.n * nb.n), 6) AS cosine,
+         ROW_NUMBER() OVER (ORDER BY ROUND(d.dot / (na.n * nb.n), 6) DESC, d.vec_a, d.vec_b) AS rank
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.vec_a
+  JOIN nrm nb ON nb.vec_id = d.vec_b
+) WHERE rank <= 10
+""",
+)
+
+
+@register("dedup_embedding_cosine", _NEAR_DUP_SQL)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top same-bucket pairs by cosine."""
+    from ureplicator_spark.operators import similarity as SIM
+    from ureplicator_spark.sources.parquet import load_table
+
+    return SIM.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming (T8): the applyInPandasWithState no-progress detector,
+# driven over derived snapshot ticks. The oracle is the closed form of the
+# detector on exactly-two-snapshot input (stalled == T2 - T1 for stuck rows).
+# ---------------------------------------------------------------------------
+
+_STATEFUL_NP_SQL = _with(
+    FX.RECORDS_CTE,
+    f"""
+c1 AS (SELECT topic, "partition", MAX("offset") AS commit_t1
+       FROM records WHERE ts_sec <= {FX.SNAPSHOT_T1} GROUP BY topic, "partition")
+""".strip(),
+    f"""
+c2 AS (SELECT topic, "partition", MAX("offset") AS commit_t2
+       FROM records WHERE ts_sec <= {FX.SNAPSHOT_T2} GROUP BY topic, "partition")
+""".strip(),
+    _LATEST_CTE,
+    f"""
+SELECT l.topic, l."partition" AS partition, c2.commit_t2 AS commit_offset,
+       GREATEST(0, l.latest_offset - COALESCE(c2.commit_t2, 0)) AS lag,
+       CAST({FX.SNAPSHOT_T2 - FX.SNAPSHOT_T1} AS BIGINT) AS stalled_for_sec
+FROM latest l
+LEFT JOIN c1 USING (topic, "partition")
+LEFT JOIN c2 USING (topic, "partition")
+WHERE c1.commit_t1 IS NOT NULL AND c1.commit_t1 = c2.commit_t2
+  AND GREATEST(0, l.latest_offset - COALESCE(c2.commit_t2, 0)) > 0
+""",
+)
+
+
+@register("stateful_no_progress", _STATEFUL_NP_SQL)
+def q_stateful_no_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/A2: run the real applyInPandasWithState detector over two
+    offset-snapshot ticks derived from the log; returns the stuck set.
+    """
+    import tempfile
+    import time as _time
+
+    from ureplicator_spark.streaming.stateful import no_progress_detector
+
+    rec = FX.records(spark, sf_dir)
+    c1 = LAG.committed_offsets(rec, FX.SNAPSHOT_T1)
+    c2 = LAG.committed_offsets(rec, FX.SNAPSHOT_T2)
+    latest = LAG.latest_offsets(rec)
+    tick1 = c1.select(
+        "topic", "partition",
+        F.col("commit_offset"),
+        F.col("commit_offset").alias("latest_offset"),
+        F.lit(FX.SNAPSHOT_T1).cast("long").alias("ts_sec"),
+    )
+    tick2 = (
+        c2.join(latest, ["topic", "partition"])
+        .select(
+            "topic", "partition", "commit_offset",
+            F.col("latest_offset"),
+            F.lit(FX.SNAPSHOT_T2).cast("long").alias("ts_sec"),
+        )
+    )
+    # one parquet dir, one availableNow batch: the detector's pandas fold
+    # sorts by ts_sec per key, so batching is order-independent
+    src = tempfile.mkdtemp(prefix="np_updates_")
+    tick1.unionByName(tick2).coalesce(1).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    qname = f"np_detect_{int(_time.time() * 1000)}"
+    q = (
+        no_progress_detector(stream, 600)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="np_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"select * from {qname}")

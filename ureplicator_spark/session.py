@@ -36,6 +36,19 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some envs
             pass
+    try:
+        # Spark's 200-partition default is wrong for local sessions and
+        # can't be AQE-coalesced in stateful streaming stages (state
+        # store partitioning is fixed at first checkpoint). Replace the
+        # untouched default only — an explicit user setting wins.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cpus = os.environ.get("SPARK_GRAFT_CPUS")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                cpus if cpus and cpus.isdigit() else "32",
+            )
+    except Exception:  # pragma: no cover
+        pass
     return spark
 
 

@@ -1,0 +1,114 @@
+"""Stateful streaming operators (T8) — the no-progress/stuck detector
+as a continuous computation.
+
+Reference semantics (OffsetMonitor.java:78, 293-307): a partition is
+"no progress" when its commit offset is unchanged since the previous
+tick while lag > 0; it is "stuck" once the stagnation age exceeds
+MIN_NO_PROGRESS_TIME_MS (10 min). The reference keeps a driver-side
+map keyed by partition; here the state lives in Spark's state store,
+partitioned by (topic, partition) — it scales horizontally and
+survives restarts via the checkpoint.
+
+This is the one operator that genuinely needs
+``applyInPandasWithState`` (SURVEY §7 risk 5); everything else in the
+engine is stateless or window-expressible.
+
+Also here: the watermarked streaming form of the workload windows
+(A5/T7) — tumbling event-time windows with late-data tolerance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+NO_PROGRESS_OUTPUT_SCHEMA = (
+    "topic string, partition int, commit_offset long, lag long, stalled_for_sec long"
+)
+NO_PROGRESS_STATE_SCHEMA = "last_commit long, last_change_ts long"
+
+MIN_NO_PROGRESS_SEC = 600  # MIN_NO_PROGRESS_TIME_MS (OffsetMonitor.java:78)
+
+
+def no_progress_detector(
+    lag_updates: DataFrame, stall_threshold_sec: int = MIN_NO_PROGRESS_SEC
+) -> DataFrame:
+    """Continuous stuck-partition detection over a stream of offset
+    snapshots (topic, partition, commit_offset, latest_offset, ts_sec).
+
+    Emits a row whenever a snapshot shows commit unchanged for ≥
+    threshold with positive lag. State per key: (last_commit,
+    ts_of_last_commit_change).
+    """
+
+    def detect(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        rows = rows.sort_values("ts_sec")
+        if state.exists:
+            last_commit, last_change = state.get
+        else:
+            last_commit, last_change = None, None
+        out: list[tuple] = []
+        for r in rows.itertuples(index=False):
+            commit = int(r.commit_offset)
+            ts = int(r.ts_sec)
+            if last_commit is None or commit != last_commit:
+                last_commit, last_change = commit, ts
+            lag = max(0, int(r.latest_offset) - max(commit, 0))
+            stalled = ts - last_change
+            if lag > 0 and stalled >= stall_threshold_sec:
+                out.append((key[0], int(key[1]), commit, lag, stalled))
+        state.update((last_commit, last_change))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["topic", "partition", "commit_offset", "lag", "stalled_for_sec"],
+            )
+
+    return lag_updates.groupBy("topic", "partition").applyInPandasWithState(
+        detect,
+        outputStructType=NO_PROGRESS_OUTPUT_SCHEMA,
+        stateStructType=NO_PROGRESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_workload_windows(
+    records_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """A5/T7 as a watermarked streaming aggregation: tumbling
+    event-time windows with bounded state (late rows beyond the
+    watermark are dropped — the reference has no event-time notion at
+    all (T6), so any watermark is a strict superset of its behavior).
+    """
+    with_ts = records_stream.withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts_sec"))
+    ).withWatermark("event_time", watermark)
+    return (
+        with_ts.groupBy("topic", F.window("event_time", window).alias("win"))
+        .agg(
+            F.sum("value_size").alias("window_bytes"),
+            F.count("*").alias("window_msgs"),
+        )
+        .select(
+            "topic",
+            F.col("win.start").cast("long").alias("window_start"),
+            F.round(F.col("window_bytes") / 600.0, 6).alias("bytes_per_sec"),
+            F.round(F.col("window_msgs") / 600.0, 6).alias("msgs_per_sec"),
+        )
+    )
