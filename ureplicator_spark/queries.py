@@ -1397,3 +1397,89 @@ def q_stateful_no_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.sql(f"select * from {qname}")
+
+
+# ---------------------------------------------------------------------------
+# Additional relational shapes: anti join, outer-join rollup, distinct agg
+# ---------------------------------------------------------------------------
+
+_ANTI_JOIN_SQL = """
+SELECT o_orderkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+@register("orders_without_lineitems", _ANTI_JOIN_SQL)
+def q_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the U2/J4 set-minus shape on relational data)."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+_CUSTOMER_ROLLUP_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(COALESCE(CAST(o.o_totalprice AS DECIMAL(18,2)), 0)), 2) AS DOUBLE) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+HAVING COUNT(o.o_orderkey) >= 3
+"""
+
+
+@register("customer_order_rollup", _CUSTOMER_ROLLUP_SQL)
+def q_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + grouped rollup + HAVING (null-safe counting)."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    return (
+        j.groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.coalesce(F.col("o_totalprice").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))), 2
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+_TOKEN_CARDINALITY_SQL = _with(
+    _TOK_CTE.replace("documents", "documents"),
+    """
+SELECT d.lang, COUNT(DISTINCT d.doc_id) AS n_docs,
+       COUNT(DISTINCT t.token) AS n_distinct_tokens
+FROM documents d JOIN tok t ON t.doc_id = d.doc_id
+GROUP BY d.lang
+""",
+)
+
+
+@register("token_cardinality", _TOKEN_CARDINALITY_SQL)
+def q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation per group (the exact path; see
+    test_dedup_text.py for the approx_count_distinct scale variant)."""
+    from ureplicator_spark.operators.text import tokens
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(tok, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+        )
+    )
