@@ -85,3 +85,85 @@ def test_md5_long_matches_python(spark):
     df = spark.createDataFrame([("hello",)], "s string").select(md5_long("s").alias("h"))
     expected = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
     assert df.collect()[0].h == expected
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    from ureplicator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, "x1"), ("a", 10, "x2"), ("a", 25, "x3"), ("b", 7, "y1"), ("c", 1, "z1")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 4, 1.0), ("a", 10, 2.0), ("a", 12, 3.0), ("b", 99, 4.0)],
+        "k string, ts long, v double",
+    )
+    return asof_join, left, right
+
+
+def test_asof_join_basic(spark):
+    """Latest right row at-or-before each left ts; ties match; keys
+    with no eligible right row stay NULL (left-outer)."""
+    asof_join, left, right = _asof_fixture(spark)
+    out = {
+        (r.k, r.ts): r.v
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert out == {
+        ("a", 5): 1.0,   # 4 <= 5
+        ("a", 10): 2.0,  # tie: right ts==left ts matches
+        ("a", 25): 3.0,  # latest of {4,10,12}
+        ("b", 7): None,  # right row is in the future
+        ("c", 1): None,  # no right rows for key
+    }
+
+
+def test_asof_join_tolerance(spark):
+    """Matches staler than `tolerance` are nulled (freshness cutoff,
+    WorkloadInfoRetriever.java:209-237 analog)."""
+    asof_join, left, right = _asof_fixture(spark)
+    out = {
+        (r.k, r.ts): r.v
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"], tolerance=5).collect()
+    }
+    assert out[("a", 25)] is None  # 12 < 25-5: too stale
+    assert out[("a", 10)] == 2.0
+    assert out[("a", 5)] == 1.0
+
+
+def test_asof_join_no_cross_product(spark):
+    """The plan must be union+window (one hash shuffle on the key),
+    never a broadcast-nested-loop theta join."""
+    from ureplicator_spark.operators.asof import asof_join
+    from ureplicator_spark.plans.inspect import plan_string
+
+    left = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("ts")
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 7).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = plan_string(asof_join(left, right, ["k"], "ts", "ts", ["v"]))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_top_k_ranked_plan_and_values(spark):
+    """Global top-k compiles to TakeOrderedAndProject (per-partition
+    heap), not a single-partition sort; ranks are 1..k deterministic."""
+    from ureplicator_spark.functions import top_k_ranked
+    from ureplicator_spark.plans.inspect import plan_string
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 37 % 101).alias("score"))
+    top = top_k_ranked(df, 5, F.col("score").desc(), F.col("id"))
+    assert "TakeOrderedAndProject" in plan_string(top)
+    rows = top.collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0].score == max(i * 37 % 101 for i in range(1000))

@@ -67,3 +67,20 @@ def json_get(col: Column | str, field: str) -> Column:
     """F5: JSON field extraction (fastjson parse, OffsetMonitor.java:148-151)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, f"$.{field}")
+
+
+def top_k_ranked(df, k: int, *order_cols: Column, rank_col: str = "rank"):
+    """Global top-k with a 1-based rank column, scale-safely.
+
+    ``orderBy(...).limit(k)`` compiles to ``TakeOrderedAndProject`` —
+    each task keeps a k-element heap and the driver merges k·p rows —
+    instead of the single-partition total sort a global
+    ``row_number()`` window forces. The rank window then runs over only
+    the k surviving rows, so its single partition is harmless. Order
+    columns must form a total order (include a tiebreaker) for the rank
+    to be deterministic.
+    """
+    from pyspark.sql import Window
+
+    topk = df.orderBy(*order_cols).limit(k)
+    return topk.withColumn(rank_col, F.row_number().over(Window.orderBy(*order_cols)))

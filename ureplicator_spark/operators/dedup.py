@@ -193,8 +193,6 @@ def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
     stop-shingles — AQE skew handling + a frequency cap mitigate);
     top-k keeps driver output bounded.
     """
-    from pyspark.sql import Window
-
     sh = shingles(documents)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -218,5 +216,6 @@ def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
-    return j.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)
+    from ureplicator_spark.functions import top_k_ranked
+
+    return top_k_ranked(j, top_k, F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))

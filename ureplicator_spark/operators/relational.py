@@ -78,10 +78,10 @@ def shipping_priority(
     agg = j.groupBy("l_orderkey", "o_orderdate").agg(
         F.round(F.sum(revenue), 2).cast("double").alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    from ureplicator_spark.functions import top_k_ranked
+
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top_k_ranked(agg, k, F.col("revenue").desc(), F.col("l_orderkey"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),

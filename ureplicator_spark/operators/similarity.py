@@ -232,5 +232,8 @@ def embedding_near_dup_pairs(
             F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)
+    from ureplicator_spark.functions import top_k_ranked
+
+    return top_k_ranked(
+        scored, top_k, F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")
+    )

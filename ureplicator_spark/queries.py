@@ -1483,3 +1483,155 @@ def q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("token").alias("n_distinct_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, window lag/lead, rollup, topic inventory
+# ---------------------------------------------------------------------------
+
+_ASOF_TOLERANCE = 3 * FX.WINDOW_SEC
+
+_WORKLOAD_ASOF_SQL = _with(
+    FX.RECORDS_CTE,
+    _WINDOWS_CTE,
+    f"""
+avail AS (
+  SELECT topic, window_start + {FX.WINDOW_SEC} AS avail_ts, bytes_per_sec
+  FROM ww
+)
+""".strip(),
+    """
+sampled AS (
+  SELECT topic, "offset", ts_sec FROM records WHERE "offset" % 97 = 0
+)
+""".strip(),
+    f"""
+SELECT s.topic, s."offset" AS offset, s.ts_sec,
+       CASE WHEN a.avail_ts >= s.ts_sec - {_ASOF_TOLERANCE}
+            THEN a.bytes_per_sec ELSE NULL END AS bytes_per_sec
+FROM sampled s ASOF LEFT JOIN avail a
+  ON s.topic = a.topic AND s.ts_sec >= a.avail_ts
+""",
+)
+
+
+@register("workload_asof", _WORKLOAD_ASOF_SQL)
+def q_workload_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each sampled record picks up the freshest COMPLETED
+    workload window (available at window_start + width) at-or-before
+    its timestamp, nulled beyond a staleness tolerance — the
+    WorkloadInfoRetriever freshness semantics (:145-168, 209-237) as a
+    general temporal-join operator (union+carry, no theta join)."""
+    from ureplicator_spark.operators.asof import asof_join
+
+    rec = FX.records(spark, sf_dir)
+    sampled = rec.filter(F.col("offset") % 97 == 0).select("topic", "offset", "ts_sec")
+    avail = WKL.workload_windows(rec).select(
+        "topic",
+        (F.col("window_start") + FX.WINDOW_SEC).alias("avail_ts"),
+        "bytes_per_sec",
+    )
+    return asof_join(
+        sampled,
+        avail,
+        on=["topic"],
+        left_ts="ts_sec",
+        right_ts="avail_ts",
+        value_cols=["bytes_per_sec"],
+        tolerance=_ASOF_TOLERANCE,
+    )
+
+
+_OFFSET_PROGRESSION_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+gaps AS (
+  SELECT topic, "partition",
+         "offset" - LAG("offset") OVER (PARTITION BY topic, "partition" ORDER BY "offset") AS gap
+  FROM records
+)
+""".strip(),
+    """
+SELECT topic, "partition" AS partition,
+       COUNT(*) AS n_gaps,
+       MAX(gap) AS max_gap,
+       ROUND(AVG(gap), 6) AS avg_gap
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY topic, "partition"
+""",
+)
+
+
+@register("offset_progression", _OFFSET_PROGRESSION_SQL)
+def q_offset_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-offset progression deltas (A2 precursor): per-partition
+    LAG window — partitioned by the natural key, so the sort is
+    per-group and scale-safe (no global window)."""
+    from pyspark.sql import Window
+
+    rec = FX.records(spark, sf_dir)
+    w = Window.partitionBy("topic", "partition").orderBy("offset")
+    gaps = rec.select(
+        "topic",
+        "partition",
+        (F.col("offset") - F.lag("offset").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("topic", "partition").agg(
+        F.count("*").alias("n_gaps"),
+        F.max("gap").alias("max_gap"),
+        F.round(F.avg("gap"), 6).alias("avg_gap"),
+    )
+
+
+_WORKLOAD_ROLLUP_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+SELECT topic, "partition" AS partition,
+       GROUPING(topic, "partition") AS gid,
+       COUNT(*) AS n_records,
+       CAST(SUM(value_size) AS BIGINT) AS total_bytes
+FROM records
+GROUP BY ROLLUP(topic, "partition")
+""",
+)
+
+
+@register("workload_rollup", _WORKLOAD_ROLLUP_SQL)
+def q_workload_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP(topic, partition) — per-partition,
+    per-topic, and grand totals in one pass (partial aggregation keeps
+    it a single shuffle). GROUPING bit-vector disambiguates NULL keys;
+    Spark's grouping_id() and DuckDB's GROUPING() agree bit-for-bit."""
+    rec = FX.records(spark, sf_dir)
+    return rec.rollup("topic", "partition").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_records"),
+        F.sum("value_size").cast("long").alias("total_bytes"),
+    ).select("topic", "partition", "gid", "n_records", "total_bytes")
+
+
+_TOPIC_INVENTORY_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+SELECT topic,
+       CAST(MAX("partition") + 1 AS INT) AS n_partitions,
+       COUNT(*) AS n_records,
+       MIN("offset") AS min_offset,
+       MAX("offset") AS max_offset
+FROM records GROUP BY topic
+""",
+)
+
+
+@register("topic_inventory", _TOPIC_INVENTORY_SQL)
+def q_topic_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10: broker topic observer — topics with partition counts and
+    offset ranges (KafkaBrokerTopicObserver.java:113-270,
+    TopicPartitionCountObserver.java:96-118), derived from the log."""
+    rec = FX.records(spark, sf_dir)
+    return rec.groupBy("topic").agg(
+        (F.max("partition") + 1).cast("int").alias("n_partitions"),
+        F.count("*").alias("n_records"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+    )
