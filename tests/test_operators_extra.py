@@ -167,3 +167,25 @@ def test_top_k_ranked_plan_and_values(spark):
     rows = top.collect()
     assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
     assert rows[0].score == max(i * 37 % 101 for i in range(1000))
+
+
+def test_range_join_semantics_and_plan(spark):
+    """Point-in-range matching with key equality; bounds broadcast
+    (BroadcastHashJoin on keys, never a nested-loop over ranges)."""
+    from ureplicator_spark.operators.rangejoin import range_join
+    from ureplicator_spark.plans.inspect import assert_broadcast_join, plan_string
+
+    left = spark.createDataFrame(
+        [("t", 0, 5), ("t", 0, 14), ("t", 0, 15), ("t", 1, 5), ("u", 0, 5)],
+        "topic string, partition int, offset long",
+    )
+    ranges = spark.createDataFrame(
+        [("t", 0, 0, 10, 0), ("t", 0, 10, 15, 1), ("t", 1, 0, 100, 7)],
+        "topic string, partition int, start_offset long, end_offset long, route_id int",
+    )
+    out = range_join(left, ranges, ["topic", "partition"], "offset", "start_offset", "end_offset")
+    got = {(r.topic, r.partition, r.offset): r.route_id for r in out.collect()}
+    assert got == {("t", 0, 5): 0, ("t", 0, 14): 1, ("t", 1, 5): 7}  # 15 excluded (end-exclusive), u unmatched
+    assert_broadcast_join(out)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -137,3 +137,50 @@ def test_route_registry(spark, record_dir, tmp_path):
     assert df.filter(F.col("route") == "@sjc1@dca1@0").count() == 1
     reg.remove("@sjc1@dca1@0")
     assert not reg.jobs
+
+
+def test_rate_limited_triggers(spark, record_dir, tmp_path):
+    """T4: per-trigger intake bound — maxFilesPerTrigger=1 over a
+    4-file source must produce ≥4 micro-batches, none exceeding the
+    largest single file, with the total preserved (RateLimiter.acquire
+    analog, ConsumerFetcherThread.java:144-146)."""
+    out = str(tmp_path / "rl_out")
+    mon = ProgressMonitor().attach(spark)
+    route = _route()
+    route.max_files_per_trigger = 1
+    job = ReplicationJob(
+        spark, route, checkpoint_dir=str(tmp_path / "rl_ck"),
+        source_kind="files", source_path=record_dir,
+    )
+    job.start(out, available_now=True).awaitTermination(120)
+    src = spark.read.parquet(record_dir)
+    assert spark.read.parquet(out).count() == src.count()
+    spark.streams.resetTerminated()
+    prog = mon.progress_df(spark).filter(
+        (F.col("query_name") == route.name) & (F.col("num_input_rows") > 0)
+    )
+    batches = [r.num_input_rows for r in prog.collect()]
+    assert len(batches) >= 4
+    per_file_max = (
+        src.groupBy(F.input_file_name()).count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max(batches) <= per_file_max
+    mon.detach(spark)
+
+
+def test_custom_transform_hook(spark, record_dir, tmp_path):
+    """P5: a user transform REPLACES the default one
+    (IMessageTransformer / createMessageTransformer override)."""
+    out = str(tmp_path / "ct_out")
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "ct_ck"),
+        source_kind="files", source_path=record_dir,
+        transform=lambda df: df.filter(F.col("topic") == "click").withColumn(
+            "dst_topic", F.lit("click_custom")
+        ),
+    )
+    job.start(out, available_now=True).awaitTermination(120)
+    src = spark.read.parquet(record_dir)
+    dst = spark.read.parquet(out)
+    assert dst.count() == src.filter(F.col("topic") == "click").count()
+    assert dst.select("dst_topic").distinct().collect()[0][0] == "click_custom"

@@ -81,6 +81,30 @@ def records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_ROUTES = 3
+
+
+def route_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(topic, partition) offset ranges split into N_ROUTES routes —
+    the partial-replication bounds table (PartitionOffsetInfo,
+    WorkerInstance.java:189-206). width = ceil(span/3) so the three
+    [start, end) ranges exactly cover [min_offset, max_offset]."""
+    base = (
+        records(spark, sf_dir)
+        .groupBy("topic", "partition")
+        .agg(F.min("offset").alias("mn"), F.max("offset").alias("mx"))
+        .withColumn("width", F.expr("(mx - mn + 3) div 3"))
+    )
+    routes = spark.range(N_ROUTES).select(F.col("id").cast("int").alias("route_id"))
+    return base.crossJoin(F.broadcast(routes)).select(
+        "topic",
+        "partition",
+        "route_id",
+        (F.col("mn") + F.col("route_id") * F.col("width")).alias("start_offset"),
+        (F.col("mn") + (F.col("route_id") + 1) * F.col("width")).alias("end_offset"),
+    )
+
+
 def topic_mapping(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(TOPIC_MAPPING_ROWS, "src_topic string, dst_topic string")
 
@@ -115,6 +139,18 @@ records AS (
          value,
          props
   FROM events
+)
+""".strip()
+
+ROUTE_BOUNDS_CTE = """
+route_bounds AS (
+  SELECT b.topic, b."partition", r.route_id,
+         b.mn + r.route_id * b.width AS start_offset,
+         b.mn + (r.route_id + 1) * b.width AS end_offset
+  FROM (SELECT topic, "partition", MIN("offset") AS mn,
+               (MAX("offset") - MIN("offset") + 3) // 3 AS width
+        FROM records GROUP BY topic, "partition") b
+  CROSS JOIN (VALUES (0), (1), (2)) AS r(route_id)
 )
 """.strip()
 

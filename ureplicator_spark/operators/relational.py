@@ -151,6 +151,95 @@ def forecast_revenue_change(
     )
 
 
+def promo_revenue_monthly(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio per month.
+
+    part projects to two columns and broadcasts; the fact never
+    shuffles until the ~24-key month agg."""
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    j = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast(_DEC))
+    return (
+        j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double"), 6
+            ).alias("promo_pct"),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    threshold: int = 300,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold.
+
+    The HAVING-filtered aggregate is tiny, so it broadcasts into
+    orders; the resulting slice is tiny too, so AQE broadcasts it into
+    the customer join at runtime — the fact tables never co-shuffle."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_d("l_quantity")), 2).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty",
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#13",
+    num: int = 1,
+    den: int = 5,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems.
+
+    The correlated scalar subquery ("avg quantity for this part")
+    decorrelates into a per-part aggregate joined back — two passes
+    over the brand-restricted slice, both keyed on p_partkey, so the
+    second join co-partitions with the first. The below-average filter
+    is kept in EXACT arithmetic (den·count·qty < num··sum) so no
+    double rounding can flip boundary rows between engines."""
+    parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    stats = li.groupBy("p_partkey").agg(
+        F.sum(_d("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n_li"),
+    ).select(F.col("p_partkey").alias("s_partkey"), "sum_qty", "n_li")
+    below = li.join(F.broadcast(stats), F.col("p_partkey") == F.col("s_partkey")).filter(
+        _d("l_quantity") * F.lit(den) * F.col("n_li") < F.col("sum_qty") * F.lit(num)
+    )
+    return below.agg(
+        F.round(F.sum(_d("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def sessionize(events_ts_sec: DataFrame, gap_sec: int = 21600) -> DataFrame:
     """Event sessionization: session starts where the per-user gap
     exceeds ``gap_sec``. One shuffle keyed on user_id; the sort is

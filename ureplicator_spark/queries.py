@@ -1635,3 +1635,125 @@ def q_topic_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("offset").alias("min_offset"),
         F.max("offset").alias("max_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (route bounds) + wider relational shapes (Q14/Q17/Q18)
+# ---------------------------------------------------------------------------
+
+_ROUTE_RANGE_SQL = _with(
+    FX.RECORDS_CTE,
+    FX.ROUTE_BOUNDS_CTE,
+    """
+SELECT b.topic, b."partition" AS partition, b.route_id,
+       COUNT(*) AS n_records,
+       CAST(SUM(r.value_size) AS BIGINT) AS total_bytes
+FROM records r
+JOIN route_bounds b
+  ON r.topic = b.topic AND r."partition" = b."partition"
+ AND r."offset" >= b.start_offset AND r."offset" < b.end_offset
+GROUP BY b.topic, b."partition", b.route_id
+""",
+)
+
+
+@register("route_range_assignment", _ROUTE_RANGE_SQL)
+def q_route_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: records → their [start, end) route bound (T10 partial
+    replication, WorkerInstance.java:189-206). Bounds broadcast; the
+    record log never shuffles until the per-route rollup."""
+    from ureplicator_spark.operators.rangejoin import range_join
+
+    rec = FX.records(spark, sf_dir)
+    bounds = FX.route_bounds(spark, sf_dir)
+    joined = range_join(
+        rec, bounds, on=["topic", "partition"],
+        point="offset", start="start_offset", end="end_offset",
+    )
+    return joined.groupBy("topic", "partition", "route_id").agg(
+        F.count("*").alias("n_records"),
+        F.sum("value_size").cast("long").alias("total_bytes"),
+    )
+
+
+_PROMO_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_pct,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
+@register("promo_revenue_monthly", _PROMO_SQL)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio, broadcast dim."""
+    from ureplicator_spark.operators import relational as REL
+    from ureplicator_spark.sources.parquet import load_table
+
+    return REL.promo_revenue_monthly(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+_LARGE_ORDERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("large_volume_orders", _LARGE_ORDERS_SQL)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered semi-ish join chain."""
+    from ureplicator_spark.operators import relational as REL
+    from ureplicator_spark.sources.parquet import load_table
+
+    return REL.large_volume_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_SMALL_QTY_SQL = """
+WITH parts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN parts p ON l.l_partkey = p.p_partkey
+),
+stats AS (
+  SELECT l_partkey AS s_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         COUNT(*) AS n_li
+  FROM li GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_items
+FROM li JOIN stats ON li.l_partkey = stats.s_partkey
+WHERE CAST(li.l_quantity AS DECIMAL(18,2)) * 5 * stats.n_li < stats.sum_qty * 1
+"""
+
+
+@register("part_small_qty_revenue", _SMALL_QTY_SQL)
+def q_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: decorrelated per-part average with an exact
+    (rounding-free) below-average predicate."""
+    from ureplicator_spark.operators import relational as REL
+    from ureplicator_spark.sources.parquet import load_table
+
+    return REL.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

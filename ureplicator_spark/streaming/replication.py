@@ -43,7 +43,8 @@ class Route:
     route_id: int = 0
     topic_mapping: dict[str, str] = field(default_factory=dict)
     partition_counts: dict[str, int] = field(default_factory=dict)
-    max_records_per_trigger: int | None = None  # T4 rate limit
+    max_records_per_trigger: int | None = None  # T4 rate limit (kafka source)
+    max_files_per_trigger: int = 8  # T4/T5 analog for the files source
     trigger_interval: str | None = None  # T3 commit cadence
 
     @property
@@ -63,7 +64,14 @@ class ReplicationJob:
         source_path: str | None = None,
         bootstrap_servers: str | None = None,
         topics: list[str] | None = None,
+        transform=None,
     ) -> None:
+        """``transform``: optional DataFrame→DataFrame callable REPLACING
+        the default replicate transform — the IMessageTransformer hook
+        (P5, uReplicator-Worker/.../interfaces/IMessageTransformer.java;
+        WorkerInstance.createMessageTransformer override point,
+        WorkerInstance.java:141-143). Declarative (Column-expression)
+        callables stay entirely inside Catalyst."""
         self.spark = tune(spark)
         self.route = route
         self.checkpoint_dir = checkpoint_dir
@@ -71,6 +79,7 @@ class ReplicationJob:
         self.source_path = source_path
         self.bootstrap_servers = bootstrap_servers
         self.topics = topics
+        self.transform = transform
         self.query: StreamingQuery | None = None
 
     # -- source ------------------------------------------------------------
@@ -96,13 +105,18 @@ class ReplicationJob:
             static = self.spark.read.parquet(self.source_path)
             reader = (
                 self.spark.readStream.schema(static.schema)
-                .option("maxFilesPerTrigger", "8")  # T5 backpressure analog
+                # T4/T5: per-trigger intake bound (file-source analog of
+                # maxOffsetsPerTrigger; RateLimiter.acquire,
+                # ConsumerFetcherThread.java:144-146)
+                .option("maxFilesPerTrigger", str(self.route.max_files_per_trigger))
             )
             return reader.parquet(self.source_path)
         raise ValueError(f"unknown source kind {self.source_kind!r}")
 
     # -- transform ---------------------------------------------------------
     def _transform(self, df: DataFrame) -> DataFrame:
+        if self.transform is not None:  # P5 pluggable transformer
+            return self.transform(df)
         mapping = self.spark.createDataFrame(
             list(self.route.topic_mapping.items()) or [("", "")],
             "src_topic string, dst_topic string",
