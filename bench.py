@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_knn_bruteforce",
     "similarity_lsh_buckets",
+    "similarity_ivf_ann",
+    "workload_asof",
+    "route_range_assignment",
+    "promo_revenue_monthly",
+    "large_volume_orders",
 ]
 
 

@@ -189,3 +189,15 @@ def test_range_join_semantics_and_plan(spark):
     assert_broadcast_join(out)
     plan = plan_string(out)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    """Resize stub: schema-stable, fixed output size, deterministic."""
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized = MM.resize(media, 8, 8)
+    assert resized.schema == MM.RESIZED_SCHEMA
+    rows = resized.filter(F.col("media_id") < 2).collect()
+    assert all(r.n_bytes_out == 64 and len(r.payload) == 64 for r in rows)
+    again = {r.media_id: bytes(r.payload) for r in MM.resize(media, 8, 8).filter(F.col("media_id") < 2).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+    assert resized.count() == media.count()

@@ -118,3 +118,53 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest((F.col("n_bytes") - 1), F.lit(0)), F.lit(every_n_bytes))
         ).alias("frame_offset"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("target_w", T.IntegerType(), False),
+        T.StructField("target_h", T.IntegerType(), False),
+        T.StructField("n_bytes_in", T.LongType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize stub via mapInPandas: deterministic byte re-sampling in
+    place of a real image resize (no media libs in container — swap the
+    inner function for PIL ``Image.resize``). Plumbing is real: Arrow
+    batches in, binary payloads out, schema-stable, output size bounded
+    by target dims so executor memory is independent of input size."""
+    out_len = target_w * target_h
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                if p is None:
+                    outs.append(None)
+                    continue
+                b = bytes(p)
+                n = len(b)
+                if n == 0:
+                    outs.append(b"")
+                else:
+                    # nearest-neighbor byte sampling — deterministic stand-in
+                    outs.append(bytes(b[(i * n) // out_len] for i in range(out_len)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "n_bytes_in": pdf["n_bytes"],
+                    "n_bytes_out": [len(o) if o is not None else None for o in outs],
+                    "payload": outs,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)

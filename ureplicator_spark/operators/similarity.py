@@ -237,3 +237,87 @@ def embedding_near_dup_pairs(
     return top_k_ranked(
         scored, top_k, F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")
     )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_queries: int = 10,
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into
+    centroid lists, probe only the ``nprobe`` nearest lists per query.
+
+    The second scale path next to hyperplane-LSH: search cost drops
+    from O(Q·N) to O(Q · nprobe · N/n_centroids). Centroids here are a
+    deterministic pick (vec_id < n_centroids) so the DuckDB oracle can
+    reproduce the exact partitioning; a production deployment trains
+    them offline (k-means on a sample) and broadcasts them identically.
+
+    Plan shape: the centroid component table broadcasts into a single
+    map-side join + partial agg for list assignment (corpus never
+    shuffles by centroid); the probe joins only within probed lists;
+    final ranking windows are per-query.
+    """
+    comp = _components(embeddings)
+    nrm = norms(embeddings)
+    cent = comp.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), "i", F.col("x").alias("cx")
+    )
+    adot = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    nv = nrm.select("vec_id", F.col("norm").alias("vn"))
+    ncent = nrm.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("norm").alias("cn")
+    )
+    ascore = (
+        adot.join(F.broadcast(ncent), "cent_id")
+        .join(F.broadcast(nv), "vec_id")
+        .select(
+            "vec_id", "cent_id",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
+    ranked = ascore.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("c_id"), "cent_id"
+    )
+    probe = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("q_id"), "cent_id")
+    cand = (
+        probe.join(assign, "cent_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+    )
+    qc = comp.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "i", F.col("x").alias("qx")
+    )
+    cc = comp.select(F.col("vec_id").alias("c_id"), "i", F.col("x").alias("ccx"))
+    cdot = (
+        cand.join(F.broadcast(qc), "q_id")
+        .join(cc, ["c_id", "i"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("qx") * F.col("ccx")).alias("dot"))
+    )
+    nq = nrm.select(F.col("vec_id").alias("q_id"), F.col("norm").alias("qn"))
+    nc = nrm.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn2"))
+    score = (
+        cdot.join(F.broadcast(nq), "q_id")
+        .join(F.broadcast(nc), "c_id")
+        .select(
+            "q_id", "c_id",
+            F.round(F.col("dot") / (F.col("qn") * F.col("cn2")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        score.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

@@ -1757,3 +1757,69 @@ def q_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.small_quantity_revenue(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+_IVF_SQL = _with(
+    _COMP_CTE,
+    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    """
+adot AS (
+  SELECT c.vec_id, ct.vec_id AS cent_id, SUM(c.x * ct.x) AS dot
+  FROM comp c JOIN comp ct ON c.i = ct.i AND ct.vec_id < 8
+  GROUP BY c.vec_id, ct.vec_id
+)
+""".strip(),
+    """
+ascore AS (
+  SELECT a.vec_id, a.cent_id,
+         ROUND(a.dot / (n1.nrm * n2.nrm), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY ROUND(a.dot / (n1.nrm * n2.nrm), 6) DESC, a.cent_id) AS rn
+  FROM adot a
+  JOIN nrms n1 ON n1.vec_id = a.vec_id
+  JOIN nrms n2 ON n2.vec_id = a.cent_id
+)
+""".strip(),
+    "assign AS (SELECT vec_id AS c_id, cent_id FROM ascore WHERE rn = 1)",
+    "probe AS (SELECT vec_id AS q_id, cent_id FROM ascore WHERE vec_id < 10 AND rn <= 2)",
+    """
+cand AS (
+  SELECT p.q_id, a.c_id FROM probe p JOIN assign a USING (cent_id)
+  WHERE a.c_id <> p.q_id
+)
+""".strip(),
+    """
+cdot AS (
+  SELECT cd.q_id, cd.c_id, SUM(q.x * c.x) AS dot
+  FROM cand cd
+  JOIN comp q ON q.vec_id = cd.q_id
+  JOIN comp c ON c.vec_id = cd.c_id AND c.i = q.i
+  GROUP BY cd.q_id, cd.c_id
+)
+""".strip(),
+    """
+score AS (
+  SELECT s.q_id, s.c_id, ROUND(s.dot / (n1.nrm * n2.nrm), 6) AS cosine
+  FROM cdot s
+  JOIN nrms n1 ON n1.vec_id = s.q_id
+  JOIN nrms n2 ON n2.vec_id = s.c_id
+)
+""".strip(),
+    """
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM score
+) WHERE rank <= 3
+""",
+)
+
+
+@register("similarity_ivf_ann", _IVF_SQL)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantization + nprobe=2 list probe
+    (the second ANN scale path next to hyperplane LSH)."""
+    from ureplicator_spark.operators import similarity as SIM
+    from ureplicator_spark.sources.parquet import load_table
+
+    return SIM.ivf_ann(load_table(spark, sf_dir, "embeddings"))
