@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "route_range_assignment",
     "promo_revenue_monthly",
     "large_volume_orders",
+    "corpus_clean",
 ]
 
 

@@ -201,3 +201,38 @@ def test_multimodal_resize_plumbing(spark, sf_dir):
     again = {r.media_id: bytes(r.payload) for r in MM.resize(media, 8, 8).filter(F.col("media_id") < 2).collect()}
     assert all(bytes(r.payload) == again[r.media_id] for r in rows)
     assert resized.count() == media.count()
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    """Two-phase salted aggregation must equal the direct groupBy for
+    all four algebraic aggregates (hot-key fan-out, streaming-safe)."""
+    from ureplicator_spark.operators.skew import salted_agg
+
+    rec = FX.records(spark, sf_dir)
+    direct = {
+        r.topic: (r.n, r.total, r.mn, r.mx)
+        for r in rec.groupBy("topic").agg(
+            F.count("*").alias("n"), F.sum("value_size").alias("total"),
+            F.min("value_size").alias("mn"), F.max("value_size").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        r.topic: (r.n, r.total, r.mn, r.mx)
+        for r in salted_agg(
+            rec, ["topic"],
+            {"n": ("count", "value_size"), "total": ("sum", "value_size"),
+             "mn": ("min", "value_size"), "mx": ("max", "value_size")},
+            n_salt=8,
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_corpus_clean_pushes_lang_filter(spark, sf_dir):
+    """The composed pipeline must push the lang filter into the parquet
+    scan (a full-corpus decode at 100 TB otherwise)."""
+    from ureplicator_spark.plans.inspect import assert_pushed_filters
+    from ureplicator_spark.queries import QUERIES
+
+    df = QUERIES["corpus_clean"][0](spark, sf_dir)
+    assert_pushed_filters(df, "lang")

@@ -1823,3 +1823,87 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return SIM.ivf_ann(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-clean pipeline + percentile workload stats
+# ---------------------------------------------------------------------------
+
+_CORPUS_CLEAN_SQL = _with(
+    _TOK_CTE,
+    """
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+         SUM(CASE WHEN token IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY doc_id
+)
+""".strip(),
+    """
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(text) AS h FROM documents)
+  GROUP BY h
+)
+""".strip(),
+    """
+SELECT d.doc_id, d.lang, per.n_tokens,
+       ('0x' || substr(md5(d.text), 1, 15))::BIGINT AS fingerprint60
+FROM documents d
+JOIN keepers USING (doc_id)
+JOIN per ON per.doc_id = d.doc_id
+WHERE d.lang = 'en'
+  AND per.n_tokens >= 10 AND per.n_distinct * 10 >= per.n_tokens AND per.n_stop > 0
+""",
+)
+
+
+@register("corpus_clean", _CORPUS_CLEAN_SQL)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline: language filter →
+    quality filter (exact-arithmetic Gopher-style rules) → exact dedup
+    keep-first → fingerprinted survivors. One composed DataFrame plan:
+    Catalyst pushes the lang filter to the parquet scan; the dedup and
+    quality aggregations are the only two shuffles."""
+    from ureplicator_spark.functions import md5_long
+    from ureplicator_spark.operators import text as TX
+    from ureplicator_spark.operators.dedup import exact_dedup_groups
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = TX.quality_score(docs).filter(F.col("keep")).select("doc_id", "n_tokens")
+    keepers = exact_dedup_groups(docs).select(F.col("keeper_doc_id").alias("doc_id"))
+    return (
+        docs.filter(F.col("lang") == "en")
+        .join(keepers, "doc_id")
+        .join(quality, "doc_id")
+        .select("doc_id", "lang", "n_tokens", md5_long(F.col("text")).alias("fingerprint60"))
+    )
+
+
+_PCTL_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+SELECT topic,
+       ROUND(quantile_cont(value_size, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value_size, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value_size, 0.99), 6) AS p99,
+       MAX(value_size) AS max_size
+FROM records GROUP BY topic
+""",
+)
+
+
+@register("workload_percentiles", _PCTL_SQL)
+def q_workload_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic payload-size distribution (p50/p95/p99) — the capacity
+    signal behind A4's max-over-lookback, computed as exact interpolated
+    percentiles (both engines use the same (n-1)·p continuous-rank
+    definition). At 100 TB swap to approx_percentile (t-digest) — same
+    plan shape, bounded memory; exact kept here for the oracle gate."""
+    rec = FX.records(spark, sf_dir)
+    return rec.groupBy("topic").agg(
+        F.round(F.percentile("value_size", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value_size", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value_size", F.lit(0.99)), 6).alias("p99"),
+        F.max("value_size").alias("max_size"),
+    )
