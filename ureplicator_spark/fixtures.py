@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import values_df
 from ureplicator_spark.sources.parquet import load_table
 
 # ---------------------------------------------------------------------------
@@ -106,23 +107,23 @@ def route_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def topic_mapping(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(TOPIC_MAPPING_ROWS, "src_topic string, dst_topic string")
+    return values_df(spark, TOPIC_MAPPING_ROWS, "src_topic string, dst_topic string")
 
 
 def partition_counts(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PARTITION_COUNT_ROWS, "topic string, num_partitions int")
+    return values_df(spark, PARTITION_COUNT_ROWS, "topic string, num_partitions int")
 
 
 def dst_topics(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(t,) for t in DST_TOPIC_ROWS], "topic string")
+    return values_df(spark, DST_TOPIC_ROWS, "topic string")
 
 
 def src_extra_topics(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(t,) for t in SRC_EXTRA_TOPIC_ROWS], "topic string")
+    return values_df(spark, SRC_EXTRA_TOPIC_ROWS, "topic string")
 
 
 def blacklist(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(t,) for t in BLACKLIST_ROWS], "topic string")
+    return values_df(spark, BLACKLIST_ROWS, "topic string")
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,57 @@ def json_get(col: Column | str, field: str) -> Column:
     return F.get_json_object(c, f"$.{field}")
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Widen a narrow scan before CPU-heavy per-row work.
+
+    A few-hundred-KB parquet file arrives as ONE input split, so an
+    expensive downstream map (k-gram shingling, K salted hashes per
+    shingle) runs on one core while 31 idle. Repartitioning costs one
+    tiny round-robin exchange and buys full parallelism. The guard
+    makes it a no-op once the scan already has enough splits — the
+    100 TB case — so at-scale plans keep zero extra shuffles. Batch
+    only (streaming DataFrames skip it)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
+def values_df(spark, rows, cols: str):
+    """Small literal DataFrame as a JVM-side LocalRelation (SQL VALUES).
+
+    ``spark.createDataFrame(list)`` plans as applySchemaToPythonRDD,
+    which launches Python workers inside every job that evaluates the
+    plan — including each broadcast-hash-table build, adding seconds of
+    latency to otherwise pure-JVM queries. A VALUES clause plans as a
+    LocalRelation: zero Python involvement, constant-folded, instantly
+    broadcastable. ``cols`` is createDataFrame's DDL string
+    ("name type, ...").
+    """
+    parts = [c.strip().split(None, 1) for c in cols.split(",")]
+    names = [p[0] for p in parts]
+    types = [p[1] for p in parts]
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    rows_sql = ", ".join(
+        "(" + ", ".join(lit(v) for v in (r if isinstance(r, (tuple, list)) else (r,))) + ")"
+        for r in rows
+    )
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in zip(names, types))
+    return spark.sql(f"SELECT {sel} FROM (VALUES {rows_sql}) AS t({', '.join(names)})")
+
+
 def top_k_ranked(df, k: int, *order_cols: Column, rank_col: str = "rank"):
     """Global top-k with a 1-based rank column, scale-safely.
 

@@ -50,7 +50,9 @@ def shingles(documents: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
     lambda so the split regex runs once per row, not once per shingle
     (a 5× difference even at test scale).
     """
-    toked = documents.select("doc_id", F.split("text", " ").alias("toks"))
+    from ureplicator_spark.functions import fan_out
+
+    toked = fan_out(documents).select("doc_id", F.split("text", " ").alias("toks"))
     grams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - (k - 1)),
         lambda i: F.array_join(F.slice("toks", i, k), " "),
@@ -156,7 +158,9 @@ def lsh_candidate_pairs(
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Portable 16-bit simhash over tokens: bit_j = sign of Σ(±1 per
     token's hash bit j). All bitwise ops are integer-exact."""
-    toks = documents.select(
+    from ureplicator_spark.functions import fan_out
+
+    toks = fan_out(documents).select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).withColumn("h", md5_long(F.col("token")))
     bit_sums = toks.groupBy("doc_id").agg(

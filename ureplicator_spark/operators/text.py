@@ -85,7 +85,9 @@ def lang_id(documents: DataFrame, spark: SparkSession) -> DataFrame:
     token hits, argmax with deterministic tie-break; 'unknown' when no
     profile matches. Reports prediction vs the labeled lang column."""
     profile_rows = [(lang, w) for lang, ws in LANG_PROFILES.items() for w in ws]
-    profiles = spark.createDataFrame(profile_rows, "plang string, token string")
+    from ureplicator_spark.functions import values_df
+
+    profiles = values_df(spark, profile_rows, "plang string, token string")
     tok = tokens(documents)
     scores = (
         tok.join(F.broadcast(profiles), "token")

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ureplicator_spark import fixtures as FX
-from ureplicator_spark.functions import md5_long
+from ureplicator_spark.functions import md5_long, values_df
 from ureplicator_spark.operators import assignment as ASG
 from ureplicator_spark.operators import lag as LAG
 from ureplicator_spark.operators import replicate as R
@@ -229,7 +229,7 @@ def q_workload_max_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: per-topic max rate within lookback; engineered defaults else."""
     rec = FX.records(spark, sf_dir)
     topics = rec.select("topic").distinct().union(
-        spark.createDataFrame([("newtopic",)], "topic string")
+        values_df(spark, ["newtopic"], "topic string")
     ).distinct()
     return WKL.max_workload_lookback(
         WKL.workload_windows(rec), topics, _LOOKBACK_SEC
@@ -533,7 +533,7 @@ def q_route_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 route string parse + F4 same-region prefix test."""
     from ureplicator_spark.functions import route_parse, same_region
 
-    routes = spark.createDataFrame([(r,) for r in _ROUTES], "route string")
+    routes = values_df(spark, _ROUTES, "route string")
     parsed = routes.select("route", *route_parse("route"))
     return parsed.select(
         "route", "src", "dst", "route_id", same_region("src", "dst").alias("same_region")

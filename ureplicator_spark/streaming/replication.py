@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ureplicator_spark.functions import values_df
 from ureplicator_spark.operators.replicate import bounded_filter, replicate_transform
 from ureplicator_spark.session import tune
 from ureplicator_spark.sources import kafka as K
@@ -117,11 +118,13 @@ class ReplicationJob:
     def _transform(self, df: DataFrame) -> DataFrame:
         if self.transform is not None:  # P5 pluggable transformer
             return self.transform(df)
-        mapping = self.spark.createDataFrame(
+        mapping = values_df(
+            self.spark,
             list(self.route.topic_mapping.items()) or [("", "")],
             "src_topic string, dst_topic string",
         )
-        counts = self.spark.createDataFrame(
+        counts = values_df(
+            self.spark,
             list(self.route.partition_counts.items()) or [("", 0)],
             "topic string, num_partitions int",
         )
