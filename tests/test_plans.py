@@ -80,3 +80,56 @@ def test_events_scan_prunes_columns(spark, sf_dir):
     rec = FX.records(spark, sf_dir).select("topic", "offset")
     schemas = read_schemas(rec)
     assert schemas and all("props" not in s for s in schemas), schemas
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    """Both facts bucketed+sorted on the join key -> SortMergeJoin with
+    zero Exchange and zero Sort on either side (write-time co-location,
+    the 100 TB fact-fact join strategy)."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.plans.inspect import count_shuffles, plan_string
+    from ureplicator_spark.sources.bucketed import read_table, write_bucketed
+    from ureplicator_spark.sources.parquet import load_table
+
+    # managed tables land in the session's warehouse dir; DROP TABLE in
+    # the finally block removes the files again
+    write_bucketed(load_table(spark, sf_dir, "orders"), "orders_b", ["o_orderkey"], 8)
+    write_bucketed(load_table(spark, sf_dir, "lineitem"), "lineitem_b", ["l_orderkey"], 8)
+    try:
+        o, l = read_table(spark, "orders_b"), read_table(spark, "lineitem_b")
+        j = (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        # disable AQE + auto-broadcast locally: at test scale Spark would
+        # broadcast these tiny facts, hiding the bucket co-location this
+        # test asserts (at 100 TB neither side is broadcastable)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_string(j)
+            n_shuffles = count_shuffles(j)
+            # only the final tiny groupBy may shuffle — never the join sides
+            assert "SortMergeJoin" in plan
+            assert n_shuffles <= 1, plan
+            got = {r.o_orderstatus: r.n for r in j.collect()}
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        expected = {
+            r.o_orderstatus: r.n
+            for r in load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -28,9 +28,36 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Data-moving exchanges (broadcast exchanges excluded)."""
-    plan = plan_string(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    """Data-moving exchanges (broadcast exchanges excluded).
+
+    Counted from simple-mode explain, where each shuffle prints as
+    ``Exchange hashpartitioning(...)`` etc. on one line (formatted mode
+    splits operator and arguments, so one-line regexes undercount)."""
+    plan = plan_string(df, mode="simple")
+    return len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+
+
+def executed_plan_string(df: DataFrame) -> str:
+    """Run the plan to completion (noop sink) and return the FINAL
+    adaptive physical plan — under AQE the pre-execution explain shows
+    `isFinalPlan=false` placeholders without codegen markers or runtime
+    join rewrites."""
+    df.collect()  # a sink write would finalize a SEPARATE queryExecution
+    full = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    # keep only the final section or every operator counts twice
+    return full.split("== Initial Plan ==")[0]
+
+
+def count_codegen_stages(df: DataFrame) -> int:
+    """Distinct WholeStageCodegen stages (simple mode marks operators
+    inside a codegen stage as ``*(n)``)."""
+    plan = plan_string(df, mode="simple")
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
 def count_broadcast_joins(df: DataFrame) -> int:
