@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the hand-built operators —
+the ones whose semantics aren't delegated to Catalyst.
+
+Each property checks the Spark operator against an oblivious pure-
+Python reference on randomized inputs. Spark round-trips are slow, so
+examples are capped and deadlines disabled; the value is in the
+randomized edge cases (empty keys, ties, all-stale tolerances,
+single-row groups), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_key = st.sampled_from(["a", "b", "c"])
+_ts = st.integers(min_value=0, max_value=50)
+
+
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=20),
+    right=st.lists(st.tuples(_key, _ts, st.integers(0, 99)), max_size=20),
+    tolerance=st.one_of(st.none(), st.integers(0, 20)),
+)
+@SETTINGS
+def test_asof_join_matches_reference(spark, left, right, tolerance):
+    from ureplicator_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, ts long, row_id long"
+    )
+    rdf = spark.createDataFrame(right or [("zz", -1, -1)], "k string, ts long, v long")
+    out = {
+        r.row_id: r.v
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", "ts", ["v"], tolerance=tolerance
+        ).collect()
+    }
+
+    def expected(k, t):
+        # latest right row at-or-before t for key k (ties: the row with
+        # max ts; equal-ts right rows are interchangeable for v since
+        # last-write-wins is not part of the contract — compare the set)
+        cands = [(rt, v) for (rk, rt, v) in (right or []) if rk == k and rt <= t]
+        if not cands:
+            return set()
+        best_ts = max(rt for rt, _ in cands)
+        if tolerance is not None and best_ts < t - tolerance:
+            return set()
+        return {v for rt, v in cands if rt == best_ts}
+
+    for i, (k, t) in enumerate(left):
+        exp = expected(k, t)
+        if not exp:
+            assert out[i] is None, (k, t, out[i])
+        else:
+            assert out[i] in exp, (k, t, out[i], exp)
+
+
+@given(
+    rows=st.lists(st.integers(-1000, 1000), min_size=1, max_size=50),
+    k=st.integers(1, 10),
+)
+@SETTINGS
+def test_top_k_ranked_matches_sorted(spark, rows, k):
+    from ureplicator_spark.functions import top_k_ranked
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)], "id long, v long")
+    got = [
+        (r.v, r.id, r.rank)
+        for r in top_k_ranked(df, k, F.col("v").desc(), F.col("id")).collect()
+    ]
+    exp = sorted([(v, i) for i, v in enumerate(rows)], key=lambda t: (-t[0], t[1]))[:k]
+    assert got == [(v, i, rank + 1) for rank, (v, i) in enumerate(exp)]
+
+
+@given(
+    rows=st.lists(st.tuples(_key, st.integers(-100, 100)), min_size=1, max_size=40),
+    n_salt=st.integers(1, 8),
+)
+@SETTINGS
+def test_salted_agg_matches_reference(spark, rows, n_salt):
+    from ureplicator_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r.k: (r.n, r.total, r.mn, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("count", "v"), "total": ("sum", "v"),
+             "mn": ("min", "v"), "mx": ("max", "v")},
+            n_salt=n_salt,
+        ).collect()
+    }
+    exp = {}
+    for k, v in rows:
+        n, s, mn, mx = exp.get(k, (0, 0, None, None))
+        exp[k] = (
+            n + 1,
+            s + v,
+            v if mn is None else min(mn, v),
+            v if mx is None else max(mx, v),
+        )
+    assert got == exp
