@@ -133,3 +133,33 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_archive_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Topic/date predicates on the archive must prune at the directory
+    level (PartitionFilters), not scan-and-filter."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.plans.inspect import plan_string
+    from ureplicator_spark.sources.archive import read_archive, write_archive
+
+    root = str(tmp_path_factory.mktemp("archive"))
+    write_archive(FX.records(spark, sf_dir), root)
+    pruned = read_archive(spark, root, topic="click", date_from="2024-01-10", date_to="2024-01-20")
+    plan = plan_string(pruned)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "topic" in pf.group(1) and "dt" in pf.group(1), plan
+    # row parity with a full-scan filter
+    expected = (
+        FX.records(spark, sf_dir)
+        .filter(
+            (F.col("topic") == "click")
+            & (F.to_date(F.timestamp_seconds("ts_sec")) >= F.lit("2024-01-10").cast("date"))
+            & (F.to_date(F.timestamp_seconds("ts_sec")) < F.lit("2024-01-20").cast("date"))
+        )
+        .count()
+    )
+    assert pruned.count() == expected > 0

@@ -107,3 +107,52 @@ def test_streaming_workload_windows_matches_batch(spark, sf_dir, tmp_path):
     assert joined.filter(F.col("exp_bps").isNull()).count() == 0
     assert joined.filter(F.col("bytes_per_sec") != F.col("exp_bps")).count() == 0
     assert got.count() > 0
+
+
+def test_streaming_session_windows_match_batch_sessionize(spark, sf_dir, tmp_path):
+    """The native session_window streaming aggregation must produce the
+    same (#sessions, #events) per user as the batch LAG-based
+    sessionize (identical gap)."""
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.operators.relational import sessionize
+    from ureplicator_spark.sources.parquet import load_table
+    from ureplicator_spark.streaming.stateful import streaming_session_windows
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000000000").alias("ts_sec")
+    )
+    src_dir = str(tmp_path / "ev")
+    ev.repartition(4).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "2").parquet(src_dir)
+    # files replay in arbitrary event-time order, so use a watermark
+    # wider than the fixture's whole span — otherwise cross-batch late
+    # rows are (correctly) dropped and the exact-equivalence check
+    # can't hold
+    out = streaming_session_windows(stream, watermark="90 days")
+    qname = "session_windows_test"
+    # complete mode: append would hold sessions back until the
+    # watermark passes them, which never happens in a bounded replay
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+    got_map = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
+    exp_map = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in sessionize(ev, gap_sec=21600).collect()
+    }
+    assert got_map == exp_map

@@ -112,3 +112,29 @@ def streaming_workload_windows(
             F.round(F.col("window_msgs") / 600.0, 6).alias("msgs_per_sec"),
         )
     )
+
+
+def streaming_session_windows(
+    events_stream: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Native session windows (`F.session_window`): per-user sessions
+    close after ``gap`` of inactivity; watermark bounds state. The
+    streaming twin of the batch ``relational.sessionize`` (same gap
+    semantics, windowed state instead of a sort) — state is per OPEN
+    session per user, merged incrementally as events arrive, so memory
+    is O(active users), never O(events)."""
+    with_ts = events_stream.withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts_sec"))
+    ).withWatermark("event_time", watermark)
+    return (
+        with_ts.groupBy("user_id", F.session_window("event_time", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
