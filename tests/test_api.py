@@ -87,3 +87,18 @@ def test_kafka_option_builders():
 
     j = starting_offsets_json({("t", 0): 5, ("t", 1): 7, ("u", 0): 0})
     assert j == '{"t": {"0": 5, "1": 7}, "u": {"0": 0}}'
+
+
+def test_backup_archive_percentiles(engine, tmp_path):
+    paths = engine.backup(str(tmp_path), "20260813")
+    assert len(paths) == 2
+    assert engine.restore(str(tmp_path), "assignments", "20260813").count() > 0
+
+    root = str(tmp_path / "arch")
+    engine.archive(root)
+    replayed = engine.replay(root, topic="click")
+    assert replayed.count() > 0
+    assert replayed.select("topic").distinct().collect()[0][0] == "click"
+
+    pct = {r.topic: r for r in engine.workload_percentiles().collect()}
+    assert all(r.p50 <= r.p95 <= r.p99 <= r.max_size for r in pct.values())

@@ -134,6 +134,48 @@ class Engine:
         bl = self.blacklist().filter(F.col("topic") != "")
         return WL.whitelist_candidates(src, dst_topics, current, bl, exclude_regex)
 
+    def workload_percentiles(self) -> DataFrame:
+        """Per-topic payload-size distribution (capacity signal)."""
+        log = self._require_log()
+        return log.groupBy("topic").agg(
+            F.round(F.percentile("value_size", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value_size", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value_size", F.lit(0.99)), 6).alias("p99"),
+            F.max("value_size").alias("max_size"),
+        )
+
+    # -- state backup (S12, ClusterInfoBackupManager) -------------------------
+    def backup(self, base_dir: str, snapshot_id: str) -> list[str]:
+        """Snapshot assignment + topic registry to JSON (daily-dump
+        analog, ClusterInfoBackupManager.java:88-134)."""
+        from ureplicator_spark.operators.backup import backup_state
+
+        paths = [
+            backup_state(
+                ASG.derive_assignments(self._require_log(), FX.N_INSTANCES),
+                base_dir, "assignments", snapshot_id,
+            ),
+            backup_state(self.topics(), base_dir, "topics", snapshot_id),
+        ]
+        return paths
+
+    def restore(self, base_dir: str, name: str, snapshot_id: str) -> DataFrame:
+        from ureplicator_spark.operators.backup import restore_state
+
+        return restore_state(self.spark, base_dir, name, snapshot_id)
+
+    # -- archive (replay beyond retention) ------------------------------------
+    def archive(self, root: str) -> None:
+        from ureplicator_spark.sources.archive import write_archive
+
+        write_archive(self._require_log(), root)
+
+    def replay(self, root: str, topic: str | None = None,
+               date_from: str | None = None, date_to: str | None = None) -> DataFrame:
+        from ureplicator_spark.sources.archive import read_archive
+
+        return read_archive(self.spark, root, topic, date_from, date_to)
+
     # -- health (GET /health) -------------------------------------------------
     def health(self) -> dict:
         active = [j for j in self.routes.jobs.values() if j.query and j.query.isActive]
