@@ -1907,3 +1907,108 @@ def q_workload_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value_size", F.lit(0.99)), 6).alias("p99"),
         F.max("value_size").alias("max_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join (Q4 shape), window frames, pivot
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", _Q4_SQL)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (date-correlated), then a
+    5-key aggregate. The semi join keys on orderkey so the lineitem
+    probe side is both filter-pushed and never duplicated."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_RUNNING_SQL = _with(
+    FX.RECORDS_CTE,
+    _WINDOWS_CTE,
+    """
+SELECT topic, window_start, bytes_per_sec,
+       ROUND(SUM(bytes_per_sec) OVER (PARTITION BY topic ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_bytes_per_sec,
+       ROUND(AVG(bytes_per_sec) OVER (PARTITION BY topic ORDER BY window_start
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3_bytes_per_sec
+FROM ww
+""",
+)
+
+
+@register("workload_running_stats", _RUNNING_SQL)
+def q_workload_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames over the workload series: per-topic running total
+    (unbounded-preceding frame) and 3-window moving average (bounded
+    rows frame) — per-key windows, so the sort is within-group and the
+    state per frame is O(frame), scale-safe."""
+    from pyspark.sql import Window
+
+    ww = WKL.workload_windows(FX.records(spark, sf_dir))
+    w = Window.partitionBy("topic").orderBy("window_start")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ma3 = w.rowsBetween(-2, Window.currentRow)
+    return ww.select(
+        "topic",
+        "window_start",
+        "bytes_per_sec",
+        F.round(F.sum("bytes_per_sec").over(cum), 6).alias("cum_bytes_per_sec"),
+        F.round(F.avg("bytes_per_sec").over(ma3), 6).alias("ma3_bytes_per_sec"),
+    )
+
+
+_PIVOT_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+SELECT topic,
+       CAST(SUM(CASE WHEN "partition" = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+       CAST(SUM(CASE WHEN "partition" = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+       CAST(SUM(CASE WHEN "partition" = 2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+       CAST(SUM(CASE WHEN "partition" = 3 THEN 1 ELSE 0 END) AS BIGINT) AS p3
+FROM records GROUP BY topic
+""",
+)
+
+
+@register("records_pivot", _PIVOT_SQL)
+def q_records_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-topic record counts spread over the (fixed, known)
+    partition domain. Spark's pivot with an explicit value list is a
+    single-pass conditional aggregation — one shuffle, no second pass
+    to discover the domain."""
+    rec = FX.records(spark, sf_dir)
+    out = (
+        rec.groupBy("topic")
+        .pivot("partition", [0, 1, 2, 3])
+        .agg(F.count(F.lit(1)))  # count(*) is not allowed inside pivot
+    )
+    return out.select(
+        "topic",
+        *[F.coalesce(F.col(str(p)), F.lit(0)).alias(f"p{p}") for p in range(4)],
+    )
