@@ -184,3 +184,49 @@ def test_custom_transform_hook(spark, record_dir, tmp_path):
     dst = spark.read.parquet(out)
     assert dst.count() == src.filter(F.col("topic") == "click").count()
     assert dst.select("dst_topic").distinct().collect()[0][0] == "click_custom"
+
+
+def test_offset_log_sink_and_compaction(spark, record_dir, tmp_path):
+    """S8 offset store: per-batch high-water marks append; the
+    compacting read equals the batch-global max per partition;
+    compact() preserves it; fetch_offset answers the /offset query."""
+    from ureplicator_spark.streaming.offsets import (
+        compact,
+        current_offsets,
+        fetch_offset,
+        offset_log_sink,
+    )
+
+    log_dir = str(tmp_path / "offlog")
+    src = spark.read.parquet(record_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(record_dir)
+    )
+    q = offset_log_sink(stream, log_dir, str(tmp_path / "ck"), available_now=True)
+    q.awaitTermination(120)
+
+    expected = {
+        (r.topic, r.partition): r.mx
+        for r in src.groupBy("topic", "partition").agg(F.max("offset").alias("mx")).collect()
+    }
+    got = {
+        (r.topic, r.partition): r.commit_offset
+        for r in current_offsets(spark, log_dir).collect()
+    }
+    assert got == expected
+    # multiple batches appended more rows than keys (the log is a log)
+    assert spark.read.parquet(log_dir).count() > len(expected)
+
+    compact(spark, log_dir)
+    assert spark.read.parquet(log_dir).count() == len(expected)
+    got2 = {
+        (r.topic, r.partition): r.commit_offset
+        for r in current_offsets(spark, log_dir).collect()
+    }
+    assert got2 == expected
+
+    (t, p), mx = next(iter(expected.items()))
+    assert fetch_offset(spark, log_dir, t, p) == mx
+    assert fetch_offset(spark, log_dir, "nope", 0) is None

@@ -1,0 +1,96 @@
+"""Queryable offset store — the ZookeeperCheckpointManager analog as
+data (S8; ZookeeperCheckpointManager.java:73-130).
+
+Spark's checkpoint directory already gives replication its offset
+durability; this module additionally exposes commit progress as a
+TABLE so the control plane (lag, no-progress, REST `/offset`) can
+query it — which the reference does by reading ZK paths.
+
+Design: append-only log + compacting read, the same shape as ZK's
+versioned znodes. Each micro-batch appends its per-partition max
+offsets via ``foreachBatch`` (a few rows per batch — O(#partitions),
+never O(#records)); readers take the per-key max; ``compact()``
+rewrites the log when it grows. Append-only keeps the sink idempotent
+under at-least-once batch retries (a replayed batch re-appends the
+same maxima, and the compacting read absorbs duplicates).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def offset_log_sink(
+    records_stream: DataFrame,
+    log_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stream (topic, partition, offset, ts_sec) records; append each
+    micro-batch's per-partition high-water marks to the offset log."""
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("topic", "partition")
+            .agg(
+                F.max("offset").alias("commit_offset"),
+                F.max("ts_sec").alias("commit_ts_sec"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(log_dir)
+        )
+
+    writer = (
+        records_stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("offset-log")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_offsets(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Compacting read: latest commit per (topic, partition)."""
+    return (
+        spark.read.parquet(log_dir)
+        .groupBy("topic", "partition")
+        .agg(
+            F.max("commit_offset").alias("commit_offset"),
+            F.max("commit_ts_sec").alias("commit_ts_sec"),
+        )
+    )
+
+
+def compact(spark: SparkSession, log_dir: str) -> None:
+    """Rewrite the log to one row per key (bounds read cost; safe to
+    run anytime — appends racing the rewrite are re-absorbed by the
+    compacting read)."""
+    snap = current_offsets(spark, log_dir).withColumn("batch_id", F.lit(-1))
+    tmp = log_dir.rstrip("/") + ".compact"
+    snap.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.coalesce(1).write.mode("overwrite").parquet(log_dir)
+    # best-effort cleanup of the staging dir
+    try:
+        import shutil
+
+        shutil.rmtree(tmp)
+    except OSError:
+        pass
+
+
+def fetch_offset(spark: SparkSession, log_dir: str, topic: str, partition: int) -> int | None:
+    """ZookeeperCheckpointManager.fetchOffset analog (:114-130)."""
+    rows = (
+        current_offsets(spark, log_dir)
+        .filter((F.col("topic") == topic) & (F.col("partition") == partition))
+        .collect()
+    )
+    return int(rows[0].commit_offset) if rows else None
