@@ -236,3 +236,34 @@ def test_corpus_clean_pushes_lang_filter(spark, sf_dir):
 
     df = QUERIES["corpus_clean"][0](spark, sf_dir)
     assert_pushed_filters(df, "lang")
+
+
+def test_greedy_assignment_balance_and_completeness(spark, sf_dir):
+    """Greedy bin-packing (AutoRebalance core): every partition
+    assigned exactly once; max instance load within the classic greedy
+    bound (<= avg + heaviest item); heaviest-first determinism."""
+    from ureplicator_spark.operators.assignment import greedy_assign
+    from ureplicator_spark.operators.workload import partition_workload
+
+    wl = partition_workload(FX.records(spark, sf_dir))
+    asg = greedy_assign(wl, FX.N_INSTANCES)
+    n_parts = wl.count()
+    assert asg.count() == n_parts
+    assert asg.select("topic", "partition").distinct().count() == n_parts
+
+    loads = {
+        r.instance: r.total
+        for r in asg.groupBy("instance").agg(F.sum("bytes_per_sec").alias("total")).collect()
+    }
+    assert len(loads) == FX.N_INSTANCES
+    total = sum(loads.values())
+    heaviest = asg.agg(F.max("bytes_per_sec")).collect()[0][0]
+    assert max(loads.values()) <= total / FX.N_INSTANCES + heaviest + 1e-9
+
+    # determinism
+    again = {
+        (r.topic, r.partition): r.instance
+        for r in greedy_assign(wl, FX.N_INSTANCES).collect()
+    }
+    first = {(r.topic, r.partition): r.instance for r in asg.collect()}
+    assert first == again

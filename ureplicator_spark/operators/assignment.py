@@ -114,3 +114,39 @@ def least_loaded_ranking(instance_loads: DataFrame) -> DataFrame:
     return instance_loads.select(
         "instance", "total_bytes", "n_partitions"
     ).withColumn("pick_order", F.row_number().over(w))
+
+
+def greedy_assign(partition_wl: DataFrame, n_instances: int) -> DataFrame:
+    """Workload-aware greedy bin-packing: partitions sorted
+    heaviest-first, each assigned to the currently least-loaded
+    instance (ties → lower instance id) — the reference's auto-balance
+    core (AutoRebalanceLiveInstanceChangeListener.java:594-630;
+    priority queue in InstanceTopicPartitionHolder.java:134-173; O1
+    ordering via TopicPartition.getWorkloadComparator).
+
+    The input is the per-partition workload table — O(#partitions)
+    rows, control-plane-sized — so the greedy loop runs DRIVER-side
+    over a collected list, exactly like the reference's controller.
+    The big-data work (computing the workloads) stays distributed;
+    the O(P log I) decision does not need a cluster. Returns a
+    DataFrame so downstream validation/backup treat it as data.
+    """
+    import heapq
+
+    rows = partition_wl.select("topic", "partition", "bytes_per_sec").collect()
+    rows.sort(key=lambda r: (-r.bytes_per_sec, r.topic, r.partition))
+    heap = [(0.0, i) for i in range(n_instances)]  # (load, instance)
+    heapq.heapify(heap)
+    out = []
+    for r in rows:
+        load, inst = heapq.heappop(heap)
+        out.append((r.topic, int(r.partition), f"instance-{inst}", float(r.bytes_per_sec)))
+        heapq.heappush(heap, (load + float(r.bytes_per_sec), inst))
+    spark = partition_wl.sparkSession
+    from ureplicator_spark.functions import values_df
+
+    return values_df(
+        spark,
+        out or [("", -1, "", 0.0)],
+        "topic string, partition int, instance string, bytes_per_sec double",
+    )

@@ -2012,3 +2012,56 @@ def q_records_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "topic",
         *[F.coalesce(F.col(str(p)), F.lit(0)).alias(f"p{p}") for p in range(4)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-topic quota sampling + greedy bin-packing assignment
+# ---------------------------------------------------------------------------
+
+_QUOTA_ROWS = [("click", 200), ("view", 150), ("purchase", 100)]
+
+_QUOTA_SQL = _with(
+    FX.RECORDS_CTE,
+    "quotas AS (SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}', {q})" for t, q in _QUOTA_ROWS)
+    + ") AS t(topic, quota))",
+    """
+SELECT topic, "partition" AS partition, "offset" AS offset, value_size
+FROM (
+  SELECT r.*, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY r.topic ORDER BY r."offset") AS rn
+  FROM records r JOIN quotas q ON r.topic = q.topic
+) WHERE rn <= quota
+""",
+)
+
+
+@register("topic_quota_sample", _QUOTA_SQL)
+def q_topic_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic quota (T4's 'per-topic quota needs custom pre-filter',
+    SURVEY §2.8): deterministically keep the first `quota` records per
+    topic in offset order. Per-key window → per-group sort only; the
+    quota table broadcasts."""
+    from pyspark.sql import Window
+
+    rec = FX.records(spark, sf_dir)
+    quotas = values_df(spark, _QUOTA_ROWS, "topic string, quota int")
+    w = Window.partitionBy("topic").orderBy("offset")
+    return (
+        rec.join(F.broadcast(quotas), "topic")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("topic", "partition", "offset", "value_size")
+    )
+
+
+@register("greedy_assignment", None)  # iterative: no SQL oracle (rows-only)
+def q_greedy_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-aware greedy bin-packing over the derived partition
+    workloads (the auto-balance core). Iterative priority-queue
+    algorithm — not SQL-expressible, so driver-checked rows-only;
+    balance quality is asserted in tests/test_operators_extra.py."""
+    from ureplicator_spark.operators.assignment import greedy_assign
+
+    wl = WKL.partition_workload(FX.records(spark, sf_dir))
+    return greedy_assign(wl, FX.N_INSTANCES)
