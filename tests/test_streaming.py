@@ -230,3 +230,37 @@ def test_offset_log_sink_and_compaction(spark, record_dir, tmp_path):
     (t, p), mx = next(iter(expected.items()))
     assert fetch_offset(spark, log_dir, t, p) == mx
     assert fetch_offset(spark, log_dir, "nope", 0) is None
+
+
+def test_streaming_dedup_within_watermark(spark, record_dir, tmp_path):
+    """P6 streaming variant: dropDuplicates on the record identity
+    (topic, partition, offset) across micro-batches — replayed records
+    are emitted once; watermark bounds the dedup state."""
+    src = spark.read.parquet(record_dir)
+    # duplicate a slice of the source into the stream dir
+    dup_dir = str(tmp_path / "dup_src")
+    src.write.parquet(dup_dir)
+    src.filter(F.col("offset") < 200).write.mode("append").parquet(dup_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dup_dir)
+    )
+    deduped = (
+        stream.withColumn("event_time", F.timestamp_seconds(F.col("ts_sec")))
+        .withWatermark("event_time", "365 days")
+        .dropDuplicates(["topic", "partition", "offset"])
+    )
+    out = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == src.count()  # duplicates suppressed
+    assert got.select("topic", "partition", "offset").distinct().count() == src.count()

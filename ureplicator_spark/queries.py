@@ -2065,3 +2065,142 @@ def q_greedy_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wl = WKL.partition_workload(FX.records(spark, sf_dir))
     return greedy_assign(wl, FX.N_INSTANCES)
+
+
+# ---------------------------------------------------------------------------
+# Q10/Q12 shapes + kNN label vote
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       c_acctbal, c_mktsegment
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
+"""
+
+
+@register("q10_returned_items", _Q10_SQL)
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer. The date
+    and returnflag filters push to the scans; orders slice broadcasts
+    into lineitem; customer joins the small aggregated result."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    _DEC = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    return c.join(agg, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment"
+    )
+
+
+_Q12_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q12_priority_lines", _Q12_SQL)
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts per priority after a
+    fact-fact join; the shipdate filter prunes lineitem at the scan."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("l_quantity") < 25, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+_KNN_VOTE_SQL = _with(
+    _COMP_CTE,
+    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    """
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
+  FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+""".strip(),
+    """
+topk AS (
+  SELECT q_id, c_id FROM (
+    SELECT d.q_id, d.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id
+                              ORDER BY ROUND(d.dot / (n1.nrm * n2.nrm), 6) DESC, d.c_id) AS rn
+    FROM dots d JOIN nrms n1 ON n1.vec_id = d.q_id JOIN nrms n2 ON n2.vec_id = d.c_id
+  ) WHERE rn <= 5
+)
+""".strip(),
+    """
+SELECT q_id, label_pred, n_votes FROM (
+  SELECT t.q_id, e.label AS label_pred, COUNT(*) AS n_votes,
+         ROW_NUMBER() OVER (PARTITION BY t.q_id ORDER BY COUNT(*) DESC, e.label) AS rn
+  FROM topk t JOIN embeddings e ON e.vec_id = t.c_id
+  GROUP BY t.q_id, e.label
+) WHERE rn = 1
+""",
+)
+
+
+@register("knn_label_vote", _KNN_VOTE_SQL)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority neighbor label (k=5): the
+    label-propagation building block for weak supervision over an
+    embedded corpus. Reuses the relational cosine path; the vote is a
+    per-query count + rank (ties → smaller label)."""
+    from pyspark.sql import Window
+
+    from ureplicator_spark.operators import similarity as SIM
+    from ureplicator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = SIM.cosine_knn(emb, n_queries=10, k=5).select("q_id", "c_id")
+    labels = emb.select(F.col("vec_id").alias("c_id"), "label")
+    votes = (
+        knn.join(F.broadcast(labels), "c_id")
+        .groupBy("q_id", F.col("label").alias("label_pred"))
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("n_votes").desc(), F.col("label_pred"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "label_pred", "n_votes")
+    )
