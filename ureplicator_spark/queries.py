@@ -2204,3 +2204,149 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("q_id", "label_pred", "n_votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF, Q15 top supplier, label centroids
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = _with(
+    _TOK_CTE,
+    "ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)",
+    """
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+)
+""".strip(),
+    """
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+)
+""".strip(),
+    """
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.tf * ln((n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN ndocs
+)
+""".strip(),
+    """
+SELECT doc_id, token, tfidf FROM (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+
+
+@register("text_tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF ln((N+1)/(df+1)); top-3 terms per doc.
+    Two aggregations (tf per doc-token, df per token) + a broadcast of
+    the token-level df table; ranking windows are per-doc. The df table
+    is vocabulary-sized — at 100 TB still far smaller than the corpus
+    and safely broadcast after a frequency cut."""
+    from pyspark.sql import Window
+
+    from ureplicator_spark.operators.text import tokens
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(docs).select("doc_id", "token")
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery max over a derived view. The
+    max broadcasts as a 1-row cross join (no correlated re-scan)."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    _DEC = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    revenue = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_CENTROID_SQL = _with(
+    _COMP_CTE,
+    """
+SELECT label, i, ROUND(AVG(x), 6) AS centroid_x, COUNT(*) AS n_vectors
+FROM comp JOIN embeddings USING (vec_id)
+GROUP BY label, i
+""",
+)
+
+
+@register("label_centroids", _CENTROID_SQL)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (the IVF/clustering training
+    primitive): mean of each embedding dimension per label — one
+    shuffle keyed on (label, i), component-relational so the oracle
+    reproduces it exactly; at scale the same agg shape feeds k-means
+    iterations."""
+    from ureplicator_spark.operators.similarity import _components
+    from ureplicator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = _components(emb)
+    return (
+        comp.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label", "i")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid_x"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
