@@ -2350,3 +2350,147 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q19 disjunctive join, Q22 anti join, nested headers (data model §1.1)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 5 AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10 AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15 AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("q19_discount_revenue", _Q19_SQL)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) join predicates.
+    Catalyst extracts the common join key (partkey) as the equi
+    condition and keeps the disjunction as a post-join filter, so this
+    stays a hash join — never a nested loop."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    _DEC = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q22_SQL = """
+WITH eligible AS (
+  SELECT substr(c_name, 10, 1) AS bucket, c_custkey, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+)
+SELECT bucket, COUNT(*) AS n_custs,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+FROM eligible e
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = e.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY bucket
+"""
+
+
+@register("q22_global_sales_opportunity", _Q22_SQL)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average filter (1-row broadcast scalar)
+    + anti join against orders + bucketed rollup."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    eligible = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            F.substring("c_name", 10, 1).alias("bucket"), "c_custkey", "c_acctbal"
+        )
+    )
+    # "no RECENT order" keeps the anti join selective on this fixture
+    # (every customer has some historical order)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        eligible.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+_HEADERS_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+hdr AS (
+  SELECT topic, "offset",
+         unnest([{'key': 'src_partition', 'value': CAST("partition" AS BIGINT)},
+                 {'key': 'size', 'value': CAST(value_size AS BIGINT)}],
+                recursive := false) AS h
+  FROM records
+)
+""".strip(),
+    """
+SELECT topic, h.key AS header_key,
+       CAST(SUM(h.value) AS BIGINT) AS value_sum,
+       COUNT(*) AS n
+FROM hdr GROUP BY topic, h.key
+""",
+)
+
+
+@register("record_headers", _HEADERS_SQL)
+def q_record_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data model's one nested structure (§1.1): headers as
+    array<struct<key,value>> — built, exploded, and aggregated with
+    pure array/struct ops (no UDF). Mirrors DefaultMessageTransformer
+    carrying record.headers() through the pipeline
+    (DefaultMessageTransformer.java:55)."""
+    rec = FX.records(spark, sf_dir)
+    with_headers = rec.select(
+        "topic",
+        "offset",
+        F.array(
+            F.struct(
+                F.lit("src_partition").alias("key"),
+                F.col("partition").cast("long").alias("value"),
+            ),
+            F.struct(
+                F.lit("size").alias("key"),
+                F.col("value_size").cast("long").alias("value"),
+            ),
+        ).alias("headers"),
+    )
+    exploded = with_headers.select(
+        "topic", "offset", F.explode("headers").alias("h")
+    )
+    return exploded.groupBy("topic", F.col("h.key").alias("header_key")).agg(
+        F.sum("h.value").cast("long").alias("value_sum"),
+        F.count("*").alias("n"),
+    )
