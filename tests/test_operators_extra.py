@@ -267,3 +267,52 @@ def test_greedy_assignment_balance_and_completeness(spark, sf_dir):
     }
     first = {(r.topic, r.partition): r.instance for r in asg.collect()}
     assert first == again
+
+
+def test_load_records_any_formats(spark, sf_dir, tmp_path):
+    """csv/json interop paths produce the same rows as parquet; schema
+    inference is refused (it would double-scan at 100 TB)."""
+    import pytest
+
+    from ureplicator_spark.sources.parquet import load_records_any
+
+    rec = FX.records(spark, sf_dir).select("topic", "partition", "offset", "value_size")
+    schema = "topic string, partition int, offset long, value_size int"
+    pq, cs, js = str(tmp_path / "pq"), str(tmp_path / "cs"), str(tmp_path / "js")
+    rec.write.parquet(pq)
+    rec.write.option("header", "true").csv(cs)
+    rec.write.json(js)
+
+    base = {tuple(r) for r in rec.collect()}
+    got_pq = {tuple(r) for r in load_records_any(spark, pq).select(*rec.columns).collect()}
+    got_cs = {
+        tuple(r)
+        for r in load_records_any(spark, cs, "csv", schema, header="true").collect()
+    }
+    got_js = {tuple(r) for r in load_records_any(spark, js, "json", schema).collect()}
+    assert base == got_pq == got_cs == got_js
+    with pytest.raises(ValueError, match="explicit schema"):
+        load_records_any(spark, js, "json")
+
+
+def test_parse_payloads_quarantine(spark):
+    """Malformed payloads split into quarantine with raw bytes kept;
+    valid rows get typed columns."""
+    from ureplicator_spark.operators.replicate import parse_payloads
+
+    rows = [
+        ("t", 0, 1, 100, 9, '{"k": 42}'),
+        ("t", 0, 2, 101, 9, "not-json"),
+        ("t", 1, 3, 102, 9, '{"k": "wrongtype"}'),
+        ("t", 1, 4, 103, 9, None),
+    ]
+    rec = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, ts_sec long, value_size int, props string"
+    )
+    parsed, quarantined = parse_payloads(rec, "k int")
+    p = {r.offset: r.k for r in parsed.collect()}
+    q = {r.offset: r.props for r in quarantined.collect()}
+    assert p == {1: 42}
+    # malformed JSON, type-mismatched field, and null payload all
+    # quarantine with the raw payload preserved
+    assert q == {2: "not-json", 3: '{"k": "wrongtype"}', 4: None}

@@ -264,3 +264,43 @@ def test_streaming_dedup_within_watermark(spark, record_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == src.count()  # duplicates suppressed
     assert got.select("topic", "partition", "offset").distinct().count() == src.count()
+
+
+def test_two_routes_run_concurrently(spark, record_dir, tmp_path):
+    """Federation (§3.3): two routes = two independent streaming
+    queries with separate checkpoints and sinks; both drain fully and
+    the registry tracks them."""
+    reg = RouteRegistry(spark)
+    jobs = []
+    for rid, (mapping, counts) in enumerate(
+        [
+            (dict(FX.TOPIC_MAPPING_ROWS), dict(FX.PARTITION_COUNT_ROWS)),
+            ({"view": "view_replica"}, {"view_replica": 2}),
+        ]
+    ):
+        job = ReplicationJob(
+            spark,
+            Route(src_cluster="sjc1", dst_cluster=f"dca{rid}", route_id=rid,
+                  topic_mapping=mapping, partition_counts=counts),
+            checkpoint_dir=str(tmp_path / f"ck{rid}"),
+            source_kind="files",
+            source_path=record_dir,
+        )
+        reg.add(job)
+        jobs.append(job)
+    qs = [j.start(str(tmp_path / f"out{i}"), available_now=True) for i, j in enumerate(jobs)]
+    for q in qs:
+        q.awaitTermination(120)
+
+    n_src = spark.read.parquet(record_dir).count()
+    out0 = spark.read.parquet(str(tmp_path / "out0"))
+    out1 = spark.read.parquet(str(tmp_path / "out1"))
+    assert out0.count() == n_src and out1.count() == n_src
+    # each route applied ITS mapping
+    assert out0.filter(F.col("dst_topic") == "click_mirror").count() > 0
+    assert out1.filter(F.col("dst_topic") == "view_replica").count() > 0
+    assert out1.filter(F.col("dst_topic") == "click_mirror").count() == 0
+    routes = {r.route for r in reg.to_df().collect()}
+    assert routes == {"@sjc1@dca0@0", "@sjc1@dca1@1"}
+    reg.remove("@sjc1@dca0@0")
+    reg.remove("@sjc1@dca1@1")

@@ -119,3 +119,37 @@ def bounded_counts(records: DataFrame, start_offset: int, end_offset: int) -> Da
             F.sum("value_size").alias("total_bytes"),
         )
     )
+
+
+def parse_payloads(records: DataFrame, json_schema: str) -> tuple[DataFrame, DataFrame]:
+    """Typed payload decode with quarantine (the optional `from_json`
+    path noted in SURVEY §1.1 — the reference keeps payloads opaque, so
+    any decode is an extension and must not poison the pipeline).
+
+    Returns (parsed, quarantined): rows whose ``props`` parses under
+    ``json_schema`` get typed columns; the rest land in quarantine with
+    the raw payload intact for replay after a schema fix. Both sides
+    are column-pruned scans of the same input — no UDF, no second
+    parse (from_json runs once per row; the null test reuses it).
+    """
+    from pyspark.sql import functions as F
+
+    # permissive from_json yields an all-null struct for malformed
+    # input; the corrupt-record column is the reliable detector
+    full_schema = json_schema + ", _corrupt string"
+    withp = records.withColumn(
+        "parsed",
+        F.from_json(
+            F.col("props"), full_schema, {"columnNameOfCorruptRecord": "_corrupt"}
+        ),
+    )
+    bad = F.col("parsed").isNull() | F.col("parsed._corrupt").isNotNull()
+    parsed = (
+        withp.filter(~bad)
+        .select("topic", "partition", "offset", "ts_sec", "value_size", "parsed.*")
+        .drop("_corrupt")
+    )
+    quarantined = withp.filter(bad).select(
+        "topic", "partition", "offset", "ts_sec", "props"
+    )
+    return parsed, quarantined

@@ -37,3 +37,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_records_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Record-shaped log from any splittable format.
+
+    The reference moves opaque bytes over Kafka; archived/replayed logs
+    additionally arrive as files. parquet is the native path (pushdown
+    + pruning); csv/json are supported for interop with an EXPLICIT
+    schema — schema inference triggers a full extra pass over the data,
+    which at 100 TB is a second scan, so it is refused here rather
+    than silently paid.
+    """
+    tune(spark)
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(
+                f"{fmt} source requires an explicit schema "
+                "(inference would double-scan the data)"
+            )
+        reader = spark.read.schema(schema).options(**options)
+        return reader.csv(path) if fmt == "csv" else reader.json(path)
+    raise ValueError(f"unsupported format {fmt!r}")
