@@ -316,3 +316,41 @@ def test_parse_payloads_quarantine(spark):
     # malformed JSON, type-mismatched field, and null payload all
     # quarantine with the raw payload preserved
     assert q == {2: "not-json", 3: '{"k": "wrongtype"}', 4: None}
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """Label propagation finds components: a chain, a triangle-plus-tail,
+    and an isolated pair; keeper = min id per component."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4; component {10,11,12,13} via triangle+tail; pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (12, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = duplicate_clusters(pairs)
+    clusters = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1,
+                        10: 10, 11: 10, 12: 10, 13: 10,
+                        20: 20, 21: 20}
+    keepers = {r.doc_id for r in out.filter(F.col("is_keeper")).collect()}
+    assert keepers == {1, 10, 20}
+
+
+def test_duplicate_clusters_on_lsh_pairs(spark, sf_dir):
+    """End-to-end: LSH candidate pairs -> clusters; every clustered doc
+    appears exactly once and keepers are cluster minima."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+    from ureplicator_spark.sources.parquet import load_table
+
+    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    out = duplicate_clusters(pairs)
+    n_docs_in_pairs = (
+        pairs.select(F.col("doc_a").alias("d")).union(pairs.select("doc_b")).distinct().count()
+    )
+    assert out.count() == n_docs_in_pairs
+    # keeper is the min doc_id of its cluster
+    mins = out.groupBy("cluster_id").agg(F.min("doc_id").alias("mn")).collect()
+    assert all(r.cluster_id == r.mn for r in mins)

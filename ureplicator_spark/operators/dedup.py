@@ -223,3 +223,47 @@ def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
     from ureplicator_spark.functions import top_k_ranked
 
     return top_k_ranked(j, top_k, F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters
+    (label propagation to the min doc_id; the step that turns pairwise
+    LSH output into keep-one-per-cluster decisions).
+
+    Iterative min-label propagation: each node takes the min label in
+    its neighborhood until fixpoint — O(cluster diameter) rounds, and
+    near-dup clusters are shallow in practice (dozens of hops at
+    worst). Each round is one join + one agg keyed on doc id; the
+    driver only checks a scalar convergence count per round. Input:
+    (doc_a, doc_b) undirected pairs. Output: (doc_id, cluster_id,
+    is_keeper) for every doc that appears in ≥1 pair.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("new_cluster_id"),
+                "cluster_id",
+            )
+        )
+        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
+        if changed == 0:
+            break
+    return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))

@@ -2494,3 +2494,124 @@ def q_record_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h.value").cast("long").alias("value_sum"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 bi-national volume, Q8 market share
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         strftime(l_shipdate, '%Y') AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_nation_volume", _Q7_SQL)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional nation pair volume. Both nation
+    dims and supplier/customer broadcast; the disjunctive pair filter
+    applies post-join on broadcast columns (no nested loop)."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    _DEC = "decimal(18,2)"
+    vol = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(load_table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.date_format("l_shipdate", "yyyy").alias("l_year")
+    ).agg(
+        F.round(F.sum(vol), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT strftime(o_orderdate, '%Y') AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+)
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_SQL)
+def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional volume per year —
+    a 7-table star join where every dim broadcasts and the conditional
+    share is decimal-exact before one double division."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    _DEC = "decimal(18,2)"
+    vol = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    j = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(load_table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    nat_vol = F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0).cast(_DEC))
+    return j.groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year")).agg(
+        F.round(
+            F.sum(nat_vol).cast("double") / F.sum(vol).cast("double"), 6
+        ).alias("mkt_share")
+    )
