@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "promo_revenue_monthly",
     "large_volume_orders",
     "corpus_clean",
+    "q8_market_share",
+    "text_tfidf_top_terms",
+    "topic_quota_sample",
 ]
 
 
