@@ -156,3 +156,40 @@ def test_streaming_session_windows_match_batch_sessionize(spark, sf_dir, tmp_pat
         for r in sessionize(ev, gap_sec=21600).collect()
     }
     assert got_map == exp_map
+
+
+def test_stuck_partition_mover_cooldown_and_cap(spark, tmp_path):
+    """Move history semantics: cooldown suppresses rapid re-moves and
+    the per-partition budget caps total movements
+    (AutoRebalance _movePartitionHistoryMap analog)."""
+    from ureplicator_spark.streaming.stateful import stuck_partition_mover
+
+    schema = "topic string, partition int, instance string, ts_sec long"
+    src = str(tmp_path / "alerts")
+    # 6 alerts for one partition: t=0 (move 1), t=100 (cooldown),
+    # t=2000 (move 2), t=2100 (cooldown), t=4000 (move 3),
+    # t=6000 (budget exhausted)
+    spark.createDataFrame(
+        [("t", 0, "i-0", 0), ("t", 0, "i-0", 100), ("t", 0, "i-1", 2000),
+         ("t", 0, "i-1", 2100), ("t", 0, "i-2", 4000), ("t", 0, "i-0", 6000),
+         ("u", 1, "i-9", 50)],
+        schema,
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stuck_partition_mover(stream, max_moves=3, cooldown_sec=1800)
+    q = (
+        out.writeStream.format("memory").queryName("mover_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("mover_test").collect()
+    t_moves = sorted(
+        [(r.move_seq, r.decided_at_sec) for r in rows if r.topic == "t"]
+    )
+    assert t_moves == [(1, 0), (2, 2000), (3, 4000)]  # cooldowns + cap applied
+    u_moves = [(r.move_seq, r.decided_at_sec) for r in rows if r.topic == "u"]
+    assert u_moves == [(1, 50)]  # independent per-partition state

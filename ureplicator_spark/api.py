@@ -26,7 +26,7 @@ from ureplicator_spark.operators import lag as LAG
 from ureplicator_spark.operators import whitelist as WL
 from ureplicator_spark.operators import workload as WKL
 from ureplicator_spark.session import tune
-from ureplicator_spark.streaming.replication import ReplicationJob, Route, RouteRegistry
+from ureplicator_spark.streaming.replication import ReplicationJob, RouteRegistry
 
 
 class Engine:

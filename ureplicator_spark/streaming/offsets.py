@@ -17,7 +17,6 @@ same maxima, and the compacting read absorbs duplicates).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -138,3 +138,61 @@ def streaming_session_windows(
             "n_events",
         )
     )
+
+
+MOVE_OUTPUT_SCHEMA = (
+    "topic string, partition int, move_seq int, from_instance string, decided_at_sec long"
+)
+MOVE_STATE_SCHEMA = "n_moves int, last_move_ts long"
+
+
+def stuck_partition_mover(
+    stuck_alerts: DataFrame,
+    max_moves: int = 3,
+    cooldown_sec: int = 1800,
+) -> DataFrame:
+    """Move decisions for stuck partitions with per-partition history:
+    at most ``max_moves`` moves ever, and no move within
+    ``cooldown_sec`` of the previous one — the reference's
+    `_movePartitionHistoryMap` + `maxStuckPartitionMovements` +
+    `movePartitionAfterStuckMillis` semantics
+    (AutoRebalanceLiveInstanceChangeListener.java:100, 387-463).
+
+    Input stream: (topic, partition, instance, ts_sec) stuck alerts
+    (e.g. the no_progress_detector output joined to the assignment).
+    State per key: (move count, last move time) — O(#partitions)."""
+
+    def decide(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        rows = rows.sort_values("ts_sec")
+        n_moves, last_move = state.get if state.exists else (0, None)
+        out: list[tuple] = []
+        for r in rows.itertuples(index=False):
+            ts = int(r.ts_sec)
+            if n_moves >= max_moves:
+                continue  # movement budget exhausted — stop thrashing
+            if last_move is not None and ts - last_move < cooldown_sec:
+                continue  # cooling down
+            n_moves += 1
+            last_move = ts
+            out.append((key[0], int(key[1]), n_moves, str(r.instance), ts))
+        state.update((n_moves, last_move))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["topic", "partition", "move_seq", "from_instance", "decided_at_sec"],
+            )
+
+    return stuck_alerts.groupBy("topic", "partition").applyInPandasWithState(
+        decide,
+        outputStructType=MOVE_OUTPUT_SCHEMA,
+        stateStructType=MOVE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
