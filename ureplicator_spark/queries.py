@@ -2615,3 +2615,331 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nat_vol).cast("double") / F.sum(vol).cast("double"), 6
         ).alias("mkt_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes: correlated-min (Q2), profit rollup (Q9),
+# HAVING vs scalar subquery (Q11), outer-join distribution (Q13),
+# count-distinct + NOT IN (Q16), EXISTS + NOT EXISTS (Q21).
+# No partsupp/commitdate in the fixture schema, so supply cost derives
+# from lineitem (min extendedprice per part-supplier) and Q21's "kept
+# waiting" becomes "sole returned-flag supplier on a finished order".
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eur AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+rc AS (
+  SELECT c.partkey, c.unit_cost, e.s_name, e.n_name
+  FROM cost c JOIN eur e ON c.suppkey = e.s_suppkey
+),
+mn AS (SELECT partkey, MIN(unit_cost) AS min_cost FROM rc GROUP BY partkey)
+SELECT p_partkey AS partkey, p_name AS part_name, rc.s_name AS supplier_name,
+       rc.n_name AS nation, rc.unit_cost AS unit_cost
+FROM rc JOIN mn ON rc.partkey = mn.partkey AND rc.unit_cost = mn.min_cost
+JOIN part ON p_partkey = rc.partkey
+WHERE p_size <= 5
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery ("the supplier offering
+    the minimum cost for this part"), decorrelated the way Catalyst
+    rewrites it — aggregate-then-rejoin on the correlation key. Supply
+    cost derives from lineitem (min extendedprice per part-supplier;
+    no partsupp table in the fixtures). Scale shape: both sides of the
+    min-rejoin are already partitioned on partkey from the groupBy, so
+    the second shuffle is partial; region dims broadcast."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    cost = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("unit_cost"))
+    )
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    rc = cost.join(F.broadcast(eur), F.col("suppkey") == F.col("s_suppkey"))
+    mn = rc.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return (
+        rc.join(mn, ["partkey"])
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
+        .select(
+            "partkey",
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            "unit_cost",
+        )
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_product_type_profit", _Q9_SQL)
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, ship year) for a
+    part-name substring filter. Scale shape: the selective part filter
+    broadcasts and prunes the fact FIRST (257/2000 parts), supplier and
+    nation broadcast, so the single shuffle is the final (nation, year)
+    agg — map-side partials over ~25×|years| groups."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    _DEC = "decimal(18,2)"
+    profit = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY 1
+)
+SELECT partkey, CAST(ROUND(value_dec, 2) AS DOUBLE) AS part_value
+FROM val
+WHERE value_dec > (SELECT SUM(value_dec) * 0.001 FROM val)
+"""
+
+
+@register("q11_important_parts", _Q11_SQL)
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery over the SAME
+    aggregate (parts whose value exceeds 0.1% of total). The per-part
+    agg is computed once and reused: the global total is a 1-row
+    re-aggregation of it, broadcast back as a cross join — no second
+    scan of the fact. Exact decimal sums keep the > comparison
+    deterministic across partitionings."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    val = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value_dec"))
+    )
+    total = val.agg((F.sum("value_dec") * F.lit(0.001)).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select(
+            "partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+"""
+
+
+@register("q13_customer_distribution", _Q13_SQL)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with the filter INSIDE the join
+    condition (customers with zero qualifying orders must survive with
+    count 0), then a distribution-of-counts double aggregation. Scale
+    shape: outer join shuffles on custkey; the second agg's key space
+    is tiny (max orders per customer) so it collapses map-side."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+@register("q16_supplier_part_counts", _Q16_SQL)
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    bucket, excluding a NOT IN subquery of flagged suppliers. NOT IN
+    over a provably non-null key is planned as a left anti join (the
+    null-aware variant would force a broadcast nested loop). The
+    distinct-agg expands to a two-phase agg keyed on
+    (brand, size, suppkey) then (brand, size) — both map-side
+    partial."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q21_SQL = """
+SELECT s_name AS supplier_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@register("q21_sole_failed_supplier", _Q21_SQL)
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS on the same key
+    with inequality residuals — "the only supplier with a returned
+    line on a multi-supplier finished order" (fixtures lack
+    commit/receipt dates, so returnflag='R' stands in for late
+    delivery). Spark plans both as hash joins on orderkey (left semi /
+    left anti) with the suppkey<>suppkey residual — never a nested
+    loop. All three lineitem branches shuffle on the SAME key
+    (orderkey), so at scale the exchanges reuse one partitioning."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count("*").alias("numwait"))
+    )
