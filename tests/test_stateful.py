@@ -193,3 +193,50 @@ def test_stuck_partition_mover_cooldown_and_cap(spark, tmp_path):
     assert t_moves == [(1, 0), (2, 2000), (3, 4000)]  # cooldowns + cap applied
     u_moves = [(r.move_seq, r.decided_at_sec) for r in rows if r.topic == "u"]
     assert u_moves == [(1, 50)]  # independent per-partition state
+
+
+def test_streaming_lag_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (J2/A1 continuous form): each
+    latest-offset observation pairs with committed observations within
+    tolerance; result equals the equivalent batch join."""
+    from ureplicator_spark.streaming.joins import streaming_lag_join
+
+    lat_schema = "topic string, partition int, latest_offset long, ts_sec long"
+    com_schema = "topic string, partition int, commit_offset long, ts_sec long"
+    lat_rows = [
+        ("t", 0, 100, 1000), ("t", 0, 250, 1600), ("u", 1, 50, 1000),
+    ]
+    com_rows = [
+        ("t", 0, 90, 700),    # within 600s of ts=1000 only
+        ("t", 0, 240, 1550),  # within 600s of ts=1600 only
+        ("u", 1, 80, 990),    # commit ahead of latest -> lag clamps to 0
+        ("u", 1, 10, 200),    # too old for any latest observation
+    ]
+    lat_src, com_src = str(tmp_path / "lat"), str(tmp_path / "com")
+    spark.createDataFrame(lat_rows, lat_schema).coalesce(1).write.parquet(lat_src)
+    spark.createDataFrame(com_rows, com_schema).coalesce(1).write.parquet(com_src)
+
+    out = streaming_lag_join(
+        spark.readStream.schema(lat_schema).parquet(lat_src),
+        spark.readStream.schema(com_schema).parquet(com_src),
+        tolerance_sec=600,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("lag_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.topic, r.partition, r.latest_offset, r.commit_offset, r.lag,
+         r.latest_ts_sec, r.commit_ts_sec)
+        for r in spark.table("lag_join_test").collect()
+    }
+    expected = {
+        ("t", 0, 100, 90, 10, 1000, 700),
+        ("t", 0, 250, 240, 10, 1600, 1550),
+        ("u", 1, 50, 80, 0, 1000, 990),
+    }
+    assert got == expected
