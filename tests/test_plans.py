@@ -163,3 +163,20 @@ def test_archive_partition_pruning(spark, sf_dir, tmp_path_factory):
         .count()
     )
     assert pruned.count() == expected > 0
+
+
+def test_correlated_exists_shapes_stay_hash_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS with an inequality residual and Q16's
+    NOT IN must plan as hash joins on the extracted equi key — a
+    BroadcastNestedLoopJoin here would be quadratic in lineitem."""
+    from ureplicator_spark.plans.inspect import plan_string
+    from ureplicator_spark.queries import QUERIES
+
+    for name in (
+        "q21_sole_failed_supplier",
+        "q16_supplier_part_counts",
+        "q2_min_cost_supplier",
+    ):
+        plan = plan_string(QUERIES[name][0](spark, sf_dir))
+        assert "NestedLoop" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
