@@ -121,3 +121,92 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         md5_long(F.col("text")).alias("fingerprint60"),
         F.length("text").alias("n_chars"),
     )
+
+
+def chunk_documents(documents: DataFrame, size: int = 32, stride: int = 24) -> DataFrame:
+    """Fixed-size token chunks with overlap (training-sample windowing):
+    chunk i covers tokens [i*stride, i*stride + size). All JVM-side —
+    split + sequence + posexplode + slice, no Python in the hot path.
+    Scale shape: narrow map-only pipeline (one output row per chunk),
+    no shuffle at all; parallelism = input splits."""
+    from ureplicator_spark.functions import md5_long
+
+    return (
+        documents.select("doc_id", F.split("text", " +").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.expr(f"sequence(0, greatest(size(toks) - 1, 0), {stride})")
+            ).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.expr(f"slice(toks, start + 1, {size})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("int").alias("n_tokens"),
+            md5_long(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+    )
+
+
+def split_assign(
+    documents: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    doc_id hash bucket — reproducible across runs/engines, no sampling
+    state. Returns per-split doc counts + char totals."""
+    from ureplicator_spark.functions import md5_long
+
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def boilerplate_shingles(
+    documents: DataFrame, k: int = 3, min_docs: int = 2
+) -> DataFrame:
+    """C4-style boilerplate detection: word k-grams that recur across
+    ≥ min_docs distinct documents (the removal pass filters chunks
+    containing them). Two-phase agg keyed on the shingle — map-side
+    partial count, one shuffle on shingle hash; the distinct-doc count
+    expands to (shingle, doc) then (shingle), both partial."""
+    from ureplicator_spark.functions import md5_long
+
+    sh = (
+        documents.select("doc_id", F.split("text", " +").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}),"
+                    f" i -> array_join(slice(toks, i, {k}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occur"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(md5_long("shingle").alias("shingle_hash"), "n_docs", "n_occur")
+    )

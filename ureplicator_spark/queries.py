@@ -2943,3 +2943,84 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: chunking, split assignment, boilerplate
+# ---------------------------------------------------------------------------
+
+_CHUNKS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, ' +') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 24)) AS start
+  FROM w
+)
+SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + 32)) AS INTEGER) AS n_tokens,
+       ('0x' || substr(md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')), 1, 15))::BIGINT AS chunk_hash
+FROM s
+"""
+
+
+@register("doc_chunks", _CHUNKS_SQL)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks (size 32, stride 24) — the
+    training-sample windowing pass. Map-only, zero shuffle."""
+    from ureplicator_spark.operators.text import chunk_documents
+    from ureplicator_spark.sources.parquet import load_table
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"), size=32, stride=24)
+
+
+_SPLIT_SQL = """
+WITH b AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+         n_chars
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM b GROUP BY 1
+"""
+
+
+@register("split_assignment", _SPLIT_SQL)
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by doc_id hash
+    bucket — reproducible across engines and runs."""
+    from ureplicator_spark.operators.text import split_assign
+    from ureplicator_spark.sources.parquet import load_table
+
+    return split_assign(load_table(spark, sf_dir, "documents"))
+
+
+_BOILERPLATE_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, ' +') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM w WHERE len(toks) >= 3
+)
+SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_hash,
+       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occur
+FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("boilerplate_shingles", _BOILERPLATE_SQL)
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate: word 3-grams recurring across ≥2 distinct
+    documents (candidates for removal)."""
+    from ureplicator_spark.operators.text import boilerplate_shingles
+    from ureplicator_spark.sources.parquet import load_table
+
+    return boilerplate_shingles(load_table(spark, sf_dir, "documents"), k=3, min_docs=2)
