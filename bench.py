@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "q8_market_share",
     "text_tfidf_top_terms",
     "topic_quota_sample",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q21_sole_failed_supplier",
+    "doc_chunks",
+    "boilerplate_shingles",
 ]
 
 

@@ -180,3 +180,29 @@ def test_correlated_exists_shapes_stay_hash_joins(spark, sf_dir):
         plan = plan_string(QUERIES[name][0](spark, sf_dir))
         assert "NestedLoop" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_ivf_index_build_search_and_pruning(spark, sf_dir, tmp_path_factory):
+    """Persisted IVF index: search over the partitioned index must (a)
+    return exactly what the on-the-fly ivf_ann computes with the same
+    deterministic centroids, and (b) prune unprobed cent_id partitions
+    (dynamic partition pruning from the broadcast probe join)."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.operators.similarity import ivf_ann
+    from ureplicator_spark.plans.inspect import plan_string
+    from ureplicator_spark.sources.ivf_index import build_ivf_index, search_ivf_index
+    from ureplicator_spark.sources.parquet import load_table
+
+    root = str(tmp_path_factory.mktemp("ivf"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, root, n_centroids=8)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = search_ivf_index(spark, root, queries, nprobe=2, k=3)
+    expected = ivf_ann(emb, n_centroids=8, n_queries=10, nprobe=2, k=3)
+    as_set = lambda df: {
+        (r.q_id, r.c_id, round(r.cosine, 5), r.rank) for r in df.collect()
+    }
+    assert as_set(got) == as_set(expected)
+    assert "dynamicpruning" in plan_string(got).lower()
