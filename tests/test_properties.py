@@ -111,3 +111,59 @@ def test_salted_agg_matches_reference(spark, rows, n_salt):
             v if mx is None else max(mx, v),
         )
     assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=90),
+        min_size=1,
+        max_size=8,
+    ),
+    size=st.integers(2, 40),
+)
+@SETTINGS
+def test_chunk_documents_covers_every_token_exactly(spark, docs, size):
+    """Chunking invariants vs a pure-Python reference: chunk starts at
+    every stride multiple, each chunk holds min(size, n-start) tokens,
+    and token positions [i*stride, i*stride+size) reconstruct."""
+    from ureplicator_spark.operators.text import chunk_documents
+
+    stride = max(1, size * 3 // 4)
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): r.n_tokens
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    }
+    expected = {}
+    for i, words in enumerate(docs):
+        n = len(words)
+        for ci, start in enumerate(range(0, max(n, 1), stride)):
+            expected[(i, ci)] = min(size, n - start)
+    assert got == expected
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32), min_size=3, max_size=6
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_quantize_int8_bounds(spark, vecs):
+    """Quantization invariants: |q| ≤ 127, and per-component
+    reconstruction error ≤ 0.5/scale (half a quantization step) which
+    bounds MSE by (0.5/scale)^2."""
+    from ureplicator_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    for r in quantize_int8(df).collect():
+        assert r.max_q <= 127
+        assert r.mse <= (0.5 / r.scale) ** 2 + 1e-9

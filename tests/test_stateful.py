@@ -240,3 +240,45 @@ def test_streaming_lag_join_matches_batch(spark, tmp_path):
         ("u", 1, 50, 80, 0, 1000, 990),
     }
     assert got == expected
+
+
+def test_streaming_lag_join_left_outer_emits_missing_commits(spark, tmp_path):
+    """leftOuter interval join: a latest-offset observation with no
+    committed observation within tolerance must surface (null commit)
+    once the watermark passes its eviction bound."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.streaming.joins import streaming_lag_join
+
+    lat_schema = "topic string, partition int, latest_offset long, ts_sec long"
+    com_schema = "topic string, partition int, commit_offset long, ts_sec long"
+    lat_src, com_src = str(tmp_path / "lat"), str(tmp_path / "com")
+    # batch 1: the observation that will go unmatched; batch 2: a much
+    # later observation that advances the watermark past its bound
+    spark.createDataFrame([("t", 0, 100, 1000)], lat_schema).coalesce(1).write.parquet(lat_src)
+    spark.createDataFrame(
+        [("t", 0, 999, 50000)], lat_schema
+    ).coalesce(1).write.mode("append").parquet(lat_src)
+    spark.createDataFrame([("t", 0, 990, 49900)], com_schema).coalesce(1).write.parquet(com_src)
+
+    out = streaming_lag_join(
+        spark.readStream.schema(lat_schema).option("maxFilesPerTrigger", "1").parquet(lat_src),
+        spark.readStream.schema(com_schema).parquet(com_src),
+        watermark_delay="10 seconds",
+        tolerance_sec=600,
+        how="leftOuter",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("lag_outer_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.latest_offset, r.commit_offset, r.lag)
+        for r in spark.table("lag_outer_test").collect()
+    }
+    assert (999, 990, 9) in rows          # matched pair
+    assert (100, None, None) in rows      # unmatched -> outer row with nulls

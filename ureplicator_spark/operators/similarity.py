@@ -321,3 +321,31 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar quantization (the storage-compression
+    step before ANN at scale): scale = 127/max|x|, q_i = round(x_i ·
+    scale). Returns per-vector scale, reconstruction MSE, and max|q|
+    (≤127 by construction). Map + two per-vector aggs — shuffles only
+    on vec_id, component rows never leave their input split before the
+    partial agg."""
+    comp = _components(embeddings)
+    mx = comp.groupBy("vec_id").agg(F.max(F.abs("x")).alias("mx"))
+    scale = F.lit(127.0) / F.col("mx")
+    qe = (
+        comp.join(mx, "vec_id")
+        .filter(F.col("mx") > 0)
+        .select(
+            "vec_id",
+            "x",
+            scale.alias("scale"),
+            F.round(F.col("x") * scale, 0).alias("q"),
+        )
+    )
+    err = F.pow(F.col("x") - F.col("q") / F.col("scale"), 2)
+    return qe.groupBy("vec_id").agg(
+        F.round(F.min("scale"), 6).cast("double").alias("scale"),
+        F.round(F.avg(err), 8).cast("double").alias("mse"),
+        F.max(F.abs("q")).cast("int").alias("max_q"),
+    )

@@ -210,3 +210,26 @@ def boilerplate_shingles(
         .filter(F.col("n_docs") >= min_docs)
         .select(md5_long("shingle").alias("shingle_hash"), "n_docs", "n_occur")
     )
+
+
+def redact_tokens(documents: DataFrame, denylist: tuple[str, ...] = ("key", "value")) -> DataFrame:
+    """PII-style token redaction: mask denylisted tokens and any token
+    containing a digit, report per-doc mask counts + a hash of the
+    redacted text (the downstream-pipeline contract: redaction happens
+    BEFORE dedup/chunking so masks are stable). Pure array transform —
+    map-only, no shuffle, no Python."""
+    from ureplicator_spark.functions import md5_long
+
+    deny = ", ".join(f"'{t}'" for t in denylist)
+    toks = F.split("text", " +")
+    mask_expr = (
+        "transform(split(text, ' +'), t -> CASE WHEN t IN (" + deny
+        + ") OR t RLIKE '[0-9]' THEN '<MASK>' ELSE t END)"
+    )
+    masked = F.expr(mask_expr)
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.filter(masked, lambda t: t == "<MASK>")).cast("int").alias("n_masked"),
+        md5_long(F.array_join(masked, " ")).alias("redacted_hash"),
+    )

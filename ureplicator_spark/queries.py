@@ -3024,3 +3024,61 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return boilerplate_shingles(load_table(spark, sf_dir, "documents"), k=3, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization + token redaction
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = _with(
+    _COMP_CTE,
+    "mx AS (SELECT vec_id, MAX(ABS(x)) AS mx FROM comp GROUP BY vec_id)",
+    """qe AS (
+  SELECT c.vec_id, c.x, 127.0 / m.mx AS scale,
+         ROUND(c.x * (127.0 / m.mx), 0) AS q
+  FROM comp c JOIN mx m ON c.vec_id = m.vec_id WHERE m.mx > 0
+)""",
+    """
+SELECT vec_id,
+       CAST(ROUND(MIN(scale), 6) AS DOUBLE) AS scale,
+       CAST(ROUND(AVG(POWER(x - q / scale, 2)), 8) AS DOUBLE) AS mse,
+       CAST(MAX(ABS(q)) AS INTEGER) AS max_q
+FROM qe GROUP BY vec_id
+""",
+)
+
+
+@register("embedding_quantize_int8", _QUANT_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization with per-vector scale + reconstruction
+    MSE — the compression step before ANN storage at 100 TB."""
+    from ureplicator_spark.operators.similarity import quantize_int8
+    from ureplicator_spark.sources.parquet import load_table
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+_REDACT_SQL = """
+WITH m AS (
+  SELECT doc_id, regexp_split_to_array(text, ' +') AS toks,
+         list_transform(regexp_split_to_array(text, ' +'),
+            t -> CASE WHEN t IN ('key', 'value') OR regexp_matches(t, '[0-9]')
+                 THEN '<MASK>' ELSE t END) AS masked
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(masked, t -> t = '<MASK>')) AS INTEGER) AS n_masked,
+       ('0x' || substr(md5(array_to_string(masked, ' ')), 1, 15))::BIGINT AS redacted_hash
+FROM m
+"""
+
+
+@register("text_redact", _REDACT_SQL)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token redaction (denylist + digit-bearing tokens → <MASK>) with
+    stable redacted-text hashes; map-only."""
+    from ureplicator_spark.operators.text import redact_tokens
+    from ureplicator_spark.sources.parquet import load_table
+
+    return redact_tokens(load_table(spark, sf_dir, "documents"))

@@ -24,6 +24,7 @@ def streaming_lag_join(
     committed: DataFrame,
     watermark_delay: str = "10 minutes",
     tolerance_sec: int = 600,
+    how: str = "inner",
 ) -> DataFrame:
     """Continuous lag: join a stream of broker latest-offset
     observations (topic, partition, latest_offset, ts_sec) with a
@@ -39,6 +40,12 @@ def streaming_lag_join(
     Both watermarks bound state: rows are evicted once event time
     passes ``watermark_delay`` + interval bound, so the state store
     holds O(observations within the window) per (topic, partition).
+
+    ``how="leftOuter"`` additionally emits latest-offset observations
+    that saw NO committed offset within tolerance (null commit/lag
+    columns) once the watermark proves none can arrive — the "commits
+    stopped flowing entirely" alert that a plain inner join would
+    silently drop.
     """
     lt = (
         latest.withColumn("latest_ts", F.timestamp_seconds("ts_sec"))
@@ -60,16 +67,22 @@ def streaming_lag_join(
         & (F.col("commit_ts") >= F.col("latest_ts") - F.expr(f"INTERVAL {tolerance_sec} SECONDS"))
     )
     return (
-        lt.join(cm, cond, "inner")
+        lt.join(cm, cond, how)
         .select(
             "topic",
             "partition",
             "latest_offset",
             "commit_offset",
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.col("latest_offset") - F.col("commit_offset"),
-            ).alias("lag"),
+            F.when(
+                F.col("commit_offset").isNull(), F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("latest_offset") - F.col("commit_offset"),
+                )
+            )
+            .alias("lag"),
             F.unix_timestamp("latest_ts").alias("latest_ts_sec"),
             F.unix_timestamp("commit_ts").alias("commit_ts_sec"),
         )
