@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "topic_quota_sample",
     "q9_product_type_profit",
     "q13_customer_distribution",
+    "q20_excess_stock_suppliers",
     "q21_sole_failed_supplier",
     "doc_chunks",
     "boilerplate_shingles",

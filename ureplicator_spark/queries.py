@@ -3082,3 +3082,87 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return redact_tokens(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested-IN + correlated aggregate threshold
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(l_quantity) AS total_qty,
+         SUM(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
+                  THEN l_quantity ELSE 0 END) AS qty_1996
+  FROM lineitem GROUP BY 1, 2
+),
+excess AS (
+  SELECT s.suppkey, COUNT(*) AS n_excess_parts
+  FROM shipped s
+  WHERE s.partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    AND s.qty_1996 > 0 AND s.total_qty > 2 * s.qty_1996
+  GROUP BY s.suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier_name, n_name AS nation,
+       CAST(n_excess_parts AS BIGINT) AS n_excess_parts
+FROM supplier
+JOIN excess ON s_suppkey = excess.suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+@register("q20_excess_stock_suppliers", _Q20_SQL)
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (Potential Part Promotion,
+    reference-independent relational coverage): suppliers whose
+    all-time shipped quantity of a name-filtered part exceeds 2x what
+    they shipped in 1996 — the nested `IN (... IN (...) AND qty >
+    correlated-agg)` pattern, decorrelated the way Catalyst rewrites
+    it: one (partkey, suppkey) aggregate computes BOTH the total and
+    the correlated-year quantity in a single shuffle (conditional
+    partial aggs), the selective part-name dim broadcasts and prunes
+    before the threshold filter, and the supplier/nation dims broadcast
+    onto the small per-supplier excess counts. Scale shape: exactly one
+    wide shuffle over lineitem; everything after is broadcast-side."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(
+                F.when(F.year("l_shipdate") == 1996, F.col("l_quantity")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("qty_1996"),
+        )
+    )
+    bolt = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    excess = (
+        shipped.join(
+            F.broadcast(bolt.select("p_partkey")),
+            F.col("partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .filter((F.col("qty_1996") > 0) & (F.col("total_qty") > 2 * F.col("qty_1996")))
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("n_excess_parts"))
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(excess, F.col("s_suppkey") == F.col("suppkey"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            F.col("n_excess_parts").cast("bigint").alias("n_excess_parts"),
+        )
+    )
