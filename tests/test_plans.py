@@ -206,3 +206,23 @@ def test_ivf_index_build_search_and_pruning(spark, sf_dir, tmp_path_factory):
     }
     assert as_set(got) == as_set(expected)
     assert "dynamicpruning" in plan_string(got).lower()
+
+
+def test_q20_single_wide_shuffle_and_broadcast_dims(spark, sf_dir):
+    """Q20 shape: the only exchanges allowed are the (partkey,
+    suppkey) fact aggregate and the tiny per-supplier excess agg —
+    part/nation/supplier sides must broadcast, and the nested-IN must
+    not degrade to a nested-loop join."""
+    from ureplicator_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_max_shuffles,
+        plan_string,
+    )
+    from ureplicator_spark.queries import QUERIES
+
+    df = QUERIES["q20_excess_stock_suppliers"][0](spark, sf_dir)
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert_broadcast_join(df, at_least=2)
+    # lineitem agg + excess-per-supplier agg (+ AQE may add a read)
+    assert_max_shuffles(df, 3)
