@@ -233,3 +233,28 @@ def redact_tokens(documents: DataFrame, denylist: tuple[str, ...] = ("key", "val
         F.size(F.filter(masked, lambda t: t == "<MASK>")).cast("int").alias("n_masked"),
         md5_long(F.array_join(masked, " ")).alias("redacted_hash"),
     )
+
+
+def corpus_mix(documents: DataFrame) -> DataFrame:
+    """Training-mix report: per (source, lang) document and token
+    counts plus each cell's share of total corpus tokens — the numbers
+    that become sampling weights when composing a training mixture.
+    Scale shape: one shuffle for the (source, lang) aggregate; the
+    global total is re-aggregated from that tiny result and broadcast
+    back (cross join with a 1-row side), so the 100 TB fact is scanned
+    exactly once and no global window is involved."""
+    g = documents.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " +"))).cast("long").alias("n_tokens"),
+    )
+    total = g.agg(F.sum("n_tokens").alias("_total"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("token_share"),
+        )
+    )

@@ -3166,3 +3166,26 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_excess_parts").cast("bigint").alias("n_excess_parts"),
         )
     )
+
+
+_MIX_SQL = """
+WITH g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(ROUND(n_tokens / (SELECT SUM(n_tokens) FROM g), 6) AS DOUBLE)
+         AS token_share
+FROM g
+"""
+
+
+@register("corpus_mix", _MIX_SQL)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) doc/token counts + global token share — the
+    sampling-weight table for composing a training mixture."""
+    from ureplicator_spark.operators.text import corpus_mix
+    from ureplicator_spark.sources.parquet import load_table
+
+    return corpus_mix(load_table(spark, sf_dir, "documents"))
