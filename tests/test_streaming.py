@@ -304,3 +304,103 @@ def test_two_routes_run_concurrently(spark, record_dir, tmp_path):
     assert routes == {"@sjc1@dca0@0", "@sjc1@dca1@1"}
     reg.remove("@sjc1@dca0@0")
     reg.remove("@sjc1@dca1@1")
+
+
+def test_run_bounded_returns_batch_count_not_cumulative(spark, record_dir, tmp_path):
+    """run_bounded must report THIS batch's records, not the cumulative
+    contents of the output dir after append (round-2 verdict #5)."""
+    out = str(tmp_path / "rb_out")
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "rb_ck"),
+        source_kind="files", source_path=record_dir,
+    )
+    src = spark.read.parquet(record_dir)
+    n1_expected = src.filter((F.col("offset") >= 0) & (F.col("offset") < 300)).count()
+    n2_expected = src.filter((F.col("offset") >= 300) & (F.col("offset") < 500)).count()
+    n1 = job.run_bounded(out, start_offset=0, end_offset=300)
+    n2 = job.run_bounded(out, start_offset=300, end_offset=500)
+    assert n1 == n1_expected
+    assert n2 == n2_expected  # NOT n1 + n2
+    assert spark.read.parquet(out).count() == n1_expected + n2_expected
+
+
+def test_run_bounded_kafka_branch_builds_reader_with_kwargs(
+    spark, record_dir, tmp_path, monkeypatch
+):
+    """T10 Kafka branch: source options must reach DataFrameReader as
+    **kwargs (positional dict raised TypeError — round-2 verdict #2).
+    No broker in the sandbox, so .load() is faked with a wire-schema
+    DataFrame; the option plumbing and transform run for real."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    captured = {}
+    orig_options = DataFrameReader.options
+
+    def options_spy(self, **opts):
+        captured.update(opts)
+        return orig_options(self, **opts)
+
+    def fake_load(self, path=None, **kwargs):
+        return spark.read.parquet(record_dir).select(
+            "topic",
+            "partition",
+            "offset",
+            F.timestamp_seconds("ts_sec").alias("timestamp"),
+            F.lit(None).cast("string").alias("key"),
+            F.col("value"),
+        )
+
+    monkeypatch.setattr(DataFrameReader, "options", options_spy)
+    monkeypatch.setattr(DataFrameReader, "load", fake_load)
+
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "kb_ck"),
+        source_kind="kafka", bootstrap_servers="broker:9092",
+        topics=["click", "view"],
+    )
+    n = job.run_bounded(str(tmp_path / "kb_out"), start_offset=100, end_offset=400)
+    assert captured["kafka.bootstrap.servers"] == "broker:9092"
+    assert captured["subscribe"] == "click,view"
+    src = spark.read.parquet(record_dir)
+    assert n == src.filter((F.col("offset") >= 100) & (F.col("offset") < 400)).count()
+
+
+def test_start_kafka_ordering_contract(spark, record_dir, tmp_path, monkeypatch):
+    """T2: start_kafka(preserve_order=True) must emit the reference's
+    ordering options verbatim (ProducerThread.java:84-88) and an
+    explicit partition column so the sink honors the remap."""
+    from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+    from ureplicator_spark.sources import kafka as K
+
+    captured = {}
+    orig_format = DataStreamWriter.format
+    orig_options = DataStreamWriter.options
+
+    def format_spy(self, source):
+        captured["format"] = source
+        captured["cols"] = list(self._df.columns)
+        return orig_format(self, source)
+
+    def options_spy(self, **opts):
+        captured.setdefault("options", {}).update(opts)
+        return orig_options(self, **opts)
+
+    monkeypatch.setattr(DataStreamWriter, "format", format_spy)
+    monkeypatch.setattr(DataStreamWriter, "options", options_spy)
+    monkeypatch.setattr(DataStreamWriter, "start", lambda self, *a, **k: None)
+
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "ok_ck"),
+        source_kind="files", source_path=record_dir,
+    )
+    job.start_kafka(preserve_order=True)
+
+    assert captured["format"] == "kafka"
+    assert captured["cols"] == ["topic", "partition", "key", "value"]
+    expected = K.sink_options("", preserve_order=True)
+    assert expected["kafka.max.in.flight.requests.per.connection"] == "1"
+    assert expected["kafka.acks"] == "all"
+    assert int(expected["kafka.retries"]) == 2**31 - 1
+    for k_, v in expected.items():
+        assert captured["options"][k_] == v, k_

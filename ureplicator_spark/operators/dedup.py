@@ -49,10 +49,21 @@ def shingles(documents: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
     The token array is materialized in its own projection BEFORE the
     lambda so the split regex runs once per row, not once per shingle
     (a 5× difference even at test scale).
+
+    Docs with fewer than k tokens produce no shingles and are filtered
+    out BEFORE gram construction: ``sequence(1, size-k+1)`` would
+    otherwise build a descending sequence and ``slice`` would throw
+    INVALID_PARAMETER_VALUE.START, aborting the whole job on any real
+    corpus containing a short/empty document. (DuckDB's ``range``
+    yields empty for the same case, so the oracle agrees.)
     """
     from ureplicator_spark.functions import fan_out
 
-    toked = fan_out(documents).select("doc_id", F.split("text", " ").alias("toks"))
+    toked = (
+        fan_out(documents)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - (k - 1)),
         lambda i: F.array_join(F.slice("toks", i, k), " "),

@@ -731,6 +731,7 @@ shingles AS (
            unnest(list_transform(range(1, len(toks) - 1),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
   )
 )
 """.strip()

@@ -83,6 +83,19 @@ class ReplicationJob:
         self.query: StreamingQuery | None = None
 
     # -- source ------------------------------------------------------------
+    @staticmethod
+    def _kafka_view(df: DataFrame) -> DataFrame:
+        """Kafka wire schema → engine record view (ts seconds + size)."""
+        return df.select(
+            "topic",
+            "partition",
+            "offset",
+            F.col("timestamp").cast("long").alias("ts_sec"),
+            F.octet_length("value").alias("value_size"),
+            "key",
+            "value",
+        )
+
     def _source(self) -> DataFrame:
         if self.source_kind == "kafka":
             opts = K.source_options(
@@ -91,16 +104,7 @@ class ReplicationJob:
                 max_offsets_per_trigger=self.route.max_records_per_trigger,
             )
             df = self.spark.readStream.format("kafka").options(**opts).load()
-            # Kafka wire schema → engine record view (ts seconds + size)
-            return df.select(
-                "topic",
-                "partition",
-                "offset",
-                F.col("timestamp").cast("long").alias("ts_sec"),
-                F.octet_length("value").alias("value_size"),
-                "key",
-                "value",
-            )
+            return self._kafka_view(df)
         if self.source_kind == "files":
             static = self.spark.read.parquet(self.source_path)
             reader = (
@@ -149,12 +153,29 @@ class ReplicationJob:
 
     def start_kafka(self, preserve_order: bool = True) -> StreamingQuery:
         """Streaming replication into the destination Kafka cluster with
-        the reference's ordering contract (T2)."""
-        out = self._transform(self._source()).select(
+        the reference's ordering contract (T2).
+
+        The sink projection tolerates key-less sources (file archives
+        replayed into Kafka have no key column) and coerces non-Kafka
+        value types to string; real Kafka sources pass binary through
+        untouched."""
+        out = self._transform(self._source())
+        key_col = (
+            F.col("key")
+            if "key" in out.columns
+            else F.lit(None).cast("binary").alias("key")
+        )
+        value_type = out.schema["value"].dataType.simpleString()
+        value_col = (
+            F.col("value")
+            if value_type in ("string", "binary")
+            else F.col("value").cast("string").alias("value")
+        )
+        out = out.select(
             F.col("dst_topic").alias("topic"),
             F.col("dst_partition").alias("partition"),
-            "key",
-            "value",
+            key_col,
+            value_col,
         )
         writer = (
             out.writeStream.format("kafka")
@@ -175,17 +196,29 @@ class ReplicationJob:
         end_offset: int | None = None,
     ) -> int:
         """Bounded [start, end) replication as a batch job
-        (PartitionOffsetInfo semantics); returns records written."""
-        src = (
-            self.spark.read.parquet(self.source_path)
-            if self.source_kind == "files"
-            else self.spark.read.format("kafka")
-            .options(K.source_options(self.bootstrap_servers or "", topics=self.topics))
-            .load()
-        )
+        (PartitionOffsetInfo semantics); returns records written.
+
+        The count comes from an ``Observation`` on the written DataFrame
+        — exactly this batch's rows, measured inside the write job (no
+        second pass, and no over-count from prior appends in
+        ``out_path``)."""
+        from pyspark.sql import Observation
+
+        if self.source_kind == "files":
+            src = self.spark.read.parquet(self.source_path)
+        else:
+            src = self._kafka_view(
+                self.spark.read.format("kafka")
+                .options(
+                    **K.source_options(self.bootstrap_servers or "", topics=self.topics)
+                )
+                .load()
+            )
         out = self._transform(bounded_filter(src, start_offset, end_offset))
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n_written"))
         out.write.mode("append").parquet(out_path)
-        return self.spark.read.parquet(out_path).count()
+        return int(obs.get["n_written"])
 
 
 class RouteRegistry:
