@@ -226,3 +226,39 @@ def test_q20_single_wide_shuffle_and_broadcast_dims(spark, sf_dir):
     assert_broadcast_join(df, at_least=2)
     # lineitem agg + excess-per-supplier agg (+ AQE may add a read)
     assert_max_shuffles(df, 3)
+
+
+def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
+    """The 100 TB broadcast guard: no query may carry a programmer
+    broadcast hint on customer/supplier/orders/lineitem/documents/
+    embeddings/events — at sf100+ those are multi-GB and a forced
+    broadcast is a driver/executor OOM. Fixed-cardinality dims
+    (nation, region) and selectively-filtered part may hint."""
+    from ureplicator_spark.plans import broadcast_hinted_tables
+    from ureplicator_spark.queries import QUERIES
+
+    growing = {"customer", "supplier", "orders", "lineitem",
+               "documents", "embeddings", "events"}
+    # Queries whose ONLY big-table hint is the query/centroid side of a
+    # similarity search: embeddings filtered to a constant id range
+    # (vec_id < n_queries/n_centroids), so the broadcast size is fixed
+    # regardless of corpus SF — the broadcast-the-queries ANN design.
+    bounded_query_side = {
+        "similarity_knn_bruteforce",
+        "similarity_lsh_ann",
+        "similarity_ivf_ann",
+        "dedup_embedding_cosine",
+        "knn_label_vote",
+    }
+    offenders = {}
+    for name, (fn, _sql) in sorted(QUERIES.items()):
+        try:
+            df = fn(spark, sf_dir)
+        except Exception:
+            continue  # streaming/stateful entries needing fixtures are covered elsewhere
+        hinted = broadcast_hinted_tables(df) & growing
+        if name in bounded_query_side:
+            hinted -= {"embeddings"}
+        if hinted:
+            offenders[name] = sorted(hinted)
+    assert not offenders, f"forced broadcast of SF-growing tables: {offenders}"

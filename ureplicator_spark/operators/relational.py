@@ -60,8 +60,10 @@ def shipping_priority(
 ) -> DataFrame:
     """TPC-H Q3 shape: top-k unshipped orders by revenue.
 
-    Dim side (filtered customer) broadcasts; the lineitem fact joins on
-    its natural key so only the final top-k ranking shuffles.
+    The segment filter prunes customer ~5× but the slice still grows
+    with SF, so its join strategy is left to AQE (broadcast while it
+    fits, shuffle-hash beyond) instead of a forced hint that would OOM
+    the driver at sf100+. Only the final top-k ranking funnels.
     """
     revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
     j = (
@@ -71,7 +73,7 @@ def shipping_priority(
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            customer.filter(F.col("c_mktsegment") == segment),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -104,8 +106,9 @@ def local_supplier_volume(
 ) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation for intra-nation trade.
 
-    The dim chain region→nation→(customer, supplier) broadcasts end to
-    end; only the orders⋈lineitem fact join shuffles, then a 25-key agg.
+    The fixed-cardinality dim chain region→nation broadcasts; customer
+    and supplier grow with SF so AQE picks their join strategy. The
+    orders⋈lineitem fact join shuffles once, then a 25-key agg.
     """
     revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
     dims = (
@@ -118,8 +121,8 @@ def local_supplier_volume(
             (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
             & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
         ), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer), (F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, (F.col("o_custkey") == F.col("c_custkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
     )

@@ -183,11 +183,17 @@ def lsh_ann(embeddings: DataFrame, n_queries: int = 10, n_planes: int = N_PLANES
         .groupBy("q_id", "c_id", "bucket")
         .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
     )
-    nq = nr.select(F.col("vec_id").alias("q_id"), F.col("norm").alias("qn"))
+    nq = nr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm").alias("qn")
+    )
     nc = nr.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn"))
     scored = (
         dots.join(F.broadcast(nq), "q_id")
-        .join(F.broadcast(nc), "c_id")
+        # nc is a per-vector norm table — O(N) rows. No broadcast hint:
+        # the candidate side is the bounded one (Q·bucket rows), so AQE
+        # broadcasts IT at runtime; a forced nc broadcast dies at
+        # billion-vector scale.
+        .join(nc, "c_id")
         .select(
             "q_id", "c_id", "bucket",
             F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
@@ -225,8 +231,10 @@ def embedding_near_dup_pairs(
     na = nr.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("norm_a"))
     nb = nr.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("norm_b"))
     scored = (
-        dots.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
+        # na/nb are O(N)-row norm tables; the bucket-bounded dots side
+        # is the broadcastable one — leave strategy to AQE
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
         .select(
             "vec_a", "vec_b", "bucket",
             F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
@@ -276,7 +284,9 @@ def ivf_ann(
     )
     ascore = (
         adot.join(F.broadcast(ncent), "cent_id")
-        .join(F.broadcast(nv), "vec_id")
+        # nv is the full per-vector norm table (O(N)) — co-keyed with
+        # adot on vec_id; never force-broadcast it
+        .join(nv, "vec_id")
         .select(
             "vec_id", "cent_id",
             F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cosine"),
@@ -305,11 +315,13 @@ def ivf_ann(
         .groupBy("q_id", "c_id")
         .agg(F.sum(F.col("qx") * F.col("ccx")).alias("dot"))
     )
-    nq = nrm.select(F.col("vec_id").alias("q_id"), F.col("norm").alias("qn"))
+    nq = nrm.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm").alias("qn")
+    )
     nc = nrm.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn2"))
     score = (
         cdot.join(F.broadcast(nq), "q_id")
-        .join(F.broadcast(nc), "c_id")
+        .join(nc, "c_id")  # O(N) norms — cdot (Q·nprobe·list) is the small side
         .select(
             "q_id", "c_id",
             F.round(F.col("dot") / (F.col("qn") * F.col("cn2")), 6).alias("cosine"),

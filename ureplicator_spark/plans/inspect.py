@@ -86,3 +86,67 @@ def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema clauses — verify column pruning reached the scan."""
     return re.findall(r"ReadSchema: struct<[^>]*>", plan_string(df))
+
+
+_TABLE_SIGNATURES = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "part": "p_partkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+
+def _tree_depth(line: str) -> int:
+    m = re.match(r"^((?::  |   )*)([+:]- )?", line)
+    return len(m.group(1)) // 3 + (1 if m.group(2) else 0)
+
+
+def broadcast_hinted_tables(df: DataFrame) -> set[str]:
+    """Base parquet tables sitting under an explicit broadcast hint in
+    the ANALYZED logical plan (i.e. a programmer-forced F.broadcast,
+    not an AQE/threshold decision).
+
+    The scale guard: a forced broadcast of an SF-growing table is a
+    driver OOM at the 100 TB design point, invisible to correctness
+    tests and to small-SF benchmarks. Tables are recognized by their
+    signature key column in leaf Relation nodes inside each
+    ResolvedHint subtree.
+
+    A leaf does NOT count when an Aggregate or Limit sits between the
+    hint and the leaf: the broadcast side is then a reduction (a 1-row
+    total, a per-key rollup, a top-k) whose size is bounded by its key
+    space, not by the table's row count — the legitimate
+    broadcast-the-summary pattern."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+    found: set[str] = set()
+    reducing = re.compile(r"\b(Aggregate|GlobalLimit|LocalLimit)\b")
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        d = _tree_depth(line)
+        # ancestor_path[k] = index of the most recent line at depth d+1+k
+        path_at_depth: dict[int, int] = {}
+        j = i + 1
+        while j < len(lines) and _tree_depth(lines[j]) > d:
+            sub = lines[j]
+            dj = _tree_depth(lines[j])
+            path_at_depth[dj] = j
+            if "Relation" in sub and "parquet" in sub:
+                reduced = any(
+                    reducing.search(lines[path_at_depth[dk]])
+                    for dk in range(d + 1, dj)
+                    if dk in path_at_depth
+                )
+                if not reduced:
+                    for table, sig in _TABLE_SIGNATURES.items():
+                        if sig + "#" in sub:
+                            found.add(table)
+            j += 1
+    return found

@@ -2089,8 +2089,9 @@ GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
 @register("q10_returned_items", _Q10_SQL)
 def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer. The date
-    and returnflag filters push to the scans; orders slice broadcasts
-    into lineitem; customer joins the small aggregated result."""
+    and returnflag filters push to the scans; the orders slice grows
+    with SF so AQE chooses its join strategy; customer joins the small
+    aggregated result."""
     from ureplicator_spark.sources.parquet import load_table
 
     _DEC = "decimal(18,2)"
@@ -2104,7 +2105,7 @@ def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     c = load_table(spark, sf_dir, "customer")
     agg = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
@@ -2195,7 +2196,7 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = SIM.cosine_knn(emb, n_queries=10, k=5).select("q_id", "c_id")
     labels = emb.select(F.col("vec_id").alias("c_id"), "label")
     votes = (
-        knn.join(F.broadcast(labels), "c_id")
+        knn.join(labels, "c_id")
         .groupBy("q_id", F.col("label").alias("label_pred"))
         .agg(F.count("*").alias("n_votes"))
     )
@@ -2526,9 +2527,13 @@ GROUP BY supp_nation, cust_nation, l_year
 
 @register("q7_nation_volume", _Q7_SQL)
 def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bi-directional nation pair volume. Both nation
-    dims and supplier/customer broadcast; the disjunctive pair filter
-    applies post-join on broadcast columns (no nested loop)."""
+    """TPC-H Q7 shape: bi-directional nation pair volume. Only the
+    fixed-cardinality nation dims carry broadcast hints; supplier/
+    customer/orders grow with SF, so AQE picks their join strategy
+    (broadcast at small SF, shuffle-hash beyond the threshold — never
+    a forced driver-side build of a multi-GB table). The disjunctive
+    pair filter applies post-join on broadcast columns (no nested
+    loop)."""
     from ureplicator_spark.sources.parquet import load_table
 
     _DEC = "decimal(18,2)"
@@ -2544,9 +2549,9 @@ def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(load_table(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(load_table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(load_table(spark, sf_dir, "customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(load_table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -2587,8 +2592,10 @@ GROUP BY o_year
 @register("q8_market_share", _Q8_SQL)
 def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of regional volume per year —
-    a 7-table star join where every dim broadcasts and the conditional
-    share is decimal-exact before one double division."""
+    a 7-table star join. Fixed-cardinality dims (nation, region) and
+    the selective part filter broadcast; SF-growing supplier/customer/
+    orders are left to AQE. The conditional share is decimal-exact
+    before one double division."""
     from ureplicator_spark.sources.parquet import load_table
 
     _DEC = "decimal(18,2)"
@@ -2603,9 +2610,9 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         load_table(spark, sf_dir, "lineitem")
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(load_table(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(load_table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(load_table(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(load_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -2685,7 +2692,7 @@ def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_name")
     )
-    rc = cost.join(F.broadcast(eur), F.col("suppkey") == F.col("s_suppkey"))
+    rc = cost.join(eur, F.col("suppkey") == F.col("s_suppkey"))
     mn = rc.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     return (
@@ -2721,9 +2728,10 @@ GROUP BY 1, 2
 def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by (supplier nation, ship year) for a
     part-name substring filter. Scale shape: the selective part filter
-    broadcasts and prunes the fact FIRST (257/2000 parts), supplier and
-    nation broadcast, so the single shuffle is the final (nation, year)
-    agg — map-side partials over ~25×|years| groups."""
+    broadcasts and prunes the fact FIRST (257/2000 parts); nation
+    broadcasts; SF-growing supplier joins under AQE. The big shuffle is
+    the final (nation, year) agg — map-side partials over ~25×|years|
+    groups."""
     from ureplicator_spark.sources.parquet import load_table
 
     _DEC = "decimal(18,2)"
@@ -2735,7 +2743,7 @@ def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            load_table(spark, sf_dir, "supplier"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(
@@ -2784,7 +2792,7 @@ def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     val = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value_dec"))
     )
@@ -2863,7 +2871,7 @@ def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -2940,7 +2948,7 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
             "left_anti",
         )
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count("*").alias("numwait"))
     )
