@@ -118,9 +118,8 @@ def test_streaming_session_windows_match_batch_sessionize(spark, sf_dir, tmp_pat
     from ureplicator_spark.sources.parquet import load_table
     from ureplicator_spark.streaming.stateful import streaming_session_windows
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts div 1000000000").alias("ts_sec")
-    )
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select("user_id", "event_id", FX.event_ts_sec(raw).alias("ts_sec"))
     src_dir = str(tmp_path / "ev")
     ev.repartition(4).write.parquet(src_dir)
 

@@ -55,6 +55,15 @@ EXCLUDE_REGEX = "^__.*"
 SNAPSHOT_T1 = 1705708800  # 2024-01-20 00:00:00 UTC
 SNAPSHOT_T2 = 1706313600  # 2024-01-27 00:00:00 UTC
 
+# Seeded consumer stall: this partition's commit offset is frozen at its
+# T1 value in the T2 snapshot, simulating what OffsetMonitor observes
+# for a stuck consumer (commit unchanged while lag > 0,
+# OffsetMonitor.java:293-307). Without it every partition in the
+# synthetic log progresses organically and the A2 no-progress queries
+# compare empty-vs-empty — a vacuous correctness row.
+STALLED_TOPIC = "click"
+STALLED_PARTITION = 0
+
 # workload window width (reference 10-minute buckets, C3QueryUtils)
 WINDOW_SEC = 600
 
@@ -68,6 +77,18 @@ MAX_WORKLOAD_PER_WORKER = 8 * 1024 * 1024  # 8 MiB/s
 # ---------------------------------------------------------------------------
 
 
+def event_ts_sec(ev: DataFrame):
+    """Epoch-seconds column for ``events.ts``, whichever physical type
+    the driver generated it with: int64 nanoseconds (rounds 1-2, read as
+    long via nanosAsLong) or timestamp[us] (round 3+, read as
+    TIMESTAMP_NTZ; the session runs in UTC so ``unix_seconds`` matches
+    DuckDB's ``epoch_ns(ts) // 1e9`` exactly)."""
+    t = dict(ev.dtypes).get("ts", "")
+    if t in ("bigint", "long"):
+        return F.expr("ts div 1000000000")
+    return F.unix_seconds(F.col("ts").cast("timestamp"))
+
+
 def records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kafka-record-shaped log derived from events."""
     ev = load_table(spark, sf_dir, "events")
@@ -75,7 +96,7 @@ def records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("topic"),
         (F.col("user_id") % N_SRC_PARTITIONS).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),
-        F.expr("ts div 1000000000").alias("ts_sec"),
+        event_ts_sec(ev).alias("ts_sec"),
         F.length("props").alias("value_size"),
         F.col("value"),
         F.col("props"),
@@ -103,6 +124,28 @@ def route_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "route_id",
         (F.col("mn") + F.col("route_id") * F.col("width")).alias("start_offset"),
         (F.col("mn") + (F.col("route_id") + 1) * F.col("width")).alias("end_offset"),
+    )
+
+
+def stalled_commit_override(c2: DataFrame, c1: DataFrame) -> DataFrame:
+    """Apply the seeded stall to a T2 commit snapshot: the stalled
+    partition's commit is replaced by its T1 value (columns of ``c2``
+    are preserved; ``c1``/``c2`` both carry ``commit_offset``)."""
+    frozen = c1.select(
+        "topic", "partition", F.col("commit_offset").alias("_commit_t1")
+    )
+    stalled = (F.col("topic") == STALLED_TOPIC) & (
+        F.col("partition") == STALLED_PARTITION
+    )
+    return (
+        c2.join(frozen, ["topic", "partition"], "left")
+        .withColumn(
+            "commit_offset",
+            F.when(stalled, F.coalesce("_commit_t1", F.col("commit_offset"))).otherwise(
+                F.col("commit_offset")
+            ),
+        )
+        .drop("_commit_t1")
     )
 
 
@@ -178,6 +221,22 @@ SRC_EXTRA_TOPICS_CTE = (
     + ", ".join(f"('{t}')" for t in SRC_EXTRA_TOPIC_ROWS)
     + ") AS t(topic))"
 )
+
+def stalled_c2_cte(t2_sec: int) -> str:
+    """DuckDB twin of ``stalled_commit_override``: a ``c2`` CTE whose
+    stalled partition carries the T1 commit. Requires a ``c1`` CTE with
+    (topic, partition, commit_t1) earlier in the WITH list."""
+    return f"""
+c2 AS (
+  SELECT r.topic, r."partition",
+         CASE WHEN r.topic = '{STALLED_TOPIC}' AND r."partition" = {STALLED_PARTITION}
+              THEN c1.commit_t1 ELSE r.commit_t2 END AS commit_t2
+  FROM (SELECT topic, "partition", MAX("offset") AS commit_t2
+        FROM records WHERE ts_sec <= {t2_sec} GROUP BY topic, "partition") r
+  LEFT JOIN c1 USING (topic, "partition")
+)
+""".strip()
+
 
 BLACKLIST_CTE = (
     "blacklist AS (SELECT * FROM (VALUES "

@@ -59,10 +59,25 @@ def consumer_lag(latest: DataFrame, committed: DataFrame) -> DataFrame:
     )
 
 
-def no_progress(records: DataFrame, t1_sec: int, t2_sec: int) -> DataFrame:
-    """A2: partitions whose commit is unchanged from t1→t2 with lag > 0."""
-    c1 = committed_offsets(records, t1_sec).withColumnRenamed("commit_offset", "commit_t1")
-    c2 = committed_offsets(records, t2_sec).withColumnRenamed("commit_offset", "commit_t2")
+def no_progress(
+    records: DataFrame,
+    t1_sec: int,
+    t2_sec: int,
+    c1: DataFrame | None = None,
+    c2: DataFrame | None = None,
+) -> DataFrame:
+    """A2: partitions whose commit is unchanged from t1→t2 with lag > 0.
+
+    ``c1``/``c2`` override the derived snapshots (both with columns
+    topic, partition, commit_offset) — the monitor compares whatever
+    the checkpoint store reports, not necessarily what the log implies.
+    """
+    if c1 is None:
+        c1 = committed_offsets(records, t1_sec)
+    if c2 is None:
+        c2 = committed_offsets(records, t2_sec)
+    c1 = c1.withColumnRenamed("commit_offset", "commit_t1")
+    c2 = c2.withColumnRenamed("commit_offset", "commit_t2")
     lat = latest_offsets(records)
     j = (
         lat.join(c1, ["topic", "partition"], "left")

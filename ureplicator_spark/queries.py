@@ -148,16 +148,15 @@ def q_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NO_PROGRESS_SQL = _with(
-    FX.RECORDS_CTE,
-    f"""
+_C1_CTE = f"""
 c1 AS (SELECT topic, "partition", MAX("offset") AS commit_t1
        FROM records WHERE ts_sec <= {FX.SNAPSHOT_T1} GROUP BY topic, "partition")
-""".strip(),
-    f"""
-c2 AS (SELECT topic, "partition", MAX("offset") AS commit_t2
-       FROM records WHERE ts_sec <= {FX.SNAPSHOT_T2} GROUP BY topic, "partition")
-""".strip(),
+""".strip()
+
+_NO_PROGRESS_SQL = _with(
+    FX.RECORDS_CTE,
+    _C1_CTE,
+    FX.stalled_c2_cte(FX.SNAPSHOT_T2),
     _LATEST_CTE,
     """
 SELECT l.topic, l."partition" AS partition, c2.commit_t2,
@@ -173,9 +172,15 @@ WHERE c1.commit_t1 IS NOT NULL AND c1.commit_t1 = c2.commit_t2
 
 @register("no_progress", _NO_PROGRESS_SQL)
 def q_no_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: commit offset stagnant between two monitor snapshots, lag > 0."""
+    """A2: commit offset stagnant between two monitor snapshots, lag > 0.
+    The fixture seeds one stalled partition (FX.STALLED_*) so the result
+    is non-empty — an empty-vs-empty oracle row proves nothing."""
     rec = FX.records(spark, sf_dir)
-    return LAG.no_progress(rec, FX.SNAPSHOT_T1, FX.SNAPSHOT_T2)
+    c1 = LAG.committed_offsets(rec, FX.SNAPSHOT_T1)
+    c2 = FX.stalled_commit_override(
+        LAG.committed_offsets(rec, FX.SNAPSHOT_T2), c1
+    )
+    return LAG.no_progress(rec, FX.SNAPSHOT_T1, FX.SNAPSHOT_T2, c1=c1, c2=c2)
 
 
 # ---------------------------------------------------------------------------
@@ -1119,10 +1124,8 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via window lag (per-user ordering)."""
     from ureplicator_spark.operators import relational as REL
 
-    rec = FX.records(spark, sf_dir)
-    ev = rec.sparkSession.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_id", F.expr("ts div 1000000000").alias("ts_sec")
-    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select("user_id", "event_id", FX.event_ts_sec(raw).alias("ts_sec"))
     return REL.sessionize(ev)
 
 
@@ -1330,14 +1333,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STATEFUL_NP_SQL = _with(
     FX.RECORDS_CTE,
-    f"""
-c1 AS (SELECT topic, "partition", MAX("offset") AS commit_t1
-       FROM records WHERE ts_sec <= {FX.SNAPSHOT_T1} GROUP BY topic, "partition")
-""".strip(),
-    f"""
-c2 AS (SELECT topic, "partition", MAX("offset") AS commit_t2
-       FROM records WHERE ts_sec <= {FX.SNAPSHOT_T2} GROUP BY topic, "partition")
-""".strip(),
+    _C1_CTE,
+    FX.stalled_c2_cte(FX.SNAPSHOT_T2),
     _LATEST_CTE,
     f"""
 SELECT l.topic, l."partition" AS partition, c2.commit_t2 AS commit_offset,
@@ -1364,7 +1361,9 @@ def q_stateful_no_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rec = FX.records(spark, sf_dir)
     c1 = LAG.committed_offsets(rec, FX.SNAPSHOT_T1)
-    c2 = LAG.committed_offsets(rec, FX.SNAPSHOT_T2)
+    c2 = FX.stalled_commit_override(
+        LAG.committed_offsets(rec, FX.SNAPSHOT_T2), c1
+    )
     latest = LAG.latest_offsets(rec)
     tick1 = c1.select(
         "topic", "partition",

@@ -68,21 +68,42 @@ def current_offsets(spark: SparkSession, log_dir: str) -> DataFrame:
 
 
 def compact(spark: SparkSession, log_dir: str) -> None:
-    """Rewrite the log to one row per key (bounds read cost; safe to
-    run anytime — appends racing the rewrite are re-absorbed by the
-    compacting read)."""
-    snap = current_offsets(spark, log_dir).withColumn("batch_id", F.lit(-1))
-    tmp = log_dir.rstrip("/") + ".compact"
-    snap.coalesce(1).write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.coalesce(1).write.mode("overwrite").parquet(log_dir)
-    # best-effort cleanup of the staging dir
-    try:
-        import shutil
+    """Bound the log's read cost without stopping writers: compute the
+    per-key maxima over a FIXED set of input files, APPEND them as one
+    compacted file, then delete exactly the inputs that were read.
 
-        shutil.rmtree(tmp)
-    except OSError:
-        pass
+    A micro-batch append racing the compaction lands as a new file that
+    is neither read nor deleted — the compacting read (per-key max)
+    absorbs it, so committed offsets never regress. (A directory-level
+    ``overwrite`` here would delete racing appends — the bug class this
+    explicitly avoids.) Offsets are monotone per key, so max over
+    (compacted row ∪ survivors) equals max over the full history.
+    """
+    import glob
+    import os
+
+    inputs = sorted(
+        f
+        for f in glob.glob(os.path.join(log_dir, "*.parquet"))
+        if os.path.isfile(f)
+    )
+    if len(inputs) <= 1:
+        return  # nothing to fold
+    snap = (
+        spark.read.parquet(*inputs)
+        .groupBy("topic", "partition")
+        .agg(
+            F.max("commit_offset").alias("commit_offset"),
+            F.max("commit_ts_sec").alias("commit_ts_sec"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+    )
+    snap.coalesce(1).write.mode("append").parquet(log_dir)
+    for f in inputs:
+        try:
+            os.remove(f)
+        except OSError:
+            pass  # another compactor got it first — harmless
 
 
 def fetch_offset(spark: SparkSession, log_dir: str, topic: str, partition: int) -> int | None:

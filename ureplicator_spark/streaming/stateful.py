@@ -99,6 +99,11 @@ def streaming_workload_windows(
     with_ts = records_stream.withColumn(
         "event_time", F.timestamp_seconds(F.col("ts_sec"))
     ).withWatermark("event_time", watermark)
+    # rate divisor comes from the window itself, not a constant — the
+    # ``window`` parameter is free-form ("10 minutes", "1 hour", ...)
+    win_sec = (
+        F.col("win.end").cast("long") - F.col("win.start").cast("long")
+    ).cast("double")
     return (
         with_ts.groupBy("topic", F.window("event_time", window).alias("win"))
         .agg(
@@ -108,8 +113,8 @@ def streaming_workload_windows(
         .select(
             "topic",
             F.col("win.start").cast("long").alias("window_start"),
-            F.round(F.col("window_bytes") / 600.0, 6).alias("bytes_per_sec"),
-            F.round(F.col("window_msgs") / 600.0, 6).alias("msgs_per_sec"),
+            F.round(F.col("window_bytes") / win_sec, 6).alias("bytes_per_sec"),
+            F.round(F.col("window_msgs") / win_sec, 6).alias("msgs_per_sec"),
         )
     )
 
