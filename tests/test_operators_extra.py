@@ -354,3 +354,65 @@ def test_duplicate_clusters_on_lsh_pairs(spark, sf_dir):
     # keeper is the min doc_id of its cluster
     mins = out.groupBy("cluster_id").agg(F.min("doc_id").alias("mn")).collect()
     assert all(r.cluster_id == r.mn for r in mins)
+
+
+def test_duplicate_clusters_deep_path_bounded_plan(spark):
+    """A path graph of diameter 20 must converge (min-label reaches the
+    far end) and per-round localCheckpoint must keep the plan depth
+    bounded — without it, lineage doubles every iteration and the
+    analyzed plan string grows exponentially."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters
+
+    n = 21  # path 0-1-2-...-20, diameter 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = duplicate_clusters(pairs, max_iter=40)
+    clusters = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert clusters == {i: 0 for i in range(n)}
+    # checkpointed lineage: the final plan must be shallow (a scan of
+    # the checkpointed RDD + the keeper projection), not 20 nested joins
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Join") <= 2, f"lineage not truncated:\n{plan[:2000]}"
+
+
+def test_backup_versioned_history_and_prune(spark, sf_dir, tmp_path):
+    """Git-handler analog: every backup call appends an immutable
+    version; restore defaults to latest; prune keeps the newest K."""
+    from ureplicator_spark.operators.assignment import derive_assignments
+
+    asg = derive_assignments(FX.records(spark, sf_dir), FX.N_INSTANCES)
+    v1 = BK.backup_versioned(asg, str(tmp_path), "assignments", version="20260813T000001-000000")
+    v2 = BK.backup_versioned(asg.limit(2), str(tmp_path), "assignments", version="20260813T000002-000000")
+    v3 = BK.backup_versioned(asg.limit(1), str(tmp_path), "assignments")  # auto timestamp
+    assert BK.list_versions(str(tmp_path), "assignments") == sorted([v1, v2, v3])
+    assert BK.restore_version(spark, str(tmp_path), "assignments", v2).count() == 2
+    # latest (HEAD) is the auto-stamped one: current year >> 2026 fixture stamps
+    assert BK.restore_version(spark, str(tmp_path), "assignments").count() == 1
+    removed = BK.prune_versions(str(tmp_path), "assignments", keep=1)
+    assert removed == sorted([v1, v2, v3])[:2]
+    assert len(BK.list_versions(str(tmp_path), "assignments")) == 1
+
+
+def test_fan_out_widens_single_file_scan(spark, sf_dir, tmp_path):
+    """fan_out must widen a one-file scan to defaultParallelism without
+    touching df.rdd (the RDD conversion added planning latency to every
+    shingling query), and leave already-wide frames alone."""
+    from ureplicator_spark.functions import fan_out
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_files = len(docs.inputFiles())
+    target = spark.sparkContext.defaultParallelism
+    widened = fan_out(docs)
+    if n_files < max(2, target // 2):
+        # single-file fixture scan: must gain a round-robin Exchange
+        assert "Exchange" in widened._jdf.queryExecution().executedPlan().toString()
+        assert widened.rdd.getNumPartitions() == target
+    # a scan that already has enough splits is returned untouched —
+    # the 100 TB case, where adding an exchange would be a regression
+    many = str(tmp_path / "many")
+    docs.repartition(8).write.parquet(many)
+    wide_scan = spark.read.parquet(many)
+    assert len(wide_scan.inputFiles()) >= 8
+    assert fan_out(wide_scan, min_partitions=8) is wide_scan

@@ -230,7 +230,7 @@ def stalled_c2_cte(t2_sec: int) -> str:
 c2 AS (
   SELECT r.topic, r."partition",
          CASE WHEN r.topic = '{STALLED_TOPIC}' AND r."partition" = {STALLED_PARTITION}
-              THEN c1.commit_t1 ELSE r.commit_t2 END AS commit_t2
+              THEN COALESCE(c1.commit_t1, r.commit_t2) ELSE r.commit_t2 END AS commit_t2
   FROM (SELECT topic, "partition", MAX("offset") AS commit_t2
         FROM records WHERE ts_sec <= {t2_sec} GROUP BY topic, "partition") r
   LEFT JOIN c1 USING (topic, "partition")

@@ -83,7 +83,14 @@ def fan_out(df, min_partitions: int | None = None):
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    # Probe split count from the scan's file list — a driver-side plan
+    # walk, NOT df.rdd (which converts the whole plan to an RDD and
+    # previously added a visible planning stall to every shingling /
+    # simhash query). One file can still hold many row groups, so this
+    # under-counts splits at worst — the failure mode is a redundant
+    # (cheap) round-robin exchange, never lost parallelism.
+    n_files = len(df.inputFiles())
+    if n_files >= max(2, target // 2):
         return df
     return df.repartition(target)
 

@@ -257,12 +257,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
+    edges = edges.localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("n_min"))
         )
+        # localCheckpoint truncates lineage each round — without it the
+        # plan doubles per iteration and Catalyst re-analysis alone
+        # takes minutes after ~15 rounds (deep-cluster corpora). The
+        # checkpoint job doubles as the materialization the `changed`
+        # count needs anyway, so it costs no extra pass.
         updated = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
@@ -272,6 +278,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("new_cluster_id"),
                 "cluster_id",
             )
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
         labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))

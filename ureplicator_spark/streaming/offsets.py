@@ -78,14 +78,24 @@ def compact(spark: SparkSession, log_dir: str) -> None:
     ``overwrite`` here would delete racing appends — the bug class this
     explicitly avoids.) Offsets are monotone per key, so max over
     (compacted row ∪ survivors) equals max over the full history.
-    """
-    import glob
-    import os
 
+    File enumeration and deletion go through the Hadoop FileSystem API
+    resolved from ``log_dir``'s scheme, so the same code compacts
+    local, HDFS, and S3A logs. Concurrent COMPACTORS are also safe: if
+    a rival deletes our inputs between listing and reading, the read
+    fails mid-job — we give up this cycle (the rival's compacted row
+    carries the same maxima) and the next invocation retries.
+    """
+    jvm = spark._jvm
+    hadoop_conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(log_dir)
+    fs = root.getFileSystem(hadoop_conf)
+    if not fs.exists(root):
+        return
     inputs = sorted(
-        f
-        for f in glob.glob(os.path.join(log_dir, "*.parquet"))
-        if os.path.isfile(f)
+        str(st.getPath())
+        for st in fs.listStatus(root)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
     )
     if len(inputs) <= 1:
         return  # nothing to fold
@@ -98,11 +108,17 @@ def compact(spark: SparkSession, log_dir: str) -> None:
         )
         .withColumn("batch_id", F.lit(-1))
     )
-    snap.coalesce(1).write.mode("append").parquet(log_dir)
+    try:
+        snap.coalesce(1).write.mode("append").parquet(log_dir)
+    except Exception as e:  # noqa: BLE001 — filtered to missing-input below
+        msg = str(e)
+        if "FileNotFound" in msg or "does not exist" in msg or "PATH_NOT_FOUND" in msg:
+            return  # racing compactor consumed our inputs; retry next cycle
+        raise
     for f in inputs:
         try:
-            os.remove(f)
-        except OSError:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        except Exception:  # noqa: BLE001
             pass  # another compactor got it first — harmless
 
 
