@@ -2055,12 +2055,54 @@ def q_topic_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("greedy_assignment", None)  # iterative: no SQL oracle (rows-only)
+def _greedy_oracle_sql() -> str:
+    """DuckDB twin of ``greedy_assign``: the heaviest-first / least-
+    loaded-instance loop is sequential, but over O(#partitions)
+    control-plane rows a recursive CTE replays it exactly — one
+    recursion step per partition, instance loads carried as a DOUBLE
+    list, argmin via list_position(loads, list_min(loads)) which
+    breaks load ties toward the lower instance id exactly like the
+    (load, instance) heap tuple ordering."""
+    n = FX.N_INSTANCES
+    pos = "list_position(s.loads, list_min(s.loads))"
+    upd = ", ".join(
+        f"CASE WHEN {pos} = {i} THEN s.loads[{i}] + r.bytes_per_sec ELSE s.loads[{i}] END"
+        for i in range(1, n + 1)
+    )
+    zeros = ", ".join(["CAST(0 AS DOUBLE)"] * n)
+    return f"""
+WITH RECURSIVE {FX.RECORDS_CTE},
+{_PARTITION_WL_CTE},
+{_SPAN_CTE},
+ranked AS (
+  SELECT topic, "partition",
+         ROUND(total_bytes / span_sec, 6) AS bytes_per_sec,
+         ROW_NUMBER() OVER (ORDER BY ROUND(total_bytes / span_sec, 6) DESC, topic, "partition") AS rn
+  FROM partition_wl, span
+),
+steps AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS topic,
+         CAST(NULL AS INTEGER) AS "partition", CAST(NULL AS DOUBLE) AS bytes_per_sec,
+         CAST(NULL AS INTEGER) AS inst, [{zeros}] AS loads
+  UNION ALL
+  SELECT r.rn, r.topic, r."partition", r.bytes_per_sec,
+         CAST({pos} - 1 AS INTEGER), [{upd}]
+  FROM steps s JOIN ranked r ON r.rn = s.rn + 1
+)
+SELECT topic, "partition" AS partition,
+       'instance-' || CAST(inst AS VARCHAR) AS instance, bytes_per_sec
+FROM steps WHERE rn > 0
+"""
+
+
+@register("greedy_assignment", _greedy_oracle_sql())
 def q_greedy_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Workload-aware greedy bin-packing over the derived partition
-    workloads (the auto-balance core). Iterative priority-queue
-    algorithm — not SQL-expressible, so driver-checked rows-only;
-    balance quality is asserted in tests/test_operators_extra.py."""
+    workloads (the auto-balance core,
+    AutoRebalanceLiveInstanceChangeListener.java:594-630). The
+    distributed part (workload table) stays in Spark; the O(P log I)
+    decision runs driver-side like the reference controller, and the
+    recursive-CTE oracle replays it step for step."""
     from ureplicator_spark.operators.assignment import greedy_assign
 
     wl = WKL.partition_workload(FX.records(spark, sf_dir))
