@@ -74,7 +74,12 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[...] puts every executor thread in the driver JVM: an
+        # 8g heap showed multi-second GC stalls landing on random bench
+        # queries (45-66s totals); 24g holds totals at ~32s on the same
+        # workload. Cluster deployments size executors via spark-submit
+        # and this default is inert there.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # Arrow for the few pandas-UDF paths (multimodal decode).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
