@@ -416,3 +416,41 @@ def test_fan_out_widens_single_file_scan(spark, sf_dir, tmp_path):
     wide_scan = spark.read.parquet(many)
     assert len(wide_scan.inputFiles()) >= 8
     assert fan_out(wide_scan, min_partitions=8) is wide_scan
+
+
+def test_repetition_stats_short_and_repeated_docs(spark):
+    """1-token docs must not crash the 2/3-gram builders (dup shares
+    coalesce to 0); a fully repeated doc scores maximal shares."""
+    from ureplicator_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "a a a a"), (3, "w x y z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].n_tokens == 1 and rows[1].dup_2gram_share == 0.0
+    assert rows[1].top_token_share == 1.0
+    # "a a a a": 4 tokens all 'a'; 3 identical 2-grams -> (3-1)/3
+    assert rows[2].top_token_share == 1.0
+    assert rows[2].dup_2gram_share == round(2 / 3, 6)
+    assert rows[3].top_token_share == 0.25 and rows[3].dup_2gram_share == 0.0
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    """Same survivors on repeated runs; per-lang survivor share is
+    bounded by the configured rate (hash buckets are uniform-ish but
+    the bound is exact: bucket < rate)."""
+    from ureplicator_spark.functions import md5_long
+    from ureplicator_spark.operators.text import LANG_SAMPLE_RATES, stratified_sample
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in stratified_sample(docs).collect()}
+    b = {r.doc_id for r in stratified_sample(docs).collect()}
+    assert a == b and a
+    kept = docs.filter(F.col("doc_id").isin(list(a)))
+    buckets = kept.select(
+        "lang", F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100)).alias("bkt")
+    ).collect()
+    for r in buckets:
+        assert r.bkt < LANG_SAMPLE_RATES[r.lang]

@@ -361,3 +361,54 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         F.round(F.avg(err), 8).cast("double").alias("mse"),
         F.max(F.abs("q")).cast("int").alias("max_q"),
     )
+
+
+def label_outliers(embeddings: DataFrame, worst_n: int = 3) -> DataFrame:
+    """Per-label outlier detection: the ``worst_n`` vectors least
+    cosine-similar to their own label centroid — the standard mislabel /
+    contamination sweep over an embedded training set.
+
+    Scale shape: centroids are one (label, i) aggregation (K*dims rows,
+    tiny) broadcast back against the component view; the per-label
+    bottom-N window runs over N total rows keyed by label. All
+    arithmetic is component-relational (oracle-reproducible), the
+    centroid components rounded to 1e-6 BEFORE the dot product so both
+    engines score identical inputs."""
+    from pyspark.sql import Window
+
+    comp = _components(embeddings)
+    labeled = comp.join(embeddings.select("vec_id", "label"), "vec_id")
+    cent = (
+        labeled.groupBy("label", "i")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn")
+    )
+    vnorm = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn")
+    )
+    dot = (
+        labeled.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    scored = (
+        dot.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_cosine").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= worst_n)
+        .select("label", "vec_id", "centroid_cosine", "rank")
+    )

@@ -258,3 +258,176 @@ def corpus_mix(documents: DataFrame) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("_total"), 6).alias("token_share"),
         )
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    table A1): share of the most frequent token, and the duplicate
+    share of word 2-grams / 3-grams. Heavily repeated text is the
+    strongest single predictor of low-quality web documents.
+
+    Scale shape: all three signals are per-doc aggregations keyed on
+    doc_id — map-side partial, one shuffle each, no windows over the
+    corpus and no cross-doc state. The n-gram views reuse the shingle
+    construction (slice over the token array) entirely in codegen."""
+    toks = documents.select("doc_id", F.split("text", " +").alias("toks"))
+
+    tok_counts = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .count()
+    )
+    per_tok = tok_counts.groupBy("doc_id").agg(
+        F.sum("count").cast("long").alias("n_tokens"),
+        F.max("count").cast("long").alias("top_token_n"),
+    )
+
+    def gram_share(k: int, out: str) -> DataFrame:
+        grams = (
+            toks.filter(F.size("toks") >= k)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {k - 1}),"
+                        f" i -> array_join(slice(toks, i, {k}), ' '))"
+                    )
+                ).alias("gram"),
+            )
+            .groupBy("doc_id", "gram")
+            .count()
+        )
+        return grams.groupBy("doc_id").agg(
+            F.round(
+                (F.sum("count") - F.count("*")) / F.sum("count"), 6
+            ).alias(out)
+        )
+
+    return (
+        per_tok.join(gram_share(2, "dup_2gram_share"), "doc_id", "left")
+        .join(gram_share(3, "dup_3gram_share"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("top_token_n") / F.col("n_tokens"), 6).alias(
+                "top_token_share"
+            ),
+            F.coalesce("dup_2gram_share", F.lit(0.0)).alias("dup_2gram_share"),
+            F.coalesce("dup_3gram_share", F.lit(0.0)).alias("dup_3gram_share"),
+        )
+    )
+
+
+def quality_gate_summary(documents: DataFrame) -> DataFrame:
+    """Per-(source, lang) tally of documents failing each pretraining
+    gate — the report a corpus curator reads before choosing sampling
+    weights. Rules (Gopher-flavored, exact integer/ratio arithmetic):
+    too_short (<10 tokens), too_long (>2000), top-token share > 0.2,
+    duplicate-2gram share > 0.3; pass = none failed.
+
+    Scale shape: repetition_stats' per-doc shuffles + one final
+    (source, lang) aggregation; every agg is algebraic (map-side
+    partial), nothing is collected."""
+    stats = repetition_stats(documents)
+    flags = documents.select("doc_id", "source", "lang").join(stats, "doc_id")
+    too_short = (F.col("n_tokens") < 10).cast("int")
+    too_long = (F.col("n_tokens") > 2000).cast("int")
+    top_share = (F.col("top_token_share") > 0.2).cast("int")
+    dup2 = (F.col("dup_2gram_share") > 0.3).cast("int")
+    return (
+        flags.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(too_short).cast("long").alias("n_too_short"),
+            F.sum(too_long).cast("long").alias("n_too_long"),
+            F.sum(top_share).cast("long").alias("n_top_token"),
+            F.sum(dup2).cast("long").alias("n_dup_2gram"),
+            F.sum(
+                (
+                    (too_short + too_long + top_share + dup2) == 0
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_pass"),
+        )
+    )
+
+
+LANG_SAMPLE_RATES = {"en": 90, "de": 50, "es": 50, "fr": 50, "zh": 25}
+
+
+def stratified_sample(
+    documents: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic per-language downsampling — rebalancing a corpus
+    mix without sampling state. A document survives iff its md5 bucket
+    (0-99, content-independent) falls under its language's rate, so the
+    same doc set survives on any engine and any run.
+
+    Scale shape: the rates table is a literal broadcast; the filter is
+    a map-only predicate over the fact scan — zero shuffles."""
+    from ureplicator_spark.functions import md5_long, values_df
+
+    rates = rates or LANG_SAMPLE_RATES
+    rt = values_df(
+        documents.sparkSession,
+        sorted(rates.items()),
+        "lang string, rate int",
+    )
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        documents.join(F.broadcast(rt), "lang")
+        .filter(bucket < F.col("rate"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+def ngram_top(documents: DataFrame, k: int = 2, top_n: int = 10) -> DataFrame:
+    """Top-N word k-grams per language with deterministic tie-break —
+    the corpus-level vocabulary/boilerplate report.
+
+    Scale shape: one shuffle keyed on (lang, gram) with map-side
+    partial counts; the top-N window partitions by lang over the
+    AGGREGATED gram table (vocab-bounded, orders of magnitude smaller
+    than the corpus), not over raw tokens."""
+    from pyspark.sql import Window
+
+    grams = (
+        documents.select("lang", F.split("text", " +").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}),"
+                    f" i -> array_join(slice(toks, i, {k}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("lang", "gram")
+        .count()
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("count").desc(), F.col("gram"))
+    return (
+        grams.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("lang", "gram", F.col("count").alias("n_occur"), "rank")
+    )
+
+
+def length_buckets(documents: DataFrame) -> DataFrame:
+    """Power-of-two document-length histogram per source — the length
+    profile used to choose chunk sizes and spot truncation artifacts.
+    Bucket = bit length of n_chars (integer-exact on every engine,
+    no float log2 edge cases). Map-only + one small aggregation."""
+    bucket = F.length(F.bin("n_chars")).cast("int")
+    return (
+        documents.select("source", bucket.alias("len_bucket"), "n_chars")
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )

@@ -3239,3 +3239,237 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return corpus_mix(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: repetition gates, sampling, n-grams, outliers
+# ---------------------------------------------------------------------------
+
+_DTOKS_CTE = "dtoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+
+_REP_TC_CTE = """
+tc AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS token FROM dtoks)
+  GROUP BY doc_id, token
+)
+""".strip()
+
+_REP_PER_CTE = """
+per AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(MAX(c) AS BIGINT) AS top_token_n
+  FROM tc GROUP BY doc_id
+)
+""".strip()
+
+_REP_G2_CTE = """
+g2 AS (
+  SELECT doc_id, ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_2gram_share
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM dtoks WHERE len(toks) >= 2) GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+""".strip()
+
+_REP_G3_CTE = """
+g3 AS (
+  SELECT doc_id, ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_3gram_share
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM dtoks WHERE len(toks) >= 3) GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+""".strip()
+
+_REPETITION_SQL = _with(
+    _DTOKS_CTE,
+    _REP_TC_CTE,
+    _REP_PER_CTE,
+    _REP_G2_CTE,
+    _REP_G3_CTE,
+    """
+SELECT p.doc_id, p.n_tokens,
+       ROUND(p.top_token_n * 1.0 / p.n_tokens, 6) AS top_token_share,
+       COALESCE(g2.dup_2gram_share, 0.0) AS dup_2gram_share,
+       COALESCE(g3.dup_3gram_share, 0.0) AS dup_3gram_share
+FROM per p LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+""",
+)
+
+
+@register("text_repetition_stats", _REPETITION_SQL)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals (top-token share,
+    duplicate 2-/3-gram shares) — the strongest single low-quality-web
+    predictor; all per-doc aggs, map-side partial."""
+    from ureplicator_spark.operators.text import repetition_stats
+    from ureplicator_spark.sources.parquet import load_table
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_GATE_SQL = _with(
+    _DTOKS_CTE,
+    _REP_TC_CTE,
+    _REP_PER_CTE,
+    _REP_G2_CTE,
+    """
+flags AS (
+  SELECT d.source, d.lang,
+         CASE WHEN p.n_tokens < 10 THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN p.n_tokens > 2000 THEN 1 ELSE 0 END AS f_long,
+         CASE WHEN ROUND(p.top_token_n * 1.0 / p.n_tokens, 6) > 0.2 THEN 1 ELSE 0 END AS f_top,
+         CASE WHEN COALESCE(g2.dup_2gram_share, 0.0) > 0.3 THEN 1 ELSE 0 END AS f_dup
+  FROM per p
+  JOIN documents d USING (doc_id)
+  LEFT JOIN g2 USING (doc_id)
+)
+""".strip(),
+    """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(f_short) AS BIGINT) AS n_too_short,
+       CAST(SUM(f_long) AS BIGINT) AS n_too_long,
+       CAST(SUM(f_top) AS BIGINT) AS n_top_token,
+       CAST(SUM(f_dup) AS BIGINT) AS n_dup_2gram,
+       CAST(SUM(CASE WHEN f_short + f_long + f_top + f_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags GROUP BY source, lang
+""",
+)
+
+
+@register("quality_gate_summary", _QUALITY_GATE_SQL)
+def q_quality_gate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) tally of documents failing each pretraining
+    gate — the report that picks sampling weights before training."""
+    from ureplicator_spark.operators.text import quality_gate_summary
+    from ureplicator_spark.sources.parquet import load_table
+
+    return quality_gate_summary(load_table(spark, sf_dir, "documents"))
+
+
+def _sample_rates_values() -> str:
+    from ureplicator_spark.operators.text import LANG_SAMPLE_RATES
+
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(LANG_SAMPLE_RATES.items()))
+    return f"rt AS (SELECT * FROM (VALUES {vals}) AS t(lang, rate))"
+
+
+_STRATIFIED_SQL = _with(
+    _sample_rates_values(),
+    """
+SELECT doc_id, source, lang, n_chars
+FROM documents JOIN rt USING (lang)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < rate
+""",
+)
+
+
+@register("stratified_sample", _STRATIFIED_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling by content-independent
+    md5 bucket — rebalance the corpus mix with zero sampling state and
+    zero shuffles (broadcast literal rates + map-only predicate)."""
+    from ureplicator_spark.operators.text import stratified_sample
+    from ureplicator_spark.sources.parquet import load_table
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+_NGRAM_TOP_SQL = """
+WITH grams AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+),
+gc AS (SELECT lang, gram, COUNT(*) AS c FROM grams GROUP BY lang, gram)
+SELECT lang, gram, CAST(c AS BIGINT) AS n_occur, rank FROM (
+  SELECT lang, gram, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rank
+  FROM gc
+) WHERE rank <= 10
+"""
+
+
+@register("ngram_top", _NGRAM_TOP_SQL)
+def q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 word 2-grams per language (vocabulary/boilerplate
+    report); the ranking window runs over the aggregated gram table,
+    never the raw token stream."""
+    from ureplicator_spark.operators.text import ngram_top
+    from ureplicator_spark.sources.parquet import load_table
+
+    return ngram_top(load_table(spark, sf_dir, "documents"))
+
+
+_LENGTH_BUCKETS_SQL = """
+SELECT source, CAST(length(bin(n_chars)) AS INT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source, len_bucket
+"""
+
+
+@register("doc_length_buckets", _LENGTH_BUCKETS_SQL)
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two doc-length histogram per source (bit-length bucket:
+    integer-exact on every engine, no float log2 edges)."""
+    from ureplicator_spark.operators.text import length_buckets
+    from ureplicator_spark.sources.parquet import load_table
+
+    return length_buckets(load_table(spark, sf_dir, "documents"))
+
+
+_OUTLIER_SQL = _with(
+    _COMP_CTE,
+    """
+labeled AS (
+  SELECT c.vec_id, e.label, c.i, c.x
+  FROM comp c JOIN embeddings e USING (vec_id)
+)
+""".strip(),
+    "cent AS (SELECT label, i, ROUND(AVG(x), 6) AS cx FROM labeled GROUP BY label, i)",
+    "cnorm AS (SELECT label, sqrt(SUM(cx * cx)) AS cn FROM cent GROUP BY label)",
+    "vnorm AS (SELECT vec_id, sqrt(SUM(x * x)) AS vn FROM comp GROUP BY vec_id)",
+    """
+dt AS (
+  SELECT l.vec_id, l.label, SUM(l.x * c.cx) AS dot
+  FROM labeled l JOIN cent c ON c.label = l.label AND c.i = l.i
+  GROUP BY l.vec_id, l.label
+)
+""".strip(),
+    """
+scored AS (
+  SELECT d.vec_id, d.label,
+         ROUND(d.dot / (v.vn * n.cn), 6) AS centroid_cosine
+  FROM dt d JOIN vnorm v USING (vec_id) JOIN cnorm n USING (label)
+)
+""".strip(),
+    """
+SELECT label, vec_id, centroid_cosine, rank FROM (
+  SELECT label, vec_id, centroid_cosine,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY centroid_cosine ASC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+
+
+@register("embedding_label_outliers", _OUTLIER_SQL)
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mislabel sweep: the 3 vectors least cosine-similar to
+    their own label centroid; centroids broadcast, one window over N
+    scored rows."""
+    from ureplicator_spark.operators.similarity import label_outliers
+    from ureplicator_spark.sources.parquet import load_table
+
+    return label_outliers(load_table(spark, sf_dir, "embeddings"))
