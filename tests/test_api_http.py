@@ -1,0 +1,101 @@
+"""REST facade tests: the reference's user-facing query language
+served over HTTP (ControllerRestApplication.java:40-72 analog),
+driven end-to-end through a real socket with urllib."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from ureplicator_spark import fixtures as FX
+from ureplicator_spark.api import Engine
+from ureplicator_spark.api_http import RestServer
+
+
+@pytest.fixture()
+def server(spark, sf_dir):
+    eng = Engine(spark, FX.records(spark, sf_dir))
+    srv = RestServer(eng, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _call(srv, method, path, body=None):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_health_and_topic_lifecycle(server):
+    code, health = _call(server, "GET", "/health")
+    assert code == 200 and health["status"] == "OK"
+
+    code, out = _call(server, "POST", "/topics",
+                      {"topic": "click", "dst_topic": "click_mirror", "partitions": 4})
+    assert code == 201 and out["added"] == "click"
+    _call(server, "PUT", "/topics", {"topic": "click", "partitions": 8})
+    code, topics = _call(server, "GET", "/topics")
+    assert topics == [{"topic": "click", "dst_topic": "click_mirror", "partitions": 8}]
+    code, out = _call(server, "DELETE", "/topics/click")
+    assert code == 200
+    assert _call(server, "GET", "/topics")[1] == []
+
+
+def test_offset_and_lag_routes(server):
+    code, one = _call(server, "GET", "/offset/click/0")
+    assert code == 200 and one["topic"] == "click" and one["latest_offset"] >= 0
+
+    code, rows = _call(server, "GET", "/offsets")
+    assert code == 200 and len(rows) == 20  # 5 topics x 4 partitions
+
+    code, lagged = _call(server, "GET", f"/offsets?as_of_sec={FX.SNAPSHOT_T1}")
+    assert all(r["lag"] >= 0 for r in lagged)
+
+    # raw log has no seeded stall between T1 and T2 → empty is correct
+    code, np_rows = _call(
+        server, "GET",
+        f"/noprogress?t1_sec={FX.SNAPSHOT_T1}&t2_sec={FX.SNAPSHOT_T2}",
+    )
+    assert code == 200 and np_rows == []
+    # t1 == t2 makes every lagging partition "no progress" by definition
+    code, np_rows = _call(
+        server, "GET",
+        f"/noprogress?t1_sec={FX.SNAPSHOT_T1}&t2_sec={FX.SNAPSHOT_T1}",
+    )
+    assert code == 200 and len(np_rows) >= 1
+
+
+def test_admin_validation_and_blacklist(server):
+    code, val = _call(server, "GET", "/validation")
+    assert code == 200 and sum(r["n_partitions"] for r in val) == 20
+
+    code, inst = _call(server, "GET", "/instances")
+    assert code == 200 and len(inst) == FX.N_INSTANCES
+
+    code, wl = _call(server, "GET", "/admin/workloadinfo")
+    assert code == 200 and len(wl) > 0
+
+    code, ew = _call(server, "GET", "/admin/expected_workers")
+    assert code == 200 and ew["expected_workers"] >= 1
+
+    _call(server, "POST", "/blacklist", {"topic": "error"})
+    assert _call(server, "GET", "/blacklist")[1] == [{"topic": "error"}]
+    _call(server, "DELETE", "/blacklist/error")
+    assert _call(server, "GET", "/blacklist")[1] == []
+
+    code, rate = _call(server, "PUT", "/ratelimiter?messagerate=500")
+    assert code == 200 and rate["rate"] == 500
+
+
+def test_unknown_routes_404(server):
+    for method, path in [("GET", "/nope"), ("GET", "/offset/ghost/9")]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(server, method, path)
+        assert e.value.code == 404

@@ -1,0 +1,187 @@
+"""HTTP/REST facade over ``Engine`` — the reference's user-facing
+query language (controller/rest/ControllerRestApplication.java:40-72,
+AdminRestletResource.java, TopicManagementRestletResource.java).
+
+The reference serves control-plane queries over Restlet; here the same
+routes are served by a stdlib ``ThreadingHTTPServer`` (no extra
+dependencies) delegating to the Engine's DataFrame methods. DataFrame
+responses are materialized to JSON row lists — every endpoint returns
+control-plane-sized results (O(#topics·#partitions)), never record
+data, so the collect is bounded by design, exactly like the
+reference's controller heap.
+
+Routes:
+  GET    /health                       → Engine.health()
+  GET    /topics                       → topics registry
+  POST   /topics        {topic,dst_topic?,partitions?} → add_topic
+  PUT    /topics        {topic,partitions}             → expand_topic
+  DELETE /topics/{topic}                → delete_topic
+  GET    /offset/{topic}/{partition}    → one partition's latest offset
+  GET    /offsets[?as_of_sec=]          → latest (or lag vs commit)
+  GET    /noprogress?t1_sec=&t2_sec=    → stalled partitions
+  GET    /validation                    → assignment validation counts
+  GET    /instances                     → assignment view
+  GET    /admin/workloadinfo            → windowed workload
+  GET    /admin/expected_workers        → worker-count estimate
+  GET    /blacklist                     → blacklist rows
+  POST   /blacklist     {topic}         → blacklist_add
+  DELETE /blacklist/{topic}             → blacklist_remove
+  PUT    /ratelimiter?messagerate=N     → set_rate
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ureplicator_spark.api import Engine
+
+
+def _df_rows(df: DataFrame) -> list[dict]:
+    return [row.asDict(recursive=True) for row in df.collect()]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: Engine  # set by serve()
+
+    # -- plumbing ----------------------------------------------------------
+    def log_message(self, fmt: str, *args) -> None:  # silence stderr
+        pass
+
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if not n:
+            return {}
+        try:
+            return json.loads(self.rfile.read(n) or b"{}")
+        except json.JSONDecodeError:
+            return {}
+
+    def _route(self, method: str) -> None:
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            handled = self._dispatch(method, parts, q)
+        except (KeyError, ValueError) as e:
+            self._send(404, {"error": str(e)})
+            return
+        if handled is None:
+            self._send(404, {"error": f"no route {method} {url.path}"})
+        else:
+            self._send(*handled)
+
+    # -- routing table -----------------------------------------------------
+    def _dispatch(self, method: str, parts: list[str], q: dict):
+        eng = self.engine
+        key = (method, parts[0] if parts else "")
+        if key == ("GET", "health"):
+            return 200, eng.health()
+        if key == ("GET", "topics"):
+            return 200, _df_rows(eng.topics().filter(F.col("topic") != ""))
+        if key == ("POST", "topics"):
+            b = self._body()
+            eng.add_topic(b["topic"], b.get("dst_topic"), b.get("partitions"))
+            return 201, {"added": b["topic"]}
+        if key == ("PUT", "topics"):
+            b = self._body()
+            eng.expand_topic(b["topic"], b["partitions"])
+            return 200, {"expanded": b["topic"], "partitions": b["partitions"]}
+        if key == ("DELETE", "topics") and len(parts) == 2:
+            eng.delete_topic(parts[1])
+            return 200, {"deleted": parts[1]}
+        if key == ("GET", "offset") and len(parts) == 3:
+            rows = _df_rows(
+                eng.offsets().filter(
+                    (F.col("topic") == parts[1])
+                    & (F.col("partition") == int(parts[2]))
+                )
+            )
+            if not rows:
+                raise KeyError(f"{parts[1]}/{parts[2]}")
+            return 200, rows[0]
+        if key == ("GET", "offsets"):
+            as_of = q.get("as_of_sec")
+            return 200, _df_rows(eng.offsets(int(as_of) if as_of else None))
+        if key == ("GET", "noprogress"):
+            return 200, _df_rows(
+                eng.no_progress(int(q["t1_sec"]), int(q["t2_sec"]))
+            )
+        if key == ("GET", "validation"):
+            return 200, _df_rows(eng.validate())
+        if key == ("GET", "instances"):
+            return 200, _df_rows(eng.assignment_view())
+        if key == ("GET", "admin") and parts[1:] == ["workloadinfo"]:
+            return 200, _df_rows(eng.workload())
+        if key == ("GET", "admin") and parts[1:] == ["expected_workers"]:
+            return 200, _df_rows(eng.expected_workers())[0]
+        if key == ("GET", "blacklist"):
+            return 200, _df_rows(eng.blacklist().filter(F.col("topic") != ""))
+        if key == ("POST", "blacklist"):
+            b = self._body()
+            eng.blacklist_add(b["topic"])
+            return 201, {"blacklisted": b["topic"]}
+        if key == ("DELETE", "blacklist") and len(parts) == 2:
+            eng.blacklist_remove(parts[1])
+            return 200, {"unblacklisted": parts[1]}
+        if key == ("PUT", "ratelimiter"):
+            eng.set_rate(int(q["messagerate"]))
+            return 200, {"rate": int(q["messagerate"])}
+        return None
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
+        self._route("GET")
+
+    def do_POST(self) -> None:  # noqa: N802
+        self._route("POST")
+
+    def do_PUT(self) -> None:  # noqa: N802
+        self._route("PUT")
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        self._route("DELETE")
+
+
+class RestServer:
+    """Threaded REST server bound to ``Engine``. ``port=0`` picks a
+    free port (tests); ``.port`` reports the bound one."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0) -> None:
+        handler = type("BoundHandler", (_Handler,), {"engine": engine})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "RestServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="ureplicator-rest", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8000) -> RestServer:
+    """Start the REST facade in a background thread and return it."""
+    return RestServer(engine, host, port).start()

@@ -3473,3 +3473,56 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return label_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_MINHASH_CTE},
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY seed), ',')) AS band_hash
+  FROM mh GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN mh sa ON sa.doc_id = c.doc_a
+  JOIN mh sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  GROUP BY c.doc_a, c.doc_b
+  HAVING ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, src AS node FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id, (src = MIN(node)) AS is_keeper
+FROM reach GROUP BY src
+"""
+
+
+@register("fuzzy_dedup_clusters", _CLUSTERS_SQL)
+def q_fuzzy_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: minhash-LSH candidate pairs (est
+    Jaccard >= 0.5) -> connected components -> keep-one-per-cluster.
+    The Spark side runs iterative min-label propagation (checkpointed
+    per round, O(diameter) rounds); the oracle computes the same
+    components via recursive transitive closure (exact for the
+    control-sized sf0.01 graph). This hash-gates the full flagship
+    dedup path, not just its pairwise stage."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+    from ureplicator_spark.sources.parquet import load_table
+
+    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return duplicate_clusters(pairs)
