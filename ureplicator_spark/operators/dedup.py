@@ -117,7 +117,14 @@ def lsh_candidate_pairs(
     compares per pair.
     """
     rows_per_band = n_hashes // n_bands
-    wide = minhash_wide(documents, n_hashes)
+    # The signature table feeds three branches (banding + both pair
+    # sides); Catalyst plans no ReusedExchange across them, so without
+    # this the shingling/K-hash pipeline — the expensive part — runs
+    # three times per query. localCheckpoint persists the signature
+    # blocks on first computation (lazy, no extra pass) and truncates
+    # the branches to one shared scan; at 100 TB this is the "build the
+    # signature index once" step every real LSH deployment has.
+    wide = minhash_wide(documents, n_hashes).localCheckpoint(eager=False)
 
     band_structs = [
         F.struct(
@@ -208,7 +215,9 @@ def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
     stop-shingles — AQE skew handling + a frequency cap mitigate);
     top-k keeps driver output bounded.
     """
-    sh = shingles(documents)
+    # Four branches read the shingle view (both join sides + both size
+    # lookups); persist it once instead of re-shingling per branch.
+    sh = shingles(documents).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
