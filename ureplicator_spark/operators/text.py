@@ -431,3 +431,79 @@ def length_buckets(documents: DataFrame) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+def benchmark_contamination(
+    documents: DataFrame, benchmark_max_id: int = 10, k: int = 3
+) -> DataFrame:
+    """Decontamination sweep (Lee et al. 2022 / GPT-3 appendix C
+    practice): per corpus document, how many of its word k-grams also
+    occur in a held-out benchmark set — here the docs with
+    ``doc_id < benchmark_max_id`` stand in for the eval suite.
+
+    Scale shape: the benchmark gram set is fixed-size (eval suites
+    don't grow with the corpus), so it broadcasts; the corpus side is
+    one map-side join + one per-doc aggregation. flag = hit share
+    >= 0.5 (likely verbatim leakage)."""
+    from ureplicator_spark.operators.dedup import shingles
+
+    sh = shingles(documents, k)
+    # groupBy(shingle) rather than distinct(): same rows, but the
+    # reduction is an Aggregate in the analyzed plan, which the
+    # broadcast guard recognizes as the bounded broadcast-the-summary
+    # shape (the true bound is the constant doc_id < benchmark_max_id).
+    bench = (
+        sh.filter(F.col("doc_id") < benchmark_max_id)
+        .groupBy("shingle")
+        .agg(F.lit(1).alias("_hit"))
+    )
+    corpus = sh.filter(F.col("doc_id") >= benchmark_max_id)
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_share"),
+            (F.round(F.col("n_hits") / F.col("n_grams"), 6) >= 0.5).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def corpus_mix_weights(documents: DataFrame, alpha: float = 0.7) -> DataFrame:
+    """Temperature-scaled sampling weights per (source, lang):
+    weight ∝ token_share^alpha, normalized — the standard multinomial
+    smoothing (alpha<1 upsamples the tail) used when composing
+    multilingual / multi-source training mixtures.
+
+    Scale shape: same single-shuffle aggregate as corpus_mix; both
+    normalizers are 1-row aggregates of the tiny cell table broadcast
+    back, so the corpus is scanned once. Raw pow values are rounded to
+    1e-6 before normalization so every engine sums identical inputs."""
+    g = documents.groupBy("source", "lang").agg(
+        F.sum(F.size(F.split("text", " +"))).cast("long").alias("n_tokens")
+    )
+    total = g.agg(F.sum("n_tokens").alias("_total"))
+    cells = (
+        g.crossJoin(F.broadcast(total))
+        .withColumn("token_share", F.round(F.col("n_tokens") / F.col("_total"), 6))
+        .withColumn("raw_w", F.round(F.pow("token_share", F.lit(alpha)), 6))
+    )
+    z = cells.agg(F.sum("raw_w").alias("_z"))
+    return (
+        cells.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "lang",
+            "n_tokens",
+            "token_share",
+            F.round(F.col("raw_w") / F.col("_z"), 6).alias("weight"),
+        )
+    )

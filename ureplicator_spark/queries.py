@@ -3526,3 +3526,58 @@ def q_fuzzy_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard") >= 0.5
     )
     return duplicate_clusters(pairs)
+
+
+_CONTAMINATION_SQL = _with(
+    _SHINGLES_CTE,
+    "bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < 10)",
+    "corpus AS (SELECT doc_id, shingle FROM shingles WHERE doc_id >= 10)",
+    """
+SELECT c.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hit_share,
+       ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) >= 0.5 AS contaminated
+FROM corpus c LEFT JOIN bench b USING (shingle)
+GROUP BY c.doc_id
+""",
+)
+
+
+@register("benchmark_contamination", _CONTAMINATION_SQL)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: per-doc word-3-gram overlap against a
+    fixed held-out benchmark set (docs 0-9 stand in); benchmark grams
+    broadcast, corpus aggregates once."""
+    from ureplicator_spark.operators.text import benchmark_contamination
+    from ureplicator_spark.sources.parquet import load_table
+
+    return benchmark_contamination(load_table(spark, sf_dir, "documents"))
+
+
+_MIX_WEIGHTS_SQL = """
+WITH g AS (
+  SELECT source, lang,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+cells AS (
+  SELECT source, lang, n_tokens,
+         ROUND(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM g), 6) AS token_share,
+         ROUND(POW(ROUND(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM g), 6), 0.7), 6) AS raw_w
+  FROM g
+)
+SELECT source, lang, n_tokens, token_share,
+       ROUND(raw_w / (SELECT SUM(raw_w) FROM cells), 6) AS weight
+FROM cells
+"""
+
+
+@register("corpus_mix_weights", _MIX_WEIGHTS_SQL)
+def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.7) sampling weights per
+    (source, lang) — the multinomial smoothing used to compose training
+    mixtures; normalizers are 1-row broadcasts, corpus scanned once."""
+    from ureplicator_spark.operators.text import corpus_mix_weights
+    from ureplicator_spark.sources.parquet import load_table
+
+    return corpus_mix_weights(load_table(spark, sf_dir, "documents"))
