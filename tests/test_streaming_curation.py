@@ -1,0 +1,88 @@
+"""Streaming corpus curation: the training-data gates applied to a
+document stream must agree with their batch twins (same rows through
+an availableNow run) and keep dedup state bounded by the watermark."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ureplicator_spark.sources.parquet import load_table
+from ureplicator_spark.streaming.curation import (
+    doc_quality_columns,
+    quality_gated_stream,
+    streaming_exact_dedup,
+)
+
+
+@pytest.fixture()
+def doc_dir(spark, sf_dir, tmp_path):
+    """Documents replayed as a stream source, with one duplicated
+    slice to exercise dedup."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", F.timestamp_seconds(F.col("doc_id") + 1_700_000_000)
+    )
+    d = str(tmp_path / "docs_stream")
+    docs.write.parquet(d)
+    docs.filter(F.col("doc_id") < 50).write.mode("append").parquet(d)
+    return d
+
+
+def test_quality_gate_stream_matches_batch(spark, doc_dir, tmp_path):
+    batch = spark.read.parquet(doc_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(doc_dir)
+    )
+    out = str(tmp_path / "gated_out")
+    q = (
+        quality_gated_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = quality_gated_stream(batch)
+    assert got.count() == want.count()
+    assert (
+        got.select("doc_id").exceptAll(want.select("doc_id")).count() == 0
+    )
+    # the gate keeps a nontrivial subset (fixture docs vary in quality)
+    assert 0 < got.count() <= batch.count()
+
+
+def test_streaming_exact_dedup_suppresses_replays(spark, doc_dir, tmp_path):
+    batch = spark.read.parquet(doc_dir)
+    n_distinct = batch.select("text").distinct().count()
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(doc_dir)
+    )
+    out = str(tmp_path / "dedup_out")
+    q = (
+        streaming_exact_dedup(stream, watermark="365 days")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == n_distinct
+    assert got.select("content_hash").distinct().count() == n_distinct
+
+
+def test_doc_quality_columns_are_stateless_expressions(spark, sf_dir):
+    """The streaming-safe signals must be pure column expressions —
+    no aggregation, no shuffle — so the gate stays map-only."""
+    from ureplicator_spark.plans.inspect import count_shuffles
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert count_shuffles(doc_quality_columns(docs)) == 0
+    assert count_shuffles(quality_gated_stream(docs)) == 0
