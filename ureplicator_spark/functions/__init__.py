@@ -142,3 +142,19 @@ def top_k_ranked(df, k: int, *order_cols: Column, rank_col: str = "rank"):
 
     topk = df.orderBy(*order_cols).limit(k)
     return topk.withColumn(rank_col, F.row_number().over(Window.orderBy(*order_cols)))
+
+
+def word_kgrams(toks_col: str = "toks", k: int = 3) -> Column:
+    """Array of space-joined word k-grams over a token-array column.
+
+    Callers MUST pre-filter ``size(col) >= k``: for shorter docs
+    ``sequence`` would descend through zero and ``slice`` throws
+    INVALID_PARAMETER_VALUE.START, aborting the job (the short-doc
+    crash class). Shared by shingling, boilerplate detection,
+    repetition gates, and n-gram reports so the gram definition — and
+    its DuckDB oracle twin (``list_transform(range(...), ...)``) —
+    exists once."""
+    return F.expr(
+        f"transform(sequence(1, size({toks_col}) - {k - 1}),"
+        f" i -> array_join(slice({toks_col}, i, {k}), ' '))"
+    )

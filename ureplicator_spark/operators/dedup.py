@@ -57,18 +57,16 @@ def shingles(documents: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
     corpus containing a short/empty document. (DuckDB's ``range``
     yields empty for the same case, so the oracle agrees.)
     """
-    from ureplicator_spark.functions import fan_out
+    from ureplicator_spark.functions import fan_out, word_kgrams
 
     toked = (
         fan_out(documents)
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= k)
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-        lambda i: F.array_join(F.slice("toks", i, k), " "),
-    )
-    return toked.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    return toked.select(
+        "doc_id", F.explode(word_kgrams("toks", k)).alias("shingle")
+    ).distinct()
 
 
 def minhash_wide(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:

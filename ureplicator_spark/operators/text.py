@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import word_kgrams
+
 # language → characteristic stopwords (tiny demo profiles; extend freely)
 LANG_PROFILES: dict[str, list[str]] = {
     "en": ["the", "a", "of"],
@@ -193,12 +195,7 @@ def boilerplate_shingles(
         .filter(F.size("toks") >= k)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {k - 1}),"
-                    f" i -> array_join(slice(toks, i, {k}), ' '))"
-                )
-            ).alias("shingle"),
+            F.explode(word_kgrams("toks", k)).alias("shingle"),
         )
     )
     return (
@@ -287,12 +284,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             toks.filter(F.size("toks") >= k)
             .select(
                 "doc_id",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, size(toks) - {k - 1}),"
-                        f" i -> array_join(slice(toks, i, {k}), ' '))"
-                    )
-                ).alias("gram"),
+                F.explode(word_kgrams("toks", k)).alias("gram"),
             )
             .groupBy("doc_id", "gram")
             .count()
@@ -397,12 +389,7 @@ def ngram_top(documents: DataFrame, k: int = 2, top_n: int = 10) -> DataFrame:
         .filter(F.size("toks") >= k)
         .select(
             "lang",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {k - 1}),"
-                    f" i -> array_join(slice(toks, i, {k}), ' '))"
-                )
-            ).alias("gram"),
+            F.explode(word_kgrams("toks", k)).alias("gram"),
         )
         .groupBy("lang", "gram")
         .count()
