@@ -167,3 +167,48 @@ def test_quantize_int8_bounds(spark, vecs):
     for r in quantize_int8(df).collect():
         assert r.max_q <= 127
         assert r.mse <= (0.5 / r.scale) ** 2 + 1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a pure-Python union-find
+    on random graphs: same components, cluster id = min member,
+    keeper = that min. Self-loops are dropped like the LSH pair filter
+    (doc_a < doc_b) would drop them."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in duplicate_clusters(pairs, max_iter=64).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict[int, set] = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    want = {}
+    for members in comps.values():
+        m = min(members)
+        for n in members:
+            want[n] = (m, n == m)
+    assert got == want
