@@ -454,3 +454,13 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
     ).collect()
     for r in buckets:
         assert r.bkt < LANG_SAMPLE_RATES[r.lang]
+
+
+def test_label_outliers_salted_matches_plain(spark, sf_dir):
+    """The two-phase (label, salt) top-k scale path must return exactly
+    the rows of the single-window formulation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {(r.label, r.rank): r.vec_id for r in SIM.label_outliers(emb).collect()}
+    b = {(r.label, r.rank): r.vec_id
+         for r in SIM.label_outliers_salted(emb, n_salt=7).collect()}
+    assert a == b and a

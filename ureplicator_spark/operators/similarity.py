@@ -363,19 +363,12 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def label_outliers(embeddings: DataFrame, worst_n: int = 3) -> DataFrame:
-    """Per-label outlier detection: the ``worst_n`` vectors least
-    cosine-similar to their own label centroid — the standard mislabel /
-    contamination sweep over an embedded training set.
-
-    Scale shape: centroids are one (label, i) aggregation (K*dims rows,
-    tiny) broadcast back against the component view; the per-label
-    bottom-N window runs over N total rows keyed by label. All
-    arithmetic is component-relational (oracle-reproducible), the
-    centroid components rounded to 1e-6 BEFORE the dot product so both
-    engines score identical inputs."""
-    from pyspark.sql import Window
-
+def _label_scores(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, label, centroid_cosine): each vector scored against its
+    own label centroid. Centroids are one (label, i) aggregation
+    (K*dims rows, tiny) broadcast back against the component view; the
+    centroid components are rounded to 1e-6 BEFORE the dot product so
+    every engine scores identical inputs."""
     comp = _components(embeddings)
     labeled = comp.join(embeddings.select("vec_id", "label"), "vec_id")
     cent = (
@@ -393,7 +386,7 @@ def label_outliers(embeddings: DataFrame, worst_n: int = 3) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
     )
-    scored = (
+    return (
         dot.join(vnorm, "vec_id")
         .join(F.broadcast(cnorm), "label")
         .select(
@@ -404,11 +397,58 @@ def label_outliers(embeddings: DataFrame, worst_n: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def label_outliers(embeddings: DataFrame, worst_n: int = 3) -> DataFrame:
+    """Per-label outlier detection: the ``worst_n`` vectors least
+    cosine-similar to their own label centroid — the standard mislabel /
+    contamination sweep over an embedded training set. The bottom-N
+    window partitions by label; for few-label billion-vector corpora
+    use ``label_outliers_salted`` (identical rows, bounded window
+    partitions)."""
+    from pyspark.sql import Window
+
+    scored = _label_scores(embeddings)
     w = Window.partitionBy("label").orderBy(
         F.col("centroid_cosine").asc(), F.col("vec_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= worst_n)
+        .select("label", "vec_id", "centroid_cosine", "rank")
+    )
+
+
+def label_outliers_salted(
+    embeddings: DataFrame, worst_n: int = 3, n_salt: int = 16
+) -> DataFrame:
+    """Scale path for ``label_outliers``: the plain per-label rank
+    window buffers N/K rows per window partition — with few labels and
+    a billion vectors that is a single-task hotspot. Two-phase top-k
+    instead: rank within (label, salt) — n_salt× smaller, uniformly
+    hashed partitions — keep each shard's worst ``worst_n``, then rank
+    the surviving worst_n × n_salt rows per label (control-plane
+    sized). Identical output by construction: a global bottom-N row is
+    bottom-N within its shard too."""
+    from pyspark.sql import Window
+
+    scored = _label_scores(embeddings)
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.hash("vec_id"), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy("label", "_salt").orderBy(
+        F.col("centroid_cosine").asc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        salted.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= worst_n)
+        .drop("_salt", "_r")
+    )
+    w2 = Window.partitionBy("label").orderBy(
+        F.col("centroid_cosine").asc(), F.col("vec_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= worst_n)
         .select("label", "vec_id", "centroid_cosine", "rank")
     )
