@@ -2046,10 +2046,20 @@ def q_topic_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rec = FX.records(spark, sf_dir)
     quotas = values_df(spark, _QUOTA_ROWS, "topic string, quota int")
+    quoted = rec.join(F.broadcast(quotas), "topic")
+    # Two-phase: the final per-topic window would buffer O(records/topic)
+    # rows in one task. The per-(topic, partition) prefilter ranks inside
+    # the natural shards first — any record in the topic's first `quota`
+    # by offset is within its own partition's first `quota` — so the
+    # topic window then runs over ≤ quota × #partitions rows.
+    w_part = Window.partitionBy("topic", "partition").orderBy("offset")
+    survivors = (
+        quoted.withColumn("prn", F.row_number().over(w_part))
+        .filter(F.col("prn") <= F.col("quota"))
+    )
     w = Window.partitionBy("topic").orderBy("offset")
     return (
-        rec.join(F.broadcast(quotas), "topic")
-        .withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("quota"))
         .select("topic", "partition", "offset", "value_size")
     )
