@@ -394,9 +394,23 @@ def ngram_top(documents: DataFrame, k: int = 2, top_n: int = 10) -> DataFrame:
         .groupBy("lang", "gram")
         .count()
     )
-    w = Window.partitionBy("lang").orderBy(F.col("count").desc(), F.col("gram"))
+    # Two-phase top-N: a per-lang window over the full gram table puts
+    # O(vocab^k / #langs) rows in one task. Rank within (lang, hash
+    # shard) first — a global top-N gram is top-N in its shard — then
+    # rank the N x n_shards survivors per lang (tiny).
+    n_shards = 16
+    w1 = Window.partitionBy("lang", "_shard").orderBy(
+        F.col("count").desc(), F.col("gram")
+    )
+    survivors = (
+        grams.withColumn("_shard", F.pmod(F.hash("gram"), F.lit(n_shards)))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= top_n)
+        .drop("_shard", "_r")
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("count").desc(), F.col("gram"))
     return (
-        grams.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= top_n)
         .select("lang", "gram", F.col("count").alias("n_occur"), "rank")
     )
