@@ -292,3 +292,63 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+
+
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance <= max_hamming
+    (Manku et al., WWW'07 — the web-scale near-dup detector): split the
+    16-bit simhash into ``n_bands`` nibbles; by pigeonhole any pair
+    within distance n_bands-1 shares at least one intact band, so the
+    self-join on (band, band_value) sees every qualifying pair while
+    only bucket-local rows ever meet. Exact bit_count(xor) then filters
+    to the true distance.
+
+    Scale shape: same banded topology as MinHash-LSH — no all-pairs
+    join; the simhash table feeds three branches so it is checkpointed
+    once like the minhash signatures."""
+    sim = simhash(documents).localCheckpoint(eager=False)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.band_val").alias("band_val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -834,11 +834,15 @@ bits16 AS (
 )
 """.strip()
 
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16)
+)
+
 _SIMHASH_SQL = _with(
     _SIMHASH_CTE,
     _SIMHASH_BITS_CTE,
-    """
-SELECT doc_id, CAST(CASE WHEN s0 > 0 THEN 1 ELSE 0 END + CASE WHEN s1 > 0 THEN 2 ELSE 0 END + CASE WHEN s2 > 0 THEN 4 ELSE 0 END + CASE WHEN s3 > 0 THEN 8 ELSE 0 END + CASE WHEN s4 > 0 THEN 16 ELSE 0 END + CASE WHEN s5 > 0 THEN 32 ELSE 0 END + CASE WHEN s6 > 0 THEN 64 ELSE 0 END + CASE WHEN s7 > 0 THEN 128 ELSE 0 END + CASE WHEN s8 > 0 THEN 256 ELSE 0 END + CASE WHEN s9 > 0 THEN 512 ELSE 0 END + CASE WHEN s10 > 0 THEN 1024 ELSE 0 END + CASE WHEN s11 > 0 THEN 2048 ELSE 0 END + CASE WHEN s12 > 0 THEN 4096 ELSE 0 END + CASE WHEN s13 > 0 THEN 8192 ELSE 0 END + CASE WHEN s14 > 0 THEN 16384 ELSE 0 END + CASE WHEN s15 > 0 THEN 32768 ELSE 0 END AS BIGINT) AS simhash
+    f"""
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash
 FROM bits16
 """,
 )
@@ -3591,3 +3595,40 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return corpus_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_NEAR_SQL = _with(
+    _SIMHASH_CTE,
+    _SIMHASH_BITS_CTE,
+    f"sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits16)",
+    """
+sbands AS (
+  SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS band_val
+  FROM sims CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+)
+""".strip(),
+    """
+scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM sbands a JOIN sbands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+""".strip(),
+    """
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM scand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+)
+
+
+@register("dedup_simhash_near_pairs", _SIMHASH_NEAR_SQL)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3 via nibble
+    banding (Manku et al. WWW'07): by pigeonhole every qualifying pair
+    shares an intact 4-bit band, so only bucket-local rows meet —
+    the same no-all-pairs topology as MinHash-LSH."""
+    from ureplicator_spark.operators.dedup import simhash_near_pairs
+    from ureplicator_spark.sources.parquet import load_table
+
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
