@@ -99,3 +99,9 @@ def test_unknown_routes_404(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _call(server, method, path)
         assert e.value.code == 404
+
+
+def test_expand_unknown_topic_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(server, "PUT", "/topics", {"topic": "ghost", "partitions": 2})
+    assert e.value.code == 404

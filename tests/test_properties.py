@@ -212,3 +212,38 @@ def test_duplicate_clusters_matches_union_find(spark, edges):
         for n in members:
             want[n] = (m, n == m)
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=40).map(
+            lambda s: " ".join(s.split()) or "a"
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_simhash_near_pairs_complete_vs_bruteforce(spark, texts):
+    """Banding must be COMPLETE for Hamming <= n_bands-1 (pigeonhole):
+    the banded pair set equals the brute-force all-pairs filter."""
+    from ureplicator_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    want = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a in sims
+        for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming) for r in simhash_near_pairs(docs).collect()
+    }
+    assert got == want
