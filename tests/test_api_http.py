@@ -105,3 +105,19 @@ def test_expand_unknown_topic_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _call(server, "PUT", "/topics", {"topic": "ghost", "partitions": 2})
     assert e.value.code == 404
+
+
+def test_autobalancing_toggle_and_instance_view(server):
+    assert _call(server, "GET", "/admin/autobalancing_status")[1] == {"autobalancing": True}
+    _call(server, "POST", "/admin/disable_autobalancing")
+    assert _call(server, "GET", "/admin/autobalancing_status")[1] == {"autobalancing": False}
+    _call(server, "POST", "/admin/enable_autobalancing")
+    assert _call(server, "GET", "/admin/autobalancing_status")[1] == {"autobalancing": True}
+
+    code, allv = _call(server, "GET", "/instances")
+    one_name = allv[0]["instance"]
+    code, one = _call(server, "GET", f"/instances/{one_name}")
+    assert code == 200 and one["instance"] == one_name
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(server, "GET", "/instances/ghost-instance")
+    assert e.value.code == 404

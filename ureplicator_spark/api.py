@@ -41,6 +41,18 @@ class Engine:
         self._topics: dict[str, dict] = {}
         self._blacklist: set[str] = set()
         self._rate: int | None = None
+        self._autobalancing = True
+
+    # -- autobalancing toggle (POST /admin/{enable,disable}_autobalancing,
+    #    GET /admin/autobalancing_status; AdminRestletResource.java:60-89) --
+    def enable_autobalancing(self) -> None:
+        self._autobalancing = True
+
+    def disable_autobalancing(self) -> None:
+        self._autobalancing = False
+
+    def autobalancing_status(self) -> bool:
+        return self._autobalancing
 
     # -- topic management (POST/DELETE /topics) ----------------------------
     def add_topic(self, topic: str, dst_topic: str | None = None, partitions: int | None = None) -> None:

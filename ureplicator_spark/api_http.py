@@ -21,8 +21,11 @@ Routes:
   GET    /noprogress?t1_sec=&t2_sec=    → stalled partitions
   GET    /validation                    → assignment validation counts
   GET    /instances                     → assignment view
+  GET    /instances/{instance}          → one instance's assignment
   GET    /admin/workloadinfo            → windowed workload
   GET    /admin/expected_workers        → worker-count estimate
+  GET    /admin/autobalancing_status    → autobalancing flag
+  POST   /admin/{enable,disable}_autobalancing → toggle
   GET    /blacklist                     → blacklist rows
   POST   /blacklist     {topic}         → blacklist_add
   DELETE /blacklist/{topic}             → blacklist_remove
@@ -122,12 +125,27 @@ class _Handler(BaseHTTPRequestHandler):
             )
         if key == ("GET", "validation"):
             return 200, _df_rows(eng.validate())
+        if key == ("GET", "instances") and len(parts) == 2:
+            rows = _df_rows(
+                eng.assignment_view().filter(F.col("instance") == parts[1])
+            )
+            if not rows:
+                raise KeyError(parts[1])
+            return 200, rows[0]
         if key == ("GET", "instances"):
             return 200, _df_rows(eng.assignment_view())
         if key == ("GET", "admin") and parts[1:] == ["workloadinfo"]:
             return 200, _df_rows(eng.workload())
         if key == ("GET", "admin") and parts[1:] == ["expected_workers"]:
             return 200, _df_rows(eng.expected_workers())[0]
+        if key == ("GET", "admin") and parts[1:] == ["autobalancing_status"]:
+            return 200, {"autobalancing": eng.autobalancing_status()}
+        if key == ("POST", "admin") and parts[1:] == ["enable_autobalancing"]:
+            eng.enable_autobalancing()
+            return 200, {"autobalancing": True}
+        if key == ("POST", "admin") and parts[1:] == ["disable_autobalancing"]:
+            eng.disable_autobalancing()
+            return 200, {"autobalancing": False}
         if key == ("GET", "blacklist"):
             return 200, _df_rows(eng.blacklist().filter(F.col("topic") != ""))
         if key == ("POST", "blacklist"):
