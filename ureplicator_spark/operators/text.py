@@ -508,3 +508,37 @@ def corpus_mix_weights(documents: DataFrame, alpha: float = 0.7) -> DataFrame:
             F.round(F.col("raw_w") / F.col("_z"), 6).alias("weight"),
         )
     )
+
+
+def boilerplate_spans(
+    documents: DataFrame, k: int = 3, min_docs: int = 2
+) -> DataFrame:
+    """The C4 removal pass companion to ``boilerplate_shingles``:
+    WHERE in each document the cross-document boilerplate k-grams sit.
+    Returns (doc_id, pos, shingle_hash, n_docs) — one row per
+    occurrence of a gram that recurs in >= min_docs distinct docs, with
+    pos the 1-based token offset, ready to drive span deletion.
+
+    Scale shape: the positioned gram view is the same map-only explode
+    as shingling; the boilerplate set is an aggregate on the gram key
+    and the final join is gram-keyed (shuffle join — the boilerplate
+    set grows with the corpus, so no broadcast hint; AQE may still
+    choose one while it fits)."""
+    from ureplicator_spark.functions import md5_long
+
+    toked = (
+        documents.select("doc_id", F.split("text", " +").alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(word_kgrams("toks", k)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    bp = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(bp, "gram").select(
+        "doc_id", "pos", md5_long("gram").alias("shingle_hash"), "n_docs"
+    )

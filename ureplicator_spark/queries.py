@@ -3632,3 +3632,40 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_BP_SPANS_SQL = _with(
+    _DTOKS_CTE,
+    """
+posed AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> {'pos': i, 'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]})) AS s
+  FROM dtoks WHERE len(toks) >= 3
+)
+""".strip(),
+    "g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram AS gram FROM posed)",
+    """
+bp AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+  FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+""".strip(),
+    """
+SELECT g.doc_id, g.pos,
+       ('0x' || substr(md5(g.gram), 1, 15))::BIGINT AS shingle_hash,
+       bp.n_docs
+FROM g JOIN bp USING (gram)
+""",
+)
+
+
+@register("boilerplate_spans", _BP_SPANS_SQL)
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 removal pass: 1-based token positions of every cross-doc
+    boilerplate 3-gram occurrence per document (drives span deletion);
+    map-only positioned explode + gram-keyed aggregate and join."""
+    from ureplicator_spark.operators.text import boilerplate_spans
+    from ureplicator_spark.sources.parquet import load_table
+
+    return boilerplate_spans(load_table(spark, sf_dir, "documents"))
