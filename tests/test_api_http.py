@@ -121,3 +121,10 @@ def test_autobalancing_toggle_and_instance_view(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _call(server, "GET", "/instances/ghost-instance")
     assert e.value.code == 404
+
+
+def test_validation_by_instance_option(server):
+    code, rows = _call(server, "GET", "/validation/instance")
+    assert code == 200
+    assert sum(r["n_partitions"] for r in rows) == 20
+    assert all("instance" in r and "state" in r for r in rows)

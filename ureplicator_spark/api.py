@@ -134,6 +134,12 @@ class Engine:
             ASG.derive_assignments(self._require_log(), FX.N_INSTANCES)
         )
 
+    def validate_by_instance(self) -> DataFrame:
+        """GET /validation/instance — A9 per worker instance."""
+        return ASG.validation_by_instance(
+            ASG.derive_assignments(self._require_log(), FX.N_INSTANCES)
+        )
+
     def assignment_view(self) -> DataFrame:
         return ASG.assignment_view(
             ASG.derive_assignments(self._require_log(), FX.N_INSTANCES)

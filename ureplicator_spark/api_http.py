@@ -123,6 +123,8 @@ class _Handler(BaseHTTPRequestHandler):
             return 200, _df_rows(
                 eng.no_progress(int(q["t1_sec"]), int(q["t2_sec"]))
             )
+        if key == ("GET", "validation") and parts[1:] == ["instance"]:
+            return 200, _df_rows(eng.validate_by_instance())
         if key == ("GET", "validation"):
             return 200, _df_rows(eng.validate())
         if key == ("GET", "instances") and len(parts) == 2:
