@@ -452,3 +452,61 @@ def label_outliers_salted(
         .filter(F.col("rank") <= worst_n)
         .select("label", "vec_id", "centroid_cosine", "rank")
     )
+
+
+def lsh_ann_filtered(
+    embeddings: DataFrame,
+    label_pred,
+    n_queries: int = 10,
+    n_planes: int = N_PLANES,
+    k: int = 3,
+) -> DataFrame:
+    """Metadata-filtered ANN — top-k within the query's LSH bucket
+    restricted to corpus vectors whose ``label`` satisfies
+    ``label_pred`` (a Column predicate). The production "filtered
+    vector search" shape: the predicate prunes the candidate side
+    BEFORE the bucket join (pre-filtering, exact w.r.t. the filter —
+    never post-filtering a top-k that can come back short).
+
+    Scale shape identical to lsh_ann: O(Q · bucket∩filter) candidate
+    pairs, predicate pushed to the corpus scan, no forced broadcast of
+    any O(N) side."""
+    buckets = lsh_buckets(embeddings, n_planes)
+    comp = _components(embeddings)
+    nr = norms(embeddings)
+    allowed = embeddings.filter(label_pred).select("vec_id", "label")
+
+    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "bucket"
+    )
+    cb = buckets.join(allowed, "vec_id").select(
+        F.col("vec_id").alias("c_id"), "bucket", "label"
+    )
+    cand = qb.join(cb, "bucket").filter(F.col("q_id") != F.col("c_id"))
+
+    qc = comp.select(F.col("vec_id").alias("q_id"), "i", F.col("x").alias("qx"))
+    cc = comp.select(F.col("vec_id").alias("c_id"), "i", F.col("x").alias("cx"))
+    dots = (
+        cand.join(qc, "q_id")
+        .join(cc, ["c_id", "i"])
+        .groupBy("q_id", "c_id", "label")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    nq = nr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm").alias("qn")
+    )
+    nc = nr.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn"))
+    scored = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nc, "c_id")
+        .select(
+            "q_id", "c_id", "label",
+            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "label", "cosine", "rank")
+    )

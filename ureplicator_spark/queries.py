@@ -3669,3 +3669,53 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return boilerplate_spans(load_table(spark, sf_dir, "documents"))
+
+
+_FILTERED_ANN_SQL = _with(
+    _COMP_CTE,
+    _PLANES_CTE,
+    _BITS_CTE,
+    _BUCKETS_CTE,
+    _NRM_CTE,
+    """
+fcand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, e.label
+  FROM buckets q
+  JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN embeddings e ON e.vec_id = c.vec_id AND e.label % 2 = 0
+  WHERE q.vec_id < 10
+)
+""".strip(),
+    """
+fdots AS (
+  SELECT f.q_id, f.c_id, f.label, SUM(q.x * c.x) AS dot
+  FROM fcand f
+  JOIN comp q ON q.vec_id = f.q_id
+  JOIN comp c ON c.vec_id = f.c_id AND c.i = q.i
+  GROUP BY f.q_id, f.c_id, f.label
+)
+""".strip(),
+    """
+SELECT q_id, c_id, label, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT d.q_id, d.c_id, d.label,
+         ROUND(d.dot / (nq.n * nc.n), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.q_id
+                            ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+  FROM fdots d
+  JOIN nrm nq ON nq.vec_id = d.q_id
+  JOIN nrm nc ON nc.vec_id = d.c_id
+) WHERE rn <= 3
+""",
+)
+
+
+@register("similarity_filtered_ann", _FILTERED_ANN_SQL)
+def q_similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN: top-3 within the query's LSH bucket
+    restricted to even-label corpus vectors — pre-filtering (exact
+    w.r.t. the predicate), never post-filtering a short top-k."""
+    from ureplicator_spark.operators.similarity import lsh_ann_filtered
+    from ureplicator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_filtered(emb, F.col("label") % 2 == 0)
