@@ -404,3 +404,44 @@ def test_start_kafka_ordering_contract(spark, record_dir, tmp_path, monkeypatch)
     assert int(expected["kafka.retries"]) == 2**31 - 1
     for k_, v in expected.items():
         assert captured["options"][k_] == v, k_
+
+
+def test_compact_survives_racing_compactor(spark, record_dir, tmp_path, monkeypatch):
+    """If a rival compactor consumes our inputs between listing and the
+    compacted-row write, compact() must give up the cycle gracefully:
+    no exception, and the surviving log still reads correctly."""
+    from ureplicator_spark.streaming import offsets as OFF
+
+    log_dir = str(tmp_path / "offlog")
+    src = spark.read.parquet(record_dir)
+    for cut in (100, 200):
+        (src.filter(F.col("offset") < cut)
+            .groupBy("topic", "partition")
+            .agg(F.max("offset").alias("commit_offset"),
+                 F.max("ts_sec").alias("commit_ts_sec"))
+            .withColumn("batch_id", F.lit(cut))
+            .coalesce(1).write.mode("append").parquet(log_dir))
+
+    real_parquet = type(spark.read).parquet
+
+    def racing_parquet(reader, *paths):
+        df = real_parquet(reader, *paths)
+        if len(paths) > 1:  # the compactor's multi-file read → simulate loss
+            raise Exception("FileNotFoundException: input does not exist (race)")
+        return df
+
+    monkeypatch.setattr(type(spark.read), "parquet", racing_parquet)
+    OFF.compact(spark, log_dir)  # must not raise
+    monkeypatch.undo()
+    # nothing was deleted, nothing was appended; the log still answers
+    got = {(r.topic, r.partition): r.commit_offset
+           for r in OFF.current_offsets(spark, log_dir).collect()}
+    want = {(r.topic, r.partition): r.mx
+            for r in src.filter(F.col("offset") < 200)
+            .groupBy("topic", "partition").agg(F.max("offset").alias("mx")).collect()}
+    assert got == want
+    # a clean retry (no race) compacts down to one file and keeps maxima
+    OFF.compact(spark, log_dir)
+    got2 = {(r.topic, r.partition): r.commit_offset
+            for r in OFF.current_offsets(spark, log_dir).collect()}
+    assert got2 == want

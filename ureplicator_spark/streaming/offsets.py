@@ -99,16 +99,19 @@ def compact(spark: SparkSession, log_dir: str) -> None:
     )
     if len(inputs) <= 1:
         return  # nothing to fold
-    snap = (
-        spark.read.parquet(*inputs)
-        .groupBy("topic", "partition")
-        .agg(
-            F.max("commit_offset").alias("commit_offset"),
-            F.max("commit_ts_sec").alias("commit_ts_sec"),
-        )
-        .withColumn("batch_id", F.lit(-1))
-    )
     try:
+        # the read can fail as early as schema resolution (plan time)
+        # if a rival compactor deleted our inputs after the listing, so
+        # the guard covers read construction AND the write action
+        snap = (
+            spark.read.parquet(*inputs)
+            .groupBy("topic", "partition")
+            .agg(
+                F.max("commit_offset").alias("commit_offset"),
+                F.max("commit_ts_sec").alias("commit_ts_sec"),
+            )
+            .withColumn("batch_id", F.lit(-1))
+        )
         snap.coalesce(1).write.mode("append").parquet(log_dir)
     except Exception as e:  # noqa: BLE001 — filtered to missing-input below
         msg = str(e)
