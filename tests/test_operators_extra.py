@@ -464,3 +464,46 @@ def test_label_outliers_salted_matches_plain(spark, sf_dir):
     b = {(r.label, r.rank): r.vec_id
          for r in SIM.label_outliers_salted(emb, n_salt=7).collect()}
     assert a == b and a
+
+
+def test_stalled_override_no_t1_commit_parity(spark):
+    """fixtures parity (VERDICT r4 #7): when the stalled partition has
+    NO commit at T1 (c1 row absent), both the Spark
+    ``stalled_commit_override`` and the DuckDB ``stalled_c2_cte`` twin
+    must fall back to the T2 commit — neither side may NULL it out.
+    Guards the COALESCE in fixtures.py:232 against drift."""
+    import duckdb
+
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.operators import lag as LAG
+
+    t1, t2 = FX.SNAPSHOT_T1, FX.SNAPSHOT_T2
+    # The stalled partition (click, 0) has records only AFTER t1.
+    rows = [
+        ("click", 0, 100, t1 + 10),
+        ("click", 1, 50, t1 - 10),
+        ("click", 1, 60, t1 + 20),
+        ("view", 0, 10, t1 - 5),
+    ]
+    rec = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, ts_sec long"
+    )
+    c1 = LAG.committed_offsets(rec, t1)
+    c2 = FX.stalled_commit_override(LAG.committed_offsets(rec, t2), c1)
+    got = {(r.topic, r.partition): r.commit_offset for r in c2.collect()}
+    assert got[("click", 0)] == 100  # fell back to T2, not NULL
+
+    con = duckdb.connect()
+    values = ", ".join(f"('{t}', {p}, {o}, {ts})" for t, p, o, ts in rows)
+    sql = (
+        "WITH records AS (SELECT * FROM (VALUES "
+        + values
+        + ') AS t(topic, "partition", "offset", ts_sec)),\n'
+        + f'c1 AS (SELECT topic, "partition", MAX("offset") AS commit_t1\n'
+        f"       FROM records WHERE ts_sec <= {t1} GROUP BY 1, 2),\n"
+        + FX.stalled_c2_cte(t2)
+        + '\nSELECT topic, "partition" AS partition, commit_t2 FROM c2'
+    )
+    oracle = {(t, p): c for t, p, c in con.execute(sql).fetchall()}
+    con.close()
+    assert oracle == got

@@ -177,6 +177,7 @@ def split_assign(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+        .orderBy("split")
     )
 
 

@@ -3049,8 +3049,8 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
-FROM b GROUP BY 1
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1 ORDER BY 1
 """
 
 
