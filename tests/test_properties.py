@@ -247,3 +247,49 @@ def test_simhash_near_pairs_complete_vs_bruteforce(spark, texts):
         (r.doc_a, r.doc_b, r.hamming) for r in simhash_near_pairs(docs).collect()
     }
     assert got == want
+
+
+def test_simhash_band_bucket_cardinality_grows(spark):
+    """Manku (WWW'07) selectivity contract: with 15-bit bands the
+    number of distinct (band, band_val) buckets must GROW with corpus
+    size (old 16-bit/4-bit scheme capped at 16 values per band, so
+    buckets held ~N/16 of the corpus — all-pairs in disguise). Checks
+    the per-band distinct-value count is far above the old 16-value
+    ceiling and scales up corpus-to-corpus."""
+    from ureplicator_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BITS,
+        simhash,
+    )
+
+    assert SIMHASH_BITS == 60 and SIMHASH_BAND_BITS == 15
+
+    def n_buckets(sf_dir: str) -> tuple[int, int]:
+        from ureplicator_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        sim = simhash(docs)
+        bands = sim.select(
+            "doc_id",
+            *[
+                (F.shiftright("simhash", SIMHASH_BAND_BITS * b)
+                 .bitwiseAND(F.lit(2**SIMHASH_BAND_BITS - 1))).alias(f"b{b}")
+                for b in range(4)
+            ],
+        )
+        distinct = bands.agg(
+            *[F.countDistinct(f"b{b}").alias(f"d{b}") for b in range(4)]
+        ).collect()[0]
+        return min(distinct), sim.count()
+
+    # sf0.001 and sf0.01 share a 500-doc documents table; sf0.1 has
+    # 5000 docs — compare the two distinct corpus sizes. Simhash bits
+    # are correlated across similar docs (that is the point of the
+    # fingerprint), so per-band cardinality tracks corpus size loosely,
+    # not 1:1 — the contract is "far above the old 16-value ceiling and
+    # growing", not uniform-hash occupancy.
+    small_min, small_docs = n_buckets("/root/testdata/sf0.001")
+    big_min, big_docs = n_buckets("/root/testdata/sf0.1")
+    assert small_docs == 500 and big_docs == 5000
+    assert small_min > 8 * 16  # old scheme capped each band at 16 values
+    assert big_min > 2 * small_min  # selectivity keeps improving with N

@@ -30,7 +30,14 @@ from ureplicator_spark.functions import md5_long
 N_MINHASH = 8
 N_BANDS = 4  # → 2 hashes per band
 SHINGLE_WORDS = 3
-SIMHASH_BITS = 16
+# 60 bits = the full width md5_long yields portably (15 hex chars) in
+# both engines. Manku (WWW'07) uses 64-bit fingerprints precisely for
+# band-bucket selectivity: with 15-bit bands each band value has 32,768
+# possible values, so bucket occupancy shrinks as ~N/32768 per value
+# instead of the old 16-bit/4-bit scheme whose 16-value bands held ~N/16
+# of the corpus each (an all-pairs join in disguise at 100 TB).
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
 
 
 def exact_dedup_groups(documents: DataFrame) -> DataFrame:
@@ -172,8 +179,9 @@ def lsh_candidate_pairs(
 
 
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Portable 16-bit simhash over tokens: bit_j = sign of Σ(±1 per
-    token's hash bit j). All bitwise ops are integer-exact."""
+    """Portable 60-bit simhash over tokens: bit_j = sign of Σ(±1 per
+    token's hash bit j). All bitwise ops are integer-exact and the
+    value fits a BIGINT on both engines (2^60 - 1 < 2^63)."""
     from ureplicator_spark.functions import fan_out
 
     toks = fan_out(documents).select(
@@ -299,15 +307,18 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-duplicate pairs at Hamming distance <= max_hamming
     (Manku et al., WWW'07 — the web-scale near-dup detector): split the
-    16-bit simhash into ``n_bands`` nibbles; by pigeonhole any pair
-    within distance n_bands-1 shares at least one intact band, so the
-    self-join on (band, band_value) sees every qualifying pair while
-    only bucket-local rows ever meet. Exact bit_count(xor) then filters
-    to the true distance.
+    60-bit simhash into ``n_bands`` 15-bit bands; by pigeonhole any
+    pair within distance n_bands-1 shares at least one intact band, so
+    the self-join on (band, band_value) sees every qualifying pair
+    while only bucket-local rows ever meet. Exact bit_count(xor) then
+    filters to the true distance.
 
     Scale shape: same banded topology as MinHash-LSH — no all-pairs
-    join; the simhash table feeds three branches so it is checkpointed
-    once like the minhash signatures."""
+    join. Each band value ranges over 2^15 = 32,768 buckets, so bucket
+    occupancy (and thus the Σ bucket² join cost) keeps shrinking as the
+    corpus grows — the Manku selectivity contract, property-tested in
+    test_properties.py. The simhash table feeds three branches so it is
+    checkpointed once like the minhash signatures."""
     sim = simhash(documents).localCheckpoint(eager=False)
     bands = sim.select(
         "doc_id",
@@ -317,8 +328,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", 4 * b)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright("simhash", SIMHASH_BAND_BITS * b)
+                        .bitwiseAND(F.lit(2**SIMHASH_BAND_BITS - 1))
                         .alias("band_val"),
                     )
                     for b in range(n_bands)

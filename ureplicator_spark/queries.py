@@ -811,31 +811,19 @@ th AS (
 )
 """.strip()
 
-_SIMHASH_BITS_CTE = """
-bits16 AS (
-  SELECT doc_id,
-         SUM(((h >> 0) & 1) * 2 - 1) AS s0,
-         SUM(((h >> 1) & 1) * 2 - 1) AS s1,
-         SUM(((h >> 2) & 1) * 2 - 1) AS s2,
-         SUM(((h >> 3) & 1) * 2 - 1) AS s3,
-         SUM(((h >> 4) & 1) * 2 - 1) AS s4,
-         SUM(((h >> 5) & 1) * 2 - 1) AS s5,
-         SUM(((h >> 6) & 1) * 2 - 1) AS s6,
-         SUM(((h >> 7) & 1) * 2 - 1) AS s7,
-         SUM(((h >> 8) & 1) * 2 - 1) AS s8,
-         SUM(((h >> 9) & 1) * 2 - 1) AS s9,
-         SUM(((h >> 10) & 1) * 2 - 1) AS s10,
-         SUM(((h >> 11) & 1) * 2 - 1) AS s11,
-         SUM(((h >> 12) & 1) * 2 - 1) AS s12,
-         SUM(((h >> 13) & 1) * 2 - 1) AS s13,
-         SUM(((h >> 14) & 1) * 2 - 1) AS s14,
-         SUM(((h >> 15) & 1) * 2 - 1) AS s15
-  FROM th GROUP BY doc_id
+_SIMHASH_N_BITS = 60  # keep in lockstep with operators.dedup.SIMHASH_BITS
+
+_SIMHASH_BITS_CTE = (
+    "bitsums AS (\n  SELECT doc_id,\n"
+    + ",\n".join(
+        f"         SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}"
+        for j in range(_SIMHASH_N_BITS)
+    )
+    + "\n  FROM th GROUP BY doc_id\n)"
 )
-""".strip()
 
 _SIMHASH_VALUE = " + ".join(
-    f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16)
+    f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(_SIMHASH_N_BITS)
 )
 
 _SIMHASH_SQL = _with(
@@ -843,14 +831,14 @@ _SIMHASH_SQL = _with(
     _SIMHASH_BITS_CTE,
     f"""
 SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash
-FROM bits16
+FROM bitsums
 """,
 )
 
 
 @register("dedup_simhash", _SIMHASH_SQL)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable 16-bit simhash per document."""
+    """Portable 60-bit simhash per document (full md5_long width)."""
     from ureplicator_spark.operators import dedup as DD
     from ureplicator_spark.sources.parquet import load_table
 
@@ -3600,10 +3588,10 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_NEAR_SQL = _with(
     _SIMHASH_CTE,
     _SIMHASH_BITS_CTE,
-    f"sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits16)",
+    f"sims AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bitsums)",
     """
 sbands AS (
-  SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS band_val
+  SELECT doc_id, simhash, band, (simhash >> (15 * band)) & 32767 AS band_val
   FROM sims CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
 )
 """.strip(),
@@ -3624,10 +3612,11 @@ FROM scand WHERE bit_count(xor(sim_a, sim_b)) <= 3
 
 @register("dedup_simhash_near_pairs", _SIMHASH_NEAR_SQL)
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 3 via nibble
+    """SimHash near-dup pairs at Hamming distance <= 3 via 15-bit
     banding (Manku et al. WWW'07): by pigeonhole every qualifying pair
-    shares an intact 4-bit band, so only bucket-local rows meet —
-    the same no-all-pairs topology as MinHash-LSH."""
+    shares an intact 15-bit band, so only bucket-local rows meet —
+    the same no-all-pairs topology as MinHash-LSH, with 32k-value
+    bands keeping bucket occupancy ~N/32768 as the corpus grows."""
     from ureplicator_spark.operators.dedup import simhash_near_pairs
     from ureplicator_spark.sources.parquet import load_table
 
