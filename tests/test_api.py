@@ -102,3 +102,70 @@ def test_backup_archive_percentiles(engine, tmp_path):
 
     pct = {r.topic: r for r in engine.workload_percentiles().collect()}
     assert all(r.p50 <= r.p95 <= r.p99 <= r.max_size for r in pct.values())
+
+
+def test_log_derived_observer_matches_inventory(spark, sf_dir):
+    """S9/S10: the default observer serves the same inventory the
+    topic_inventory query reports (topics + observed partition counts)."""
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.sources.observers import LogDerivedTopicObserver
+
+    rec = FX.records(spark, sf_dir)
+    obs = LogDerivedTopicObserver(rec)
+    want = {
+        r["topic"]: r["n"]
+        for r in rec.groupBy("topic")
+        .agg((F.max("partition") + 1).cast("int").alias("n"))
+        .collect()
+    }
+    assert obs.topics() == sorted(want)
+    assert obs.partition_counts() == want
+
+
+def test_admin_observer_caches_and_refreshes():
+    """S9/S10 live path: reads serve from the cached snapshot inside
+    refresh_sec (one list per window, KafkaBrokerTopicObserver's
+    scheduled-refresh semantics) and re-list after expiry or on an
+    explicit refresh(). Driven by an injected fake client — no broker
+    in the sandbox (the real KafkaAdminClient path needs kafka-python
+    and a reachable cluster)."""
+    from ureplicator_spark.sources.observers import KafkaAdminTopicObserver
+
+    calls = {"n": 0}
+    inventory = {"click": 4, "view": 2}
+
+    class FakeAdmin:
+        def list_topics(self):
+            calls["n"] += 1
+            return list(inventory)
+
+        def describe_topics(self, names):
+            return [
+                {"topic": t, "partitions": [{}] * inventory[t]} for t in names
+            ]
+
+    obs = KafkaAdminTopicObserver(
+        "broker:9092", refresh_sec=3600, client_factory=FakeAdmin
+    )
+    assert obs.topics() == ["click", "view"]
+    assert obs.partition_counts() == {"click": 4, "view": 2}
+    assert calls["n"] == 1  # both reads served from one cached list
+
+    inventory["purchase"] = 8
+    assert "purchase" not in obs.topics()  # still cached
+    obs.refresh()
+    assert obs.partition_counts()["purchase"] == 8
+    assert calls["n"] == 2
+
+
+def test_admin_observer_without_dependency_raises_clearly():
+    from ureplicator_spark.sources.observers import KafkaAdminTopicObserver
+
+    try:
+        import kafka.admin  # noqa: F401
+
+        pytest.skip("kafka-python available; error path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="kafka-python"):
+        KafkaAdminTopicObserver("broker:9092")

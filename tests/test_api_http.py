@@ -128,3 +128,39 @@ def test_validation_by_instance_option(server):
     assert code == 200
     assert sum(r["n_partitions"] for r in rows) == 20
     assert all("instance" in r and "state" in r for r in rows)
+
+
+def test_ratelimiter_reports_restart_semantics(server):
+    """PUT /ratelimiter documents its contract in the response: the new
+    rate applies to routes created AFTER the call; routes already
+    running keep their old rate until restarted from checkpoint (the
+    reference swaps a live Guava RateLimiter instead,
+    RateLimiterResource.java:41-62). With no running routes the
+    pending list is empty."""
+    code, out = _call(server, "PUT", "/ratelimiter?messagerate=250")
+    assert code == 200
+    assert out == {
+        "rate": 250,
+        "applied_to_new_routes": True,
+        "running_routes_pending_restart": [],
+    }
+
+
+def test_handler_errors_return_500_not_dropped_connection(server, spark):
+    """A handler bug must become HTTP 500, not a dead socket: drive the
+    expected_workers route against an engine whose log lacks the
+    value_size column the estimator needs."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.api import Engine
+    from ureplicator_spark.api_http import RestServer
+
+    broken = Engine(spark, spark.range(1).select(F.col("id").alias("topic")))
+    srv = RestServer(broken, port=0).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(srv, "GET", "/admin/workloadinfo")
+        assert e.value.code == 500
+        assert "error" in json.loads(e.value.read())
+    finally:
+        srv.stop()

@@ -86,3 +86,35 @@ def test_doc_quality_columns_are_stateless_expressions(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert count_shuffles(doc_quality_columns(docs)) == 0
     assert count_shuffles(quality_gated_stream(docs)) == 0
+
+
+def test_streaming_exact_dedup_evicts_state_past_watermark(spark, doc_dir, tmp_path):
+    """The at-scale contract is EVICTION, not just output rows: once the
+    watermark passes a hash's last-seen event time its state row must be
+    removed (plain dropDuplicates on the hash alone never removes state,
+    growing O(all distinct hashes ever) on an infinite stream). The doc
+    timestamps span ~550 s, so a 10 s horizon forces removals between
+    the two micro-batches; assert the state operator reports them and
+    the final state is far below the distinct-hash count."""
+    batch = spark.read.parquet(doc_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(doc_dir)
+    )
+    q = (
+        streaming_exact_dedup(stream, watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "evict_out"))
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progresses, "no state operator progress captured"
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses)
+    final_state = progresses[-1]["stateOperators"][0].get("numRowsTotal", 0)
+    n_distinct = batch.select(F.md5("text")).distinct().count()
+    assert removed > 0
+    assert final_state < n_distinct

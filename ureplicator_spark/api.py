@@ -25,6 +25,8 @@ from ureplicator_spark.operators import assignment as ASG
 from ureplicator_spark.operators import lag as LAG
 from ureplicator_spark.operators import whitelist as WL
 from ureplicator_spark.operators import workload as WKL
+import threading
+
 from ureplicator_spark.session import tune
 from ureplicator_spark.streaming.replication import ReplicationJob, RouteRegistry
 
@@ -42,32 +44,46 @@ class Engine:
         self._blacklist: set[str] = set()
         self._rate: int | None = None
         self._autobalancing = True
+        # The REST facade serves from ThreadingHTTPServer threads;
+        # every control-plane mutation and snapshot read goes through
+        # this lock so concurrent admin calls can't interleave a
+        # half-applied topic/blacklist/rate update. RLock because
+        # snapshot methods (topics/blacklist) are also called from
+        # locked mutators' callers.
+        self._mutex = threading.RLock()
 
     # -- autobalancing toggle (POST /admin/{enable,disable}_autobalancing,
     #    GET /admin/autobalancing_status; AdminRestletResource.java:60-89) --
     def enable_autobalancing(self) -> None:
-        self._autobalancing = True
+        with self._mutex:
+            self._autobalancing = True
 
     def disable_autobalancing(self) -> None:
-        self._autobalancing = False
+        with self._mutex:
+            self._autobalancing = False
 
     def autobalancing_status(self) -> bool:
-        return self._autobalancing
+        with self._mutex:
+            return self._autobalancing
 
     # -- topic management (POST/DELETE /topics) ----------------------------
     def add_topic(self, topic: str, dst_topic: str | None = None, partitions: int | None = None) -> None:
-        self._topics[topic] = {"dst": dst_topic or topic, "partitions": partitions}
+        with self._mutex:
+            self._topics[topic] = {"dst": dst_topic or topic, "partitions": partitions}
 
     def expand_topic(self, topic: str, partitions: int) -> None:
-        if topic not in self._topics:
-            raise KeyError(topic)
-        self._topics[topic]["partitions"] = partitions
+        with self._mutex:
+            if topic not in self._topics:
+                raise KeyError(topic)
+            self._topics[topic]["partitions"] = partitions
 
     def delete_topic(self, topic: str) -> None:
-        self._topics.pop(topic, None)
+        with self._mutex:
+            self._topics.pop(topic, None)
 
     def topics(self) -> DataFrame:
-        rows = [(t, v["dst"], v["partitions"]) for t, v in self._topics.items()]
+        with self._mutex:
+            rows = [(t, v["dst"], v["partitions"]) for t, v in self._topics.items()]
         return self.spark.createDataFrame(
             rows or [("", "", None)], "topic string, dst_topic string, partitions int"
         )
@@ -77,24 +93,42 @@ class Engine:
         self.routes.add(job)
 
     # -- rate limiting (PUT /ratelimiter) -----------------------------------
-    def set_rate(self, records_per_trigger: int) -> None:
-        """Applies to routes created after the call (a restart applies
-        it to running ones — same restart semantics as T4 notes)."""
-        self._rate = records_per_trigger
-        for job in self.routes.jobs.values():
-            job.route.max_records_per_trigger = records_per_trigger
+    def set_rate(self, records_per_trigger: int) -> dict:
+        """Set maxOffsetsPerTrigger for all routes. Unlike the
+        reference's live Guava RateLimiter swap
+        (RateLimiterResource.java:41-62, FetcherManager.java:101-123),
+        a Spark streaming query reads its options at START: the new
+        rate applies immediately to routes created afterwards, while
+        RUNNING routes keep their old rate until restarted from
+        checkpoint (stop + resubmit; exactly-once state carries over).
+        Returns the applied/pending split so callers see which routes
+        still need a restart."""
+        with self._mutex:
+            self._rate = records_per_trigger
+            pending = []
+            for job in self.routes.jobs.values():
+                job.route.max_records_per_trigger = records_per_trigger
+                if job.query is not None and job.query.isActive:
+                    pending.append(job.route.name)
+            return {
+                "rate": records_per_trigger,
+                "applied_to_new_routes": True,
+                "running_routes_pending_restart": sorted(pending),
+            }
 
     # -- blacklist (GET/POST/DELETE /blacklist) ------------------------------
     def blacklist_add(self, topic: str) -> None:
-        self._blacklist.add(topic)
+        with self._mutex:
+            self._blacklist.add(topic)
 
     def blacklist_remove(self, topic: str) -> None:
-        self._blacklist.discard(topic)
+        with self._mutex:
+            self._blacklist.discard(topic)
 
     def blacklist(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [(t,) for t in sorted(self._blacklist)] or [("",)], "topic string"
-        )
+        with self._mutex:
+            rows = [(t,) for t in sorted(self._blacklist)]
+        return self.spark.createDataFrame(rows or [("",)], "topic string")
 
     # -- analytics over the log ---------------------------------------------
     def _require_log(self) -> DataFrame:

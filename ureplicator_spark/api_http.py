@@ -82,6 +82,11 @@ class _Handler(BaseHTTPRequestHandler):
         except (KeyError, ValueError) as e:
             self._send(404, {"error": str(e)})
             return
+        except Exception as e:  # noqa: BLE001 — a handler bug must
+            # surface as HTTP 500, not kill the connection thread and
+            # leave the client with a dropped socket.
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            return
         if handled is None:
             self._send(404, {"error": f"no route {method} {url.path}"})
         else:
@@ -139,7 +144,10 @@ class _Handler(BaseHTTPRequestHandler):
         if key == ("GET", "admin") and parts[1:] == ["workloadinfo"]:
             return 200, _df_rows(eng.workload())
         if key == ("GET", "admin") and parts[1:] == ["expected_workers"]:
-            return 200, _df_rows(eng.expected_workers())[0]
+            rows = _df_rows(eng.expected_workers())
+            if not rows:
+                raise KeyError("no workload data to estimate workers from")
+            return 200, rows[0]
         if key == ("GET", "admin") and parts[1:] == ["autobalancing_status"]:
             return 200, {"autobalancing": eng.autobalancing_status()}
         if key == ("POST", "admin") and parts[1:] == ["enable_autobalancing"]:
@@ -158,8 +166,12 @@ class _Handler(BaseHTTPRequestHandler):
             eng.blacklist_remove(parts[1])
             return 200, {"unblacklisted": parts[1]}
         if key == ("PUT", "ratelimiter"):
-            eng.set_rate(int(q["messagerate"]))
-            return 200, {"rate": int(q["messagerate"])}
+            # Reference applies the new rate to a LIVE RateLimiter
+            # (RateLimiterResource.java:41-62); Spark queries read their
+            # options at start, so running routes keep the old rate
+            # until restarted — the response lists them so operators
+            # aren't surprised (see Engine.set_rate docstring).
+            return 200, eng.set_rate(int(q["messagerate"]))
         return None
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib casing)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ureplicator_spark.functions import values_df
+from ureplicator_spark.functions import session_memo, values_df
 from ureplicator_spark.sources.parquet import load_table
 
 # ---------------------------------------------------------------------------
@@ -89,6 +89,7 @@ def event_ts_sec(ev: DataFrame):
     return F.unix_seconds(F.col("ts").cast("timestamp"))
 
 
+@session_memo
 def records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kafka-record-shaped log derived from events."""
     ev = load_table(spark, sf_dir, "events")
@@ -106,6 +107,7 @@ def records(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_ROUTES = 3
 
 
+@session_memo
 def route_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(topic, partition) offset ranges split into N_ROUTES routes —
     the partial-replication bounds table (PartitionOffsetInfo,
@@ -149,22 +151,27 @@ def stalled_commit_override(c2: DataFrame, c1: DataFrame) -> DataFrame:
     )
 
 
+@session_memo
 def topic_mapping(spark: SparkSession) -> DataFrame:
     return values_df(spark, TOPIC_MAPPING_ROWS, "src_topic string, dst_topic string")
 
 
+@session_memo
 def partition_counts(spark: SparkSession) -> DataFrame:
     return values_df(spark, PARTITION_COUNT_ROWS, "topic string, num_partitions int")
 
 
+@session_memo
 def dst_topics(spark: SparkSession) -> DataFrame:
     return values_df(spark, DST_TOPIC_ROWS, "topic string")
 
 
+@session_memo
 def src_extra_topics(spark: SparkSession) -> DataFrame:
     return values_df(spark, SRC_EXTRA_TOPIC_ROWS, "topic string")
 
 
+@session_memo
 def blacklist(spark: SparkSession) -> DataFrame:
     return values_df(spark, BLACKLIST_ROWS, "topic string")
 

@@ -9,8 +9,47 @@ unlike Spark's murmur3 ``F.hash``.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def session_memo(fn):
+    """Memoize a ``(spark, *hashable_args) -> DataFrame`` builder per
+    session.
+
+    Profiling showed DataFrame CONSTRUCTION (Py4J round-trips, parquet
+    footer/schema reads, conf handshakes) was ~half the wall-clock of
+    control-plane-sized queries. Base tables and literal dims are
+    immutable for the life of a session, so build each once and reuse
+    the analyzed plan — the same discipline a real deployment has where
+    tables are registered once in a catalog, not re-derived per query.
+
+    Keys on the session OBJECT (not id()) so a GC'd session can never
+    alias a live one; DataFrames pin their session anyway, so this adds
+    no new lifetime. Concurrent callers may race to build the same
+    entry — both results are equivalent, last write wins, no lock
+    needed (dict writes are atomic under the GIL).
+    """
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        if kwargs:
+            return fn(spark, *args, **kwargs)
+        key = (spark, args)
+        try:
+            return cache[key]
+        except (KeyError, TypeError):
+            out = fn(spark, *args)
+            try:
+                cache[key] = out
+            except TypeError:
+                pass
+            return out
+
+    return wrapper
 
 
 def md5_long(col: Column | str, salt: str = "") -> Column:
@@ -81,17 +120,57 @@ def fan_out(df, min_partitions: int | None = None):
     only (streaming DataFrames skip it)."""
     if df.isStreaming:
         return df
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = min_partitions or sc.defaultParallelism
-    # Probe split count from the scan's file list — a driver-side plan
-    # walk, NOT df.rdd (which converts the whole plan to an RDD and
-    # previously added a visible planning stall to every shingling /
-    # simhash query). One file can still hold many row groups, so this
-    # under-counts splits at worst — the failure mode is a redundant
-    # (cheap) round-robin exchange, never lost parallelism.
-    n_files = len(df.inputFiles())
-    if n_files >= max(2, target // 2):
-        return df
+    # Probe the scan's file list — a driver-side plan walk, NOT df.rdd
+    # (which converts the whole plan to an RDD and previously added a
+    # visible planning stall to every shingling / simhash query).
+    #
+    # File COUNT alone is not scan parallelism: Spark packs small files
+    # into splits (maxPartitionBytes / openCostInBytes), so 100 tiny
+    # files can scan as 1-2 partitions. Estimate splits with the same
+    # cost model Spark uses (each file costs max(size, openCost); a
+    # split closes at maxPartitionBytes) and only skip the widening
+    # when the ESTIMATE shows enough parallelism. Files whose size we
+    # cannot stat cheaply (non-local URIs) fall back to requiring
+    # n_files >= target outright — optimistic counting may only make
+    # us skip, so the conservative branch must be the strict one.
+    files = df.inputFiles()
+    if files:
+        try:
+            max_split = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+                .lower().rstrip("b")
+            )
+            open_cost = int(
+                spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+                .lower().rstrip("b")
+            )
+            import os as _os
+
+            local = [p for p in files if p.startswith(("file:", "/"))]
+            if len(local) == len(files):
+                total_cost = sum(
+                    max(_os.path.getsize(p.removeprefix("file:")), open_cost)
+                    for p in local
+                )
+                # ceil(total_cost / maxPartitionBytes) under-estimates
+                # (Spark may pick a smaller split size → more splits),
+                # so a skip here is always safe.
+                est_splits = max(1, -(-total_cost // max_split))
+                if est_splits >= max(2, target // 2):
+                    return df
+                return df.repartition(target)
+        except (OSError, ValueError):
+            pass
+        if len(files) >= target:
+            return df
+    # Non-file plans (LocalRelation test inputs, RDD-backed checkpoints)
+    # report no files and get the widening unconditionally. Call sites
+    # only apply fan_out to base corpus scans, so this never re-shuffles
+    # an already-wide post-shuffle stage; if a new call site needs that,
+    # pass min_partitions explicitly.
     return df.repartition(target)
 
 

@@ -293,15 +293,27 @@ def ivf_ann(
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
-    ranked = ascore.withColumn("rn", F.row_number().over(w))
+    # The centroid-assignment ranking feeds BOTH the corpus-assignment
+    # side and the query-probe side; Catalyst plans no ReusedExchange
+    # across the two branches, so without a checkpoint the full
+    # quantization pipeline (component join + per-vector agg) runs
+    # twice per query. localCheckpoint materializes it once — the
+    # in-query analog of the "build the index once" step that
+    # sources/ivf_index.py persists to parquet for production use.
+    ranked = ascore.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     assign = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("c_id"), "cent_id"
     )
     probe = ranked.filter(
         (F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)
     ).select(F.col("vec_id").alias("q_id"), "cent_id")
+    # probe is Q·nprobe rows — always broadcastable; post-checkpoint
+    # stats hide that from AQE, so force it (same shape as the DPP
+    # probe join in sources/ivf_index.py).
     cand = (
-        probe.join(assign, "cent_id")
+        assign.join(F.broadcast(probe), "cent_id")
         .filter(F.col("c_id") != F.col("q_id"))
         .select("q_id", "c_id")
     )

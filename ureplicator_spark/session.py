@@ -29,8 +29,20 @@ _RUNTIME_CONFS = {
 }
 
 
+# Strong refs on purpose: pinning the handful of sessions a process
+# creates is cheaper than risking an id() alias after GC (a new session
+# reusing a dead one's id would silently skip tuning).
+_TUNED: list[SparkSession] = []
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (idempotent)."""
+    """Apply runtime confs to an existing session (idempotent).
+
+    Skips sessions already tuned this process: each conf.set is a Py4J
+    round-trip and tune() sits on every table-load path."""
+    if any(s is spark for s in _TUNED):
+        return spark
+    _TUNED.append(spark)
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

@@ -28,7 +28,14 @@ TABLES = (
 )
 
 
+from ureplicator_spark.functions import session_memo
+
+
+@session_memo
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized per session: the testdata tables are immutable, and the
+    footer/schema read plus conf handshake otherwise re-runs on every
+    query (measurably ~100-300 ms of pure construction overhead)."""
     tune(spark)  # nanosAsLong for events.ts, UTC, AQE
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

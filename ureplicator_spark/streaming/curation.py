@@ -12,12 +12,14 @@ shapes that need streaming-specific care:
   state, no watermark: each micro-batch is gated independently, so
   throughput scales with executors exactly like the batch path.
 * ``streaming_exact_dedup`` — content-hash dedup across micro-batches
-  via ``dropDuplicates`` on the hash with a watermark bound: Spark
-  keeps one state row per distinct hash inside the watermark horizon
-  (state is O(distinct-in-window), never O(stream)), which is the
-  at-scale contract for continuous dedup. Exactly the reference's
-  at-least-once model: late duplicates beyond the horizon pass and
-  are swept by the batch dedup that runs over the landed corpus.
+  via ``dropDuplicatesWithinWatermark``: Spark keeps one state row per
+  distinct hash and EVICTS it once the watermark passes the hash's
+  last-seen event time (state is O(distinct-in-horizon), never
+  O(stream)). Plain ``dropDuplicates(keys)`` without the event-time
+  column in the key set never evicts — state grows with every distinct
+  hash ever seen, unbounded on an infinite stream. Exactly the
+  reference's at-least-once model: late duplicates beyond the horizon
+  pass and are swept by the batch dedup over the landed corpus.
 
 Both return DataFrames ready for ``writeStream`` so callers own sink
 and trigger policy (same convention as streaming/replication.py).
@@ -65,10 +67,13 @@ def streaming_exact_dedup(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Cross-micro-batch exact dedup on the content hash. State holds
-    one row per distinct hash within the watermark horizon; rows older
-    than the horizon are evicted, bounding state for an infinite
-    stream."""
+    one row per distinct hash and is evicted once the watermark passes
+    that hash's last-seen event time — the eviction contract plain
+    ``dropDuplicates`` does NOT provide unless the event-time column is
+    part of the dedup key (which would stop deduplicating across
+    timestamps). Duplicates arriving farther apart than the watermark
+    horizon are both emitted (at-least-once; batch dedup sweeps them)."""
     hashed = doc_stream.withColumn("content_hash", F.md5("text"))
-    return hashed.withWatermark(ts_col, watermark).dropDuplicates(
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
