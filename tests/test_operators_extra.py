@@ -409,13 +409,27 @@ def test_fan_out_widens_single_file_scan(spark, sf_dir, tmp_path):
         # single-file fixture scan: must gain a round-robin Exchange
         assert "Exchange" in widened._jdf.queryExecution().executedPlan().toString()
         assert widened.rdd.getNumPartitions() == target
-    # a scan that already has enough splits is returned untouched —
-    # the 100 TB case, where adding an exchange would be a regression
+    # Many SMALL files are NOT parallelism: Spark packs them into few
+    # splits (maxPartitionBytes/openCostInBytes), so fan_out must still
+    # widen despite inputFiles() >= target.
     many = str(tmp_path / "many")
     docs.repartition(8).write.parquet(many)
     wide_scan = spark.read.parquet(many)
     assert len(wide_scan.inputFiles()) >= 8
-    assert fan_out(wide_scan, min_partitions=8) is wide_scan
+    assert fan_out(wide_scan, min_partitions=8) is not wide_scan
+    # A scan whose split ESTIMATE already meets the target is returned
+    # untouched — the 100 TB case, where an extra exchange would be a
+    # regression. Shrink the split size so the same 8 files genuinely
+    # scan wide, then assert the no-op identity.
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384b")
+        spark.conf.set("spark.sql.files.openCostInBytes", "16384b")
+        assert fan_out(wide_scan, min_partitions=8) is wide_scan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
 
 def test_repetition_stats_short_and_repeated_docs(spark):
