@@ -125,11 +125,14 @@ def lsh_candidate_pairs(
     # The signature table feeds three branches (banding + both pair
     # sides); Catalyst plans no ReusedExchange across them, so without
     # this the shingling/K-hash pipeline — the expensive part — runs
-    # three times per query. localCheckpoint persists the signature
-    # blocks on first computation (lazy, no extra pass) and truncates
-    # the branches to one shared scan; at 100 TB this is the "build the
-    # signature index once" step every real LSH deployment has.
-    wide = minhash_wide(documents, n_hashes).localCheckpoint(eager=False)
+    # three times per query. persist() shares one InMemoryRelation
+    # across the branches (computed on first touch) — the "build the
+    # signature index once" step every real LSH deployment has. NOT
+    # localCheckpoint: under AQE its toRdd conversion materializes the
+    # shuffle AT PLAN-CONSTRUCTION time (a 2.5 s job before the query
+    # is even submitted), whereas cache stays lazy and dedups by
+    # canonicalized plan across repeated calls.
+    wide = minhash_wide(documents, n_hashes).persist()
 
     band_structs = [
         F.struct(
@@ -178,30 +181,64 @@ def lsh_candidate_pairs(
     )
 
 
+_SIMHASH_PACK = 3  # counters per aggregate column
+_SIMHASH_FIELD = 21  # bits per packed counter → max 2^21-1 tokens/doc
+
+
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Portable 60-bit simhash over tokens: bit_j = sign of Σ(±1 per
-    token's hash bit j). All bitwise ops are integer-exact and the
-    value fits a BIGINT on both engines (2^60 - 1 < 2^63)."""
+    """Portable 60-bit simhash over tokens: bit_j = 1 iff more tokens
+    set hash bit j than clear it. All bitwise ops are integer-exact and
+    the value fits a BIGINT on both engines (2^60 - 1 < 2^63).
+
+    Plan-size discipline: one SUM per bit (60 aggregate buffers plus a
+    depth-60 Add chain to rebuild the fingerprint) put ~1 s of
+    analyzer/codegen time on every cold run. Instead, SWAR-pack 3
+    one-bit counters into disjoint 21-bit fields of each aggregate
+    long (20 SUMs total; exact while a doc has < 2^21 tokens — chunk
+    longer docs upstream), and rebuild the fingerprint with one FLAT
+    60-child concat fed to conv(·, 2, 10) rather than a nested sum.
+    The sign test 2·ones_j > n is identical to the oracle's
+    SUM(bit*2-1) > 0."""
     from ureplicator_spark.functions import fan_out
 
-    toks = fan_out(documents).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).withColumn("h", md5_long(F.col("token")))
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"s{j}")
-            for j in range(bits)
-        ]
+    # Built as SQL strings: Column-by-Column construction of ~180 bit
+    # expressions costs one Py4J round-trip per operator (~1.2 s of
+    # pure driver chatter per cold query); a selectExpr string ships
+    # the whole tree in one call and parses JVM-side.
+    toks = (
+        fan_out(documents)
+        .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) AS h",
+        )
     )
-    sim = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)),
-        range(bits),
-        F.lit(0),
+    n_cols = -(-bits // _SIMHASH_PACK)
+    agg_sql = ["COUNT(*) AS n"]
+    for g in range(n_cols):
+        pieces = []
+        for s in range(_SIMHASH_PACK):
+            j = g * _SIMHASH_PACK + s
+            if j >= bits:
+                break
+            pieces.append(
+                f"shiftleft(shiftright(h, {j}) & 1, {s * _SIMHASH_FIELD})"
+            )
+        agg_sql.append(f"SUM({' + '.join(pieces)}) AS c{g}")
+    packed = toks.groupBy("doc_id").agg(
+        *[F.expr(e) for e in agg_sql]
     )
-    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+    mask = (1 << _SIMHASH_FIELD) - 1
+    bit_chars = []
+    for j in reversed(range(bits)):  # MSB first for the base-2 string
+        g, s = divmod(j, _SIMHASH_PACK)
+        bit_chars.append(
+            f"IF((shiftright(c{g}, {s * _SIMHASH_FIELD}) & {mask}) * 2 > n, '1', '0')"
+        )
+    return packed.selectExpr(
+        "doc_id",
+        f"CAST(conv(concat({', '.join(bit_chars)}), 2, 10) AS BIGINT) AS simhash",
+    )
 
 
 def simhash_buckets(documents: DataFrame) -> DataFrame:
@@ -222,8 +259,9 @@ def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
     top-k keeps driver output bounded.
     """
     # Four branches read the shingle view (both join sides + both size
-    # lookups); persist it once instead of re-shingling per branch.
-    sh = shingles(documents).localCheckpoint(eager=False)
+    # lookups); persist it once instead of re-shingling per branch
+    # (cache, not localCheckpoint — see lsh_candidate_pairs).
+    sh = shingles(documents).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -318,8 +356,8 @@ def simhash_near_pairs(
     occupancy (and thus the Σ bucket² join cost) keeps shrinking as the
     corpus grows — the Manku selectivity contract, property-tested in
     test_properties.py. The simhash table feeds three branches so it is
-    checkpointed once like the minhash signatures."""
-    sim = simhash(documents).localCheckpoint(eager=False)
+    cached once like the minhash signatures."""
+    sim = simhash(documents).persist()
     bands = sim.select(
         "doc_id",
         "simhash",

@@ -297,12 +297,12 @@ def ivf_ann(
     # side and the query-probe side; Catalyst plans no ReusedExchange
     # across the two branches, so without a checkpoint the full
     # quantization pipeline (component join + per-vector agg) runs
-    # twice per query. localCheckpoint materializes it once — the
+    # twice per query. persist() computes it once on first touch — the
     # in-query analog of the "build the index once" step that
-    # sources/ivf_index.py persists to parquet for production use.
-    ranked = ascore.withColumn("rn", F.row_number().over(w)).localCheckpoint(
-        eager=False
-    )
+    # sources/ivf_index.py persists to parquet for production use
+    # (cache, not localCheckpoint, whose toRdd conversion under AQE
+    # runs the whole pipeline at plan-construction time).
+    ranked = ascore.withColumn("rn", F.row_number().over(w)).persist()
     assign = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("c_id"), "cent_id"
     )
