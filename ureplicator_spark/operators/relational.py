@@ -29,25 +29,107 @@ def _d(c: str):
     return F.col(c).cast(_DEC)
 
 
+# --- exact integer money aggregation -----------------------------------
+# JVM Decimal sums run ~5x slower than primitive long sums (measured
+# 1.1 s vs 0.2 s for the Q1 aggregate at sf0.1 — Decimal boxes and
+# overflow-checks per row inside the hash aggregate). Money inputs have
+# exactly 2 decimal digits, so every product used by the TPC-H shapes
+# is an INTEGER in units of 10^-scale: scale 2 for prices, 4 for
+# price*(1-disc), 6 for price*(1-disc)*(1+tax). Summing those integers
+# is exact and order-independent, like the decimal sums they replace.
+#
+# One long accumulator would overflow at extreme SF (charge ≈ 1e11
+# units/row × 6e11 rows at ~sf1e5 ≈ 100 TB > 2^63), so each sum is
+# SPLIT into high/low partial sums around 10^6: hi ≤ 1e5/row and
+# lo < 1e6/row both stay < 9.2e18 past sf1e6. Requires non-negative
+# units (true for TPC-H money columns; quantities/prices/taxes ≥ 0 and
+# discount ≤ 1).
+
+_SPLIT = 1_000_000
+
+
+def _units(c: str) -> "F.Column":
+    """Money double → exact integer hundredths. round(x*100) and the
+    oracle's CAST(x AS DECIMAL(18,2)) agree on every ≤2-decimal money
+    value (both half-up; the double's representation error is orders
+    of magnitude below the rounding boundary), and the double multiply
+    skips a per-row decimal conversion inside the hot scan."""
+    return F.round(F.col(c) * 100).cast("long")
+
+
+def sum_units(units, alias_hi: str, alias_lo: str) -> list:
+    """The two partial sums for an integer-units expression."""
+    return [
+        F.sum((units / _SPLIT).cast("long")).alias(alias_hi),
+        F.sum(units % _SPLIT).alias(alias_lo),
+    ]
+
+
+def units_total(alias_hi: str, alias_lo: str) -> "F.Column":
+    """Recombine split partial sums into the exact integer total."""
+    return F.col(alias_hi) * _SPLIT + F.col(alias_lo)
+
+
+def money_dec(total, from_scale: int) -> "F.Column":
+    """Integer-units total → exact decimal value. Decimal math here is
+    fine: it runs on the POST-aggregation rows (group cardinality), not
+    per input row — a long total would lose exactness in double past
+    2^53, decimal(38) never does."""
+    return total.cast("decimal(38,0)") / F.lit(10**from_scale).cast(
+        f"decimal({from_scale + 1},0)"
+    )
+
+
+def money_round(total, from_scale: int, digits: int = 2) -> "F.Column":
+    """Exact half-up round of an integer-units total to ``digits``
+    decimal places, emitted as double (ROUND(decimal) semantics in
+    both engines for the non-negative money domain)."""
+    return F.round(money_dec(total, from_scale), digits).cast("double")
+
+
+def rev_units() -> "F.Column":
+    """l_extendedprice·(1-l_discount) in scale-4 integer units — the
+    revenue expression every TPC-H shape sums."""
+    return _units("l_extendedprice") * (100 - _units("l_discount"))
+
+
+money_units = _units  # public name for cross-module use
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-31") -> DataFrame:
-    """TPC-H Q1 shape: grouped pricing summary with exact decimal sums."""
-    disc_price = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
-    charge = disc_price * (F.lit(1).cast(_DEC) + _d("l_tax"))
+    """TPC-H Q1 shape: grouped pricing summary, exact integer-units
+    sums (see the money-aggregation note above) recombined to the same
+    decimal-exact outputs the oracle's DECIMAL(18,2) sums produce."""
+    qty = _units("l_quantity")  # scale 2
+    ext = _units("l_extendedprice")  # scale 2
+    disc = _units("l_discount")  # scale 2 of a 0..1 fraction
+    disc_price = ext * (100 - disc)  # scale 4
+    charge = disc_price * (100 + _units("l_tax"))  # scale 6
     out = (
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_d("l_quantity")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(_d("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum(_d("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
-            F.round(F.sum(_d("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
-            F.round(F.sum(_d("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            *sum_units(qty, "qh", "ql"),
+            *sum_units(ext, "eh", "el"),
+            *sum_units(disc_price, "dh", "dl"),
+            *sum_units(charge, "ch", "cl"),
+            *sum_units(disc, "sh", "sl"),
             F.count("*").alias("count_order"),
         )
     )
-    return out
+    n = F.col("count_order")
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        money_round(units_total("qh", "ql"), 2).alias("sum_qty"),
+        money_round(units_total("eh", "el"), 2).alias("sum_base_price"),
+        money_round(units_total("dh", "dl"), 4).alias("sum_disc_price"),
+        money_round(units_total("ch", "cl"), 6).alias("sum_charge"),
+        F.round(money_dec(units_total("qh", "ql"), 2).cast("double") / n, 6).alias("avg_qty"),
+        F.round(money_dec(units_total("eh", "el"), 2).cast("double") / n, 6).alias("avg_price"),
+        F.round(money_dec(units_total("sh", "sl"), 2).cast("double") / n, 6).alias("avg_disc"),
+        "count_order",
+    )
 
 
 def shipping_priority(
@@ -65,7 +147,6 @@ def shipping_priority(
     fits, shuffle-hash beyond) instead of a forced hint that would OOM
     the driver at sf100+. Only the final top-k ranking funnels.
     """
-    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
     j = (
         lineitem.filter(F.col("l_shipdate") > F.lit(date).cast("timestamp_ntz"))
         .join(
@@ -77,8 +158,14 @@ def shipping_priority(
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
-    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(F.sum(revenue), 2).cast("double").alias("revenue")
+    agg = (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(*sum_units(rev_units(), "rh", "rl"))
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            money_round(units_total("rh", "rl"), 4).alias("revenue"),
+        )
     )
     from ureplicator_spark.functions import top_k_ranked
 
@@ -110,7 +197,6 @@ def local_supplier_volume(
     and supplier grow with SF so AQE picks their join strategy. The
     orders⋈lineitem fact join shuffles once, then a 25-key agg.
     """
-    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
     dims = (
         nation.join(F.broadcast(region.filter(F.col("r_name") == region_name)),
                     F.col("n_regionkey") == F.col("r_regionkey"))
@@ -126,8 +212,10 @@ def local_supplier_volume(
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    return j.groupBy("n_name").agg(
-        F.round(F.sum(revenue), 2).cast("double").alias("revenue")
+    return (
+        j.groupBy("n_name")
+        .agg(*sum_units(rev_units(), "rh", "rl"))
+        .select("n_name", money_round(units_total("rh", "rl"), 4).alias("revenue"))
     )
 
 
@@ -146,10 +234,14 @@ def forecast_revenue_change(
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(_d("l_extendedprice") * _d("l_discount")), 2)
-            .cast("double")
-            .alias("revenue"),
+            *sum_units(
+                _units("l_extendedprice") * _units("l_discount"), "rh", "rl"
+            ),
             F.count("*").alias("n_items"),
+        )
+        .select(
+            money_round(units_total("rh", "rl"), 4).alias("revenue"),
+            "n_items",
         )
     )
 
@@ -164,7 +256,6 @@ def promo_revenue_monthly(
 
     part projects to two columns and broadcasts; the fact never
     shuffles until the ~24-key month agg."""
-    revenue = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
     j = lineitem.filter(
         (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
@@ -172,14 +263,22 @@ def promo_revenue_monthly(
         F.broadcast(part.select("p_partkey", "p_type")),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast(_DEC))
+    promo = F.when(F.col("p_type") == "PROMO", rev_units()).otherwise(F.lit(0))
     return (
         j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
+            *sum_units(promo, "ph", "pl"),
+            *sum_units(rev_units(), "rh", "rl"),
+        )
+        .select(
+            "month",
             F.round(
-                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double"), 6
+                F.lit(100.0)
+                * money_dec(units_total("ph", "pl"), 4).cast("double")
+                / money_dec(units_total("rh", "rl"), 4).cast("double"),
+                6,
             ).alias("promo_pct"),
-            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            money_round(units_total("rh", "rl"), 4).alias("revenue"),
         )
     )
 
@@ -197,7 +296,11 @@ def large_volume_orders(
     the customer join at runtime — the fact tables never co-shuffle."""
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.round(F.sum(_d("l_quantity")), 2).cast("double").alias("total_qty"))
+        .agg(*sum_units(_units("l_quantity"), "qh", "ql"))
+        .select(
+            "l_orderkey",
+            money_round(units_total("qh", "ql"), 2).alias("total_qty"),
+        )
         .filter(F.col("total_qty") > threshold)
     )
     return (
@@ -230,16 +333,30 @@ def small_quantity_revenue(
     double rounding can flip boundary rows between engines."""
     parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
     li = lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-    stats = li.groupBy("p_partkey").agg(
-        F.sum(_d("l_quantity")).alias("sum_qty"),
-        F.count("*").alias("n_li"),
-    ).select(F.col("p_partkey").alias("s_partkey"), "sum_qty", "n_li")
-    below = li.join(F.broadcast(stats), F.col("p_partkey") == F.col("s_partkey")).filter(
-        _d("l_quantity") * F.lit(den) * F.col("n_li") < F.col("sum_qty") * F.lit(num)
+    stats = (
+        li.groupBy("p_partkey")
+        .agg(*sum_units(_units("l_quantity"), "qh", "ql"), F.count("*").alias("n_li"))
+        .select(
+            F.col("p_partkey").alias("s_partkey"),
+            units_total("qh", "ql").alias("sum_qty_u"),
+            "n_li",
+        )
     )
-    return below.agg(
-        F.round(F.sum(_d("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly"),
-        F.count("*").alias("n_items"),
+    below = li.join(F.broadcast(stats), F.col("p_partkey") == F.col("s_partkey")).filter(
+        _units("l_quantity") * F.lit(den) * F.col("n_li")
+        < F.col("sum_qty_u") * F.lit(num)
+    )
+    return (
+        below.agg(
+            *sum_units(_units("l_extendedprice"), "eh", "el"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.round(
+                money_dec(units_total("eh", "el"), 2).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
+            "n_items",
+        )
     )
 
 

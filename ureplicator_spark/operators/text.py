@@ -29,7 +29,14 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 
 def tokens(documents: DataFrame) -> DataFrame:
-    """(doc_id, pos, token) — the relational token view."""
+    """(doc_id, pos, token) — the relational token view.
+
+    Deliberately NOT fan_out-widened: token consumers are count/group
+    aggregations (cheap per row), so on the single-split fixture scan
+    the extra exchange + task scheduling costs more than the
+    parallelism buys (measured: quality_score 0.48→0.80 s widened).
+    Hash-heavy per-token pipelines (shingling, simhash) widen at their
+    own call sites where the CPU work amortizes it."""
     return documents.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
@@ -189,10 +196,11 @@ def boilerplate_shingles(
     containing them). Two-phase agg keyed on the shingle — map-side
     partial count, one shuffle on shingle hash; the distinct-doc count
     expands to (shingle, doc) then (shingle), both partial."""
-    from ureplicator_spark.functions import md5_long
+    from ureplicator_spark.functions import fan_out, md5_long
 
     sh = (
-        documents.select("doc_id", F.split("text", " +").alias("toks"))
+        fan_out(documents)
+        .select("doc_id", F.split("text", " +").alias("toks"))
         .filter(F.size("toks") >= k)
         .select(
             "doc_id",

@@ -1429,20 +1429,27 @@ def q_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer join + grouped rollup + HAVING (null-safe counting)."""
     from ureplicator_spark.sources.parquet import load_table
 
+    from ureplicator_spark.operators.relational import (
+        money_round, money_units, sum_units, units_total,
+    )
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     j = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    spend = F.coalesce(money_units("o_totalprice"), F.lit(0))
     return (
         j.groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(
-                F.sum(F.coalesce(F.col("o_totalprice").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))), 2
-            )
-            .cast("double")
-            .alias("total_spend"),
+            *sum_units(spend, "sh", "sl"),
         )
         .filter(F.col("n_orders") >= 3)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "n_orders",
+            money_round(units_total("sh", "sl"), 2).alias("total_spend"),
+        )
     )
 
 
@@ -2135,12 +2142,11 @@ def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     and returnflag filters push to the scans; the orders slice grows
     with SF so AQE chooses its join strategy; customer joins the small
     aggregated result."""
+    from ureplicator_spark.operators.relational import (
+        money_round, rev_units, sum_units, units_total,
+    )
     from ureplicator_spark.sources.parquet import load_table
 
-    _DEC = "decimal(18,2)"
-    rev = F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
-    )
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
@@ -2150,7 +2156,10 @@ def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .agg(*sum_units(rev_units(), "rh", "rl"))
+        .select(
+            "o_custkey", money_round(units_total("rh", "rl"), 4).alias("revenue")
+        )
     )
     return c.join(agg, F.col("c_custkey") == F.col("o_custkey")).select(
         "c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment"
@@ -2340,12 +2349,11 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: scalar-subquery max over a derived view. The
     max broadcasts as a 1-row cross join (no correlated re-scan)."""
+    from ureplicator_spark.operators.relational import (
+        money_round, rev_units, sum_units, units_total,
+    )
     from ureplicator_spark.sources.parquet import load_table
 
-    _DEC = "decimal(18,2)"
-    rev = F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
-    )
     revenue = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -2353,7 +2361,11 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+        .agg(*sum_units(rev_units(), "rh", "rl"))
+        .select(
+            "supplier_no",
+            money_round(units_total("rh", "rl"), 4).alias("total_revenue"),
+        )
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -2417,12 +2429,11 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst extracts the common join key (partkey) as the equi
     condition and keeps the disjunction as a post-join filter, so this
     stays a hash join — never a nested loop."""
+    from ureplicator_spark.operators.relational import (
+        money_round, rev_units, sum_units, units_total,
+    )
     from ureplicator_spark.sources.parquet import load_table
 
-    _DEC = "decimal(18,2)"
-    rev = F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
-    )
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
@@ -2434,9 +2445,15 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15)
            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
     )
-    return j.filter(cond).agg(
-        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
-        F.count("*").alias("n_items"),
+    return (
+        j.filter(cond)
+        .agg(
+            *sum_units(rev_units(), "rh", "rl"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            money_round(units_total("rh", "rl"), 4).alias("revenue"), "n_items"
+        )
     )
 
 
@@ -2577,12 +2594,11 @@ def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     a forced driver-side build of a multi-GB table). The disjunctive
     pair filter applies post-join on broadcast columns (no nested
     loop)."""
+    from ureplicator_spark.operators.relational import (
+        money_round, rev_units, sum_units, units_total,
+    )
     from ureplicator_spark.sources.parquet import load_table
 
-    _DEC = "decimal(18,2)"
-    vol = F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
-    )
     n = load_table(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
@@ -2602,11 +2618,20 @@ def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
         )
     )
-    return j.groupBy(
-        "supp_nation", "cust_nation", F.date_format("l_shipdate", "yyyy").alias("l_year")
-    ).agg(
-        F.round(F.sum(vol), 2).cast("double").alias("revenue"),
-        F.count("*").alias("n_items"),
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(
+            *sum_units(rev_units(), "rh", "rl"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            money_round(units_total("rh", "rl"), 4).alias("revenue"),
+            "n_items",
+        )
     )
 
 
@@ -2637,14 +2662,13 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of regional volume per year —
     a 7-table star join. Fixed-cardinality dims (nation, region) and
     the selective part filter broadcast; SF-growing supplier/customer/
-    orders are left to AQE. The conditional share is decimal-exact
+    orders are left to AQE. The conditional share stays integer-exact
     before one double division."""
+    from ureplicator_spark.operators.relational import (
+        money_dec, rev_units, sum_units, units_total,
+    )
     from ureplicator_spark.sources.parquet import load_table
 
-    _DEC = "decimal(18,2)"
-    vol = F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
-    )
     n = load_table(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
@@ -2660,11 +2684,21 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
-    nat_vol = F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0).cast(_DEC))
-    return j.groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year")).agg(
-        F.round(
-            F.sum(nat_vol).cast("double") / F.sum(vol).cast("double"), 6
-        ).alias("mkt_share")
+    nat_vol = F.when(F.col("nation") == "NATION_5", rev_units()).otherwise(F.lit(0))
+    return (
+        j.groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            *sum_units(nat_vol, "nh", "nl"),
+            *sum_units(rev_units(), "vh", "vl"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                money_dec(units_total("nh", "nl"), 4).cast("double")
+                / money_dec(units_total("vh", "vl"), 4).cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
     )
 
 
@@ -2777,10 +2811,10 @@ def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups."""
     from ureplicator_spark.sources.parquet import load_table
 
-    _DEC = "decimal(18,2)"
-    profit = F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    from ureplicator_spark.operators.relational import (
+        money_round, rev_units, sum_units, units_total,
     )
+
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     return (
         load_table(spark, sf_dir, "lineitem")
@@ -2797,7 +2831,10 @@ def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("yr"),
         )
-        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .agg(*sum_units(rev_units(), "rh", "rl"))
+        .select(
+            "nation", "yr", money_round(units_total("rh", "rl"), 4).alias("profit")
+        )
     )
 
 
@@ -2823,8 +2860,12 @@ def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (parts whose value exceeds 0.1% of total). The per-part
     agg is computed once and reused: the global total is a 1-row
     re-aggregation of it, broadcast back as a cross join — no second
-    scan of the fact. Exact decimal sums keep the > comparison
-    deterministic across partitionings."""
+    scan of the fact. Exact integer-units sums keep the > comparison
+    deterministic across partitionings (decimal math only on the
+    per-part aggregate rows)."""
+    from ureplicator_spark.operators.relational import (
+        money_dec, money_round, money_units, sum_units, units_total,
+    )
     from ureplicator_spark.sources.parquet import load_table
 
     nat = load_table(spark, sf_dir, "nation").filter(
@@ -2837,7 +2878,10 @@ def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value_dec"))
+        .agg(*sum_units(money_units("l_extendedprice"), "vh", "vl"))
+        .select(
+            "partkey", money_dec(units_total("vh", "vl"), 2).alias("value_dec")
+        )
     )
     total = val.agg((F.sum("value_dec") * F.lit(0.001)).alias("threshold"))
     return (
