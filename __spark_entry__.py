@@ -34,6 +34,16 @@ _CHANGED_SINCE_LAST_CHECK = [
     "split_assignment", "dedup_simhash_near_pairs", "similarity_ivf_ann",
     "dedup_simhash", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
+    # r5: new queries (never driver-checked).
+    "user_retention", "event_funnel", "embedding_kmeans",
+    "similarity_ann_recall",
+    # r5: integer-units money aggregation + boilerplate fan_out.
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_type_profit", "q10_returned_items", "q11_important_parts",
+    "promo_revenue_monthly", "q15_top_supplier", "part_small_qty_revenue",
+    "large_volume_orders", "q19_discount_revenue", "customer_order_rollup",
+    "boilerplate_shingles",
 ]
 
 

@@ -521,3 +521,69 @@ def test_stalled_override_no_t1_commit_parity(spark):
     oracle = {(t, p): c for t, p, c in con.execute(sql).fetchall()}
     con.close()
     assert oracle == got
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """A user who purchases BEFORE viewing must not reach the purchase
+    stage; equal timestamps do not advance (strictly-after chaining)."""
+    from ureplicator_spark.operators.relational import funnel_counts
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", 100), (1, "view", 200), (1, "purchase", 300),
+        # u2: purchase before view -> stops at view
+        (2, "signup", 100), (2, "purchase", 150), (2, "view", 200),
+        # u3: view at the same second as signup -> not strictly after
+        (3, "signup", 100), (3, "view", 100),
+        # u4: never signed up -> not in the funnel at all
+        (4, "view", 50), (4, "purchase", 60),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_sec long")
+    got = {r.event_type: r.n_users for r in funnel_counts(ev).collect()}
+    assert got == {"signup": 3, "view": 2, "purchase": 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    """Cohort = first-activity week; offsets count distinct users."""
+    from ureplicator_spark.operators.relational import retention_cohorts
+
+    wk = 604800
+    rows = [
+        (1, 0), (1, wk + 5), (1, 2 * wk + 5),   # cohort 0, offsets 0,1,2
+        (2, 10), (2, 2 * wk),                   # cohort 0, offsets 0,2
+        (3, wk), (3, wk + 60),                  # cohort 1, offset 0 (twice)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_sec long")
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(ev).collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """Cluster sizes partition the corpus; a second run is identical
+    (pure-plan determinism); inertia is non-negative."""
+    from ureplicator_spark.operators.similarity import kmeans_clusters
+    from ureplicator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out1 = kmeans_clusters(emb).collect()
+    out2 = kmeans_clusters(emb).collect()
+    assert out1 == out2
+    assert sum(r.n_vecs for r in out1) == n
+    assert all(r.inertia >= 0 for r in out1)
+    assert len(out1) <= 8
+
+
+def test_ann_recall_bounds_and_truth_subset(spark, sf_dir):
+    """recall ∈ [0,1] for every query; n_hits can never exceed k; a
+    query whose bucket holds the true top-k gets recall 1.0."""
+    from ureplicator_spark.operators.similarity import ann_recall
+    from ureplicator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ann_recall(emb).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= 3
+        assert abs(r.recall - r.n_hits / 3.0) < 1e-6

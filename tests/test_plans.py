@@ -249,6 +249,11 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         "similarity_ivf_ann",
         "dedup_embedding_cosine",
         "knn_label_vote",
+        # kmeans: broadcast side is the k×dim centroid table (vec_id<k
+        # init, then per-cluster aggregates) — size fixed by k, not SF.
+        "embedding_kmeans",
+        # recall gauge: broadcasts only the vec_id<n_queries slice.
+        "similarity_ann_recall",
     }
     offenders = {}
     for name, (fn, _sql) in sorted(QUERIES.items()):

@@ -11,10 +11,10 @@ These exercise the engine paths a 100 TB deployment leans on hardest:
   * sessionization: the one genuinely order-dependent operator —
     window lag over (user, time), shuffle keyed on user only.
 
-Determinism discipline: money math is DECIMAL(18,2)-cast BEFORE
-aggregation (exact, order-independent), rounded then cast to double
-only at the output edge — the pattern that makes results reproducible
-across partitionings/engines.
+Determinism discipline: money math runs in exact integer units (see
+the money-aggregation note below), rounded and cast to double only at
+the output edge — the pattern that makes results reproducible across
+partitionings/engines.
 """
 
 from __future__ import annotations
@@ -377,3 +377,66 @@ def sessionize(events_ts_sec: DataFrame, gap_sec: int = 21600) -> DataFrame:
         F.sum("is_start").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+def retention_cohorts(events_ts_sec: DataFrame, bucket_sec: int = 604800) -> DataFrame:
+    """Cohort retention: users grouped by the week of their FIRST
+    activity; for each (cohort_week, week_offset) the count of users
+    still active that many weeks later.
+
+    Scale shape: two shuffles, both keyed on user_id — the first-touch
+    aggregate reuses its partitioning for the join back onto the event
+    stream (Catalyst plans one Exchange + ReusedExchange), then the
+    (cohort, offset) rollup is distinct-counted over a key space
+    bounded by weeks², not events. Weeks are epoch-bucketed
+    (ts_sec div bucket) so no calendar library is in the hot path."""
+    wk = (F.col("ts_sec") / bucket_sec).cast("long")
+    first = events_ts_sec.groupBy("user_id").agg(
+        F.min("ts_sec").alias("first_ts")
+    )
+    return (
+        events_ts_sec.join(first, "user_id")
+        .select(
+            "user_id",
+            (F.col("first_ts") / bucket_sec).cast("long").alias("cohort_week"),
+            (wk - (F.col("first_ts") / bucket_sec).cast("long")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def funnel_counts(
+    events_ts_sec: DataFrame,
+    stages: tuple[str, ...] = ("signup", "view", "purchase"),
+) -> DataFrame:
+    """Ordered funnel: stage k counts users whose earliest stage-k
+    event STRICTLY FOLLOWS their earliest qualifying stage-(k-1) event
+    (min-ts chaining, the standard funnel semantics that is robust to
+    event replays).
+
+    Scale shape: one conditional aggregate per stage, all keyed on
+    user_id, so every shuffle shares one partitioning; per-stage user
+    sets only ever shrink. The output is stages-many rows built from
+    1-row counts (broadcast union, no data returns to the driver)."""
+    cur = None  # DataFrame[user_id, t_k] of users alive at stage k
+    out = None
+    for idx, stage in enumerate(stages):
+        ev = events_ts_sec.filter(F.col("event_type") == stage)
+        if cur is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts_sec").alias("t"))
+        else:
+            cur = (
+                ev.join(cur, "user_id")
+                .filter(F.col("ts_sec") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts_sec").alias("t"))
+            )
+        row = cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).cast("int").alias("stage"),
+            F.lit(stage).alias("event_type"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

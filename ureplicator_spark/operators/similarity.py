@@ -522,3 +522,128 @@ def lsh_ann_filtered(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "label", "cosine", "rank")
     )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, qscale: int = 1000
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, fully deterministic
+    and engine-exact: components are quantized to integers
+    (round(x·qscale)), distances are exact integer squared-L2, and
+    centroid updates use exact floor division — so the oracle
+    reproduces every assignment bit-for-bit (no float-order ties).
+    Init is the first ``k`` vectors (vec_id < k); ``iters``
+    assignment passes with ``iters-1`` centroid updates between.
+
+    Scale shape (the MLlib Lloyd topology, minus the driver collect):
+    centroids live in a k×dim DataFrame that BROADCASTS into the
+    assignment join — the corpus-sized component table never shuffles
+    for assignment; the only corpus-wide exchanges are the per-
+    (vector) argmin and per-(cluster, dim) update aggregates, one pair
+    per iteration. Inertia accumulates in decimal(38) so the final sum
+    cannot overflow at any corpus size.
+
+    Determinism note: round(CAST(x AS DOUBLE)·qscale) is computed
+    identically in Spark and DuckDB (exact float→double widening, one
+    correctly-rounded multiply, half-up round)."""
+    comp = _components(embeddings).select(
+        "vec_id", "i", F.round(F.col("x") * qscale).cast("long").alias("q")
+    )
+    cents = comp.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), "i", F.col("q").alias("c")
+    )
+    best = None
+    for it in range(iters):
+        dist = (
+            comp.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        )
+        best = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
+            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"), F.col("m.dist").alias("dist"))
+        )
+        if it < iters - 1:
+            upd = (
+                comp.join(best.select("vec_id", "cluster_id"), "vec_id")
+                .groupBy("cluster_id", "i")
+                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            )
+            # exact floor division: subtract the non-negative remainder
+            # first so the quotient is an exact integer in both engines
+            cents = upd.select(
+                "cluster_id",
+                "i",
+                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
+            )
+    return (
+        best.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).cast("long").alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def ann_recall(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Recall@k of bucket-local LSH ANN against the brute-force ground
+    truth — the quality gauge every ANN deployment tracks next to its
+    latency win. Per query: |ANN top-k ∩ exact top-k| / k.
+
+    Scale shape: the exact side is brute force over the corpus (this
+    is an OFFLINE evaluation run on a sample of queries — n_queries
+    stays bounded, so O(Q·N) is a deliberate, sized cost, not a scale
+    bug); the ANN side is the same bucket-local join the production
+    path uses. Output is one row per query, ordered."""
+    bf = cosine_knn(embeddings, n_queries, k).select("q_id", "c_id")
+
+    buckets = lsh_buckets(embeddings, n_planes)
+    comp = _components(embeddings)
+    nr = norms(embeddings)
+    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "bucket"
+    )
+    cb = buckets.select(F.col("vec_id").alias("c_id"), "bucket")
+    cand = qb.join(cb, "bucket").filter(F.col("q_id") != F.col("c_id"))
+    qc = comp.select(F.col("vec_id").alias("q_id"), "i", F.col("x").alias("qx"))
+    cc = comp.select(F.col("vec_id").alias("c_id"), "i", F.col("x").alias("cx"))
+    dots = (
+        cand.join(qc, "q_id")
+        .join(cc, ["c_id", "i"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    nq = nr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm").alias("qn")
+    )
+    nc = nr.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).desc(), F.col("c_id")
+    )
+    ann = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nc, "c_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id")
+    )
+
+    hits = ann.join(bf, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    all_q = bf.select("q_id").distinct()
+    return (
+        all_q.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )

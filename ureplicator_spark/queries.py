@@ -3752,3 +3752,226 @@ def q_similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_filtered(emb, F.col("label") % 2 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: retention cohorts + ordered funnel (round 5)
+# ---------------------------------------------------------------------------
+
+_EV_SEC_CTE = (
+    "ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec"
+    " FROM events)"
+)
+
+_RETENTION_SQL = _with(
+    _EV_SEC_CTE,
+    "first AS (SELECT user_id, MIN(ts_sec) AS first_ts FROM ev GROUP BY user_id)",
+    """
+SELECT CAST(first_ts // 604800 AS BIGINT) AS cohort_week,
+       CAST(ts_sec // 604800 - first_ts // 604800 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+
+
+@register("user_retention", _RETENTION_SQL)
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream (first-touch
+    cohorting; the training-telemetry twin of product retention)."""
+    from ureplicator_spark.operators import relational as REL
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select("user_id", FX.event_ts_sec(raw).alias("ts_sec"))
+    return REL.retention_cohorts(ev)
+
+
+_FUNNEL_SQL = _with(
+    _EV_SEC_CTE,
+    "s0 AS (SELECT user_id, MIN(ts_sec) AS t FROM ev WHERE event_type = 'signup' GROUP BY user_id)",
+    """
+s1 AS (
+  SELECT e.user_id, MIN(e.ts_sec) AS t
+  FROM ev e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'view' AND e.ts_sec > s0.t
+  GROUP BY e.user_id
+)
+""".strip(),
+    """
+s2 AS (
+  SELECT e.user_id, MIN(e.ts_sec) AS t
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_sec > s1.t
+  GROUP BY e.user_id
+)
+""".strip(),
+    """
+SELECT * FROM (
+  SELECT CAST(0 AS INTEGER) AS stage, 'signup' AS event_type,
+         (SELECT COUNT(*) FROM s0) AS n_users
+  UNION ALL
+  SELECT 1, 'view', (SELECT COUNT(*) FROM s1)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+) ORDER BY stage
+""",
+)
+
+
+@register("event_funnel", _FUNNEL_SQL)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→purchase funnel (min-ts chaining)."""
+    from ureplicator_spark.operators import relational as REL
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select("user_id", "event_type", FX.event_ts_sec(raw).alias("ts_sec"))
+    return REL.funnel_counts(ev).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering + ANN quality (round 5)
+# ---------------------------------------------------------------------------
+
+_KMEANS_COMPQ_CTE = """
+compq AS (
+  SELECT vec_id, r.i,
+         CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+)
+""".strip()
+
+_KMEANS_SQL = _with(
+    _KMEANS_COMPQ_CTE,
+    "c0 AS (SELECT vec_id AS cluster_id, i, q AS c FROM compq WHERE vec_id < 8)",
+    """
+d1 AS (
+  SELECT v.vec_id, c.cluster_id, SUM((v.q - c.c) * (v.q - c.c)) AS dist
+  FROM compq v JOIN c0 c ON v.i = c.i GROUP BY v.vec_id, c.cluster_id
+)
+""".strip(),
+    """
+a1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM d1
+  ) WHERE rn = 1
+)
+""".strip(),
+    """
+c1 AS (
+  SELECT a.cluster_id, v.i,
+         CAST((SUM(v.q) - ((SUM(v.q) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*) AS BIGINT) AS c
+  FROM compq v JOIN a1 a ON v.vec_id = a.vec_id GROUP BY a.cluster_id, v.i
+)
+""".strip(),
+    """
+d2 AS (
+  SELECT v.vec_id, c.cluster_id, SUM((v.q - c.c) * (v.q - c.c)) AS dist
+  FROM compq v JOIN c1 c ON v.i = c.i GROUP BY v.vec_id, c.cluster_id
+)
+""".strip(),
+    """
+a2 AS (
+  SELECT vec_id, cluster_id, dist FROM (
+    SELECT vec_id, cluster_id, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+""".strip(),
+    """
+SELECT cluster_id, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
+FROM a2 GROUP BY cluster_id ORDER BY cluster_id
+""",
+)
+
+
+@register("embedding_kmeans", _KMEANS_SQL)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd k-means (k=8, 2 assignment passes) — the
+    corpus-clustering step behind IVF index builds and data-mixture
+    balancing, deterministic enough for a bit-exact oracle."""
+    from ureplicator_spark.operators.similarity import kmeans_clusters
+    from ureplicator_spark.sources.parquet import load_table
+
+    return kmeans_clusters(load_table(spark, sf_dir, "embeddings"))
+
+
+_ANN_RECALL_SQL = _with(
+    _COMP_CTE,
+    _PLANES_CTE,
+    _BITS_CTE,
+    _BUCKETS_CTE,
+    _NRM_CTE,
+    """
+bfdots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
+  FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+""".strip(),
+    """
+bf AS (
+  SELECT q_id, c_id FROM (
+    SELECT d.q_id, d.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id
+                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+    FROM bfdots d
+    JOIN nrm nq ON nq.vec_id = d.q_id
+    JOIN nrm nc ON nc.vec_id = d.c_id
+  ) WHERE rn <= 3
+)
+""".strip(),
+    """
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+""".strip(),
+    """
+anndots AS (
+  SELECT cand.q_id, cand.c_id, SUM(q.x * c.x) AS dot
+  FROM cand
+  JOIN comp q ON q.vec_id = cand.q_id
+  JOIN comp c ON c.vec_id = cand.c_id AND c.i = q.i
+  GROUP BY cand.q_id, cand.c_id
+)
+""".strip(),
+    """
+ann AS (
+  SELECT q_id, c_id FROM (
+    SELECT d.q_id, d.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id
+                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+    FROM anndots d
+    JOIN nrm nq ON nq.vec_id = d.q_id
+    JOIN nrm nc ON nc.vec_id = d.c_id
+  ) WHERE rn <= 3
+)
+""".strip(),
+    """
+hits AS (
+  SELECT bf.q_id, COUNT(*) AS n_hits
+  FROM bf JOIN ann ON bf.q_id = ann.q_id AND bf.c_id = ann.c_id
+  GROUP BY bf.q_id
+)
+""".strip(),
+    """
+SELECT q.q_id, CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 3.0, 6) AS recall
+FROM (SELECT DISTINCT q_id FROM bf) q
+LEFT JOIN hits h USING (q_id) ORDER BY q_id
+""",
+)
+
+
+@register("similarity_ann_recall", _ANN_RECALL_SQL)
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH bucket-local ANN vs brute-force truth."""
+    from ureplicator_spark.operators.similarity import ann_recall
+    from ureplicator_spark.sources.parquet import load_table
+
+    return ann_recall(load_table(spark, sf_dir, "embeddings"))
