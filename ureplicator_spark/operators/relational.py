@@ -384,10 +384,12 @@ def retention_cohorts(events_ts_sec: DataFrame, bucket_sec: int = 604800) -> Dat
     activity; for each (cohort_week, week_offset) the count of users
     still active that many weeks later.
 
-    Scale shape: two shuffles, both keyed on user_id — the first-touch
-    aggregate reuses its partitioning for the join back onto the event
-    stream (Catalyst plans one Exchange + ReusedExchange), then the
-    (cohort, offset) rollup is distinct-counted over a key space
+    Scale shape: the first-touch table is a per-user reduction — AQE
+    broadcasts it at small SF (measured: the event stream never
+    shuffles for the join); beyond the broadcast threshold the join
+    keys on user_id and the aggregate side arrives already
+    hash-partitioned on it, so only the event side pays a shuffle.
+    The (cohort, offset) rollup then distinct-counts over a key space
     bounded by weeks², not events. Weeks are epoch-bucketed
     (ts_sec div bucket) so no calendar library is in the hot path."""
     wk = (F.col("ts_sec") / bucket_sec).cast("long")
