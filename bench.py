@@ -120,6 +120,20 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Round-5 additions, timed but kept OUT of the headline total so
+    # cross-round totals stay comparable on the original 34-query set.
+    extended_names = [
+        "user_retention", "event_funnel", "embedding_kmeans",
+        "similarity_ann_recall", "chunk_dedup", "token_count_bpe",
+    ]
+    extended: dict[str, float] = {}
+    for name in extended_names:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name][0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     # Concurrent makespan: the same 34 queries submitted together, the
     # way a shared cluster actually runs them. A single local[N] query
     # rarely saturates N cores (stage barriers, planning gaps), so the
@@ -146,6 +160,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_queries": extended,
+                "extended_total_sec": round(sum(extended.values()), 3),
                 "concurrent_makespan_sec": concurrent_makespan,
                 "ivf_build_sec": ivf_build_sec,
                 "sf": float(sf) if sf else None,

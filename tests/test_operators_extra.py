@@ -587,3 +587,18 @@ def test_ann_recall_bounds_and_truth_subset(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= 3
         assert abs(r.recall - r.n_hits / 3.0) < 1e-6
+
+
+def test_chunk_dedup_cross_doc_semantics(spark):
+    """Identical chunks across docs are flagged with keeper = min doc;
+    within-doc repeats alone don't qualify (n_docs >= 2)."""
+    from ureplicator_spark.operators.text import chunk_dedup
+
+    shared = " ".join(f"w{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "unique " * 32)],
+        "doc_id long, text string",
+    )
+    rows = chunk_dedup(docs, size=32, stride=32).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 2 and rows[0].keeper_doc_id == 1

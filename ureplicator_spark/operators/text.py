@@ -551,3 +551,47 @@ def boilerplate_spans(
     return grams.join(bp, "gram").select(
         "doc_id", "pos", md5_long("gram").alias("shingle_hash"), "n_docs"
     )
+
+
+def chunk_dedup(
+    documents: DataFrame, size: int = 32, stride: int = 24, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document chunk dedup — the C4 line-dedup pass at training-
+    chunk granularity: chunk hashes that recur in ≥ min_docs distinct
+    documents, with keeper = lowest doc_id (drop the chunk everywhere
+    else). Two-phase agg keyed on the 60-bit chunk hash: map-side
+    partial counts collapse repeats before the single shuffle, so
+    shuffle volume is O(distinct chunks), not O(chunks)."""
+    ch = chunk_documents(documents, size, stride)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occur"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy("chunk_hash")
+    )
+
+
+# GPT-style pre-tokenizer classes: letter runs, single digits,
+# punctuation. Same regex dialect subset in Java (Spark) and RE2
+# (DuckDB): character classes, +, alternation only.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_estimate(documents: DataFrame) -> DataFrame:
+    """Tokenizer-aware size estimate: whitespace words vs BPE-ish
+    pre-token count (letter runs + single digits + punctuation marks —
+    the GPT-2 pre-tokenizer's coarse classes). The tokens-per-word
+    ratio is the standard sizing heuristic when budgeting a training
+    mix in tokens rather than documents. Map-only, no shuffle."""
+    toks = F.split(F.trim(F.col("text")), " +")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0)))
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_words"),
+        bpe.cast("int").alias("n_bpe_tokens"),
+        F.round(bpe / F.size(toks), 6).alias("tokens_per_word"),
+    )

@@ -3975,3 +3975,42 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return ann_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+_CHUNK_DEDUP_SQL = (
+    "WITH chunks AS (\n" + _CHUNKS_SQL + "\n)\n"
+    """
+SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occur,
+       MIN(doc_id) AS keeper_doc_id
+FROM chunks GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash
+"""
+)
+
+
+@register("chunk_dedup", _CHUNK_DEDUP_SQL)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk dedup (C4 line-dedup at chunk granularity)."""
+    from ureplicator_spark.operators.text import chunk_dedup
+    from ureplicator_spark.sources.parquet import load_table
+
+    return chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), ' +')) AS INTEGER) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+       ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+             * 1.0 / len(regexp_split_to_array(trim(text), ' +')), 6) AS tokens_per_word
+FROM documents
+"""
+
+
+@register("token_count_bpe", _BPE_SQL)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer size estimate (token-budget heuristic)."""
+    from ureplicator_spark.operators.text import bpe_token_estimate
+    from ureplicator_spark.sources.parquet import load_table
+
+    return bpe_token_estimate(load_table(spark, sf_dir, "documents"))
