@@ -267,3 +267,38 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         if hinted:
             offenders[name] = sorted(hinted)
     assert not offenders, f"forced broadcast of SF-growing tables: {offenders}"
+
+
+def test_ivf_index_kmeans_trained_build(spark, sf_dir, tmp_path_factory):
+    """trained=True builds the index from Lloyd centroids: layout is
+    still cent_id-partitioned with DPP-prunable search, every corpus
+    vector lands in exactly one list, and the search returns a full
+    top-k per query."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.plans.inspect import plan_string
+    from ureplicator_spark.sources.ivf_index import build_ivf_index, search_ivf_index
+    from ureplicator_spark.sources.parquet import load_table
+
+    root = str(tmp_path_factory.mktemp("ivf_trained"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, root, n_centroids=8, trained=True)
+
+    vecs = spark.read.parquet(root + "/vectors")
+    n_emb = emb.count()
+    assert vecs.select("vec_id").distinct().count() == n_emb
+    # one list per vector (no duplicates across partitions)
+    assert vecs.groupBy("vec_id").agg(
+        F.countDistinct("cent_id").alias("n")
+    ).filter(F.col("n") > 1).count() == 0
+    assert spark.read.parquet(root + "/centroids").select("cent_id").distinct().count() <= 8
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = search_ivf_index(spark, root, queries, nprobe=2, k=3)
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert "dynamicpruning" in plan_string(got).lower()

@@ -293,3 +293,53 @@ def test_simhash_band_bucket_cardinality_grows(spark):
     assert small_docs == 500 and big_docs == 5000
     assert small_min > 8 * 16  # old scheme capped each band at 16 values
     assert big_min > 2 * small_min  # selectivity keeps improving with N
+
+
+_uid = st.integers(min_value=1, max_value=5)
+_etype = st.sampled_from(["signup", "view", "purchase", "error"])
+_ets = st.integers(min_value=0, max_value=100)
+
+
+@given(events=st.lists(st.tuples(_uid, _etype, _ets), min_size=1, max_size=40))
+@SETTINGS
+def test_funnel_matches_reference(spark, events):
+    """funnel_counts == oblivious per-user min-ts chain on random
+    event sets (replays, ties, missing stages, out-of-order)."""
+    from ureplicator_spark.operators.relational import funnel_counts
+
+    ev = spark.createDataFrame(events, "user_id long, event_type string, ts_sec long")
+    got = {r.event_type: r.n_users for r in funnel_counts(ev).collect()}
+
+    stages = ["signup", "view", "purchase"]
+    expected = {s: 0 for s in stages}
+    users = {u for u, _, _ in events}
+    for u in users:
+        mine = [(t, e) for (uu, e, t) in events if uu == u]
+        prev_t = None
+        for s in stages:
+            cand = [t for (t, e) in mine if e == s and (prev_t is None or t > prev_t)]
+            if not cand:
+                break
+            prev_t = min(cand)
+            expected[s] += 1
+    assert got == expected
+
+
+@given(events=st.lists(st.tuples(_uid, st.integers(0, 3_000_000)), min_size=1, max_size=40))
+@SETTINGS
+def test_retention_matches_reference(spark, events):
+    from ureplicator_spark.operators.relational import retention_cohorts
+
+    ev = spark.createDataFrame(events, "user_id long, ts_sec long")
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(ev).collect()}
+
+    wk = 604800
+    first = {}
+    for u, t in events:
+        first[u] = min(first.get(u, t), t)
+    expected: dict = {}
+    for key in {(first[u] // wk, t // wk - first[u] // wk, u) for u, t in events}:
+        cw, off, _ = key
+        expected[(cw, off)] = expected.get((cw, off), 0) + 1
+    assert got == expected

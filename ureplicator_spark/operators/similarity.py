@@ -647,3 +647,46 @@ def ann_recall(
         )
         .orderBy("q_id")
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, qscale: int = 1000
+) -> DataFrame:
+    """Final Lloyd centroid VECTORS as (cent_id, i, cx double) — the
+    trained coarse quantizer `sources/ivf_index.py` persists when
+    built with ``trained=True``. Runs the same integer-exact loop as
+    :func:`kmeans_clusters`, then one last mean update from the final
+    assignment so the persisted centroids reflect every pass."""
+    comp = _components(embeddings).select(
+        "vec_id", "i", F.round(F.col("x") * qscale).cast("long").alias("q")
+    )
+    cents = comp.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), "i", F.col("q").alias("c")
+    )
+    best = None
+    for it in range(iters):
+        dist = (
+            comp.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        )
+        best = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
+            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+        )
+        upd = (
+            comp.join(best, "vec_id")
+            .groupBy("cluster_id", "i")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        )
+        cents = upd.select(
+            "cluster_id",
+            "i",
+            ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
+        )
+    return cents.select(
+        F.col("cluster_id").alias("cent_id"),
+        "i",
+        (F.col("c") / F.lit(float(qscale))).alias("cx"),
+    )

@@ -29,17 +29,37 @@ from pyspark.sql import functions as F
 from ureplicator_spark.operators.similarity import _components, norms
 
 
-def build_ivf_index(embeddings: DataFrame, root: str, n_centroids: int = 8) -> None:
+def build_ivf_index(
+    embeddings: DataFrame, root: str, n_centroids: int = 8, trained: bool = False
+) -> None:
     """One-pass index build: assign every vector to its nearest
-    centroid list and persist components partitioned by list."""
+    centroid list and persist components partitioned by list.
+
+    ``trained=True`` swaps the deterministic vec_id<k pick for Lloyd
+    k-means centroids (`operators/similarity.kmeans_centroids`) — the
+    offline-trained coarse quantizer a production IVF deployment uses;
+    balanced lists mean balanced partition directories, which is what
+    keeps the probed-list read cost even at 100 TB."""
     comp = _components(embeddings)
     nrm = norms(embeddings)
-    cent = comp.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), "i", F.col("x").alias("cx")
-    )
-    ncent = nrm.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("norm").alias("cn")
-    )
+    if trained:
+        from ureplicator_spark.operators.similarity import kmeans_centroids
+
+        cent = kmeans_centroids(embeddings, k=n_centroids)
+        # floor the norm: a degenerate all-zero centroid (possible on
+        # pathological inputs) must not inject NaN cosines
+        ncent = cent.groupBy("cent_id").agg(
+            F.greatest(
+                F.sqrt(F.sum(F.col("cx") * F.col("cx"))), F.lit(1e-12)
+            ).alias("cn")
+        )
+    else:
+        cent = comp.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), "i", F.col("x").alias("cx")
+        )
+        ncent = nrm.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("norm").alias("cn")
+        )
     cent.join(F.broadcast(ncent), "cent_id").write.mode("overwrite").parquet(
         root + "/centroids"
     )
