@@ -602,3 +602,44 @@ def test_chunk_dedup_cross_doc_semantics(spark):
     rows = chunk_dedup(docs, size=32, stride=32).collect()
     assert len(rows) == 1
     assert rows[0].n_docs == 2 and rows[0].keeper_doc_id == 1
+
+
+def test_compact_archive_shrinks_small_files(spark, sf_dir, tmp_path):
+    """Compaction rewrites fragmented (topic, dt) partitions down to
+    their size-justified file count, preserves rows exactly, and
+    leaves already-compact partitions untouched."""
+    from ureplicator_spark.sources.archive import (
+        compact_archive,
+        read_archive,
+        write_archive,
+    )
+
+    root = str(tmp_path / "arch")
+    rec = FX.records(spark, sf_dir)
+    # fragment: 6 appends of the same slice → ≥6 files per partition
+    one_day = rec.filter(F.col("topic") == "click").limit(200)
+    for _ in range(6):
+        write_archive(one_day, root)
+    before_rows = read_archive(spark, root).count()
+    before_files = len(read_archive(spark, root).inputFiles())
+    assert before_files >= 6
+
+    done = compact_archive(spark, root, target_bytes=128 * 1024 * 1024)
+    assert done, "fragmented partitions should be rewritten"
+    after = read_archive(spark, root)
+    assert after.count() == before_rows
+    after_files = len(after.inputFiles())
+    assert after_files < before_files
+    # every rewritten partition hit its target file count (directory
+    # listing — inputFiles() ignores partition filters)
+    import os
+
+    for tval, dval, n_before, n_target in done:
+        pdir = os.path.join(root, f"topic={tval}", f"dt={dval}")
+        n_files = len(
+            [f for f in os.listdir(pdir) if not f.startswith(("_", "."))]
+        )
+        assert n_files == n_target
+        assert n_before > n_target
+    # second pass: nothing left to do
+    assert compact_archive(spark, root, target_bytes=128 * 1024 * 1024) == []
