@@ -445,3 +445,31 @@ def test_compact_survives_racing_compactor(spark, record_dir, tmp_path, monkeypa
     got2 = {(r.topic, r.partition): r.commit_offset
             for r in OFF.current_offsets(spark, log_dir).collect()}
     assert got2 == want
+
+
+def test_streaming_archive_sink_layout_and_pruning(spark, record_dir, tmp_path):
+    """start_archive writes the sources/archive.py layout from the
+    stream: rows preserved under the DESTINATION topic names,
+    directory-pruned reads work on the live archive, and
+    compact_archive can maintain it afterwards."""
+    from ureplicator_spark.sources.archive import compact_archive, read_archive
+
+    root = str(tmp_path / "arch")
+    ckpt = str(tmp_path / "ckpt")
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=ckpt, source_kind="files", source_path=record_dir
+    )
+    job.start_archive(root, available_now=True).awaitTermination(120)
+
+    src = spark.read.parquet(record_dir)
+    arch = read_archive(spark, root)
+    # blacklisted/unmapped topics are dropped by the transform; mapped
+    # ones arrive renamed with every row intact
+    n_click = src.filter(F.col("topic") == "click").count()
+    assert read_archive(spark, root, topic="click_mirror").count() == n_click
+    assert arch.filter(F.col("topic") == "click").count() == 0
+    # partition layout is (topic, dt) with a real date column
+    assert {"topic", "dt"} <= set(arch.columns)
+    # maintenance pass runs clean on the streamed layout
+    compact_archive(spark, root, target_bytes=128 * 1024 * 1024)
+    assert read_archive(spark, root, topic="click_mirror").count() == n_click

@@ -151,6 +151,49 @@ class ReplicationJob:
         self.query = writer.start()
         return self.query
 
+    def start_archive(self, root: str, available_now: bool = False) -> StreamingQuery:
+        """Streaming replication into the partitioned record archive
+        (``sources/archive.py`` layout: topic=<dst>/dt=<day>/) — the
+        retention-independent replay store.
+
+        Deliberately ``foreachBatch`` + plain batch appends, NOT the
+        native streaming file sink: the file sink's ``_spark_metadata``
+        manifest is the reader's source of truth, so any external
+        rewrite (``compact_archive``) breaks every subsequent read
+        with FileNotFound. A manifest-free directory keeps the archive
+        compactable and readable by any engine; delivery downgrades
+        from exactly-once to at-least-once per micro-batch — the SAME
+        guarantee the reference offers end-to-end (T1: commit after
+        flush, ProducerThread.java:172-188), and replays are idempotent
+        downstream because records carry (topic, partition, offset)."""
+        from pyspark.sql import functions as F
+
+        out = self._transform(self._source()).select(
+            F.col("dst_topic").alias("topic"),
+            F.col("dst_partition").alias("partition"),
+            "offset",
+            "ts_sec",
+            "value_size",
+            "value",
+            "props",
+            F.to_date(F.timestamp_seconds("ts_sec")).alias("dt"),
+        )
+
+        def _append(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("append").partitionBy("topic", "dt").parquet(root)
+
+        writer = (
+            out.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.route.name + "-archive")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self.route.trigger_interval:
+            writer = writer.trigger(processingTime=self.route.trigger_interval)
+        self.query = writer.start()
+        return self.query
+
     def start_kafka(self, preserve_order: bool = True) -> StreamingQuery:
         """Streaming replication into the destination Kafka cluster with
         the reference's ordering contract (T2).
