@@ -643,3 +643,23 @@ def test_compact_archive_shrinks_small_files(spark, sf_dir, tmp_path):
         assert n_before > n_target
     # second pass: nothing left to do
     assert compact_archive(spark, root, target_bytes=128 * 1024 * 1024) == []
+
+
+def test_read_archive_schema_drift(spark, sf_dir, tmp_path):
+    """A column added mid-retention merges across partitions: old days
+    read it as NULL, new days carry it; default read stays cheap (no
+    footer sweep) and pruned reads still work."""
+    from ureplicator_spark.sources.archive import read_archive, write_archive
+
+    root = str(tmp_path / "arch")
+    rec = FX.records(spark, sf_dir).filter(F.col("topic") == "click").limit(100)
+    write_archive(rec.drop("props"), root)
+    write_archive(rec.withColumn("schema_rev", F.lit(2)), root)
+
+    merged = read_archive(spark, root, merge_schema=True)
+    assert {"props", "schema_rev"} <= set(merged.columns)
+    n = rec.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("schema_rev").isNull()).count() == n
+    assert merged.filter(F.col("props").isNull()).count() == n
+    assert read_archive(spark, root, topic="click", merge_schema=True).count() == 2 * n

@@ -37,10 +37,21 @@ def read_archive(
     topic: str | None = None,
     date_from: str | None = None,
     date_to: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Pruned archive scan: topic/date predicates hit PartitionFilters
-    (directory pruning), never file contents."""
-    df = spark.read.parquet(root)
+    (directory pruning), never file contents.
+
+    ``merge_schema=True`` unions column sets across partition files
+    (absent columns read as NULL) — a record schema that grew a header
+    field mid-retention is the normal case for a long-lived archive.
+    Off by default: schema merging reads every file's footer up front,
+    which on a 100 TB archive is a full metadata sweep you only pay
+    when drift is actually possible."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(root)
     if topic is not None:
         df = df.filter(F.col("topic") == topic)
     if date_from is not None:
