@@ -8,8 +8,8 @@ Four families, all shuffle-disciplined:
   * minhash-LSH  — shingle → K minhashes → band → bucket-join. The
                    candidate-pair join is on (band, band_hash), never
                    all-pairs; cost is Σ bucket² which LSH keeps tiny.
-  * simhash      — 16-bit portable simhash; near-dup buckets by exact
-                   simhash match (or Hamming-ball probing later).
+  * simhash      — 60-bit portable simhash (Manku WWW'07); near-dup
+                   pairs via 15-bit banded buckets at Hamming ≤ 3.
   * n-gram Jaccard — exact verification on candidate pairs that share
                    a shingle (inverted-index self-join, blocked).
 
