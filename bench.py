@@ -151,6 +151,17 @@ def main() -> None:
         list(pool.map(run_one, BENCH_QUERIES))
     concurrent_makespan = round(time.perf_counter() - t0, 3)
 
+    # Steady-state sequential pass: same queries, now with codegen
+    # compiled and fixture plans built — the recurring-query cost a
+    # long-lived cluster actually pays. Reported separately; the cold
+    # `value` stays the headline for cross-round comparability.
+    warm: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = extra[name] if name in extra else QUERIES[name][0]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -163,6 +174,8 @@ def main() -> None:
                 "extended_queries": extended,
                 "extended_total_sec": round(sum(extended.values()), 3),
                 "concurrent_makespan_sec": concurrent_makespan,
+                "warm_sequential_total_sec": round(sum(warm.values()), 3),
+                "warm_queries": warm,
                 "ivf_build_sec": ivf_build_sec,
                 "sf": float(sf) if sf else None,
             }
