@@ -401,3 +401,44 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    documents: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Directional containment dedup (the substring-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): doc A is (near-)contained in doc B when ≥ ``threshold``
+    of A's distinct shingles also occur in B — ratio 1.0 means every
+    A-shingle appears in B, the quote/boilerplate-wrapper case that
+    symmetric Jaccard under-scores (a small doc inside a big one has
+    low Jaccard but full containment).
+
+    Scale shape: identical inverted-index topology to
+    :func:`ngram_jaccard_pairs` — candidates must share ≥1 shingle
+    (bucket-local join on the shingle key, AQE skew-split for
+    stop-shingles), never all-pairs; the threshold filter bounds the
+    output. The shingle view is cached once for its three branches."""
+    sh = shingles(documents).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = sh.select(F.col("doc_id").alias("inner_doc"), "shingle")
+    b = sh.select(F.col("doc_id").alias("outer_doc"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("inner_doc") != F.col("outer_doc"))
+        .groupBy("inner_doc", "outer_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("inner_doc"), F.col("n_grams").alias("n_inner"))
+    return (
+        inter.join(sa, "inner_doc")
+        .select(
+            "inner_doc",
+            "outer_doc",
+            "n_inner",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_inner"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("inner_doc", "outer_doc")
+    )

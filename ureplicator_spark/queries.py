@@ -4014,3 +4014,32 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return bpe_token_estimate(load_table(spark, sf_dir, "documents"))
+
+
+_CONTAINMENT_SQL = _with(
+    _SHINGLES_CTE,
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM shingles GROUP BY doc_id)",
+    """
+inter AS (
+  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, COUNT(*) AS n_shared
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+""".strip(),
+    """
+SELECT inner_doc, outer_doc, s.n_grams AS n_inner, n_shared,
+       ROUND(n_shared * 1.0 / s.n_grams, 6) AS containment
+FROM inter JOIN sizes s ON s.doc_id = inner_doc
+WHERE n_shared * 1.0 / s.n_grams >= 0.9
+ORDER BY inner_doc, outer_doc
+""",
+)
+
+
+@register("dedup_containment", _CONTAINMENT_SQL)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-containment pairs (substring-dedup signal)."""
+    from ureplicator_spark.operators.dedup import containment_pairs
+    from ureplicator_spark.sources.parquet import load_table
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
