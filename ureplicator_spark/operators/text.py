@@ -193,9 +193,12 @@ def boilerplate_shingles(
 ) -> DataFrame:
     """C4-style boilerplate detection: word k-grams that recur across
     ≥ min_docs distinct documents (the removal pass filters chunks
-    containing them). Two-phase agg keyed on the shingle — map-side
-    partial count, one shuffle on shingle hash; the distinct-doc count
-    expands to (shingle, doc) then (shingle), both partial."""
+    containing them). The shingle is hashed BEFORE the aggregation so
+    the one shuffle carries 8-byte longs, not ~20-byte strings — at
+    100 TB that is the difference between shuffling the corpus and
+    shuffling a quarter of it. 60-bit collisions merge two shingles'
+    counts; harmless for a recurrence detector until distinct shingles
+    approach 2^30 per job, at which point widen to the md5 pair."""
     from ureplicator_spark.functions import fan_out, md5_long
 
     sh = (
@@ -206,15 +209,15 @@ def boilerplate_shingles(
             "doc_id",
             F.explode(word_kgrams("toks", k)).alias("shingle"),
         )
+        .select("doc_id", md5_long("shingle").alias("shingle_hash"))
     )
     return (
-        sh.groupBy("shingle")
+        sh.groupBy("shingle_hash")
         .agg(
             F.count_distinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_occur"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .select(md5_long("shingle").alias("shingle_hash"), "n_docs", "n_occur")
     )
 
 

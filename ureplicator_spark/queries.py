@@ -3108,7 +3108,7 @@ sh AS (
 )
 SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_hash,
        COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occur
-FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+FROM sh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
