@@ -302,3 +302,51 @@ def test_ivf_index_kmeans_trained_build(spark, sf_dir, tmp_path_factory):
     assert set(per_q) == {0, 1, 2, 3, 4}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     assert "dynamicpruning" in plan_string(got).lower()
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_joins(spark, sf_dir):
+    """Runtime filtering (the 100 TB fact⋈fact path): when a selective
+    dim slice joins a fact too big to broadcast, Spark must inject a
+    bloom `might_contain` on the fact's scan side so unmatched rows
+    die before the shuffle. At test SF every join broadcasts (bloom
+    correctly suppressed — asserted first); disabling broadcast
+    reproduces the at-scale shape and the filter must appear. Run on
+    session confs, not magic: bloomFilter.enabled is on by default and
+    session.py leaves it on."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp_ntz")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    plan_bc = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" not in plan_bc  # broadcast join: no bloom needed
+
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j2 = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # the filter guards the FACT side's orderkey
+        assert "might_contain" in next(
+            l for l in plan.splitlines() if "l_orderkey" in l and "Filter" in l
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
