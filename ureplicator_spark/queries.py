@@ -4043,3 +4043,38 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_LSH_SWEEP_SQL = (
+    "WITH pairs AS (\n" + _LSH_PAIRS_SQL + "\n)\n"
+    """
+SELECT est_jaccard, COUNT(*) AS n_pairs,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY est_jaccard DESC) AS BIGINT) AS n_pairs_at_or_above
+FROM pairs GROUP BY est_jaccard ORDER BY est_jaccard
+"""
+)
+
+
+@register("dedup_threshold_sweep", _LSH_SWEEP_SQL)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning curve: candidate-pair volume per estimated-Jaccard
+    level plus the cumulative count at-or-above each level — the view
+    an operator reads to pick the near-dup threshold (how many pairs a
+    cutoff keeps/drops) before launching a corpus-wide removal. Tiny
+    rollup over the LSH pair set: one extra shuffle on the 9-value
+    est_jaccard domain plus a window over ≤9 rows."""
+    from pyspark.sql import Window
+
+    from ureplicator_spark.operators.dedup import lsh_candidate_pairs
+    from ureplicator_spark.sources.parquet import load_table
+
+    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    per_level = pairs.groupBy("est_jaccard").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy(F.col("est_jaccard").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_level.select(
+        "est_jaccard",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    ).orderBy("est_jaccard")
