@@ -663,3 +663,55 @@ def test_read_archive_schema_drift(spark, sf_dir, tmp_path):
     assert merged.filter(F.col("schema_rev").isNull()).count() == n
     assert merged.filter(F.col("props").isNull()).count() == n
     assert read_archive(spark, root, topic="click", merge_schema=True).count() == 2 * n
+
+
+def test_minhash_index_incremental_dedup(spark, sf_dir, tmp_path):
+    """Persisted-signature incremental dedup: a new batch containing a
+    known near-dup of an indexed doc is flagged against the index
+    WITHOUT re-shingling the corpus; appending the batch then makes a
+    re-run of the same batch self-match-free but corpus-complete."""
+    from ureplicator_spark.operators.dedup import lsh_candidate_pairs
+    from ureplicator_spark.sources.minhash_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_dedup,
+    )
+
+    root = str(tmp_path / "mh")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 4000)
+    build_minhash_index(corpus, root)
+
+    # batch: copies of two corpus docs under fresh ids + the rest
+    dup_src = docs.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    batch = docs.filter(F.col("doc_id") >= 4000).unionByName(dup_src)
+
+    pairs = incremental_dedup(spark, root, batch)
+    got = {(r.new_doc, r.corpus_doc): r.est_jaccard for r in pairs.collect()}
+    # the planted exact copies must match their originals at 1.0
+    assert got.get((1_000_000, 0)) == 1.0
+    assert got.get((1_000_001, 1)) == 1.0
+    # every flagged pair is batch-vs-corpus, never corpus-vs-corpus
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert all(n in batch_ids and c not in batch_ids or c < 4000 for n, c in got)
+
+    # parity with the in-query pass: batch-vs-corpus pairs of the full
+    # LSH run restricted to (batch, corpus) must equal the incremental
+    # result (same bands, same estimates)
+    full = lsh_candidate_pairs(corpus.unionByName(batch))
+    expected = {}
+    for r in full.collect():
+        a, b = r.doc_a, r.doc_b
+        if (a in batch_ids) != (b in batch_ids):
+            n, c = (a, b) if a in batch_ids else (b, a)
+            expected[(n, c)] = r.est_jaccard
+    assert got == expected
+
+    # append the batch; re-running the SAME batch now also matches the
+    # batch's own indexed copies — but never itself under the same id
+    append_to_minhash_index(batch, root)
+    again = incremental_dedup(spark, root, batch)
+    assert again.filter(F.col("new_doc") == F.col("corpus_doc")).count() == 0
+    assert again.count() >= pairs.count()
