@@ -343,3 +343,42 @@ def test_retention_matches_reference(spark, events):
         cw, off, _ = key
         expected[(cw, off)] = expected.get((cw, off), 0) + 1
     assert got == expected
+
+
+_words = st.sampled_from(["red", "blue", "fox", "dog", "run", "sky"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(_words, min_size=0, max_size=8), min_size=2, max_size=8
+    ),
+    threshold=st.sampled_from([0.5, 0.9, 1.0]),
+)
+@SETTINGS
+def test_containment_matches_reference(spark, docs, threshold):
+    """containment_pairs == oblivious shingle-set containment on random
+    tiny corpora (short docs, identical docs, empty overlap)."""
+    from ureplicator_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.inner_doc, r.outer_doc): (r.n_inner, r.n_shared)
+        for r in containment_pairs(df, threshold=threshold).collect()
+    }
+
+    def sh(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: sh(ws) for i, ws in enumerate(docs)}
+    expected = {}
+    for i, si in sets.items():
+        if not si:
+            continue
+        for j, sj in sets.items():
+            if i == j or not sj:
+                continue
+            inter = len(si & sj)
+            if inter and inter / len(si) >= threshold:
+                expected[(i, j)] = (len(si), inter)
+    assert got == expected
