@@ -715,3 +715,19 @@ def test_minhash_index_incremental_dedup(spark, sf_dir, tmp_path):
     again = incremental_dedup(spark, root, batch)
     assert again.filter(F.col("new_doc") == F.col("corpus_doc")).count() == 0
     assert again.count() >= pairs.count()
+
+
+def test_rate_spikes_flags_bursts_not_dips(spark):
+    """A planted 10x burst window is flagged; steady windows and 2σ
+    DIPS are not (the test is one-sided above the mean)."""
+    from ureplicator_spark.operators.workload import rate_spikes
+
+    rows = [("t", 0, i * 3 + j, 60 * i + j) for i in range(20) for j in range(3)]
+    rows += [("t", 0, 900 + j, 60 * 20 + j) for j in range(40)]
+    rows += [("t", 0, 990, 60 * 21)]  # 1-event dip window
+    rec = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, ts_sec long"
+    )
+    out = {r.win_start: (r.n_events, r.is_spike) for r in rate_spikes(rec).collect()}
+    assert out[60 * 20] == (40, True)
+    assert not any(flag for w, (_, flag) in out.items() if w != 60 * 20)

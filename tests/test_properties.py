@@ -382,3 +382,53 @@ def test_containment_matches_reference(spark, docs, threshold):
             if inter and inter / len(si) >= threshold:
                 expected[(i, j)] = (len(si), inter)
     assert got == expected
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-4, 4), min_size=3, max_size=3),
+        min_size=3,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_kmeans_matches_reference(spark, vecs):
+    """Integer-exact Lloyd == an oblivious Python implementation of
+    the same spec (k=2, 2 assignment passes, floor-div centroid
+    update, (dist, cluster) tie-break) on random tiny corpora."""
+    from ureplicator_spark.operators.similarity import kmeans_clusters
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.cluster_id: (r.n_vecs, r.inertia)
+        for r in kmeans_clusters(df, k=2, iters=2, qscale=1000).collect()
+    }
+
+    q = {i: [x * 1000 for x in v] for i, v in enumerate(vecs)}
+    cents = {j: q[j] for j in range(min(2, len(q)))}
+
+    def assign(cs):
+        best = {}
+        for i, v in q.items():
+            scored = sorted(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), j) for j, c in cs.items()
+            )
+            best[i] = scored[0]  # (dist, cluster)
+        return best
+
+    for it in range(2):
+        best = assign(cents)
+        if it == 0:
+            upd: dict = {}
+            for i, (d, j) in best.items():
+                upd.setdefault(j, []).append(q[i])
+            cents = {
+                j: [sum(col) // len(vs) for col in zip(*vs)]
+                for j, vs in upd.items()
+            }
+    expected: dict = {}
+    for i, (d, j) in best.items():
+        n, s = expected.get(j, (0, 0))
+        expected[j] = (n + 1, s + d)
+    assert got == expected

@@ -157,3 +157,41 @@ def expected_workers(records: DataFrame, per_worker_bytes: int = MAX_WORKLOAD_PE
             + 1
         ).alias("expected_workers"),
     )
+
+
+def rate_spikes(records: DataFrame, width_sec: int = 60) -> DataFrame:
+    """Per-topic ingestion-rate anomaly flags: a window is a spike when
+    its event count sits more than 2 population-σ above the topic's
+    mean window count — the OffsetMonitor-style alert that catches a
+    runaway producer or replay storm.
+
+    Exactness discipline: the z²>4 test is evaluated in INTEGER
+    arithmetic — (n·x − S)² > 4·(n·S2 − S²) with S=Σx, S2=Σx² over the
+    topic's n observed windows — so no float variance accumulation
+    order can flip a boundary window between engines/partitionings.
+    Scale shape: one shuffle for the (topic, window) count, one for
+    the per-topic moment aggregate (3 longs/topic), broadcast back.
+    Only windows with ≥1 event participate (sparse representation —
+    an all-silent window is absence, not a zero sample)."""
+    win = (F.col("ts_sec") / width_sec).cast("long") * width_sec
+    counts = (
+        records.groupBy("topic", win.alias("win_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    moments = counts.groupBy("topic").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n_windows"), F.col("s1"), F.col("s2")
+    dev = n * F.col("n_events") - s1
+    return (
+        counts.join(F.broadcast(moments), "topic")
+        .select(
+            "topic",
+            "win_start",
+            "n_events",
+            ((dev > 0) & (dev * dev > 4 * (n * s2 - s1 * s1))).alias("is_spike"),
+        )
+        .orderBy("topic", "win_start")
+    )

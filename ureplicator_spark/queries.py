@@ -4078,3 +4078,37 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     ).orderBy("est_jaccard")
+
+
+_SPIKES_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+counts AS (
+  SELECT topic, (ts_sec // 60) * 60 AS win_start, COUNT(*) AS n_events
+  FROM records GROUP BY 1, 2
+)
+""".strip(),
+    """
+moments AS (
+  SELECT topic, COUNT(*) AS n_windows, SUM(n_events) AS s1,
+         SUM(n_events * n_events) AS s2
+  FROM counts GROUP BY topic
+)
+""".strip(),
+    """
+SELECT c.topic, CAST(c.win_start AS BIGINT) AS win_start, c.n_events,
+       (m.n_windows * c.n_events - m.s1 > 0
+        AND (m.n_windows * c.n_events - m.s1) * (m.n_windows * c.n_events - m.s1)
+              > 4 * (m.n_windows * m.s2 - m.s1 * m.s1)) AS is_spike
+FROM counts c JOIN moments m ON c.topic = m.topic
+ORDER BY c.topic, c.win_start
+""",
+)
+
+
+@register("workload_rate_spikes", _SPIKES_SQL)
+def q_workload_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact 2σ ingestion-rate spike flags per topic window."""
+    from ureplicator_spark.operators.workload import rate_spikes
+
+    return rate_spikes(FX.records(spark, sf_dir))
