@@ -17,7 +17,7 @@ from ureplicator_spark.api_http import RestServer
 
 @pytest.fixture()
 def server(spark, sf_dir):
-    eng = Engine(spark, FX.records(spark, sf_dir))
+    eng = Engine(spark, FX.records(spark, sf_dir), analytics_dir=sf_dir)
     srv = RestServer(eng, port=0).start()
     yield srv
     srv.stop()
@@ -164,3 +164,26 @@ def test_handler_errors_return_500_not_dropped_connection(server, spark):
         assert "error" in json.loads(e.value.read())
     finally:
         srv.stop()
+
+
+def test_query_passthrough_lists_and_runs(server):
+    """GET /query lists the registry; GET /query/<name> runs it against
+    the engine's analytics dir with a row cap; unknown names 404; an
+    engine without analytics_dir answers 500 with a message."""
+    code, listing = _call(server, "GET", "/query")
+    assert code == 200 and "consumer_lag" in listing["queries"]
+    assert len(listing["queries"]) >= 100
+
+    code, rows = _call(server, "GET", "/query/consumer_lag")
+    assert code == 200 and rows and {"topic", "partition", "lag"} <= set(rows[0])
+
+    code, rows = _call(server, "GET", "/query/q1_pricing_summary?limit=2")
+    assert code == 200 and len(rows) <= 2
+
+    import urllib.error
+
+    try:
+        _call(server, "GET", "/query/not_a_query")
+        raise AssertionError("unknown query must 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -36,9 +36,16 @@ class Engine:
     route registry. ``log_df`` must expose the engine record view:
     (topic, partition, offset, ts_sec, value_size)."""
 
-    def __init__(self, spark: SparkSession, log_df: DataFrame | None = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_df: DataFrame | None = None,
+        analytics_dir: str | None = None,
+    ) -> None:
         self.spark = tune(spark)
         self.log = log_df
+        # data directory the registry queries read (GET /query/<name>)
+        self.analytics_dir = analytics_dir
         self.routes = RouteRegistry(spark)
         self._topics: dict[str, dict] = {}
         self._blacklist: set[str] = set()
@@ -238,3 +245,26 @@ class Engine:
             "n_active_queries": len(active),
             "rate_limit": self._rate,
         }
+
+    # -- analytics passthrough (GET /query[/name]) ----------------------------
+    def query_names(self) -> list[str]:
+        """Every registered analytics query (SURVEY §2 inventory)."""
+        from ureplicator_spark.queries import QUERIES
+
+        return sorted(QUERIES)
+
+    def run_query(self, name: str, limit: int = 1000) -> DataFrame:
+        """Run one registered analytics query against the engine's
+        configured data directory — the 'engine face' of the registry:
+        a reference user's REST habit extended to the full analytic
+        surface. ``limit`` caps the driver materialization (REST
+        responses are control-plane-sized by contract; large results
+        belong in a sink, not an HTTP body)."""
+        from ureplicator_spark.queries import QUERIES
+
+        if self.analytics_dir is None:
+            raise ValueError("engine has no analytics_dir configured")
+        if name not in QUERIES:
+            raise KeyError(f"unknown query {name!r}")
+        fn, _sql = QUERIES[name]
+        return fn(self.spark, self.analytics_dir).limit(limit)

@@ -12,6 +12,8 @@ reference's controller heap.
 
 Routes:
   GET    /health                       → Engine.health()
+  GET    /query                        → registered analytics query names
+  GET    /query/{name}[?limit=N]       → run one registry query (capped rows)
   GET    /topics                       → topics registry
   POST   /topics        {topic,dst_topic?,partitions?} → add_topic
   PUT    /topics        {topic,partitions}             → expand_topic
@@ -57,7 +59,9 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _send(self, code: int, payload) -> None:
-        body = json.dumps(payload).encode()
+        # default=str: analytics rows carry dates/decimals/arrays the
+        # stdlib encoder rejects; stringifying is the REST-safe fallback
+        body = json.dumps(payload, default=str).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -98,6 +102,11 @@ class _Handler(BaseHTTPRequestHandler):
         key = (method, parts[0] if parts else "")
         if key == ("GET", "health"):
             return 200, eng.health()
+        if key == ("GET", "query"):
+            if len(parts) == 1:
+                return 200, {"queries": eng.query_names()}
+            limit = int(q.get("limit", "1000"))
+            return 200, _df_rows(eng.run_query(parts[1], limit=limit))
         if key == ("GET", "topics"):
             return 200, _df_rows(eng.topics().filter(F.col("topic") != ""))
         if key == ("POST", "topics"):
