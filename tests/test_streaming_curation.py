@@ -118,3 +118,61 @@ def test_streaming_exact_dedup_evicts_state_past_watermark(spark, doc_dir, tmp_p
     n_distinct = batch.select(F.md5("text")).distinct().count()
     assert removed > 0
     assert final_state < n_distinct
+
+
+def test_streaming_near_dedup_against_index(spark, sf_dir, tmp_path):
+    """End-to-end streaming ingestion vs the persisted MinHash index:
+    batch 1's docs are accepted and indexed; batch 2's near-dup of a
+    batch-1 doc is dropped while its fresh docs land; the index grows
+    with survivors only."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.sources.minhash_index import build_minhash_index
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = "doc_id long, text string"
+    root = str(tmp_path / "mhidx")
+    surv = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    stream_src = str(tmp_path / "incoming")
+
+    # seed the index with a tiny corpus
+    seed = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    build_minhash_index(seed, root)
+
+    # batch 1: two fresh docs; batch 2: one fresh + one copy of a
+    # SEED doc + one copy of a BATCH-1 doc (arrives as a second file)
+    b1 = [(10_001, "alpha beta gamma delta epsilon zeta eta theta"),
+          (10_002, "one two three four five six seven eight nine")]
+    seed_text = seed.filter(F.col("doc_id") == 0).collect()[0].text
+    b2 = [(20_001, "totally novel content that matches nothing else here"),
+          (20_002, seed_text),
+          (20_003, b1[0][1])]
+    spark.createDataFrame(b1, cols).coalesce(1).write.mode("append").parquet(stream_src)
+    spark.createDataFrame(b2, cols).coalesce(1).write.mode("append").parquet(stream_src)
+
+    from ureplicator_spark.streaming.curation import streaming_near_dedup
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_src)
+    )
+    q = streaming_near_dedup(stream, root, surv, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    landed = {r.doc_id for r in spark.read.parquet(surv).select("doc_id").collect()}
+    # batch-1 docs and the genuinely novel doc landed
+    assert {10_001, 10_002, 20_001} <= landed
+    # the seed copy was dropped against the index
+    assert 20_002 not in landed
+    # the batch-1 copy was dropped only if batch 1 was indexed first
+    # (file order == batch order with maxFilesPerTrigger=1)
+    assert 20_003 not in landed
+    # survivors' signatures were appended (index covers seed + landed)
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(root + "/signatures").select("doc_id").collect()
+    }
+    assert landed <= idx_ids and 20_002 not in idx_ids

@@ -77,3 +77,64 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_near_dedup(
+    doc_stream: DataFrame,
+    index_root: str,
+    survivor_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    available_now: bool = False,
+):
+    """Streaming ingestion with near-dup filtering against the
+    persisted MinHash index (`sources/minhash_index.py`) — the
+    continuous form of the daily-ingest loop:
+
+    per micro-batch: sign ONLY the batch → probe the band-partitioned
+    index for near-dups (est_jaccard ≥ threshold) → drop matched docs
+    → land survivors at ``survivor_path`` AND append their signatures
+    to the index, so later batches dedup against everything accepted
+    so far. The corpus is never re-shingled; per-batch cost is
+    O(batch + matched bands).
+
+    foreachBatch by design: the probe needs a batch-side join against
+    an indexed TABLE that this same query appends to — a read-write
+    cycle the declarative stream API forbids, and exactly what the
+    micro-batch hook exists for. Delivery is at-least-once (same T1
+    contract as the archive sink); a replayed batch re-lands its
+    survivors idempotently for downstream exact dedup and its repeated
+    index append only adds duplicate signature rows for the SAME
+    doc_id, which the probe's doc_id<>doc_id guard ignores."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.sources.minhash_index import (
+        append_to_minhash_index,
+        incremental_dedup,
+    )
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if not batch_df.head(1):
+                return
+            spark = batch_df.sparkSession
+            dup_ids = (
+                incremental_dedup(spark, index_root, batch_df)
+                .filter(F.col("est_jaccard") >= threshold)
+                .select(F.col("new_doc").alias("doc_id"))
+                .distinct()
+            )
+            survivors = batch_df.join(dup_ids, "doc_id", "left_anti").persist()
+            survivors.write.mode("append").parquet(survivor_path)
+            append_to_minhash_index(survivors, index_root)
+            survivors.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
