@@ -151,6 +151,28 @@ def test_streaming_near_dedup_against_index(spark, sf_dir, tmp_path):
           (20_003, b1[0][1])]
     spark.createDataFrame(b1, cols).coalesce(1).write.mode("append").parquet(stream_src)
     spark.createDataFrame(b2, cols).coalesce(1).write.mode("append").parquet(stream_src)
+    # the file source orders batches by modification time; same-second
+    # writes would tie and break the batch-1-before-batch-2 premise,
+    # so pin distinct mtimes explicitly
+    import os
+    import time as _time
+
+    parts = sorted(
+        (f for f in os.listdir(stream_src) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(stream_src, f)),
+    )
+    b1_file = next(
+        f for f in parts
+        if spark.read.parquet(os.path.join(stream_src, f)).filter(
+            F.col("doc_id") == 10_001
+        ).count() > 0
+    )
+    now = _time.time()
+    for f in parts:
+        os.utime(
+            os.path.join(stream_src, f),
+            (now - 60, now - 60) if f == b1_file else (now, now),
+        )
 
     from ureplicator_spark.streaming.curation import streaming_near_dedup
 
