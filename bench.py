@@ -125,6 +125,7 @@ def main() -> None:
     extended_names = [
         "user_retention", "event_funnel", "embedding_kmeans",
         "similarity_ann_recall", "chunk_dedup", "token_count_bpe",
+        "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:
