@@ -4112,3 +4112,62 @@ def q_workload_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.operators.workload import rate_spikes
 
     return rate_spikes(FX.records(spark, sf_dir))
+
+
+_CORPUS_HEALTH_SQL = """
+WITH eh AS (
+  SELECT doc_id, source, md5(text) AS content_hash
+  FROM documents
+),
+egroups AS (
+  SELECT content_hash, COUNT(*) AS n, MIN(doc_id) AS keeper
+  FROM eh GROUP BY content_hash
+),
+flags AS (
+  SELECT e.doc_id, e.source,
+         CASE WHEN g.n > 1 AND e.doc_id <> g.keeper THEN 1 ELSE 0 END AS is_exact_dup
+  FROM eh e JOIN egroups g ON e.content_hash = g.content_hash
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(is_exact_dup) AS BIGINT) AS n_exact_dups,
+       ROUND(SUM(is_exact_dup) * 1.0 / COUNT(*), 6) AS exact_dup_rate
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+@register("corpus_health", _CORPUS_HEALTH_SQL)
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: exact-duplicate counts and rates —
+    the dashboard row a curation pipeline watches per ingestion
+    source. Keeper convention matches exact_dedup_groups (min doc_id
+    survives); one shuffle on content hash + the per-source rollup."""
+    from ureplicator_spark.operators.dedup import exact_dedup_groups
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = exact_dedup_groups(docs)
+    flagged = (
+        docs.select("doc_id", "source", F.md5("text").alias("content_hash"))
+        .join(groups, "content_hash")
+        .select(
+            "source",
+            (
+                (F.col("n_docs") > 1)
+                & (F.col("doc_id") != F.col("keeper_doc_id"))
+            ).cast("int").alias("is_exact_dup"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_exact_dup").cast("long").alias("n_exact_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dups",
+            F.round(F.col("n_exact_dups") / F.col("n_docs"), 6).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )
