@@ -4,21 +4,26 @@
 100 TB the coarse quantization is built ONCE and persisted as parquet
 partitioned by centroid list, so a search touches only the probed
 lists' directories (partition pruning) instead of re-scanning the
-corpus. Layout:
+corpus. Layout (v2 — vectors stay ARRAYS, never exploded):
 
-    <root>/vectors/cent_id=<c>/   (vec_id, i, x, norm) exploded components
-    <root>/centroids/             (cent_id, i, cx, cn)
+    <root>/vectors/cent_id=<c>/   (vec_id, embedding, norm)
+    <root>/centroids/             (cent_id, embedding, cn)
 
-Search joins the probed-list ids against the partitioned vectors
-table; with a broadcastable probe side Spark's dynamic partition
-pruning (DPP) skips unprobed directories at runtime — the plan carries
-a `dynamicpruning` subquery on cent_id (asserted in tests). Search
-cost is O(Q · nprobe · N/n_centroids) rows read, and the index build
-is one corpus pass.
+Array storage halves the index size vs exploded (vec_id, i, x) rows
+and, more importantly, makes the SEARCH a pure
+map+broadcast+window pipeline: every dot product is a `zip_with`
+fold over two arrays in one codegen stage — no per-dimension join, no
+groupBy re-aggregation of components. With the probe side broadcast,
+Spark's dynamic partition pruning (DPP) skips unprobed cent_id
+directories at runtime (a `dynamicpruning` subquery on cent_id,
+asserted in tests). Search cost is O(Q · nprobe · N/n_centroids) rows
+read; the index build is one corpus pass.
 
-Centroids are the same deterministic pick as `ivf_ann` (vec_id <
-n_centroids) so results are reproducible; a production deployment
-swaps in offline-trained k-means centroids with the identical layout.
+Centroids default to the same deterministic pick as `ivf_ann`
+(vec_id < n_centroids) so results are reproducible;
+``trained=True`` persists Lloyd k-means centroids
+(`operators/similarity.kmeans_centroids`) — balanced lists keep the
+probed-partition read cost even at scale.
 """
 
 from __future__ import annotations
@@ -29,42 +34,78 @@ from pyspark.sql import functions as F
 from ureplicator_spark.operators.similarity import _components, norms
 
 
+def _dot(a, b):
+    """zip_with fold dot product over two double array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame, root: str, n_centroids: int = 8, trained: bool = False
 ) -> None:
     """One-pass index build: assign every vector to its nearest
-    centroid list and persist components partitioned by list.
+    centroid list and persist (vec_id, embedding, norm) partitioned by
+    list. The assignment math runs on the component view (the same
+    relational formulation the oracle-gated inline query uses); the
+    persisted rows keep the array form.
 
     ``trained=True`` swaps the deterministic vec_id<k pick for Lloyd
-    k-means centroids (`operators/similarity.kmeans_centroids`) — the
-    offline-trained coarse quantizer a production IVF deployment uses;
-    balanced lists mean balanced partition directories, which is what
-    keeps the probed-list read cost even at 100 TB."""
+    k-means centroids — the offline-trained coarse quantizer a
+    production IVF deployment uses."""
     comp = _components(embeddings)
     nrm = norms(embeddings)
     if trained:
         from ureplicator_spark.operators.similarity import kmeans_centroids
 
-        cent = kmeans_centroids(embeddings, k=n_centroids)
+        cent_comp = kmeans_centroids(embeddings, k=n_centroids)
+        # assemble array rows: components arrive (cent_id, i, cx) with
+        # i = 1..dim; sort_array on (i, cx) structs restores order
+        cent = (
+            cent_comp.groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("cx")))
+                ).alias("ic")
+            )
+            .select(
+                "cent_id",
+                F.expr("transform(ic, s -> CAST(s.cx AS DOUBLE))").alias("embedding"),
+            )
+        )
         # floor the norm: a degenerate all-zero centroid (possible on
         # pathological inputs) must not inject NaN cosines
-        ncent = cent.groupBy("cent_id").agg(
+        cent = cent.select(
+            "cent_id",
+            "embedding",
             F.greatest(
-                F.sqrt(F.sum(F.col("cx") * F.col("cx"))), F.lit(1e-12)
-            ).alias("cn")
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), F.lit(1e-12)
+            ).alias("cn"),
         )
+        cent_comp_for_assign = cent_comp
+        ncent = cent.select("cent_id", "cn")
     else:
-        cent = comp.filter(F.col("vec_id") < n_centroids).select(
+        cent = (
+            embeddings.filter(F.col("vec_id") < n_centroids)
+            .join(nrm, "vec_id")
+            .select(
+                F.col("vec_id").alias("cent_id"),
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                    "embedding"
+                ),
+                F.col("norm").alias("cn"),
+            )
+        )
+        cent_comp_for_assign = comp.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), "i", F.col("x").alias("cx")
         )
-        ncent = nrm.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("norm").alias("cn")
-        )
-    cent.join(F.broadcast(ncent), "cent_id").write.mode("overwrite").parquet(
-        root + "/centroids"
-    )
+        ncent = cent.select("cent_id", "cn")
+    cent.write.mode("overwrite").parquet(root + "/centroids")
+
     adot = (
-        comp.join(F.broadcast(cent), "i")
+        comp.join(F.broadcast(cent_comp_for_assign), "i")
         .groupBy("vec_id", "cent_id")
         .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
     )
@@ -84,9 +125,10 @@ def build_ivf_index(
         .select("vec_id", "cent_id")
     )
     (
-        comp.join(nrm, "vec_id")
+        embeddings.select("vec_id", "embedding")
+        .join(nrm, "vec_id")
         .join(assign, "vec_id")
-        .select("vec_id", "i", "x", "norm", "cent_id")
+        .select("vec_id", "embedding", "norm", "cent_id")
         .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(root + "/vectors")
@@ -102,25 +144,30 @@ def search_ivf_index(
 ) -> DataFrame:
     """Top-k cosine ANN over the persisted index. ``queries`` is
     (vec_id, embedding); only the ``nprobe`` nearest lists per query
-    are read (partition-pruned via the probe join)."""
-    centroids = F.broadcast(spark.read.parquet(root + "/centroids"))
+    are read (partition-pruned via the broadcast probe join).
+
+    Plan shape: centroid probing is Q×n_centroids rows through one
+    zip_with projection + a window; candidate scoring is one DPP-pruned
+    scan joined to the broadcast query table with a per-row zip_with
+    dot — no per-dimension join or component re-aggregation anywhere."""
+    centroids = spark.read.parquet(root + "/centroids")
     vectors = spark.read.parquet(root + "/vectors")
-    qc = _components(queries).select(
-        F.col("vec_id").alias("q_id"), "i", F.col("x").alias("qx")
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q_emb"),
+    ).withColumn(
+        "qn", F.greatest(F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))), F.lit(1e-12))
     )
-    qn = norms(queries).select(F.col("vec_id").alias("q_id"), F.col("norm").alias("qn"))
-    qdot = (
-        qc.join(centroids, "i")
-        .groupBy("q_id", "cent_id")
-        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
-    )
+
     qscore = (
-        qdot.join(centroids.select("cent_id", "cn").distinct(), "cent_id")
-        .join(F.broadcast(qn), "q_id")
+        q.crossJoin(F.broadcast(centroids))
         .select(
             "q_id",
             "cent_id",
-            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("ccos"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("ccos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
@@ -134,18 +181,13 @@ def search_ivf_index(
     cand = vectors.join(F.broadcast(probe), "cent_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cdot = (
-        cand.join(F.broadcast(qc), ["q_id", "i"])
-        .groupBy("q_id", F.col("vec_id").alias("c_id"))
-        .agg(
-            F.sum(F.col("qx") * F.col("x")).alias("dot"),
-            F.first("norm").alias("cn2"),
-        )
-    )
-    score = cdot.join(F.broadcast(qn), "q_id").select(
+    score = cand.join(F.broadcast(q), "q_id").select(
         "q_id",
-        "c_id",
-        F.round(F.col("dot") / (F.col("qn") * F.col("cn2")), 6).alias("cosine"),
+        F.col("vec_id").alias("c_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("norm")),
+            6,
+        ).alias("cosine"),
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
