@@ -731,3 +731,87 @@ def test_rate_spikes_flags_bursts_not_dips(spark):
     out = {r.win_start: (r.n_events, r.is_spike) for r in rate_spikes(rec).collect()}
     assert out[60 * 20] == (40, True)
     assert not any(flag for w, (_, flag) in out.items() if w != 60 * 20)
+
+
+def test_unigram_lm_known_values(spark):
+    """Hand-computable corpus: counts a=3, b=1, total=4; doc0 ('a a')
+    CE = ln(4/3), doc1 ('a b') CE = (ln(4/3) + ln(4)) / 2."""
+    import math
+
+    from ureplicator_spark.operators.text import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a a"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.cross_entropy)
+           for r in unigram_lm_score(docs).collect()}
+    assert got[0] == (2, round(math.log(4 / 3), 6))
+    assert got[1] == (2, round((math.log(4 / 3) + math.log(4)) / 2, 6))
+
+
+def test_source_kl_identical_vs_divergent(spark):
+    """Sources with the corpus-identical token mix have KL 0; a source
+    skewed to one token scores strictly positive."""
+    from ureplicator_spark.operators.text import source_unigram_kl
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "s_same1"), (1, "a b", "s_same2"),
+            (2, "a a", "s_skew"), (3, "b b", "s_anti"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.kl_divergence for r in source_unigram_kl(docs).collect()}
+    # corpus is 4 a's and 4 b's -> uniform; the two 'same' sources match it
+    assert got["s_same1"] == 0.0 and got["s_same2"] == 0.0
+    assert got["s_skew"] > 0.0 and got["s_anti"] > 0.0
+
+
+def test_shard_packing_matches_naive_cumsum_across_buckets(spark):
+    """Two-phase prefix sum == the naive global cumsum semantics, with
+    doc_ids straddling the 4096 bucket boundary so bucket offsets are
+    actually exercised; shards are contiguous doc ranges."""
+    from ureplicator_spark.operators.text import token_shard_packing
+
+    rows = [(i, "w " * 6 + "w") for i in list(range(4090, 4100))]  # 7 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_shard_packing(docs, budget=10).collect()
+    # naive: cumsum of 7s; shard = (cum - 7) // 10
+    cum, naive = 0, {}
+    for i in range(4090, 4100):
+        shard = cum // 10
+        cum += 7
+        naive.setdefault(shard, [0, 0, None, None])
+        naive[shard][0] += 1
+        naive[shard][1] += 7
+        if naive[shard][2] is None:
+            naive[shard][2] = i
+        naive[shard][3] = i
+    got = {r.shard_id: [r.n_docs, r.total_tokens, r.first_doc, r.last_doc]
+           for r in out}
+    assert got == naive
+    # contiguity: ranges do not overlap and cover 4090..4099 in order
+    spans = [got[s][2:] for s in sorted(got)]
+    assert spans[0][0] == 4090 and spans[-1][1] == 4099
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_keep_best_per_cluster_policy(spark):
+    """Longest doc wins, ties break to the smaller doc_id; dropped
+    members/chars are the cluster remainder."""
+    from ureplicator_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 4), (8, 2)],
+        "doc_id long, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long",
+    )
+    got = {r.cluster_id: r for r in keep_best_per_cluster(docs, clusters).collect()}
+    c1 = got[1]
+    assert (c1.kept_doc, c1.kept_chars, c1.n_members, c1.n_dropped,
+            c1.chars_dropped) == (2, 9, 3, 2, 14)
+    c7 = got[7]
+    assert (c7.kept_doc, c7.kept_chars, c7.n_dropped, c7.chars_dropped) == (7, 4, 1, 2)

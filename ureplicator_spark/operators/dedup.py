@@ -20,7 +20,7 @@ swap in xxhash64 for speed; the topology is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -454,4 +454,44 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .orderBy("inner_doc", "outer_doc")
+    )
+
+
+def keep_best_per_cluster(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Canonical-representative selection: given duplicate clusters
+    (from ``duplicate_clusters``), keep the longest document in each
+    cluster (ties → smallest doc_id) and report what gets dropped —
+    the retention policy that turns cluster assignments into an actual
+    curation decision (near-dup families usually keep the longest /
+    highest-quality member, not the arbitrary min-id labeler keeper).
+
+    One broadcast-able join from cluster rows (near-dup docs only — a
+    small fraction of any real corpus) to doc lengths, then a window
+    partitioned by cluster (bounded by cluster size) and one per-
+    cluster aggregation. The full corpus is never shuffled."""
+    sized = clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = sized.withColumn("rn", F.row_number().over(w))
+    best = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("n_chars").alias("kept_chars"),
+    )
+    stats = sized.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        best.join(stats, "cluster_id")
+        .select(
+            "cluster_id",
+            "kept_doc",
+            "kept_chars",
+            "n_members",
+            (F.col("n_members") - F.lit(1)).alias("n_dropped"),
+            (F.col("total_chars") - F.col("kept_chars")).alias("chars_dropped"),
+        )
+        .orderBy("cluster_id")
     )

@@ -598,3 +598,109 @@ def bpe_token_estimate(documents: DataFrame) -> DataFrame:
         bpe.cast("int").alias("n_bpe_tokens"),
         F.round(bpe / F.size(toks), 6).alias("tokens_per_word"),
     )
+
+
+def unigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained unigram LM —
+    the cheap perplexity proxy used to rank raw documents for quality
+    before an expensive model-based filter (the CCNet/KenLM stage of a
+    curation pipeline, approximated without the external LM).
+
+    Two passes over the token stream: (1) train — one aggregation for
+    token counts + one scalar total; (2) score — join each token to
+    its probability and average ``-ln p`` per document. The model
+    table is vocabulary-sized (far smaller than the corpus at any SF)
+    and is broadcast, so scoring adds no shuffle beyond the per-doc
+    aggregation. ``ROUND(.., 6)`` bounds the summation-order noise of
+    the double average across engines."""
+    tok = tokens(documents).select("doc_id", "token")
+    model = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = tok.agg(F.count("*").alias("t"))
+    return (
+        tok.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_unigram_kl(documents: DataFrame) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions, per source — a
+    corpus-drift / source-divergence gauge: sources whose token mix
+    diverges most from the pooled distribution surface first in mix
+    audits. All counts are exact integers; each term of the sum is
+    p_s·ln(p_s/p_c) with one final ROUND(.., 6).
+
+    The per-(source, token) table shuffles once on its grouping key;
+    corpus-level token counts are vocabulary-sized and broadcast into
+    the source-level rows."""
+    tok = documents.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("cs"))
+    src_tot = st.groupBy("source").agg(F.sum("cs").alias("ts"))
+    corpus = tok.groupBy("token").agg(F.count("*").alias("c"))
+    grand = corpus.agg(F.sum("c").alias("t"))
+    ps = F.col("cs") / F.col("ts")
+    pc = F.col("c") / F.col("t")
+    return (
+        st.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("token").alias("n_terms"),
+            F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_shard_packing(documents: DataFrame, budget: int = 20_000) -> DataFrame:
+    """Contiguous token-budget sharding: walk the corpus in doc_id
+    order, accumulate token counts, and cut a new training shard each
+    time the running total crosses ``budget`` — the standard layout
+    step before writing tokenized shards for a trainer.
+
+    The prefix sum is computed in two phases so no global-ordering
+    window ever sees the full corpus: (1) per-bucket token totals
+    (bucket = doc_id // 4096) — one small aggregation; (2) a window
+    over the bucket-total table (corpus_size/4096 rows) yields each
+    bucket's starting offset; (3) a per-bucket window (partitioned,
+    bounded width) finishes the local cumsum. At 100 TB the bucket
+    table is ~10^7 rows for 10^10 docs — window-able on one executor;
+    beyond that, recurse the same two-phase split on buckets."""
+    n_tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).alias("n_tokens")
+    t = documents.select("doc_id", n_tok).withColumn(
+        "bucket", (F.col("doc_id") / F.lit(4096)).cast("long")
+    )
+    bucket_tot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btok").over(w_b), F.lit(0)).alias("offset")
+    )
+    w_d = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(w_d))
+        .withColumn(
+            # integral div, not floor(double/) — exact past 2^53 tokens
+            "shard_id", F.expr(f"(cum - n_tokens) div {int(budget)}")
+        )
+    )
+    return (
+        cum.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )

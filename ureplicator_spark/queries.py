@@ -3521,8 +3521,11 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_outliers(load_table(spark, sf_dir, "embeddings"))
 
 
-_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_SHINGLES_CTE},
+# Shared connected-components CTE chain (minhash-LSH pairs at est
+# Jaccard >= 0.5 -> undirected edges -> recursive transitive closure);
+# used by fuzzy_dedup_clusters and dedup_keep_best.
+_CC_CTES = f"""
+{_SHINGLES_CTE},
 {_MINHASH_CTE},
 banded AS (
   SELECT doc_id, CAST(seed // 2 AS INT) AS band,
@@ -3551,6 +3554,10 @@ reach AS (
   UNION
   SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node
 )
+""".strip()
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT src AS doc_id, MIN(node) AS cluster_id, (src = MIN(node)) AS is_keeper
 FROM reach GROUP BY src
 """
@@ -4171,3 +4178,136 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: unigram-LM quality proxy, source KL drift,
+# token-budget shard packing, keep-best dedup retention
+# ---------------------------------------------------------------------------
+
+_PERPLEXITY_SQL = _with(
+    _TOK_CTE,
+    "model AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)",
+    "total AS (SELECT COUNT(*) AS t FROM tok)",
+    """
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-ln(c / CAST(t AS DOUBLE))), 6) AS cross_entropy
+FROM tok JOIN model USING (token) CROSS JOIN total
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+
+
+@register("doc_perplexity_proxy", _PERPLEXITY_SQL)
+def q_doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained unigram LM — the
+    cheap perplexity proxy that ranks raw documents before a
+    model-based quality filter (the KenLM stage of CCNet,
+    approximated in-engine). Model table is vocabulary-sized and
+    broadcast; one shuffle for training counts, one for the per-doc
+    average."""
+    from ureplicator_spark.operators.text import unigram_lm_score
+    from ureplicator_spark.sources.parquet import load_table
+
+    return unigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+_SOURCE_KL_SQL = """
+WITH tok2 AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+st AS (SELECT source, token, COUNT(*) AS cs FROM tok2 GROUP BY source, token),
+stot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ts FROM st GROUP BY source),
+corpus AS (SELECT token, COUNT(*) AS c FROM tok2 GROUP BY token),
+grand AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM corpus)
+SELECT source, COUNT(DISTINCT st.token) AS n_terms,
+       ROUND(SUM((cs * 1.0 / ts) * ln((cs * 1.0 / ts) / (c * 1.0 / t))), 6)
+         AS kl_divergence
+FROM st JOIN stot USING (source) JOIN corpus USING (token) CROSS JOIN grand
+GROUP BY source ORDER BY source
+"""
+
+
+@register("source_unigram_kl", _SOURCE_KL_SQL)
+def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions — the drift
+    gauge a mixing pipeline watches per ingestion source. One shuffle
+    on (source, token); corpus vocabulary broadcast."""
+    from ureplicator_spark.operators.text import source_unigram_kl
+    from ureplicator_spark.sources.parquet import load_table
+
+    return source_unigram_kl(load_table(spark, sf_dir, "documents"))
+
+
+_SHARD_PACKING_SQL = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t
+)
+SELECT CAST((cum - n_tokens) // 20000 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("token_shard_packing", _SHARD_PACKING_SQL)
+def q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-budget sharding (20k tokens/shard): the layout
+    step before writing tokenized trainer shards. Prefix sum is
+    two-phase (per-bucket totals + bucket-offset window) so no global
+    window ever sees the full corpus — the oracle's single ORDER BY
+    window is the semantics, not the plan."""
+    from ureplicator_spark.operators.text import token_shard_packing
+    from ureplicator_spark.sources.parquet import load_table
+
+    return token_shard_packing(load_table(spark, sf_dir, "documents"))
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_CC_CTES},
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+sized AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars FROM (
+    SELECT cluster_id, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM sized
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT cluster_id, COUNT(*) AS n_members,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM sized GROUP BY cluster_id
+)
+SELECT b.cluster_id, b.kept_doc, b.kept_chars, s.n_members,
+       s.n_members - 1 AS n_dropped,
+       s.total_chars - b.kept_chars AS chars_dropped
+FROM best b JOIN stats s USING (cluster_id) ORDER BY cluster_id
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_SQL)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over fuzzy-dup clusters: keep the longest doc
+    per cluster (tie → min doc_id), report members/chars dropped —
+    the decision layer that turns cluster labels into curation
+    output. Cluster rows only (near-dup fraction of the corpus) flow
+    into the window; the corpus itself is never reshuffled."""
+    from ureplicator_spark.operators.dedup import (
+        duplicate_clusters,
+        keep_best_per_cluster,
+        lsh_candidate_pairs,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return keep_best_per_cluster(docs, duplicate_clusters(pairs))
