@@ -126,6 +126,8 @@ def main() -> None:
         "user_retention", "event_funnel", "embedding_kmeans",
         "similarity_ann_recall", "chunk_dedup", "token_count_bpe",
         "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",
+        "doc_perplexity_proxy", "source_unigram_kl", "token_shard_packing",
+        "dedup_keep_best",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:

@@ -653,7 +653,9 @@ def source_unigram_kl(documents: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(grand))
         .groupBy("source")
         .agg(
-            F.countDistinct("token").alias("n_terms"),
+            # st rows are already distinct per (source, token), so a
+            # plain count == countDistinct without the Expand+exchange
+            F.count("*").alias("n_terms"),
             F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl_divergence"),
         )
         .orderBy("source")
