@@ -615,7 +615,9 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
     the double average across engines."""
     tok = tokens(documents).select("doc_id", "token")
     model = tok.groupBy("token").agg(F.count("*").alias("c"))
-    total = tok.agg(F.count("*").alias("t"))
+    # grand total rolls up from the vocab-sized model table, not a
+    # second pass over the token stream
+    total = model.agg(F.sum("c").alias("t"))
     return (
         tok.join(F.broadcast(model), "token")
         .crossJoin(F.broadcast(total))
@@ -642,8 +644,10 @@ def source_unigram_kl(documents: DataFrame) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("token")
     )
     st = tok.groupBy("source", "token").agg(F.count("*").alias("cs"))
+    # corpus/grand roll up from st (|sources| x vocab rows), so the
+    # token stream is exploded and shuffled exactly once
     src_tot = st.groupBy("source").agg(F.sum("cs").alias("ts"))
-    corpus = tok.groupBy("token").agg(F.count("*").alias("c"))
+    corpus = st.groupBy("token").agg(F.sum("cs").alias("c"))
     grand = corpus.agg(F.sum("c").alias("t"))
     ps = F.col("cs") / F.col("ts")
     pc = F.col("c") / F.col("t")
