@@ -815,3 +815,35 @@ def test_keep_best_per_cluster_policy(spark):
             c1.chars_dropped) == (2, 9, 3, 2, 14)
     c7 = got[7]
     assert (c7.kept_doc, c7.kept_chars, c7.n_dropped, c7.chars_dropped) == (7, 4, 1, 2)
+
+
+def test_lag_weighted_dedicated_instance_selection(spark):
+    """Weight = 1 + min(120, lag_minutes) for lagging partitions only;
+    dedicated candidates = top floor(n*ratio) lag-serving instances by
+    lagging share (ties -> instance name)."""
+    from ureplicator_spark.operators.assignment import lag_weighted_instance_view
+
+    assignments = spark.createDataFrame(
+        [("t", 0, "w0", "ONLINE"), ("t", 1, "w0", "ONLINE"),
+         ("t", 2, "w1", "ONLINE"), ("t", 3, "w1", "ONLINE"),
+         ("t", 4, "w2", "ONLINE")],
+        "topic string, partition int, instance string, state string",
+    )
+    lag_time = spark.createDataFrame(
+        # w0: one lagging 90 s (1 min -> weight 2.0), one clean
+        # w1: one lagging 10 h (600 min -> clamped to 121.0), one clean
+        # w2: clean only
+        [("t", 0, 10, 90.0), ("t", 1, 0, 0.0),
+         ("t", 2, 99, 36000.0), ("t", 3, 0, 0.0),
+         ("t", 4, 0, 0.0)],
+        "topic string, partition int, lag long, lag_time_sec double",
+    )
+    got = {r.instance: r for r in
+           lag_weighted_instance_view(assignments, lag_time, 4, 0.5).collect()}
+    assert got["w0"].adjusted_weight == 3.0      # 2.0 + 1.0
+    assert got["w1"].adjusted_weight == 122.0    # 121.0 clamped + 1.0
+    assert got["w2"].adjusted_weight == 1.0
+    # both lag-servers tie at 1/2 lagging share -> w0, w1 by name; cap=2
+    assert got["w0"].is_dedicated_candidate and got["w1"].is_dedicated_candidate
+    assert not got["w2"].is_dedicated_candidate
+    assert (got["w0"].n_lagging, got["w2"].n_lagging) == (1, 0)

@@ -150,3 +150,70 @@ def greedy_assign(partition_wl: DataFrame, n_instances: int) -> DataFrame:
         out or [("", -1, "", 0.0)],
         "topic string, partition int, instance string, bytes_per_sec double",
     )
+
+
+def lag_weighted_instance_view(
+    assignments: DataFrame,
+    lag_time_df: DataFrame,
+    n_instances: int,
+    dedicated_ratio: float = 0.5,
+) -> DataFrame:
+    """Lag-weighted rebalancer analytics: the observable half of the
+    reference's dedicated-lagging-instance pass
+    (AutoRebalanceLiveInstanceChangeListener.java:482-592) — per
+    instance, how much of its serving set is lagging, its
+    lag-adjusted workload weight, and whether it would be picked as a
+    dedicated instance for lagging partitions.
+
+    Reference semantics re-expressed:
+    - a partition is lagging when its lag > 0 (lagTimeMap membership);
+    - adjusted weight = 1.0 + min(120, lag_time_minutes) per lagging
+      partition, 1.0 otherwise ("1.0 more weight for each minute lag
+      up to 2 hour", :571-578);
+    - dedicated candidates = up to floor(n_instances * ratio)
+      instances that serve >= 1 lagging partition, picked in
+      lagging-share order (:530-561; the TreeSet iteration is made
+      deterministic here by ranking on share desc, then instance).
+
+    Everything is control-plane-sized: lag table broadcast into the
+    assignment join, one per-instance aggregation, one ranking window
+    over the instance table."""
+    lag = lag_time_df.select(
+        "topic", "partition", "lag",
+        F.floor(F.col("lag_time_sec") / 60).alias("lag_min"),
+    )
+    per_part = (
+        assignments.join(F.broadcast(lag), ["topic", "partition"], "left")
+        .select(
+            "instance",
+            (F.coalesce(F.col("lag"), F.lit(0)) > 0).cast("int").alias("is_lagging"),
+            F.when(
+                F.coalesce(F.col("lag"), F.lit(0)) > 0,
+                1.0 + F.least(F.lit(120), F.col("lag_min")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("weight"),
+        )
+    )
+    inst = per_part.groupBy("instance").agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("is_lagging").cast("long").alias("n_lagging"),
+        F.round(F.sum("weight"), 6).alias("adjusted_weight"),
+    )
+    max_dedicated = int(n_instances * dedicated_ratio)
+    w = Window.orderBy(
+        (F.col("n_lagging") / F.col("n_partitions")).desc(), F.col("instance")
+    )
+    return (
+        inst.withColumn("rk", F.row_number().over(w))
+        .select(
+            "instance",
+            "n_partitions",
+            "n_lagging",
+            "adjusted_weight",
+            ((F.col("n_lagging") > 0) & (F.col("rk") <= max_dedicated)).alias(
+                "is_dedicated_candidate"
+            ),
+        )
+        .orderBy("instance")
+    )

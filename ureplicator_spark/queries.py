@@ -4311,3 +4311,76 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     return keep_best_per_cluster(docs, duplicate_clusters(pairs))
+
+
+_MAX_DEDICATED = int(FX.N_INSTANCES * 0.5)
+
+_LAG_WEIGHTED_SQL = _with(
+    FX.RECORDS_CTE,
+    _COMMITTED_CTE,
+    _LATEST_CTE,
+    _PARTITION_WL_CTE,
+    _SPAN_CTE,
+    _ASSIGNMENTS_CTE,
+    """
+lagt AS (
+  SELECT l.topic, l."partition",
+         GREATEST(0, l.latest_offset - GREATEST(COALESCE(c.commit_offset, 0), 0)) AS lag
+  FROM latest l LEFT JOIN committed c USING (topic, "partition")
+)
+""".strip(),
+    """
+pw AS (
+  SELECT topic, "partition", ROUND(total_msgs / span_sec, 6) AS msgs_per_sec
+  FROM partition_wl, span
+)
+""".strip(),
+    """
+lt AS (
+  SELECT l.topic, l."partition", l.lag,
+         FLOOR(ROUND(l.lag * 1.0 / GREATEST(1.0, COALESCE(p.msgs_per_sec, 0.0)), 4) / 60)
+           AS lag_min
+  FROM lagt l LEFT JOIN pw p USING (topic, "partition")
+)
+""".strip(),
+    """
+pp AS (
+  SELECT a.instance,
+         CASE WHEN COALESCE(l.lag, 0) > 0 THEN 1 ELSE 0 END AS is_lagging,
+         CASE WHEN COALESCE(l.lag, 0) > 0 THEN 1.0 + LEAST(120, l.lag_min)
+              ELSE 1.0 END AS weight
+  FROM assignments a LEFT JOIN lt l USING (topic, "partition")
+)
+""".strip(),
+    """
+inst AS (
+  SELECT instance, COUNT(*) AS n_partitions,
+         CAST(SUM(is_lagging) AS BIGINT) AS n_lagging,
+         ROUND(SUM(weight), 6) AS adjusted_weight
+  FROM pp GROUP BY instance
+)
+""".strip(),
+    f"""
+SELECT instance, n_partitions, n_lagging, adjusted_weight,
+       (n_lagging > 0 AND rk <= {_MAX_DEDICATED}) AS is_dedicated_candidate
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_lagging * 1.0 / n_partitions DESC, instance) AS rk
+  FROM inst
+) ORDER BY instance
+""",
+)
+
+
+@register("lag_weighted_assignment", _LAG_WEIGHTED_SQL)
+def q_lag_weighted_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-weighted rebalancer analytics (A2 adjunct): which instances
+    would serve as dedicated lagging-partition instances, and each
+    instance's lag-adjusted workload weight
+    (AutoRebalanceLiveInstanceChangeListener.java:482-592)."""
+    rec = FX.records(spark, sf_dir)
+    lag_df = LAG.consumer_lag(
+        LAG.latest_offsets(rec), LAG.committed_offsets(rec, FX.SNAPSHOT_T1)
+    ).select("topic", "partition", "lag")
+    lt = LAG.lag_time(lag_df, WKL.partition_workload(rec))
+    assignments = ASG.derive_assignments(rec, FX.N_INSTANCES)
+    return ASG.lag_weighted_instance_view(assignments, lt, FX.N_INSTANCES)
