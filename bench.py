@@ -127,7 +127,7 @@ def main() -> None:
         "similarity_ann_recall", "chunk_dedup", "token_count_bpe",
         "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",
         "doc_perplexity_proxy", "source_unigram_kl", "token_shard_packing",
-        "dedup_keep_best",
+        "dedup_keep_best", "embedding_pq_codes", "similarity_pq_adc",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:

@@ -847,3 +847,34 @@ def test_lag_weighted_dedicated_instance_selection(spark):
     assert got["w0"].is_dedicated_candidate and got["w1"].is_dedicated_candidate
     assert not got["w2"].is_dedicated_candidate
     assert (got["w0"].n_lagging, got["w2"].n_lagging) == (1, 0)
+
+
+def test_pq_exact_on_codeword_corpus(spark):
+    """A corpus that IS its codebook (4 distinct patterns, duplicated)
+    must quantize with zero reconstruction error, and ADC must rank
+    each query's duplicate first at distance 0."""
+    from ureplicator_spark.operators.similarity import pq_adc_search, pq_train_codes
+
+    patterns = []
+    for p in range(4):
+        vec = [0.0] * 64
+        for i in range(16):
+            vec[p * 16 + i] = 1.0 + p  # energy only in subspace p
+        patterns.append(vec)
+    rows = [(vid, patterns[vid % 4]) for vid in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    codes = pq_train_codes(emb).collect()
+    assert len(codes) == 8 * 4  # one code per (vector, subspace)
+    assert all(r.sqerr == 0 for r in codes)
+    assert all(0 <= r.code < 4 for r in codes)
+    # duplicates share the full code word
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r.vec_id, {})[r.subspace] = r.code
+    for vid in range(4):
+        assert by_vec[vid] == by_vec[vid + 4]
+
+    top = pq_adc_search(emb, n_queries=4, top_k=1).collect()
+    got = {r.q_id: (r.c_id, r.adc_dist) for r in top}
+    assert got == {0: (4, 0), 1: (5, 0), 2: (6, 0), 3: (7, 0)}

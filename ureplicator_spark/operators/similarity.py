@@ -690,3 +690,144 @@ def kmeans_centroids(
         "i",
         (F.col("c") / F.lit(float(qscale))).alias("cx"),
     )
+
+
+def _pq_components(embeddings: DataFrame, m: int, dim: int, qscale: int) -> DataFrame:
+    """(vec_id, sub, i, q): integer-quantized components tagged with
+    their subspace (sub = (i-1) div (dim/m), 1-based i)."""
+    subdim = dim // m
+    return _components(embeddings).select(
+        "vec_id",
+        F.expr(f"(i - 1) div {subdim}").alias("sub"),
+        "i",
+        F.round(F.col("x") * qscale).cast("long").alias("q"),
+    )
+
+
+def pq_train_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11): split each
+    vector into ``m`` subvectors, k-means each subspace independently,
+    and represent every vector by its ``m`` nearest-codeword ids —
+    the memory-reduction path that makes billion-vector ANN fit in
+    RAM (m·log2(k) bits per vector instead of dim·32).
+
+    Same integer-exact Lloyd discipline as ``kmeans_clusters`` (init =
+    first k vectors' subvectors, exact squared-L2 on quantized
+    components, floor-div centroid updates) so the oracle reproduces
+    every code bit-for-bit. The codebook is m·k·(dim/m) rows — tiny —
+    and BROADCASTS into every assignment join; the corpus never
+    shuffles except for the per-(vec, sub) argmin aggregates.
+
+    Returns (vec_id, subspace, code, sqerr) — the PQ code table that
+    ``pq_adc_search`` consumes."""
+    comp = _pq_components(embeddings, m, dim, qscale)
+    cents = comp.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("code"), "i", F.col("q").alias("c")
+    )
+    best = None
+    for it in range(iters):
+        dist = (
+            comp.join(F.broadcast(cents), ["sub", "i"])
+            .groupBy("vec_id", "sub", "code")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        )
+        best = (
+            dist.groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("dist", "code")).alias("m"))
+            .select(
+                "vec_id", "sub",
+                F.col("m.code").alias("code"), F.col("m.dist").alias("dist"),
+            )
+        )
+        if it < iters - 1:
+            upd = (
+                comp.join(best.select("vec_id", "sub", "code"), ["vec_id", "sub"])
+                .groupBy("sub", "code", "i")
+                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            )
+            cents = upd.select(
+                "sub", "code", "i",
+                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
+            )
+    return best.select(
+        "vec_id",
+        F.col("sub").alias("subspace"),
+        "code",
+        F.col("dist").alias("sqerr"),
+    ).orderBy("vec_id", "subspace")
+
+
+def pq_adc_search(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes: the query stays
+    exact, every corpus vector is its m codeword ids, and distance is
+    the sum of per-subspace lookup-table entries — the scan pattern of
+    a PQ/IVF-PQ index (Jégou et al., TPAMI'11 §IV).
+
+    Scale shape: the LUT is queries×m×k rows (bounded — ADC evaluation
+    runs on a bounded query batch) and broadcasts into one join
+    against the corpus code table (N·m rows, the compressed corpus);
+    the only corpus-sized exchange is the per-(query, candidate) sum.
+    The full float corpus is never touched after training — that is
+    the point of PQ."""
+    comp = _pq_components(embeddings, m, dim, qscale)
+    # retrain the codebook exactly as pq_train_codes does (shared code
+    # path keeps Spark and oracle in lockstep)
+    cents = comp.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("code"), "i", F.col("q").alias("c")
+    )
+    codes = None
+    for it in range(iters):
+        dist = (
+            comp.join(F.broadcast(cents), ["sub", "i"])
+            .groupBy("vec_id", "sub", "code")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        )
+        codes = (
+            dist.groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("dist", "code")).alias("m"))
+            .select("vec_id", "sub", F.col("m.code").alias("code"))
+        )
+        if it < iters - 1:
+            upd = (
+                comp.join(codes, ["vec_id", "sub"])
+                .groupBy("sub", "code", "i")
+                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            )
+            cents = upd.select(
+                "sub", "code", "i",
+                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
+            )
+    lut = (
+        comp.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cents), ["sub", "i"])
+        .groupBy(F.col("vec_id").alias("q_id"), "sub", "code")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("pdist"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", "c_id", "adc_dist", "rank")
+    )

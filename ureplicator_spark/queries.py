@@ -4384,3 +4384,113 @@ def q_lag_weighted_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = LAG.lag_time(lag_df, WKL.partition_workload(rec))
     assignments = ASG.derive_assignments(rec, FX.N_INSTANCES)
     return ASG.lag_weighted_instance_view(assignments, lt, FX.N_INSTANCES)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+_PQ_TRAIN_CTES = (
+    _KMEANS_COMPQ_CTE,
+    "pcomp AS (SELECT vec_id, (i - 1) // 16 AS sub, i, q FROM compq)",
+    "pc0 AS (SELECT sub, vec_id AS code, i, q AS c FROM pcomp WHERE vec_id < 4)",
+    """
+pd1 AS (
+  SELECT v.vec_id, v.sub, c.code, SUM((v.q - c.c) * (v.q - c.c)) AS dist
+  FROM pcomp v JOIN pc0 c ON v.sub = c.sub AND v.i = c.i
+  GROUP BY v.vec_id, v.sub, c.code
+)
+""".strip(),
+    """
+pa1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM pd1
+  ) WHERE rn = 1
+)
+""".strip(),
+    """
+pc1 AS (
+  SELECT a.sub, a.code, v.i,
+         CAST((SUM(v.q) - ((SUM(v.q) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*) AS BIGINT) AS c
+  FROM pcomp v JOIN pa1 a ON v.vec_id = a.vec_id AND v.sub = a.sub
+  GROUP BY a.sub, a.code, v.i
+)
+""".strip(),
+    """
+pd2 AS (
+  SELECT v.vec_id, v.sub, c.code, SUM((v.q - c.c) * (v.q - c.c)) AS dist
+  FROM pcomp v JOIN pc1 c ON v.sub = c.sub AND v.i = c.i
+  GROUP BY v.vec_id, v.sub, c.code
+)
+""".strip(),
+    """
+pa2 AS (
+  SELECT vec_id, sub, code, dist FROM (
+    SELECT vec_id, sub, code, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM pd2
+  ) WHERE rn = 1
+)
+""".strip(),
+)
+
+_PQ_CODES_SQL = _with(
+    *_PQ_TRAIN_CTES,
+    """
+SELECT vec_id, CAST(sub AS BIGINT) AS subspace, code,
+       CAST(dist AS BIGINT) AS sqerr
+FROM pa2 ORDER BY vec_id, subspace
+""",
+)
+
+
+@register("embedding_pq_codes", _PQ_CODES_SQL)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code table (m=4 subspaces, k=4 codewords,
+    integer-exact Lloyd per subspace) — the compressed-corpus artifact
+    behind RAM-resident billion-vector ANN."""
+    from ureplicator_spark.operators.similarity import pq_train_codes
+    from ureplicator_spark.sources.parquet import load_table
+
+    return pq_train_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+_PQ_ADC_SQL = _with(
+    *_PQ_TRAIN_CTES,
+    """
+lut AS (
+  SELECT v.vec_id AS q_id, c.sub, c.code, SUM((v.q - c.c) * (v.q - c.c)) AS pdist
+  FROM pcomp v JOIN pc1 c ON v.sub = c.sub AND v.i = c.i
+  WHERE v.vec_id < 10
+  GROUP BY v.vec_id, c.sub, c.code
+)
+""".strip(),
+    """
+adc AS (
+  SELECT l.q_id, a.vec_id AS c_id, SUM(l.pdist) AS adc_dist
+  FROM pa2 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+  WHERE a.vec_id <> l.q_id
+  GROUP BY l.q_id, a.vec_id
+)
+""".strip(),
+    """
+SELECT q_id, c_id, CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, c_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id) AS rank
+  FROM adc
+) WHERE rank <= 5 ORDER BY q_id, rank
+""",
+)
+
+
+@register("similarity_pq_adc", _PQ_ADC_SQL)
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: LUT (queries x m x k, broadcast)
+    joined against the compressed code table; the float corpus is
+    never touched after training (Jégou et al., TPAMI'11 §IV)."""
+    from ureplicator_spark.operators.similarity import pq_adc_search
+    from ureplicator_spark.sources.parquet import load_table
+
+    return pq_adc_search(load_table(spark, sf_dir, "embeddings"))
