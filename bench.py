@@ -137,6 +137,23 @@ def main() -> None:
         QUERIES[name][0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         extended[name] = round(time.perf_counter() - t0, 3)
 
+    # IVF-PQ persisted index: build reported separately (amortized,
+    # like ivf_build_sec), pruned ADC search timed in the extended set.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ureplicator_spark.sources.pq_index import build_ivfpq_index, search_ivfpq_index
+
+    ivfpq_root = tempfile.mkdtemp(prefix="ureplicator_bench_ivfpq_")
+    t0 = time.perf_counter()
+    build_ivfpq_index(load_table(spark, SF_DIR, "embeddings"), ivfpq_root)
+    ivfpq_build_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    q10 = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 10)
+    search_ivfpq_index(spark, ivfpq_root, q10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extended["similarity_ivfpq_search"] = round(time.perf_counter() - t0, 3)
+
     # Concurrent makespan: the same 34 queries submitted together, the
     # way a shared cluster actually runs them. A single local[N] query
     # rarely saturates N cores (stage barriers, planning gaps), so the
@@ -180,11 +197,13 @@ def main() -> None:
                 "warm_sequential_total_sec": round(sum(warm.values()), 3),
                 "warm_queries": warm,
                 "ivf_build_sec": ivf_build_sec,
+                "ivfpq_build_sec": ivfpq_build_sec,
                 "sf": float(sf) if sf else None,
             }
         )
     )
     shutil.rmtree(ivf_root, ignore_errors=True)
+    shutil.rmtree(ivfpq_root, ignore_errors=True)
     spark.stop()
 
 

@@ -350,3 +350,83 @@ def test_runtime_bloom_filter_injects_on_shuffle_joins(spark, sf_dir):
             "10GB",
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ivfpq_index_matches_numpy_reference_and_prunes(spark, sf_dir, tmp_path_factory):
+    """Persisted IVF-PQ: the full build+search path must reproduce an
+    oblivious NumPy implementation of the same integer-exact math
+    bit-for-bit (coarse Lloyd -> residuals -> per-subspace Lloyd ->
+    ADC over probed lists), and the search must dynamic-partition-prune
+    unprobed cent_id directories."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.plans.inspect import plan_string
+    from ureplicator_spark.sources.parquet import load_table
+    from ureplicator_spark.sources.pq_index import build_ivfpq_index, search_ivfpq_index
+
+    root = str(tmp_path_factory.mktemp("ivfpq"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivfpq_index(emb, root, n_centroids=8, m=4, k=4, iters=2)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got_df = search_ivfpq_index(spark, root, queries, nprobe=2, top_k=5)
+    got = {(r.q_id, r.rank): (r.c_id, r.adc_dist) for r in got_df.collect()}
+    assert "dynamicpruning" in plan_string(got_df).lower()
+
+    # ---- oblivious NumPy reference ------------------------------------
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = (np.sign(X) * np.floor(np.abs(X * 1000) + 0.5)).astype(np.int64)  # HALF_UP
+
+    def argmin_tie(dists, cand_ids):
+        # smallest distance, tie -> smallest id
+        order = np.lexsort((cand_ids, dists))
+        return order[0]
+
+    def lloyd(pts, init_ids, iters):
+        cents = pts[init_ids].copy()
+        assign = None
+        for it in range(iters):
+            d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.array(
+                [argmin_tie(d[i], np.arange(len(cents))) for i in range(len(pts))]
+            )
+            if it < iters - 1:
+                for c in range(len(cents)):
+                    mem = pts[assign == c]
+                    if len(mem):
+                        cents[c] = np.floor_divide(mem.sum(axis=0), len(mem))
+        return cents, assign
+
+    coarse, cassign = lloyd(q, np.where(ids < 8)[0], 2)
+    resid = q - coarse[cassign]
+    m, k, subdim = 4, 4, 16
+    codebooks, codes = [], np.zeros((len(q), m), dtype=np.int64)
+    for s in range(m):
+        sub = resid[:, s * subdim:(s + 1) * subdim]
+        cb, a = lloyd(sub, np.where(ids < k)[0], 2)
+        codebooks.append(cb)
+        codes[:, s] = a
+
+    expect = {}
+    for qi in range(3):
+        cd = ((q[qi] - coarse) ** 2).sum(axis=1)
+        probes = np.lexsort((np.arange(8), cd))[:2]
+        cands = []
+        for cent in probes:
+            rq = q[qi] - coarse[cent]
+            lut = np.array([
+                [((rq[s * subdim:(s + 1) * subdim] - codebooks[s][c]) ** 2).sum()
+                 for c in range(k)] for s in range(m)
+            ])
+            for j in np.where(cassign == cent)[0]:
+                if ids[j] == qi:
+                    continue
+                cands.append((int(sum(lut[s][codes[j, s]] for s in range(m))), int(ids[j])))
+        cands.sort()
+        for rank, (dist, cid) in enumerate(cands[:5], start=1):
+            expect[(qi, rank)] = (cid, dist)
+
+    assert got == expect

@@ -1,0 +1,214 @@
+"""Persisted IVF-PQ index — compressed ANN at corpus scale.
+
+The FAISS IVFPQ architecture (Jégou et al., TPAMI'11 §V) re-expressed
+as parquet + DataFrame ops: a coarse quantizer splits the corpus into
+inverted lists, each vector's RESIDUAL from its coarse centroid is
+product-quantized, and only the m·log2(k)-bit code survives — the
+float corpus is not needed at search time at all. A search probes the
+``nprobe`` nearest lists (partition-pruned directory reads), builds a
+per-list lookup table from the query residual, and sums m table
+entries per candidate.
+
+Layout:
+
+    <root>/coarse/                 (cent_id, i, c)     integer centroid components
+    <root>/codebook/               (sub, code, i, c)   integer PQ codewords (residual domain)
+    <root>/codes/cent_id=<list>/   (vec_id, codes array<int>)
+
+Everything is integer-exact (round(x·qscale) components, exact
+squared-L2, floor-div centroid updates) — the same determinism
+discipline as ``operators/similarity.kmeans_clusters`` — so tests can
+pin results against an oblivious NumPy reference bit-for-bit.
+
+Scale notes: the codebook is m·k·(dim/m) rows and the coarse table
+n_centroids·dim rows — both broadcast. The build's only corpus-sized
+exchanges are the coarse argmin and the per-(vec, sub) code argmin;
+the search reads ONLY probed list directories (asserted via the
+``dynamicpruning``/partition-filter plan test) and its one shuffle is
+the per-(query, candidate) ADC sum over probed-list rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _int_components(embeddings: DataFrame, qscale: int) -> DataFrame:
+    """(vec_id, i, q): 1-based integer-quantized component view."""
+    return embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * qscale).cast("long").alias("q"),
+    )
+
+
+def _argmin_assign(dist: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Deterministic argmin: min (dist, id) struct per key group."""
+    return (
+        dist.groupBy(*keys)
+        .agg(F.min(F.struct("dist", id_col)).alias("m"))
+        .select(*keys, F.col(f"m.{id_col}").alias(id_col), F.col("m.dist").alias("dist"))
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    root: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    qscale: int = 1000,
+) -> None:
+    """One corpus pass + bounded Lloyd rounds, then persist.
+
+    Coarse quantizer: integer Lloyd (init = first ``n_centroids``
+    vectors, ``iters`` assignment passes). PQ: per-subspace integer
+    Lloyd over the RESIDUAL components (init = first ``k`` vectors'
+    residuals). Codes are stored as one array<int> per vector,
+    partitioned by coarse list for pruned probes."""
+    comp = _int_components(embeddings, qscale)
+
+    # ---- coarse quantizer (integer Lloyd over full vectors)
+    cents = comp.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), "i", F.col("q").alias("c")
+    )
+    assign = None
+    for it in range(iters):
+        dist = (
+            comp.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cent_id")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        )
+        assign = _argmin_assign(dist, ["vec_id"], "cent_id").select("vec_id", "cent_id")
+        if it < iters - 1:
+            upd = (
+                comp.join(assign, "vec_id")
+                .groupBy("cent_id", "i")
+                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            )
+            cents = upd.select(
+                "cent_id", "i",
+                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
+            )
+    cents.write.mode("overwrite").parquet(root + "/coarse")
+
+    # ---- residual components (q - coarse centroid, per dim)
+    subdim = dim // m
+    resid = (
+        comp.join(assign, "vec_id")
+        .join(F.broadcast(cents), ["cent_id", "i"])
+        .select(
+            "vec_id",
+            "cent_id",
+            F.expr(f"(i - 1) div {subdim}").alias("sub"),
+            "i",
+            (F.col("q") - F.col("c")).alias("r"),
+        )
+    )
+    resid = resid.localCheckpoint()  # shared by codebook training AND encoding
+
+    # ---- PQ codebook over residuals (per-subspace integer Lloyd)
+    cb = resid.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("code"), "i", F.col("r").alias("c")
+    )
+    codes = None
+    for it in range(iters):
+        dist = (
+            resid.join(F.broadcast(cb), ["sub", "i"])
+            .groupBy("vec_id", "sub", "code")
+            .agg(F.sum((F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))).alias("dist"))
+        )
+        codes = _argmin_assign(dist, ["vec_id", "sub"], "code").select(
+            "vec_id", "sub", "code"
+        )
+        if it < iters - 1:
+            upd = (
+                resid.join(codes, ["vec_id", "sub"])
+                .groupBy("sub", "code", "i")
+                .agg(F.sum("r").alias("s"), F.count("*").alias("n"))
+            )
+            cb = upd.select(
+                "sub", "code", "i",
+                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
+            )
+    cb.write.mode("overwrite").parquet(root + "/codebook")
+
+    # ---- persist codes as array<int> per vector, partitioned by list
+    packed = (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select("vec_id", F.expr("transform(sc, s -> CAST(s.code AS INT))").alias("codes"))
+        .join(assign, "vec_id")
+    )
+    packed.write.mode("overwrite").partitionBy("cent_id").parquet(root + "/codes")
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    top_k: int = 5,
+    qscale: int = 1000,
+) -> DataFrame:
+    """ADC search over the persisted index: probe the ``nprobe``
+    nearest coarse lists per query (exact integer L2 on the broadcast
+    coarse table), build the residual lookup table for just those
+    lists, and rank candidates by summed table entries. Only probed
+    ``cent_id=`` directories are read."""
+    coarse = spark.read.parquet(root + "/coarse")
+    cb = spark.read.parquet(root + "/codebook")
+    codes = spark.read.parquet(root + "/codes")
+
+    qcomp = _int_components(queries, qscale).withColumnRenamed("vec_id", "q_id")
+    cdist = (
+        qcomp.join(F.broadcast(coarse), "i")
+        .groupBy("q_id", "cent_id")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cent_id"))
+    probe = (
+        cdist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cent_id")
+    )
+
+    # residual LUT for probed (query, list) pairs: Q·nprobe·m·k rows
+    subdim_expr = "(i - 1) div " + str(64 // 4)  # dim/m fixed by the build
+    qresid = (
+        qcomp.join(F.broadcast(probe), "q_id")
+        .join(F.broadcast(coarse), ["cent_id", "i"])
+        .select(
+            "q_id", "cent_id",
+            F.expr(subdim_expr).alias("sub"), "i",
+            (F.col("q") - F.col("c")).alias("r"),
+        )
+    )
+    lut = (
+        qresid.join(F.broadcast(cb), ["sub", "i"])
+        .groupBy("q_id", "cent_id", "sub", "code")
+        .agg(F.sum((F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))).alias("pdist"))
+    )
+
+    # probed-list candidates: DPP prunes unprobed cent_id directories
+    cand = (
+        codes.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "cent_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["q_id", "cent_id", "sub", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", "c_id", "adc_dist", "rank")
+    )
