@@ -878,3 +878,25 @@ def test_pq_exact_on_codeword_corpus(spark):
     top = pq_adc_search(emb, n_queries=4, top_k=1).collect()
     got = {r.q_id: (r.c_id, r.adc_dist) for r in top}
     assert got == {0: (4, 0), 1: (5, 0), 2: (6, 0), 3: (7, 0)}
+
+
+def test_exact_substring_spans_flags_shared_spans_only(spark):
+    """Docs sharing a verbatim 48-char span score dup windows; a
+    unique doc scores zero; sub-window docs are excluded."""
+    from ureplicator_spark.operators.dedup import exact_substring_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"  # 60 chars
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one extra words here"),
+            (2, shared + " completely different ending text"),
+            (3, "x" * 20 + " unique middle content that matches nothing else " + "y" * 20),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in exact_substring_spans(docs).collect()}
+    assert 4 not in got  # below window width
+    assert got[1].n_dup_windows > 0 and got[2].n_dup_windows > 0
+    assert got[3].n_dup_windows == 0 and got[3].dup_share == 0.0
+    assert got[1].n_windows >= got[1].n_dup_windows

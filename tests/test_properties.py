@@ -432,3 +432,34 @@ def test_kmeans_matches_reference(spark, vecs):
         n, s = expected.get(j, (0, 0))
         expected[j] = (n + 1, s + d)
     assert got == expected
+
+
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+    budget=st.integers(5, 200),
+    id_stride=st.integers(1, 3000),
+)
+@SETTINGS
+def test_shard_packing_matches_reference(spark, sizes, budget, id_stride):
+    """Two-phase distributed prefix sum == the naive sequential cumsum
+    for any doc sizes / budget / id spacing (strides push ids across
+    the 4096 bucket boundary so offsets are exercised)."""
+    from ureplicator_spark.operators.text import token_shard_packing
+
+    rows = [
+        (i * id_stride, " ".join(["w"] * n)) for i, n in enumerate(sizes)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.shard_id: (r.n_docs, r.total_tokens, r.first_doc, r.last_doc)
+        for r in token_shard_packing(docs, budget=budget).collect()
+    }
+    expect = {}
+    cum = 0
+    for i, n in enumerate(sizes):
+        shard = cum // budget
+        cum += n
+        d, t, fd, ld = expect.get(shard, (0, 0, None, None))
+        expect[shard] = (d + 1, t + n, fd if fd is not None else i * id_stride,
+                         i * id_stride)
+    assert got == expect

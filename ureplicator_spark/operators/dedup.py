@@ -495,3 +495,54 @@ def keep_best_per_cluster(documents: DataFrame, clusters: DataFrame) -> DataFram
         )
         .orderBy("cluster_id")
     )
+
+
+def exact_substring_spans(
+    documents: DataFrame, window: int = 48, stride: int = 8
+) -> DataFrame:
+    """Character-level exact-substring duplication signal (the
+    ExactSubstr criterion of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22 — approximated with strided
+    fixed-width windows instead of a suffix array): a document's
+    windows that recur verbatim in ANY other document mark spans a
+    curation pass would cut.
+
+    Per doc: total windows, windows whose exact 48-char content
+    appears in >= 2 distinct docs, and the duplicated share. Shape:
+    one map-side pass emits (doc_id, window-hash) — stride bounds the
+    blowup at len/stride rows per doc — then one aggregation finds
+    cross-doc hashes and one hash join + per-doc aggregation scores
+    documents. The window TEXT never shuffles, only its 128-bit hash;
+    the suffix-array formulation would need a global sort, which is
+    exactly what this avoids at 100 TB."""
+    wins = (
+        documents.filter(F.length("text") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {window} + 1, {stride})")
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.expr(f"substring(text, pos, {window})")).alias("win_hash"),
+        )
+    )
+    rep = (
+        wins.groupBy("win_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win_hash")
+    )
+    dup = F.when(F.col("nd_flag").isNotNull(), 1).otherwise(0)
+    return (
+        wins.join(rep.withColumn("nd_flag", F.lit(1)), "win_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(dup).cast("long").alias("n_dup_windows"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )

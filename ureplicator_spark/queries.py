@@ -4494,3 +4494,36 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return pq_adc_search(load_table(spark, sf_dir, "embeddings"))
+
+
+_EXACT_SUBSTR_SQL = """
+WITH wins AS (
+  SELECT doc_id, md5(substr(text, CAST(p AS INT), 48)) AS win_hash
+  FROM documents,
+       LATERAL unnest(range(1, length(text) - 48 + 2, 8)) AS t(p)
+  WHERE length(text) >= 48
+),
+rep AS (
+  SELECT win_hash FROM wins GROUP BY win_hash HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN r.win_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       ROUND(SUM(CASE WHEN r.win_hash IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS dup_share
+FROM wins w LEFT JOIN rep r USING (win_hash)
+GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
+
+@register("dedup_exact_substring", _EXACT_SUBSTR_SQL)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplication signal (Lee et al., ACL'22) via strided
+    48-char windows: per doc, the share of character windows that
+    recur verbatim in other documents — the span-removal criterion,
+    without the suffix array's global sort. Window text never
+    shuffles; only its hash does."""
+    from ureplicator_spark.operators.dedup import exact_substring_spans
+    from ureplicator_spark.sources.parquet import load_table
+
+    return exact_substring_spans(load_table(spark, sf_dir, "documents"))
