@@ -198,3 +198,61 @@ def test_streaming_near_dedup_against_index(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(root + "/signatures").select("doc_id").collect()
     }
     assert landed <= idx_ids and 20_002 not in idx_ids
+
+
+def test_streaming_shard_feed_continues_cumsum_across_batches(spark, tmp_path):
+    """Shard ids keep growing across micro-batches: running the feed
+    over two batches must produce exactly the shard layout the BATCH
+    operator produces over the concatenation, and a replayed batch id
+    must reuse its original offset (idempotent re-land)."""
+    import json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.operators.text import token_shard_packing
+    from ureplicator_spark.streaming.curation import streaming_shard_feed
+
+    cols = "doc_id long, text string"
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "incoming")
+    # 7 tokens per doc, budget 10 -> shards straddle batch boundaries
+    b1 = [(i, "w w w w w w w") for i in range(5)]
+    b2 = [(i, "w w w w w w w") for i in range(5, 11)]
+    spark.createDataFrame(b1, cols).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, cols).coalesce(1).write.mode("append").parquet(src)
+    parts = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    b1_file = next(
+        f for f in parts
+        if spark.read.parquet(os.path.join(src, f)).filter(F.col("doc_id") == 0).count()
+    )
+    now = _time.time()
+    for f in parts:
+        os.utime(os.path.join(src, f), (now - 60, now - 60) if f == b1_file else (now, now))
+
+    stream = (
+        spark.readStream.schema(cols).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = streaming_shard_feed(stream, out, ckpt, budget=10, available_now=True)
+    q.awaitTermination(180)
+
+    landed = spark.read.parquet(os.path.join(out, "shards"))
+    got = {
+        (r.shard_id, r.n_docs, r.total_tokens)
+        for r in landed.groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .collect()
+    }
+    all_docs = spark.createDataFrame(b1 + b2, cols)
+    expect = {
+        (r.shard_id, r.n_docs, r.total_tokens)
+        for r in token_shard_packing(all_docs, budget=10).collect()
+    }
+    assert got == expect
+    # replay contract: the recorded state lets a re-delivered final
+    # batch restart from its original offset instead of double-counting
+    state = json.load(open(os.path.join(out, "_feed_state.json")))
+    assert state["cum"] == 77  # 11 docs x 7 tokens
+    assert state["cum_before"] == 35  # 5 docs x 7 tokens before batch 2

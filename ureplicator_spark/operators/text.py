@@ -666,11 +666,13 @@ def source_unigram_kl(documents: DataFrame) -> DataFrame:
     )
 
 
-def token_shard_packing(documents: DataFrame, budget: int = 20_000) -> DataFrame:
-    """Contiguous token-budget sharding: walk the corpus in doc_id
-    order, accumulate token counts, and cut a new training shard each
-    time the running total crosses ``budget`` — the standard layout
-    step before writing tokenized shards for a trainer.
+def shard_assignments(
+    documents: DataFrame, budget: int = 20_000, token_offset: int = 0
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id): each document's contiguous
+    token-budget shard, walking the corpus in doc_id order with the
+    running total starting at ``token_offset`` (nonzero when a
+    streaming feed continues the cumsum across micro-batches).
 
     The prefix sum is computed in two phases so no global-ordering
     window ever sees the full corpus: (1) per-bucket token totals
@@ -689,19 +691,32 @@ def token_shard_packing(documents: DataFrame, budget: int = 20_000) -> DataFrame
     bucket_tot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
     w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = bucket_tot.select(
-        "bucket", F.coalesce(F.sum("btok").over(w_b), F.lit(0)).alias("offset")
+        "bucket",
+        (F.coalesce(F.sum("btok").over(w_b), F.lit(0)) + F.lit(int(token_offset))).alias(
+            "offset"
+        ),
     )
     w_d = Window.partitionBy("bucket").orderBy("doc_id")
-    cum = (
+    return (
         t.join(F.broadcast(offsets), "bucket")
         .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(w_d))
         .withColumn(
             # integral div, not floor(double/) — exact past 2^53 tokens
             "shard_id", F.expr(f"(cum - n_tokens) div {int(budget)}")
         )
+        .select("doc_id", "n_tokens", "shard_id")
     )
+
+
+def token_shard_packing(documents: DataFrame, budget: int = 20_000) -> DataFrame:
+    """Contiguous token-budget sharding: walk the corpus in doc_id
+    order, accumulate token counts, and cut a new training shard each
+    time the running total crosses ``budget`` — the standard layout
+    step before writing tokenized shards for a trainer. Prefix-sum
+    topology documented on ``shard_assignments``."""
     return (
-        cum.groupBy("shard_id")
+        shard_assignments(documents, budget)
+        .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),

@@ -138,3 +138,83 @@ def streaming_near_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_shard_feed(
+    doc_stream: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    budget: int = 20_000,
+    available_now: bool = False,
+):
+    """Continuous trainer-shard layout: as curated documents stream
+    in, each micro-batch continues the GLOBAL token cumsum where the
+    previous batch stopped and lands documents under
+    ``out_root/shards/shard_id=<n>/`` — the streaming form of
+    ``operators/text.token_shard_packing`` (same two-phase prefix sum
+    per batch, offset by the carried total).
+
+    Cross-batch state is one tiny JSON blob
+    (``out_root/_feed_state.json``: cumulative token count + last
+    batch id, written AFTER the batch's data lands). Replays are
+    idempotent: a re-delivered batch id reuses its recorded
+    ``cum_before``, so re-landed rows overwrite into the same shard
+    directories instead of shifting every later shard. Shard ids are
+    therefore monotone across the stream's life — a trainer can tail
+    completed shards while ingestion continues.
+
+    foreachBatch by design: the offset must be read before and
+    persisted after each batch — a read-modify-write cycle outside
+    the declarative API (same rationale as ``streaming_near_dedup``)."""
+    import json
+    import os
+
+    from ureplicator_spark.operators.text import shard_assignments
+
+    state_path = os.path.join(out_root, "_feed_state.json")
+
+    def _read_state() -> dict:
+        try:
+            with open(state_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"cum": 0, "batch_id": None, "cum_before": 0}
+
+    def _feed(batch_df: DataFrame, batch_id: int) -> None:
+        state = _read_state()
+        # replayed batch: restart from its original offset (idempotent)
+        cum0 = state["cum_before"] if state.get("batch_id") == batch_id else state["cum"]
+        batch_df = batch_df.persist()
+        try:
+            if not batch_df.head(1):
+                return
+            assigned = shard_assignments(batch_df, budget=budget, token_offset=cum0)
+            landed = batch_df.join(assigned, "doc_id").persist()
+            (
+                landed.write.mode("append")
+                .partitionBy("shard_id")
+                .parquet(os.path.join(out_root, "shards"))
+            )
+            batch_tokens = landed.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            landed.unpersist()
+            os.makedirs(out_root, exist_ok=True)
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "cum": cum0 + int(batch_tokens),
+                        "batch_id": batch_id,
+                        "cum_before": cum0,
+                    },
+                    f,
+                )
+            os.replace(tmp, state_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = doc_stream.writeStream.foreachBatch(_feed).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
