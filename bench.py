@@ -128,7 +128,7 @@ def main() -> None:
         "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",
         "doc_perplexity_proxy", "source_unigram_kl", "token_shard_packing",
         "dedup_keep_best", "embedding_pq_codes", "similarity_pq_adc",
-        "dedup_exact_substring",
+        "dedup_exact_substring", "multimodal_pcm_energy",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:

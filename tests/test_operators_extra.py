@@ -900,3 +900,30 @@ def test_exact_substring_spans_flags_shared_spans_only(spark):
     assert got[1].n_dup_windows > 0 and got[2].n_dup_windows > 0
     assert got[3].n_dup_windows == 0 and got[3].dup_share == 0.0
     assert got[1].n_windows >= got[1].n_dup_windows
+
+
+def test_pcm_energy_and_decimation_known_bytes(spark):
+    """Hand-computable PCM: constant 128s give silence (rms 0); an
+    alternating 0/255 square wave gives rms ~127.5; decimation keeps
+    every k-th byte."""
+    from ureplicator_spark.operators.multimodal import pcm_decimate, pcm_window_energy
+
+    silence = bytes([128] * 512)           # 2 windows of rms 0
+    square = bytes([0, 255] * 128)         # 1 window: samples -128/+127
+    short = bytes([1, 2, 3])               # below one window -> no rows
+    media = spark.createDataFrame(
+        [(1, silence), (2, square), (3, short)],
+        "media_id long, payload binary",
+    )
+    got = {(r.media_id, r.window_idx): (r.rms, r.peak)
+           for r in pcm_window_energy(media).collect()}
+    assert got[(1, 0)] == (0.0, 0) and got[(1, 1)] == (0.0, 0)
+    import math
+    exp_rms = round(math.sqrt((128 * 128**2 + 128 * 127**2) / 256), 6)
+    assert got[(2, 0)] == (exp_rms, 128)
+    assert not any(mid == 3 for mid, _ in got)
+
+    dec = {r.media_id: bytes(r.payload) for r in pcm_decimate(media, 4).collect()}
+    assert dec[1] == bytes([128] * 128)
+    assert dec[2] == bytes([0] * 64)  # every 4th of 0,255,0,255,... is 0
+    assert dec[3] == bytes([1])

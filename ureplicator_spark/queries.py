@@ -4527,3 +4527,36 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return exact_substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+_PCM_ENERGY_SQL = """
+WITH s AS (
+  SELECT doc_id AS media_id, CAST(w AS INT) AS window_idx,
+         ascii(substr(text, CAST(w * 256 + k AS INT), 1)) - 128 AS v
+  FROM documents,
+       LATERAL unnest(range(0, length(text) // 256)) AS t(w),
+       LATERAL unnest(range(1, 257)) AS u(k)
+)
+SELECT media_id, window_idx, COUNT(*) AS n_samples,
+       ROUND(sqrt(SUM(v * v) * 1.0 / COUNT(*)), 6) AS rms,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM s GROUP BY media_id, window_idx
+ORDER BY media_id, window_idx
+"""
+
+
+@register("multimodal_pcm_energy", _PCM_ENERGY_SQL)
+def q_multimodal_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS/peak over binary payloads via Arrow-batched numpy
+    (mapInPandas) — a REAL decode path (unsigned 8-bit PCM needs no
+    codec). The oracle reproduces the byte math through the ASCII
+    view of the same text-as-payload adapter, hash-gating the Python
+    worker path itself."""
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        pcm_window_energy,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return pcm_window_energy(media).orderBy("media_id", "window_idx")
