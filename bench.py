@@ -128,7 +128,8 @@ def main() -> None:
         "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",
         "doc_perplexity_proxy", "source_unigram_kl", "token_shard_packing",
         "dedup_keep_best", "embedding_pq_codes", "similarity_pq_adc",
-        "dedup_exact_substring", "multimodal_pcm_energy",
+        "dedup_exact_substring", "multimodal_pcm_energy", "workload_trend",
+        "dedup_signal_agreement",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:

@@ -927,3 +927,45 @@ def test_pcm_energy_and_decimation_known_bytes(spark):
     assert dec[1] == bytes([128] * 128)
     assert dec[2] == bytes([0] * 64)  # every 4th of 0,255,0,255,... is 0
     assert dec[3] == bytes([1])
+
+
+def test_workload_trend_exact_linear(spark):
+    """A perfectly linear per-window count sequence recovers its slope
+    and intercept exactly; single-window topics claim no trend."""
+    from ureplicator_spark.operators.workload import workload_trend
+
+    rows = []
+    for idx, n in [(0, 2), (1, 4), (2, 6)]:       # y = 2x + 2
+        rows += [("lin", idx * 600 + j) for j in range(n)]
+    rows += [("single", 10)]
+    rec = spark.createDataFrame(rows, "topic string, ts_sec long")
+    got = {r.topic: r for r in workload_trend(rec).collect()}
+    lin = got["lin"]
+    assert (lin.n_windows, lin.slope, lin.intercept, lin.forecast_next) == (3, 2.0, 2.0, 8.0)
+    s = got["single"]
+    assert s.n_windows == 1 and s.slope is None and s.forecast_next is None
+
+
+def test_lexical_semantic_agreement_mixed_pairs(spark):
+    """Identical texts pair up via LSH; the embedding side then
+    separates a same-vector pair (agree) from an orthogonal pair
+    (disagree); lexically unique docs never appear."""
+    from ureplicator_spark.operators.dedup import lexical_semantic_agreement
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2), (4, t2),
+         (5, "completely unrelated text content here")],
+        "doc_id long, text string",
+    )
+    v = lambda *idx: [1.0 if i in idx else 0.0 for i in range(8)]
+    emb = spark.createDataFrame(
+        [(1, v(0)), (2, v(0)), (3, v(1)), (4, v(2)), (5, v(3))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.doc_a, r.doc_b): r for r in
+           lexical_semantic_agreement(docs, emb).collect()}
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)].est_jaccard == 1.0 and got[(1, 2)].cosine == 1.0 and got[(1, 2)].agree
+    assert got[(3, 4)].cosine == 0.0 and not got[(3, 4)].agree

@@ -546,3 +546,55 @@ def exact_substring_spans(
         )
         .orderBy("doc_id")
     )
+
+
+def lexical_semantic_agreement(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-signal dedup audit: every lexical near-dup candidate
+    (MinHash-LSH, est Jaccard >= threshold) scored by the SEMANTIC
+    similarity of the same two documents' embeddings. Disagreements
+    are the interesting rows — lexically-near pairs the embedding
+    space separates (template pages, boilerplate twins) or misses —
+    and the agreement rate is the calibration number for choosing one
+    signal's threshold from the other.
+
+    The pair set is LSH output (a vanishing fraction of the corpus),
+    so it broadcasts into two joins against the array-form embedding
+    table; each cosine is one zip_with fold per pair — the corpus is
+    never paired all-against-all in either modality."""
+    pairs = lsh_candidate_pairs(documents).filter(
+        F.col("est_jaccard") >= jaccard_threshold
+    )
+    emb = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("e"),
+    ).withColumn(
+        "n",
+        F.sqrt(
+            F.aggregate(
+                F.expr("transform(e, v -> v * v)"), F.lit(0.0), lambda a, v: a + v
+            )
+        ),
+    )
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("e").alias("e_a"), F.col("n").alias("n_a"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("e").alias("e_b"), F.col("n").alias("n_b"))
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    return (
+        ea.join(F.broadcast(pairs), "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(dot / (F.col("n_a") * F.col("n_b")), 6).alias("cosine"),
+        )
+        .withColumn("agree", F.col("cosine") >= cosine_threshold)
+        .select("doc_a", "doc_b", "est_jaccard", "cosine", "agree")
+        .orderBy("doc_a", "doc_b")
+    )

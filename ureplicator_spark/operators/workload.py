@@ -195,3 +195,37 @@ def rate_spikes(records: DataFrame, width_sec: int = 60) -> DataFrame:
         )
         .orderBy("topic", "win_start")
     )
+
+
+def workload_trend(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame:
+    """Per-topic ingestion TREND: OLS slope/intercept of per-window
+    message counts over the window index, plus the next-window
+    forecast — the predictive input a capacity planner feeds into
+    expected-worker sizing (the reference sizes workers from current
+    maxima only; a trend turns that reactive signal proactive).
+
+    One windowed aggregation (same key as workload_windows) then one
+    per-topic regression aggregate — regr_slope/regr_intercept are
+    single-pass JVM aggregates, so the whole query is two shuffles on
+    (topic[, window]) regardless of log size. Topics with a single
+    window regress to NULL (no trend claimable), matching the SQL
+    semantics exactly."""
+    win = (F.col("ts_sec") - (F.col("ts_sec") % width_sec)).alias("window_start")
+    counts = records.groupBy("topic", win).agg(F.count("*").alias("n_msgs"))
+    x = (F.col("window_start") / width_sec).cast("double")
+    y = F.col("n_msgs").cast("double")
+    agg = counts.groupBy("topic").agg(
+        F.count("*").alias("n_windows"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.max(x).alias("max_idx"),
+    )
+    return agg.select(
+        "topic",
+        "n_windows",
+        "slope",
+        "intercept",
+        F.round(F.col("intercept") + F.col("slope") * (F.col("max_idx") + 1), 6).alias(
+            "forecast_next"
+        ),
+    ).orderBy("topic")

@@ -4560,3 +4560,100 @@ def q_multimodal_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return pcm_window_energy(media).orderBy("media_id", "window_idx")
+
+
+_TREND_SQL = _with(
+    FX.RECORDS_CTE,
+    f"""
+counts AS (
+  SELECT topic, ts_sec - (ts_sec % {FX.WINDOW_SEC}) AS window_start, COUNT(*) AS n_msgs
+  FROM records GROUP BY topic, ts_sec - (ts_sec % {FX.WINDOW_SEC})
+)
+""".strip(),
+    f"""
+reg AS (
+  SELECT topic, COUNT(*) AS n_windows,
+         ROUND(regr_slope(CAST(n_msgs AS DOUBLE), window_start / {FX.WINDOW_SEC}.0), 6) AS slope,
+         ROUND(regr_intercept(CAST(n_msgs AS DOUBLE), window_start / {FX.WINDOW_SEC}.0), 6) AS intercept,
+         MAX(window_start / {FX.WINDOW_SEC}.0) AS max_idx
+  FROM counts GROUP BY topic
+)
+""".strip(),
+    """
+SELECT topic, n_windows, slope, intercept,
+       ROUND(intercept + slope * (max_idx + 1), 6) AS forecast_next
+FROM reg ORDER BY topic
+""",
+)
+
+
+@register("workload_trend", _TREND_SQL)
+def q_workload_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic ingestion trend (OLS over window counts) + next-window
+    forecast — the proactive complement to the reference's reactive
+    max-lookback sizing (WorkloadInfoRetriever.java:59-64)."""
+    return WKL.workload_trend(FX.records(spark, sf_dir))
+
+
+_AGREEMENT_SQL = _with(
+    _SHINGLES_CTE,
+    _MINHASH_CTE,
+    """
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY seed), ',')) AS band_hash
+  FROM mh GROUP BY doc_id, CAST(seed // 2 AS INT)
+)
+""".strip(),
+    """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+""".strip(),
+    """
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS est_jaccard
+  FROM cand c
+  JOIN mh sa ON sa.doc_id = c.doc_a
+  JOIN mh sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  GROUP BY c.doc_a, c.doc_b
+  HAVING ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) >= 0.5
+)
+""".strip(),
+    _COMP_CTE,
+    _NRM_CTE,
+    """
+dots AS (
+  SELECT p.doc_a, p.doc_b, p.est_jaccard, SUM(a.x * b.x) AS dot
+  FROM pairs p
+  JOIN comp a ON a.vec_id = p.doc_a
+  JOIN comp b ON b.vec_id = p.doc_b AND b.i = a.i
+  GROUP BY p.doc_a, p.doc_b, p.est_jaccard
+)
+""".strip(),
+    """
+SELECT d.doc_a, d.doc_b, d.est_jaccard,
+       ROUND(d.dot / (na.n * nb.n), 6) AS cosine,
+       ROUND(d.dot / (na.n * nb.n), 6) >= 0.5 AS agree
+FROM dots d JOIN nrm na ON na.vec_id = d.doc_a JOIN nrm nb ON nb.vec_id = d.doc_b
+ORDER BY d.doc_a, d.doc_b
+""",
+)
+
+
+@register("dedup_signal_agreement", _AGREEMENT_SQL)
+def q_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal dedup audit: lexical near-dup candidates scored by
+    embedding cosine — the calibration table for reconciling MinHash
+    and semantic dedup thresholds; disagreement rows are the audit
+    targets."""
+    from ureplicator_spark.operators.dedup import lexical_semantic_agreement
+    from ureplicator_spark.sources.parquet import load_table
+
+    return lexical_semantic_agreement(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
