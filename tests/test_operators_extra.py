@@ -969,3 +969,29 @@ def test_lexical_semantic_agreement_mixed_pairs(spark):
     assert set(got) == {(1, 2), (3, 4)}
     assert got[(1, 2)].est_jaccard == 1.0 and got[(1, 2)].cosine == 1.0 and got[(1, 2)].agree
     assert got[(3, 4)].cosine == 0.0 and not got[(3, 4)].agree
+
+
+def test_curation_pipeline_every_stage_accounts(spark):
+    """Crafted corpus where each funnel stage drops exactly one doc:
+    gate-fail (repetition), exact dup (min-id keeper), fuzzy near-dup
+    (longest keeper); counts and token yield must reconcile."""
+    from ureplicator_spark.operators.pipeline import curation_pipeline_report
+
+    clean = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    near = clean + " kilo"  # superset shingles -> high jaccard, longer
+    docs = spark.createDataFrame(
+        [
+            (1, "x " * 11 + "x", "s", 23),            # top-token share 1 -> gate fail
+            (2, "one two three four five six seven eight nine ten", "s", 49),
+            (3, "one two three four five six seven eight nine ten", "s", 49),  # exact dup of 2
+            (4, clean, "s", len(clean)),
+            (5, near, "s", len(near)),                # near-dup, longer -> keeper
+            (6, "unique calm words spread evenly apart through this clean doc", "s", 60),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    r = curation_pipeline_report(docs).collect()[0]
+    assert (r.n_input, r.n_gate_fail, r.n_exact_dropped, r.n_fuzzy_dropped, r.n_final) \
+        == (6, 1, 1, 1, 3)
+    # final corpus = docs 2 (keeper), 5 (longest near-dup), 6
+    assert r.tokens_final == 10 + 11 + 10

@@ -1,0 +1,105 @@
+"""End-to-end corpus curation pipeline — the composed "user story"
+query: quality gates → exact dedup → fuzzy keep-best → per-source
+yield report.
+
+Each stage is an existing oracle-gated operator; this module only
+wires them in the order a real pretraining-data pipeline runs them
+and accounts for what every stage dropped. The composition stays
+fully declarative (one Spark job graph per stage family), so Catalyst
+still sees and optimizes the whole lineage; the only iterative piece
+is the connected-components fixpoint inside ``duplicate_clusters``.
+
+Scale: every stage's shape is the one audited in PLAN_REPORT.md for
+its standalone query — gates are per-doc aggregations, exact dedup is
+one digest shuffle, fuzzy runs on the LSH candidate set only, and the
+final report is a per-source rollup. Nothing in the composition adds
+a corpus-sized join that the parts didn't already have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ureplicator_spark.operators.dedup import (
+    duplicate_clusters,
+    exact_dedup_groups,
+    keep_best_per_cluster,
+    lsh_candidate_pairs,
+)
+from ureplicator_spark.operators.text import repetition_stats
+
+
+def quality_gate_ok(documents: DataFrame) -> DataFrame:
+    """(doc_id, ok): the pass/fail bit of the four pretraining gates
+    (same rules and rounding as ``quality_gate_summary``)."""
+    stats = repetition_stats(documents)
+    ok = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 2000)
+        & (F.col("top_token_share") <= 0.2)
+        & (F.col("dup_2gram_share") <= 0.3)
+    )
+    return stats.select("doc_id", ok.alias("ok"))
+
+
+def curation_pipeline_report(
+    documents: DataFrame, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Per-source accounting of the full curation funnel:
+
+    n_input → (quality gates) → (exact dedup, min-id keeper) →
+    (MinHash-LSH clusters, longest-doc keeper) → n_final + token
+    yield. The numbers a data lead actually reviews before a training
+    run: how much each source contributes and where its documents
+    were lost."""
+    gated = documents.join(
+        quality_gate_ok(documents).filter(F.col("ok")).select("doc_id"), "doc_id"
+    )
+    # exact stage: keep the min-doc_id representative of each digest
+    groups = exact_dedup_groups(gated).select(
+        "content_hash", F.col("keeper_doc_id").alias("doc_id")
+    )
+    exsurv = gated.withColumn("content_hash", F.md5("text")).join(
+        groups, ["content_hash", "doc_id"]
+    ).drop("content_hash")
+    # fuzzy stage: longest-doc keeper per LSH cluster
+    pairs = lsh_candidate_pairs(exsurv).filter(
+        F.col("est_jaccard") >= jaccard_threshold
+    )
+    clusters = duplicate_clusters(pairs)
+    best = keep_best_per_cluster(exsurv, clusters)
+    dropped = (
+        clusters.join(best.select("cluster_id", "kept_doc"), "cluster_id")
+        .filter(F.col("doc_id") != F.col("kept_doc"))
+        .select("doc_id")
+    )
+    final = exsurv.join(dropped, "doc_id", "left_anti")
+
+    n_tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    per_source = lambda df, cnt: df.groupBy("source").agg(F.count("*").alias(cnt))
+    report = (
+        per_source(documents, "n_input")
+        .join(per_source(gated, "n_gated"), "source", "left")
+        .join(per_source(exsurv, "n_exact"), "source", "left")
+        .join(
+            final.groupBy("source").agg(
+                F.count("*").alias("n_final"),
+                F.sum(n_tok).alias("tokens_final"),
+            ),
+            "source",
+            "left",
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))
+    return report.select(
+        "source",
+        "n_input",
+        (F.col("n_input") - z("n_gated")).alias("n_gate_fail"),
+        (z("n_gated") - z("n_exact")).alias("n_exact_dropped"),
+        (z("n_exact") - z("n_final")).alias("n_fuzzy_dropped"),
+        z("n_final").alias("n_final"),
+        F.coalesce(F.col("tokens_final"), F.lit(0)).alias("tokens_final"),
+    ).orderBy("source")

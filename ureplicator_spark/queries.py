@@ -4657,3 +4657,62 @@ def q_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+_PIPELINE_SQL = f"""
+WITH RECURSIVE
+{_DTOKS_CTE},
+{_REP_TC_CTE},
+{_REP_PER_CTE},
+{_REP_G2_CTE},
+okd AS (
+  SELECT p.doc_id FROM per p LEFT JOIN g2 USING (doc_id)
+  WHERE p.n_tokens >= 10 AND p.n_tokens <= 2000
+    AND ROUND(p.top_token_n * 1.0 / p.n_tokens, 6) <= 0.2
+    AND COALESCE(g2.dup_2gram_share, 0.0) <= 0.3
+),
+gated AS (SELECT d.* FROM documents d JOIN okd USING (doc_id)),
+exk AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+kept AS (SELECT g.* FROM gated g JOIN exk ON md5(g.text) = exk.h AND g.doc_id = exk.doc_id),
+{_CC_CTES.replace("FROM documents", "FROM kept")},
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+sized AS (SELECT c.doc_id, c.cluster_id, k.n_chars FROM comp c JOIN kept k USING (doc_id)),
+bestk AS (
+  SELECT cluster_id, doc_id AS kept_doc FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+    FROM sized
+  ) WHERE rn = 1
+),
+fdrop AS (SELECT s.doc_id FROM sized s JOIN bestk b USING (cluster_id) WHERE s.doc_id <> b.kept_doc),
+final AS (SELECT k.* FROM kept k LEFT JOIN fdrop f USING (doc_id) WHERE f.doc_id IS NULL),
+in_s AS (SELECT source, COUNT(*) AS n_input FROM documents GROUP BY source),
+g_s AS (SELECT source, COUNT(*) AS n_gated FROM gated GROUP BY source),
+e_s AS (SELECT source, COUNT(*) AS n_exact FROM kept GROUP BY source),
+f_s AS (
+  SELECT source, COUNT(*) AS n_final,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_final
+  FROM final GROUP BY source
+)
+SELECT i.source, i.n_input,
+       i.n_input - COALESCE(g_s.n_gated, 0) AS n_gate_fail,
+       COALESCE(g_s.n_gated, 0) - COALESCE(e_s.n_exact, 0) AS n_exact_dropped,
+       COALESCE(e_s.n_exact, 0) - COALESCE(f_s.n_final, 0) AS n_fuzzy_dropped,
+       COALESCE(f_s.n_final, 0) AS n_final,
+       COALESCE(f_s.tokens_final, 0) AS tokens_final
+FROM in_s i
+LEFT JOIN g_s USING (source) LEFT JOIN e_s USING (source) LEFT JOIN f_s USING (source)
+ORDER BY i.source
+"""
+
+
+@register("curation_pipeline", _PIPELINE_SQL)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation funnel: quality gates -> exact dedup
+    (min-id keeper) -> MinHash-LSH keep-best (longest doc) ->
+    per-source yield report — every stage an already-audited operator,
+    wired in pipeline order with per-stage drop accounting."""
+    from ureplicator_spark.operators.pipeline import curation_pipeline_report
+    from ureplicator_spark.sources.parquet import load_table
+
+    return curation_pipeline_report(load_table(spark, sf_dir, "documents"))
