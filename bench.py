@@ -129,7 +129,8 @@ def main() -> None:
         "doc_perplexity_proxy", "source_unigram_kl", "token_shard_packing",
         "dedup_keep_best", "embedding_pq_codes", "similarity_pq_adc",
         "dedup_exact_substring", "multimodal_pcm_energy", "workload_trend",
-        "dedup_signal_agreement", "curation_pipeline",
+        "dedup_signal_agreement", "curation_pipeline", "similarity_pq_recall",
+        "lang_id_confusion",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:

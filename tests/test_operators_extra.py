@@ -995,3 +995,22 @@ def test_curation_pipeline_every_stage_accounts(spark):
         == (6, 1, 1, 1, 3)
     # final corpus = docs 2 (keeper), 5 (longest near-dup), 6
     assert r.tokens_final == 10 + 11 + 10
+
+
+def test_pq_recall_perfect_on_codeword_corpus(spark):
+    """Zero quantization error ==> ADC ranks exactly like the exact
+    integer-L2 ground truth, so recall@k is 1.0 for every query."""
+    from ureplicator_spark.operators.similarity import pq_adc_recall
+
+    patterns = []
+    for p in range(4):
+        vec = [0.0] * 64
+        for i in range(16):
+            vec[p * 16 + i] = 1.0 + p
+        patterns.append(vec)
+    emb = spark.createDataFrame(
+        [(vid, patterns[vid % 4]) for vid in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    got = pq_adc_recall(emb, n_queries=4, top_k=1).collect()
+    assert len(got) == 4 and all(r.recall == 1.0 for r in got)

@@ -831,3 +831,54 @@ def pq_adc_search(
         .filter(F.col("rank") <= top_k)
         .select("q_id", "c_id", "adc_dist", "rank")
     )
+
+
+def pq_adc_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance search against the EXACT
+    integer-L2 top-k on the same quantized components — the quality
+    gauge that decides whether m/k give enough resolution before a
+    corpus commits to the compressed index (companion to
+    ``ann_recall`` for the LSH path).
+
+    The exact side is brute force over a bounded query batch (offline
+    evaluation, deliberately O(Q·N)); the ADC side is the production
+    search shape. One row per query, ordered."""
+    comp = _pq_components(embeddings, m, dim, qscale)
+    adc = pq_adc_search(
+        embeddings, n_queries=n_queries, top_k=top_k,
+        m=m, k=k, iters=iters, dim=dim, qscale=qscale,
+    ).select("q_id", "c_id")
+    qc = comp.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "i", F.col("q").alias("qq")
+    )
+    exd = (
+        comp.join(F.broadcast(qc), "i")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum((F.col("qq") - F.col("q")) * (F.col("qq") - F.col("q"))).alias("d"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id"))
+    exact = (
+        exd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("q_id", "c_id", F.lit(1).alias("in_exact"))
+    )
+    return (
+        adc.join(exact, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("in_exact", F.lit(0))) / F.lit(float(top_k)), 6
+            ).alias("recall")
+        )
+        .orderBy("q_id")
+    )

@@ -4716,3 +4716,107 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return curation_pipeline_report(load_table(spark, sf_dir, "documents"))
+
+
+_PQ_RECALL_SQL = _with(
+    *_PQ_TRAIN_CTES,
+    """
+lut AS (
+  SELECT v.vec_id AS q_id, c.sub, c.code, SUM((v.q - c.c) * (v.q - c.c)) AS pdist
+  FROM pcomp v JOIN pc1 c ON v.sub = c.sub AND v.i = c.i
+  WHERE v.vec_id < 10
+  GROUP BY v.vec_id, c.sub, c.code
+)
+""".strip(),
+    """
+adc AS (
+  SELECT q_id, c_id FROM (
+    SELECT l.q_id, a.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY l.q_id
+                              ORDER BY SUM(l.pdist), a.vec_id) AS rn
+    FROM pa2 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+    WHERE a.vec_id <> l.q_id
+    GROUP BY l.q_id, a.vec_id
+  ) WHERE rn <= 5
+)
+""".strip(),
+    """
+exd AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM((q.q - c.q) * (q.q - c.q)) AS d
+  FROM pcomp q JOIN pcomp c ON c.i = q.i AND c.sub = q.sub
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+""".strip(),
+    """
+ext AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
+    FROM exd
+  ) WHERE rn <= 5
+)
+""".strip(),
+    """
+SELECT a.q_id,
+       ROUND(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+FROM adc a LEFT JOIN ext e ON e.q_id = a.q_id AND e.c_id = a.c_id
+GROUP BY a.q_id ORDER BY a.q_id
+""",
+)
+
+
+@register("similarity_pq_recall", _PQ_RECALL_SQL)
+def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ ADC search vs exact integer-L2 ground truth —
+    the resolution gauge for the compressed index (companion to
+    similarity_ann_recall on the LSH path)."""
+    from ureplicator_spark.operators.similarity import pq_adc_recall
+    from ureplicator_spark.sources.parquet import load_table
+
+    return pq_adc_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+_LANG_CONFUSION_SQL = _with(
+    _TOK_CTE,
+    _PROFILES_CTE,
+    """
+scores AS (
+  SELECT doc_id, plang, COUNT(*) AS hits
+  FROM tok JOIN profiles USING (token) GROUP BY doc_id, plang
+)
+""".strip(),
+    """
+best AS (
+  SELECT doc_id, plang, hits FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+""".strip(),
+    """
+SELECT d.lang AS label, COALESCE(b.plang, 'unknown') AS predicted,
+       COUNT(*) AS n_docs
+FROM documents d LEFT JOIN best b USING (doc_id)
+GROUP BY d.lang, COALESCE(b.plang, 'unknown')
+ORDER BY label, predicted
+""",
+)
+
+
+@register("lang_id_confusion", _LANG_CONFUSION_SQL)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-profile language classifier
+    against the labeled lang column — the evaluation artifact that
+    turns text_lang_id's per-doc rows into a model-quality readout."""
+    from ureplicator_spark.operators.text import lang_id
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = lang_id(docs, spark)
+    return (
+        preds.groupBy(
+            F.col("lang").alias("label"), F.col("lang_pred").alias("predicted")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("label", "predicted")
+    )

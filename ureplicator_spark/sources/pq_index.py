@@ -145,7 +145,12 @@ def build_ivfpq_index(
         .select("vec_id", F.expr("transform(sc, s -> CAST(s.code AS INT))").alias("codes"))
         .join(assign, "vec_id")
     )
-    packed.write.mode("overwrite").partitionBy("cent_id").parquet(root + "/codes")
+    # one writer task per list → one file per cent_id directory (a
+    # 32-shuffle-partition write would scatter each tiny list across
+    # 32 files and tax every pruned read with file-listing overhead)
+    packed.repartition("cent_id").write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(root + "/codes")
 
 
 def search_ivfpq_index(
