@@ -254,6 +254,12 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         "embedding_kmeans",
         # recall gauge: broadcasts only the vec_id<n_queries slice.
         "similarity_ann_recall",
+        # PQ family: broadcast sides are the m·k·(dim/m)-row codebook
+        # (size fixed by m/k, refreshed from per-code aggregates) and
+        # the vec_id<n_queries LUT slice — never the corpus.
+        "embedding_pq_codes",
+        "similarity_pq_adc",
+        "similarity_pq_recall",
     }
     offenders = {}
     for name, (fn, _sql) in sorted(QUERIES.items()):

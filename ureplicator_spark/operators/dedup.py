@@ -562,10 +562,11 @@ def lexical_semantic_agreement(
     and the agreement rate is the calibration number for choosing one
     signal's threshold from the other.
 
-    The pair set is LSH output (a vanishing fraction of the corpus),
-    so it broadcasts into two joins against the array-form embedding
-    table; each cosine is one zip_with fold per pair — the corpus is
-    never paired all-against-all in either modality."""
+    The pair set is LSH output (a vanishing fraction of the corpus,
+    but still SF-growing — so no broadcast hint: AQE picks the join
+    strategy from measured sizes); each cosine is one zip_with fold
+    per pair — the corpus is never paired all-against-all in either
+    modality."""
     pairs = lsh_candidate_pairs(documents).filter(
         F.col("est_jaccard") >= jaccard_threshold
     )
@@ -586,7 +587,7 @@ def lexical_semantic_agreement(
         F.zip_with("e_a", "e_b", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
     )
     return (
-        ea.join(F.broadcast(pairs), "doc_a")
+        ea.join(pairs, "doc_a")
         .join(eb, "doc_b")
         .select(
             "doc_a",
