@@ -41,7 +41,8 @@ _CHANGED_SINCE_LAST_CHECK = [
     "corpus_health", "doc_perplexity_proxy", "source_unigram_kl",
     "token_shard_packing", "dedup_keep_best", "lag_weighted_assignment",
     "embedding_pq_codes", "similarity_pq_adc", "dedup_exact_substring",
-    "multimodal_pcm_energy", "workload_trend", "dedup_signal_agreement", "curation_pipeline", "similarity_pq_recall", "lang_id_confusion",
+    "multimodal_pcm_energy", "workload_trend", "dedup_signal_agreement", "curation_pipeline", "similarity_pq_recall", "lang_id_confusion", "workload_capacity_forecast",
+    "event_props_stats",
     # r5: integer-units money aggregation + boilerplate fan_out.
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",

@@ -130,7 +130,7 @@ def main() -> None:
         "dedup_keep_best", "embedding_pq_codes", "similarity_pq_adc",
         "dedup_exact_substring", "multimodal_pcm_energy", "workload_trend",
         "dedup_signal_agreement", "curation_pipeline", "similarity_pq_recall",
-        "lang_id_confusion",
+        "lang_id_confusion", "workload_capacity_forecast", "event_props_stats",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:

@@ -1014,3 +1014,21 @@ def test_pq_recall_perfect_on_codeword_corpus(spark):
     )
     got = pq_adc_recall(emb, n_queries=4, top_k=1).collect()
     assert len(got) == 4 and all(r.recall == 1.0 for r in got)
+
+
+def test_capacity_forecast_trend_and_fallback(spark):
+    """Rising-trend topic forecasts above its last window; a
+    single-window topic falls back to its observed bytes; fleet size
+    covers the summed forecast."""
+    from ureplicator_spark.operators.workload import capacity_forecast
+
+    rows = []
+    # topic 'up': windows 0,1,2 with bytes 600, 1200, 1800 (slope 600/win)
+    for idx, b in [(0, 600), (1, 1200), (2, 1800)]:
+        rows.append(("up", idx * 600 + 1, b))
+    rows.append(("one", 50, 900))  # single window -> fallback 900
+    rec = spark.createDataFrame(rows, "topic string, ts_sec long, value_size long")
+    r = capacity_forecast(rec, width_sec=600, per_worker=1.0).collect()[0]
+    # forecast: up -> 2400 next window, one -> 900; (2400+900)/600 = 5.5
+    assert r.forecast_bytes_per_sec == 5.5
+    assert r.forecast_workers == 7  # round(5.5/1.0) + 1

@@ -229,3 +229,45 @@ def workload_trend(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame
             "forecast_next"
         ),
     ).orderBy("topic")
+
+
+def capacity_forecast(
+    records: DataFrame,
+    width_sec: int = WINDOW_SEC,
+    per_worker: float = MAX_WORKLOAD_PER_WORKER,
+) -> DataFrame:
+    """A8 made proactive: forecast each topic's next-window BYTES from
+    its OLS trend (fallback: the latest observed window when a topic
+    has only one window, so no trend is claimable), then size the
+    worker fleet for the forecast total — the capacity-planning twin
+    of ``expected_workers``, which sizes for the observed average.
+
+    Two shuffles (per-(topic, window) sum, per-topic regression +
+    max_by) and a single-row reduce; nothing scales with record count
+    beyond the first windowed aggregation."""
+    win = (F.col("ts_sec") - (F.col("ts_sec") % width_sec)).alias("window_start")
+    wb = records.groupBy("topic", win).agg(
+        F.sum("value_size").cast("long").alias("window_bytes")
+    )
+    x = (F.col("window_start") / width_sec).cast("double")
+    y = F.col("window_bytes").cast("double")
+    per_topic = wb.groupBy("topic").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.max(x).alias("max_idx"),
+        F.max_by("window_bytes", F.col("window_start")).alias("last_bytes"),
+    )
+    forecast = F.coalesce(
+        F.round(F.col("intercept") + F.col("slope") * (F.col("max_idx") + 1), 6),
+        F.col("last_bytes").cast("double"),
+    )
+    total = per_topic.select(
+        F.greatest(forecast, F.lit(0.0)).alias("f")
+    ).agg(F.round(F.sum("f") / width_sec, 6).alias("forecast_bytes_per_sec"))
+    return total.select(
+        "forecast_bytes_per_sec",
+        (
+            F.round(F.col("forecast_bytes_per_sec") / float(per_worker), 0).cast("int")
+            + 1
+        ).alias("forecast_workers"),
+    )

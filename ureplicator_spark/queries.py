@@ -4820,3 +4820,86 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("label", "predicted")
     )
+
+
+_CAPACITY_FORECAST_SQL = _with(
+    FX.RECORDS_CTE,
+    f"""
+wb AS (
+  SELECT topic, ts_sec - (ts_sec % {FX.WINDOW_SEC}) AS window_start,
+         CAST(SUM(value_size) AS BIGINT) AS window_bytes
+  FROM records GROUP BY topic, ts_sec - (ts_sec % {FX.WINDOW_SEC})
+)
+""".strip(),
+    f"""
+pt AS (
+  SELECT topic,
+         ROUND(regr_slope(CAST(window_bytes AS DOUBLE), window_start / {FX.WINDOW_SEC}.0), 6) AS slope,
+         ROUND(regr_intercept(CAST(window_bytes AS DOUBLE), window_start / {FX.WINDOW_SEC}.0), 6) AS intercept,
+         MAX(window_start / {FX.WINDOW_SEC}.0) AS max_idx,
+         arg_max(window_bytes, window_start) AS last_bytes
+  FROM wb GROUP BY topic
+)
+""".strip(),
+    f"""
+tot AS (
+  SELECT ROUND(SUM(GREATEST(COALESCE(
+           ROUND(intercept + slope * (max_idx + 1), 6),
+           CAST(last_bytes AS DOUBLE)), 0.0)) / {FX.WINDOW_SEC}, 6)
+           AS forecast_bytes_per_sec
+  FROM pt
+)
+""".strip(),
+    f"""
+SELECT forecast_bytes_per_sec,
+       CAST(ROUND(forecast_bytes_per_sec / {float(FX.MAX_WORKLOAD_PER_WORKER)}, 0) AS INT) + 1
+         AS forecast_workers
+FROM tot
+""",
+)
+
+
+@register("workload_capacity_forecast", _CAPACITY_FORECAST_SQL)
+def q_workload_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 made proactive: size the fleet for the trend-forecast
+    next-window byte rate instead of the observed average
+    (single-window topics fall back to their latest observation)."""
+    return WKL.capacity_forecast(FX.records(spark, sf_dir))
+
+
+_EVENT_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(k) AS n_valid_props,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(SUM(k) * 1.0 / COUNT(k), 6) AS avg_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("event_props_stats", _EVENT_PROPS_SQL)
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON property extraction over the events fact table
+    (from_json with a declared schema — corrupt or missing props
+    decode to NULL and are excluded from the typed aggregates, the
+    quarantine-by-null discipline of the F5 record decoder applied at
+    fact-table scale; extraction runs inside codegen, no UDF)."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_valid_props"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
