@@ -392,22 +392,29 @@ def test_ivfpq_index_matches_numpy_reference_and_prunes(spark, sf_dir, tmp_path_
         return order[0]
 
     def lloyd(pts, init_ids, iters):
-        cents = pts[init_ids].copy()
+        """id -> centroid dict + per-point assigned id. Faithful to the
+        Spark side: a centroid whose cluster EMPTIES is dropped from
+        the codebook (the update aggregates only over assigned rows),
+        not kept stale."""
+        cents = {cid: pts[pos].copy() for cid, pos in enumerate(init_ids)}
         assign = None
         for it in range(iters):
-            d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cids = sorted(cents)
+            carr = np.array([cents[c] for c in cids])
+            d = ((pts[:, None, :] - carr[None, :, :]) ** 2).sum(axis=2)
             assign = np.array(
-                [argmin_tie(d[i], np.arange(len(cents))) for i in range(len(pts))]
+                [cids[argmin_tie(d[i], np.array(cids))] for i in range(len(pts))]
             )
             if it < iters - 1:
-                for c in range(len(cents)):
-                    mem = pts[assign == c]
-                    if len(mem):
-                        cents[c] = np.floor_divide(mem.sum(axis=0), len(mem))
+                cents = {
+                    c: np.floor_divide(pts[assign == c].sum(axis=0),
+                                       (assign == c).sum())
+                    for c in cids if (assign == c).any()
+                }
         return cents, assign
 
     coarse, cassign = lloyd(q, np.where(ids < 8)[0], 2)
-    resid = q - coarse[cassign]
+    resid = q - np.array([coarse[c] for c in cassign])
     m, k, subdim = 4, 4, 16
     codebooks, codes = [], np.zeros((len(q), m), dtype=np.int64)
     for s in range(m):
@@ -418,21 +425,51 @@ def test_ivfpq_index_matches_numpy_reference_and_prunes(spark, sf_dir, tmp_path_
 
     expect = {}
     for qi in range(3):
-        cd = ((q[qi] - coarse) ** 2).sum(axis=1)
-        probes = np.lexsort((np.arange(8), cd))[:2]
+        ccids = sorted(coarse)
+        cd = np.array([((q[qi] - coarse[c]) ** 2).sum() for c in ccids])
+        probes = [ccids[p] for p in np.lexsort((np.array(ccids), cd))[:2]]
         cands = []
         for cent in probes:
             rq = q[qi] - coarse[cent]
-            lut = np.array([
-                [((rq[s * subdim:(s + 1) * subdim] - codebooks[s][c]) ** 2).sum()
-                 for c in range(k)] for s in range(m)
-            ])
+            lut = [
+                {c: int(((rq[s * subdim:(s + 1) * subdim] - codebooks[s][c]) ** 2).sum())
+                 for c in codebooks[s]} for s in range(m)
+            ]
             for j in np.where(cassign == cent)[0]:
                 if ids[j] == qi:
                     continue
-                cands.append((int(sum(lut[s][codes[j, s]] for s in range(m))), int(ids[j])))
+                cands.append((sum(lut[s][codes[j, s]] for s in range(m)), int(ids[j])))
         cands.sort()
         for rank, (dist, cid) in enumerate(cands[:5], start=1):
             expect[(qi, rank)] = (cid, dist)
 
     assert got == expect
+
+
+def test_ivfpq_index_non_default_geometry(spark, tmp_path_factory):
+    """m=8 build must search correctly: geometry comes from the
+    index's meta.json, not hardcoded defaults. On a duplicated-corpus
+    fixture each query's twin ranks first at ADC distance 0."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.sources.pq_index import build_ivfpq_index, search_ivfpq_index
+
+    patterns = []
+    for p in range(4):
+        vec = [0.0] * 64
+        for i in range(8):
+            vec[p * 8 + i] = float(1 + p)
+        patterns.append(vec)
+    emb = spark.createDataFrame(
+        [(vid, patterns[vid % 4]) for vid in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    root = str(tmp_path_factory.mktemp("ivfpq_m8"))
+    build_ivfpq_index(emb, root, n_centroids=4, m=8, k=4, iters=2)
+    got = {
+        r.q_id: (r.c_id, r.adc_dist)
+        for r in search_ivfpq_index(
+            spark, root, emb.filter(F.col("vec_id") < 4), nprobe=1, top_k=1
+        ).collect()
+    }
+    assert got == {0: (4, 0), 1: (5, 0), 2: (6, 0), 3: (7, 0)}

@@ -596,6 +596,5 @@ def lexical_semantic_agreement(
             F.round(dot / (F.col("n_a") * F.col("n_b")), 6).alias("cosine"),
         )
         .withColumn("agree", F.col("cosine") >= cosine_threshold)
-        .select("doc_a", "doc_b", "est_jaccard", "cosine", "agree")
         .orderBy("doc_a", "doc_b")
     )

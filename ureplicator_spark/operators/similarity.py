@@ -704,30 +704,14 @@ def _pq_components(embeddings: DataFrame, m: int, dim: int, qscale: int) -> Data
     )
 
 
-def pq_train_codes(
-    embeddings: DataFrame,
-    m: int = 4,
-    k: int = 4,
-    iters: int = 2,
-    dim: int = 64,
-    qscale: int = 1000,
-) -> DataFrame:
-    """Product quantization (Jégou et al., TPAMI'11): split each
-    vector into ``m`` subvectors, k-means each subspace independently,
-    and represent every vector by its ``m`` nearest-codeword ids —
-    the memory-reduction path that makes billion-vector ANN fit in
-    RAM (m·log2(k) bits per vector instead of dim·32).
-
-    Same integer-exact Lloyd discipline as ``kmeans_clusters`` (init =
-    first k vectors' subvectors, exact squared-L2 on quantized
-    components, floor-div centroid updates) so the oracle reproduces
-    every code bit-for-bit. The codebook is m·k·(dim/m) rows — tiny —
-    and BROADCASTS into every assignment join; the corpus never
-    shuffles except for the per-(vec, sub) argmin aggregates.
-
-    Returns (vec_id, subspace, code, sqerr) — the PQ code table that
-    ``pq_adc_search`` consumes."""
-    comp = _pq_components(embeddings, m, dim, qscale)
+def _pq_lloyd(comp, k: int, iters: int):
+    """Shared per-subspace integer Lloyd: init = first k vectors'
+    subvectors, exact squared-L2 assignment, floor-div centroid
+    updates. Returns (best, cents): per-(vec, sub) code assignment
+    with its distance, and the final codebook — the single training
+    path both pq_train_codes and pq_adc_search rely on, so the
+    published code table and the searched code table can never
+    desynchronize."""
     cents = comp.filter(F.col("vec_id") < k).select(
         "sub", F.col("vec_id").alias("code"), "i", F.col("q").alias("c")
     )
@@ -756,6 +740,34 @@ def pq_train_codes(
                 "sub", "code", "i",
                 ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
             )
+    return best, cents
+
+
+def pq_train_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11): split each
+    vector into ``m`` subvectors, k-means each subspace independently,
+    and represent every vector by its ``m`` nearest-codeword ids —
+    the memory-reduction path that makes billion-vector ANN fit in
+    RAM (m·log2(k) bits per vector instead of dim·32).
+
+    Same integer-exact Lloyd discipline as ``kmeans_clusters`` (init =
+    first k vectors' subvectors, exact squared-L2 on quantized
+    components, floor-div centroid updates) so the oracle reproduces
+    every code bit-for-bit. The codebook is m·k·(dim/m) rows — tiny —
+    and BROADCASTS into every assignment join; the corpus never
+    shuffles except for the per-(vec, sub) argmin aggregates.
+
+    Returns (vec_id, subspace, code, sqerr) — the PQ code table that
+    ``pq_adc_search`` consumes."""
+    comp = _pq_components(embeddings, m, dim, qscale)
+    best, _cents = _pq_lloyd(comp, k, iters)
     return best.select(
         "vec_id",
         F.col("sub").alias("subspace"),
@@ -786,33 +798,10 @@ def pq_adc_search(
     The full float corpus is never touched after training — that is
     the point of PQ."""
     comp = _pq_components(embeddings, m, dim, qscale)
-    # retrain the codebook exactly as pq_train_codes does (shared code
-    # path keeps Spark and oracle in lockstep)
-    cents = comp.filter(F.col("vec_id") < k).select(
-        "sub", F.col("vec_id").alias("code"), "i", F.col("q").alias("c")
-    )
-    codes = None
-    for it in range(iters):
-        dist = (
-            comp.join(F.broadcast(cents), ["sub", "i"])
-            .groupBy("vec_id", "sub", "code")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
-        )
-        codes = (
-            dist.groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("dist", "code")).alias("m"))
-            .select("vec_id", "sub", F.col("m.code").alias("code"))
-        )
-        if it < iters - 1:
-            upd = (
-                comp.join(codes, ["vec_id", "sub"])
-                .groupBy("sub", "code", "i")
-                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
-            )
-            cents = upd.select(
-                "sub", "code", "i",
-                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
-            )
+    # one shared training path (_pq_lloyd) keeps the codes this search
+    # scans identical to the codes pq_train_codes publishes
+    best, cents = _pq_lloyd(comp, k, iters)
+    codes = best.select("vec_id", "sub", "code")
     lut = (
         comp.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cents), ["sub", "i"])

@@ -729,17 +729,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
-_SHINGLES_CTE = """
+def _shingles_cte(src: str = "documents") -> str:
+    """Word-3-gram shingle CTE over ``src`` — parameterized so the
+    curation pipeline can shingle a filtered survivor set without
+    textually patching shared SQL."""
+    return f"""
 shingles AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, len(toks) - 1),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
     WHERE len(toks) >= 3
   )
 )
 """.strip()
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 _MINHASH_CTE = """
 mh AS (
@@ -3523,9 +3530,11 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared connected-components CTE chain (minhash-LSH pairs at est
 # Jaccard >= 0.5 -> undirected edges -> recursive transitive closure);
-# used by fuzzy_dedup_clusters and dedup_keep_best.
-_CC_CTES = f"""
-{_SHINGLES_CTE},
+# used by fuzzy_dedup_clusters, dedup_keep_best, and (over the gated
+# survivor set) curation_pipeline.
+def _cc_ctes(src: str = "documents") -> str:
+    return f"""
+{_shingles_cte(src)},
 {_MINHASH_CTE},
 banded AS (
   SELECT doc_id, CAST(seed // 2 AS INT) AS band,
@@ -3555,6 +3564,9 @@ reach AS (
   SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node
 )
 """.strip()
+
+
+_CC_CTES = _cc_ctes()
 
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE {_CC_CTES}
@@ -4530,10 +4542,17 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCM_ENERGY_SQL = """
-WITH s AS (
+WITH ascii_docs AS (
+  -- the char-based oracle models BYTES only where byte length ==
+  -- char length (pure ASCII); both engines apply the same guard so
+  -- a fixture with multi-byte text cannot silently diverge
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+),
+s AS (
   SELECT doc_id AS media_id, CAST(w AS INT) AS window_idx,
          ascii(substr(text, CAST(w * 256 + k AS INT), 1)) - 128 AS v
-  FROM documents,
+  FROM ascii_docs,
        LATERAL unnest(range(0, length(text) // 256)) AS t(w),
        LATERAL unnest(range(1, 257)) AS u(k)
 )
@@ -4558,7 +4577,10 @@ def q_multimodal_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ureplicator_spark.sources.parquet import load_table
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode("text", "utf-8")) == F.length("text")
+    )
+    media = documents_as_media(docs)
     return pcm_window_energy(media).orderBy("media_id", "window_idx")
 
 
@@ -4674,7 +4696,7 @@ okd AS (
 gated AS (SELECT d.* FROM documents d JOIN okd USING (doc_id)),
 exk AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
 kept AS (SELECT g.* FROM gated g JOIN exk ON md5(g.text) = exk.h AND g.doc_id = exk.doc_id),
-{_CC_CTES.replace("FROM documents", "FROM kept")},
+{_cc_ctes("kept")},
 comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
 sized AS (SELECT c.doc_id, c.cluster_id, k.n_chars FROM comp c JOIN kept k USING (doc_id)),
 bestk AS (
@@ -4870,7 +4892,8 @@ def q_workload_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_PROPS_SQL = """
 WITH e AS (
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
   FROM events
 )
 SELECT event_type, COUNT(*) AS n_events,
@@ -4883,15 +4906,18 @@ FROM e GROUP BY event_type ORDER BY event_type
 
 @register("event_props_stats", _EVENT_PROPS_SQL)
 def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed JSON property extraction over the events fact table
-    (from_json with a declared schema — corrupt or missing props
-    decode to NULL and are excluded from the typed aggregates, the
-    quarantine-by-null discipline of the F5 record decoder applied at
-    fact-table scale; extraction runs inside codegen, no UDF)."""
+    """Typed JSON property extraction over the events fact table —
+    corrupt JSON and missing/uncastable props decode to NULL and drop
+    out of the typed aggregates (the F5 quarantine-by-null discipline
+    at fact-table scale; extraction runs inside codegen, no UDF).
+    get_json_object + cast (not from_json with a typed schema): the
+    string-extract-then-cast route coerces '\"12\"' -> 12 exactly like
+    the oracle's TRY_CAST, where a typed from_json schema would NULL
+    string-typed numbers and silently diverge."""
     from ureplicator_spark.sources.parquet import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    k = F.from_json("props", "k INT").getField("k")
+    k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -152,6 +152,16 @@ def build_ivfpq_index(
         "cent_id"
     ).parquet(root + "/codes")
 
+    # persist the build geometry: the search must window residuals with
+    # the SAME m/dim split (and quantization scale) the codes used — a
+    # mismatched hardcoded subdim would silently drop codebook rows out
+    # of the LUT join and return wrong neighbors
+    import json
+
+    with open(root + "/meta.json", "w") as f:
+        json.dump({"n_centroids": n_centroids, "m": m, "k": k,
+                   "dim": dim, "qscale": qscale}, f)
+
 
 def search_ivfpq_index(
     spark: SparkSession,
@@ -159,13 +169,20 @@ def search_ivfpq_index(
     queries: DataFrame,
     nprobe: int = 2,
     top_k: int = 5,
-    qscale: int = 1000,
 ) -> DataFrame:
     """ADC search over the persisted index: probe the ``nprobe``
     nearest coarse lists per query (exact integer L2 on the broadcast
     coarse table), build the residual lookup table for just those
     lists, and rank candidates by summed table entries. Only probed
-    ``cent_id=`` directories are read."""
+    ``cent_id=`` directories are read. Geometry (m/dim/qscale) comes
+    from the index's own meta.json, so the residual windowing always
+    matches the build that produced the codes."""
+    import json
+
+    with open(root + "/meta.json") as f:
+        meta = json.load(f)
+    qscale, subdim = meta["qscale"], meta["dim"] // meta["m"]
+
     coarse = spark.read.parquet(root + "/coarse")
     cb = spark.read.parquet(root + "/codebook")
     codes = spark.read.parquet(root + "/codes")
@@ -184,7 +201,7 @@ def search_ivfpq_index(
     )
 
     # residual LUT for probed (query, list) pairs: Q·nprobe·m·k rows
-    subdim_expr = "(i - 1) div " + str(64 // 4)  # dim/m fixed by the build
+    subdim_expr = f"(i - 1) div {subdim}"
     qresid = (
         qcomp.join(F.broadcast(probe), "q_id")
         .join(F.broadcast(coarse), ["cent_id", "i"])

@@ -156,12 +156,15 @@ def streaming_shard_feed(
 
     Cross-batch state is one tiny JSON blob
     (``out_root/_feed_state.json``: cumulative token count + last
-    batch id, written AFTER the batch's data lands). Replays are
-    idempotent: a re-delivered batch id reuses its recorded
-    ``cum_before``, so re-landed rows overwrite into the same shard
-    directories instead of shifting every later shard. Shard ids are
-    therefore monotone across the stream's life — a trainer can tail
-    completed shards while ingestion continues.
+    batch id, written AFTER the batch's data lands). A re-delivered
+    batch id reuses its recorded ``cum_before``, so its rows re-land
+    in the SAME shard directories instead of shifting every later
+    shard; the delivery contract is at-least-once (append sink, like
+    the archive sink — a replay can duplicate rows within a shard,
+    swept by downstream exact dedup; dynamic partition overwrite
+    would instead clobber boundary shards shared with the previous
+    batch). Shard ids are monotone across the stream's life — a
+    trainer can tail completed shards while ingestion continues.
 
     foreachBatch by design: the offset must be read before and
     persisted after each batch — a read-modify-write cycle outside
