@@ -269,7 +269,7 @@ def corpus_mix(documents: DataFrame) -> DataFrame:
     )
 
 
-def repetition_stats(documents: DataFrame) -> DataFrame:
+def repetition_stats(documents: DataFrame, include_3gram: bool = True) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021,
     table A1): share of the most frequent token, and the duplicate
     share of word 2-grams / 3-grams. Heavily repeated text is the
@@ -278,7 +278,12 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     Scale shape: all three signals are per-doc aggregations keyed on
     doc_id — map-side partial, one shuffle each, no windows over the
     corpus and no cross-doc state. The n-gram views reuse the shingle
-    construction (slice over the token array) entirely in codegen."""
+    construction (slice over the token array) entirely in codegen.
+
+    ``include_3gram=False`` skips the 3-gram pass (one full
+    explode+aggregate over the corpus) for consumers that only gate on
+    n_tokens / top-token share / 2-gram share — the quality gates use
+    exactly that subset."""
     toks = documents.select("doc_id", F.split("text", " +").alias("toks"))
 
     tok_counts = (
@@ -307,19 +312,17 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             ).alias(out)
         )
 
-    return (
-        per_tok.join(gram_share(2, "dup_2gram_share"), "doc_id", "left")
-        .join(gram_share(3, "dup_3gram_share"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(F.col("top_token_n") / F.col("n_tokens"), 6).alias(
-                "top_token_share"
-            ),
-            F.coalesce("dup_2gram_share", F.lit(0.0)).alias("dup_2gram_share"),
-            F.coalesce("dup_3gram_share", F.lit(0.0)).alias("dup_3gram_share"),
-        )
-    )
+    out = per_tok.join(gram_share(2, "dup_2gram_share"), "doc_id", "left")
+    cols = [
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        F.round(F.col("top_token_n") / F.col("n_tokens"), 6).alias("top_token_share"),
+        F.coalesce("dup_2gram_share", F.lit(0.0)).alias("dup_2gram_share"),
+    ]
+    if include_3gram:
+        out = out.join(gram_share(3, "dup_3gram_share"), "doc_id", "left")
+        cols.append(F.coalesce("dup_3gram_share", F.lit(0.0)).alias("dup_3gram_share"))
+    return out.select(*cols)
 
 
 def quality_gate_summary(documents: DataFrame) -> DataFrame:
