@@ -35,6 +35,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     "dedup_simhash", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     # r5: new queries (never driver-checked).
+    "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
     "user_retention", "event_funnel", "embedding_kmeans",
     "similarity_ann_recall", "chunk_dedup", "token_count_bpe",
     "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",

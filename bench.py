@@ -120,6 +120,21 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Steady-state sequential pass: same queries, now with codegen
+    # compiled and fixture plans built — the recurring-query cost a
+    # long-lived cluster actually pays. Runs IMMEDIATELY after the cold
+    # pass: measuring it at the end of the session (as r5's first cut
+    # did) captured the accumulated localCheckpoint/broadcast blocks of
+    # ~60 unrelated queries instead of steady state, and read 1.7×
+    # SLOWER than cold. The cold `value` stays the headline for
+    # cross-round comparability.
+    warm: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = extra[name] if name in extra else QUERIES[name][0]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     # Round-5 additions, timed but kept OUT of the headline total so
     # cross-round totals stay comparable on the original 34-query set.
     extended_names = [
@@ -163,6 +178,19 @@ def main() -> None:
     # scheduler overlaps jobs and most of the per-query fixed cost
     # amortizes away; the gap between sum-of-sequential and makespan is
     # the overhead that vanishes under real concurrency.
+    #
+    # Evict what the extended phases left behind first (cached plans,
+    # Py4J-pinned localCheckpoint RDDs): a long-lived service does this
+    # housekeeping too, and without it the makespan measures the
+    # previous phases' leftover memory pressure, not scheduling.
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()  # release Py4J refs so ContextCleaner can reclaim blocks
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     from concurrent.futures import ThreadPoolExecutor
 
     def run_one(name: str) -> None:
@@ -173,22 +201,6 @@ def main() -> None:
     with ThreadPoolExecutor(max_workers=8) as pool:
         list(pool.map(run_one, BENCH_QUERIES))
     concurrent_makespan = round(time.perf_counter() - t0, 3)
-
-    # Steady-state sequential pass: same queries, now with codegen
-    # compiled and fixture plans built — the recurring-query cost a
-    # long-lived cluster actually pays. Reported separately; the cold
-    # `value` stays the headline for cross-round comparability.
-    # Evict whatever the extended/concurrent phases persisted first:
-    # a warm pass measured under their leftover cache pressure read
-    # SLOWER than cold in practice, which is the opposite of what this
-    # number is for.
-    spark.catalog.clearCache()
-    warm: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = extra[name] if name in extra else QUERIES[name][0]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

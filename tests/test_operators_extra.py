@@ -1032,3 +1032,80 @@ def test_capacity_forecast_trend_and_fallback(spark):
     # forecast: up -> 2400 next window, one -> 900; (2400+900)/600 = 5.5
     assert r.forecast_bytes_per_sec == 5.5
     assert r.forecast_workers == 7  # round(5.5/1.0) + 1
+
+
+def test_semantic_dedup_finds_within_cluster_pair_only(spark):
+    """SemDeDup contract: an identical pair sharing a cluster is
+    reported (cosine 1.0, min-id keeper); a high-cosine pair split
+    across clusters is NOT — cross-cluster blindness is the documented
+    trade the N²/k work bound buys (raise k with the corpus, not the
+    comparison scope)."""
+    d = 8
+
+    def vec(hot, val=1.0):
+        v = [0.0] * d
+        v[hot] = val
+        return v
+
+    # vec 0/1 seed the two clusters (init = first k vectors). 2 and 3
+    # duplicate vec 0 (same cluster); 4 duplicates vec 1's direction
+    # with larger magnitude (same cluster as 1, cosine 1.0 with 1).
+    rows = [
+        (0, vec(0)),
+        (1, vec(1)),
+        (2, vec(0)),
+        (3, vec(0)),
+        (4, vec(1, 2.0)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = SIM.semantic_dedup_pairs(emb, k=2, iters=2, threshold=0.99).collect()
+    pairs = {(r.vec_a, r.vec_b): r for r in got}
+    assert set(pairs) == {(0, 2), (0, 3), (2, 3), (1, 4)}
+    assert all(abs(r.cosine - 1.0) < 1e-6 for r in got)
+    assert pairs[(2, 3)].keeper_vec_id == 2
+    # all members of each dup group share one cluster id
+    assert len({pairs[p].cluster_id for p in [(0, 2), (0, 3), (2, 3)]}) == 1
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR sanity: among raw-pool docs, the one sharing the target's
+    token distribution must out-score the one that doesn't; target
+    docs are not scored."""
+    from ureplicator_spark.operators.text import dsir_weights
+
+    rows = [
+        (0, "alpha alpha beta", "tgt"),
+        (1, "alpha beta alpha", "tgt"),
+        (2, "alpha alpha beta", "raw"),   # target-like
+        (3, "gamma delta gamma", "raw"),  # raw-only tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string").withColumnRenamed("lang", "source")
+    got = {r.doc_id: r for r in dsir_weights(docs, target_source="tgt").collect()}
+    assert set(got) == {2, 3}
+    assert got[2].n_tokens == 3 and got[3].n_tokens == 3
+    assert got[2].log_weight > got[3].log_weight
+    assert got[3].log_weight < 0  # anti-target evidence
+
+
+def test_event_transitions_counts_and_tie_break(spark):
+    """Known-value Markov matrix; same-second events order by
+    event_id so the matrix is deterministic."""
+    from ureplicator_spark.operators.relational import event_transitions
+
+    rows = [
+        # user 1: a -> b -> b (same second for the two b's: id order)
+        (10, 1, 100, "a"),
+        (11, 1, 200, "b"),
+        (12, 1, 200, "b"),
+        # user 2: a -> c
+        (20, 2, 50, "a"),
+        (21, 2, 60, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_sec long, event_type string"
+    )
+    got = {(r.prev_type, r.curr_type): r for r in event_transitions(ev).collect()}
+    assert got[("a", "b")].n == 1 and got[("a", "c")].n == 1
+    assert got[("b", "b")].n == 1 and got[("b", "b")].p == 1.0
+    assert got[("a", "b")].p == 0.5 and got[("a", "c")].p == 0.5
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "b")}

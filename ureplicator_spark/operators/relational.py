@@ -442,3 +442,39 @@ def funnel_counts(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (prev_type, curr_type) pair, the transition
+    count and its probability among all transitions leaving
+    ``prev_type``. The behavioral-model twin of sessionization/funnel
+    analytics — used to spot broken flows (a probability collapsing)
+    and to generate synthetic traffic.
+
+    Requires columns ``user_id, ts_sec, event_id, event_type``; events
+    are ordered per user by (ts_sec, event_id) — the id tie-break
+    makes same-second orderings deterministic in any engine.
+
+    Scale shape: one shuffle partitions by user_id for the LAG window
+    (per-user state, never a global sort); the transition rollup then
+    aggregates a key space bounded by |event types|², and the per-prev
+    totals roll up from THAT matrix, so the event stream is read once.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    matrix = pairs.groupBy("prev_type", "curr_type").agg(F.count("*").alias("n"))
+    totals = matrix.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        matrix.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "curr_type",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "curr_type")
+    )

@@ -524,28 +524,19 @@ def lsh_ann_filtered(
     )
 
 
-def kmeans_clusters(
+def kmeans_assignments(
     embeddings: DataFrame, k: int = 8, iters: int = 2, qscale: int = 1000
 ) -> DataFrame:
-    """Lloyd's k-means over the embedding corpus, fully deterministic
-    and engine-exact: components are quantized to integers
-    (round(x·qscale)), distances are exact integer squared-L2, and
-    centroid updates use exact floor division — so the oracle
-    reproduces every assignment bit-for-bit (no float-order ties).
-    Init is the first ``k`` vectors (vec_id < k); ``iters``
-    assignment passes with ``iters-1`` centroid updates between.
+    """Per-vector Lloyd assignment ``(vec_id, cluster_id, dist)`` under
+    the same integer-exact discipline as :func:`kmeans_clusters`
+    (quantize → exact integer squared-L2 → exact floor-division centroid
+    updates; init = first ``k`` vectors). Shared core for the cluster
+    summary and the SemDeDup within-cluster dedup pass.
 
-    Scale shape (the MLlib Lloyd topology, minus the driver collect):
-    centroids live in a k×dim DataFrame that BROADCASTS into the
-    assignment join — the corpus-sized component table never shuffles
-    for assignment; the only corpus-wide exchanges are the per-
-    (vector) argmin and per-(cluster, dim) update aggregates, one pair
-    per iteration. Inertia accumulates in decimal(38) so the final sum
-    cannot overflow at any corpus size.
-
-    Determinism note: round(CAST(x AS DOUBLE)·qscale) is computed
-    identically in Spark and DuckDB (exact float→double widening, one
-    correctly-rounded multiply, half-up round)."""
+    Scale shape: centroids are a k×dim table that BROADCASTS into the
+    assignment join; the corpus never shuffles for assignment — the
+    only corpus-wide exchanges are the per-vector argmin and the
+    per-(cluster, dim) update aggregates, one pair per iteration."""
     comp = _components(embeddings).select(
         "vec_id", "i", F.round(F.col("x") * qscale).cast("long").alias("q")
     )
@@ -577,6 +568,88 @@ def kmeans_clusters(
                 "i",
                 ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
             )
+    return best
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-dup
+    pairs found by clustering the corpus and comparing cosines ONLY
+    within a cluster. Returns ``(cluster_id, vec_a, vec_b, cosine,
+    keeper_vec_id)`` for pairs with cosine ≥ ``threshold``; the keeper
+    convention (min vec_id) matches ``exact_dedup_groups``.
+
+    Scale shape — this is the entire point of SemDeDup: the O(N²)
+    all-pairs comparison becomes k independent O((N/k)²) problems. At
+    100 TB you raise ``k`` with the corpus (k ≈ N/C for a target
+    cluster size C, e.g. C=10⁴), so per-cluster work stays bounded and
+    the pair join keys on cluster_id — embarrassingly parallel, never
+    a global self-join. Assignment reuses the broadcast-centroid Lloyd
+    pass (:func:`kmeans_assignments`): the corpus-sized side shuffles
+    once on vec_id for the argmin and once on cluster_id for the pair
+    join. Cosines are exact double dots rounded to 6 dp (the oracle
+    reproduces them)."""
+    assign = kmeans_assignments(embeddings, k=k, iters=iters).select(
+        "vec_id", "cluster_id"
+    )
+    comp = _components(embeddings)
+    nr = norms(embeddings)
+    ca = comp.join(assign, "vec_id").select(
+        F.col("cluster_id"), F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa")
+    )
+    cb = comp.join(assign, "vec_id").select(
+        F.col("cluster_id"), F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb")
+    )
+    dots = (
+        ca.join(cb, ["cluster_id", "i"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("cluster_id", "vec_a", "vec_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = nr.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("na"))
+    nb = nr.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select(
+            "cluster_id",
+            "vec_a",
+            "vec_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+            F.least("vec_a", "vec_b").alias("keeper_vec_id"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("cluster_id", "vec_a", "vec_b")
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, qscale: int = 1000
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, fully deterministic
+    and engine-exact: components are quantized to integers
+    (round(x·qscale)), distances are exact integer squared-L2, and
+    centroid updates use exact floor division — so the oracle
+    reproduces every assignment bit-for-bit (no float-order ties).
+    Init is the first ``k`` vectors (vec_id < k); ``iters``
+    assignment passes with ``iters-1`` centroid updates between.
+
+    Scale shape (the MLlib Lloyd topology, minus the driver collect):
+    centroids live in a k×dim DataFrame that BROADCASTS into the
+    assignment join — the corpus-sized component table never shuffles
+    for assignment; the only corpus-wide exchanges are the per-
+    (vector) argmin and per-(cluster, dim) update aggregates, one pair
+    per iteration. Inertia accumulates in decimal(38) so the final sum
+    cannot overflow at any corpus size.
+
+    Determinism note: round(CAST(x AS DOUBLE)·qscale) is computed
+    identically in Spark and DuckDB (exact float→double widening, one
+    correctly-rounded multiply, half-up round)."""
+    best = kmeans_assignments(embeddings, k=k, iters=iters, qscale=qscale)
     return (
         best.groupBy("cluster_id")
         .agg(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ureplicator_spark.functions import word_kgrams
+from ureplicator_spark.functions import md5_long, word_kgrams
 
 # language → characteristic stopwords (tiny demo profiles; extend freely)
 LANG_PROFILES: dict[str, list[str]] = {
@@ -628,6 +628,59 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_weights(
+    documents: DataFrame, target_source: str = "src0", n_buckets: int = 256
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., arXiv:2302.03169): score
+    every raw-pool document by how target-like its hashed-n-gram
+    distribution is — ``log w(x) = Σ_tokens log p̂_target(b(t)) −
+    log p̂_raw(b(t))`` over ``n_buckets`` hashed unigram buckets with
+    add-one smoothing. Data-selection pipelines sample the raw pool
+    with probability ∝ exp(log_weight) to match a target domain;
+    here target = the ``target_source`` docs, raw = every other doc,
+    and only raw docs are scored (they are the selection pool).
+
+    Scale shape: both bucket distributions are ``n_buckets`` rows —
+    trained with one aggregation each from the token stream, then
+    BROADCAST into the scoring pass, so scoring is a map + one per-doc
+    aggregation; the corpus shuffles once on doc_id regardless of
+    vocabulary size (that is the point of hashing the features).
+    Buckets use the portable md5 hash so the oracle reproduces every
+    assignment; the double log-sum takes one final ROUND(.., 6)."""
+    tok = tokens(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(md5_long(F.col("token")), F.lit(n_buckets)).alias("bucket"),
+    )
+    is_target = F.col("source") == target_source
+    counts = tok.groupBy("bucket").agg(
+        F.sum(is_target.cast("long")).alias("ct"),
+        F.sum((~is_target).cast("long")).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + n_buckets))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+        ).alias("log_ratio"),
+    )
+    return (
+        tok.filter(~is_target)
+        .join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 6).alias("log_weight"),
         )
         .orderBy("doc_id")
     )

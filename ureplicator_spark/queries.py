@@ -3848,6 +3848,45 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.funnel_counts(ev).orderBy("stage")
 
 
+_TRANSITIONS_SQL = _with(
+    "ev AS (SELECT event_id, user_id, event_type,"
+    " epoch_ns(ts) // 1000000000 AS ts_sec FROM events)",
+    """
+tpairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type,
+         event_type AS curr_type
+  FROM ev
+)
+""".strip(),
+    """
+tmatrix AS (
+  SELECT prev_type, curr_type, COUNT(*) AS n
+  FROM tpairs WHERE prev_type IS NOT NULL GROUP BY prev_type, curr_type
+)
+""".strip(),
+    "ttot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t FROM tmatrix GROUP BY prev_type)",
+    """
+SELECT m.prev_type, m.curr_type, m.n, ROUND(m.n * 1.0 / t.t, 6) AS p
+FROM tmatrix m JOIN ttot t USING (prev_type)
+ORDER BY m.prev_type, m.curr_type
+""",
+)
+
+
+@register("event_transitions", _TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (LAG window, (ts, event_id)-deterministic ordering) — the
+    behavioral-model complement of sessionization/funnel/retention."""
+    from ureplicator_spark.operators import relational as REL
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        "event_id", "user_id", "event_type", FX.event_ts_sec(raw).alias("ts_sec")
+    )
+    return REL.event_transitions(ev)
+
+
 # ---------------------------------------------------------------------------
 # Embedding clustering + ANN quality (round 5)
 # ---------------------------------------------------------------------------
@@ -3860,7 +3899,11 @@ compq AS (
 )
 """.strip()
 
-_KMEANS_SQL = _with(
+# Lloyd assignment chain (init c0 = first 8 vectors; 2 assignment
+# passes with 1 exact-floor-division centroid update between): ends at
+# a2 = (vec_id, cluster_id, dist). Shared by the kmeans summary and
+# the SemDeDup within-cluster dedup oracle.
+_KMEANS_ASSIGN_CTES = (
     _KMEANS_COMPQ_CTE,
     "c0 AS (SELECT vec_id AS cluster_id, i, q AS c FROM compq WHERE vec_id < 8)",
     """
@@ -3900,6 +3943,10 @@ a2 AS (
   ) WHERE rn = 1
 )
 """.strip(),
+)
+
+_KMEANS_SQL = _with(
+    *_KMEANS_ASSIGN_CTES,
     """
 SELECT cluster_id, COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
 FROM a2 GROUP BY cluster_id ORDER BY cluster_id
@@ -3916,6 +3963,54 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return kmeans_clusters(load_table(spark, sf_dir, "embeddings"))
+
+
+_SEMANTIC_DEDUP_SQL = _with(
+    *_KMEANS_ASSIGN_CTES,
+    _COMP_CTE,
+    _NRM_CTE,
+    """
+sempairs AS (
+  SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM a2 a JOIN a2 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+)
+""".strip(),
+    """
+semdots AS (
+  SELECT p.cluster_id, p.vec_a, p.vec_b, SUM(qa.x * qb.x) AS dot
+  FROM sempairs p
+  JOIN comp qa ON qa.vec_id = p.vec_a
+  JOIN comp qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
+  GROUP BY p.cluster_id, p.vec_a, p.vec_b
+)
+""".strip(),
+    """
+SELECT * FROM (
+  SELECT d.cluster_id, d.vec_a, d.vec_b,
+         ROUND(d.dot / (na.n * nb.n), 6) AS cosine,
+         LEAST(d.vec_a, d.vec_b) AS keeper_vec_id
+  FROM semdots d
+  JOIN nrm na ON na.vec_id = d.vec_a
+  JOIN nrm nb ON nb.vec_id = d.vec_b
+) WHERE cosine >= 0.45
+ORDER BY cluster_id, vec_a, vec_b
+""",
+)
+
+
+@register("dedup_semantic_pairs", _SEMANTIC_DEDUP_SQL)
+def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs compared
+    ONLY within a k-means cluster — N²/k work instead of all-pairs;
+    at 100 TB, k grows with the corpus so per-cluster work is flat.
+    The 0.45 threshold matches this synthetic corpus's cosine range
+    (tops out ≈0.6); real embedding models use ≈0.95+."""
+    from ureplicator_spark.operators.similarity import semantic_dedup_pairs
+    from ureplicator_spark.sources.parquet import load_table
+
+    return semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
 
 
 _ANN_RECALL_SQL = _with(
@@ -4222,6 +4317,54 @@ def q_doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return unigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+_DSIR_SQL = _with(
+    _TOK_CTE,
+    """
+dsir_tok AS (
+  SELECT t.doc_id, d.source,
+         ('0x' || substr(md5(t.token), 1, 15))::BIGINT % 256 AS bucket
+  FROM tok t JOIN documents d USING (doc_id)
+)
+""".strip(),
+    """
+dsir_counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+  FROM dsir_tok GROUP BY bucket
+)
+""".strip(),
+    "dsir_tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM dsir_counts)",
+    """
+dsir_model AS (
+  SELECT bucket,
+         ln((ct + 1) / (tt + 256.0)) - ln((cr + 1) / (tr + 256.0)) AS log_ratio
+  FROM dsir_counts CROSS JOIN dsir_tot
+)
+""".strip(),
+    """
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(SUM(m.log_ratio), 6) AS log_weight
+FROM dsir_tok t JOIN dsir_model m USING (bucket)
+WHERE t.source <> 'src0'
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+)
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    weights scoring every raw-pool doc for target-likeness (target =
+    source 'src0'). Both bucket distributions are 256 rows and
+    broadcast; the corpus pays one doc_id shuffle however large the
+    vocabulary — the point of hashed features."""
+    from ureplicator_spark.operators.text import dsir_weights
+    from ureplicator_spark.sources.parquet import load_table
+
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
 
 
 _SOURCE_KL_SQL = """
