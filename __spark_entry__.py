@@ -35,7 +35,6 @@ _CHANGED_SINCE_LAST_CHECK = [
     "dedup_simhash", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     # r5: new queries (never driver-checked).
-    "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
     "user_retention", "event_funnel", "embedding_kmeans",
     "similarity_ann_recall", "chunk_dedup", "token_count_bpe",
     "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",
@@ -51,6 +50,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     "promo_revenue_monthly", "q15_top_supplier", "part_small_qty_revenue",
     "large_volume_orders", "q19_discount_revenue", "customer_order_rollup",
     "boilerplate_shingles",
+    # r5 late additions (never driver-checked; listed AFTER every
+    # changed-code name so stale-green attestations keep window
+    # priority — these three spill past the ~50-entry window and are
+    # gated locally at sf0.001+sf0.01 until r6's window reaches them).
+    "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
 ]
 
 

@@ -278,10 +278,11 @@ def test_load_records_any_formats(spark, sf_dir, tmp_path):
 
     rec = FX.records(spark, sf_dir).select("topic", "partition", "offset", "value_size")
     schema = "topic string, partition int, offset long, value_size int"
-    pq, cs, js = str(tmp_path / "pq"), str(tmp_path / "cs"), str(tmp_path / "js")
+    pq, cs, js, oc = (str(tmp_path / d) for d in ("pq", "cs", "js", "oc"))
     rec.write.parquet(pq)
     rec.write.option("header", "true").csv(cs)
     rec.write.json(js)
+    rec.write.orc(oc)
 
     base = {tuple(r) for r in rec.collect()}
     got_pq = {tuple(r) for r in load_records_any(spark, pq).select(*rec.columns).collect()}
@@ -290,7 +291,8 @@ def test_load_records_any_formats(spark, sf_dir, tmp_path):
         for r in load_records_any(spark, cs, "csv", schema, header="true").collect()
     }
     got_js = {tuple(r) for r in load_records_any(spark, js, "json", schema).collect()}
-    assert base == got_pq == got_cs == got_js
+    got_oc = {tuple(r) for r in load_records_any(spark, oc, "orc").select(*rec.columns).collect()}
+    assert base == got_pq == got_cs == got_js == got_oc
     with pytest.raises(ValueError, match="explicit schema"):
         load_records_any(spark, js, "json")
 

@@ -593,20 +593,35 @@ def semantic_dedup_pairs(
     once on vec_id for the argmin and once on cluster_id for the pair
     join. Cosines are exact double dots rounded to 6 dp (the oracle
     reproduces them)."""
-    assign = kmeans_assignments(embeddings, k=k, iters=iters).select(
-        "vec_id", "cluster_id"
+    # persist: the pair self-join references the assignment TWICE, and
+    # without it the whole multi-stage Lloyd DAG executes once per
+    # branch (persist stays lazy and dedups by canonicalized plan —
+    # see lsh_candidate_pairs for why not localCheckpoint). The table
+    # is N rows of (id, cluster) — trivially memory-resident.
+    assign = (
+        kmeans_assignments(embeddings, k=k, iters=iters)
+        .select("vec_id", "cluster_id")
+        .persist()
     )
     comp = _components(embeddings)
     nr = norms(embeddings)
-    ca = comp.join(assign, "vec_id").select(
-        F.col("cluster_id"), F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa")
-    )
-    cb = comp.join(assign, "vec_id").select(
-        F.col("cluster_id"), F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb")
-    )
-    dots = (
-        ca.join(cb, ["cluster_id", "i"])
+    # Pair list FIRST (N²/k rows), then fetch components per pair —
+    # pairing at the component level instead would self-join on
+    # (cluster, i) and materialize pairs × dim rows BEFORE the a<b
+    # filter (measured 12× more intermediate rows at sf0.1).
+    pairs = (
+        assign.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"))
+        .join(
+            assign.select(F.col("cluster_id"), F.col("vec_id").alias("vec_b")),
+            "cluster_id",
+        )
         .filter(F.col("vec_a") < F.col("vec_b"))
+    )
+    ca = comp.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
+    cb = comp.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb"))
+    dots = (
+        pairs.join(ca, "vec_a")
+        .join(cb, ["vec_b", "i"])
         .groupBy("cluster_id", "vec_a", "vec_b")
         .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
     )

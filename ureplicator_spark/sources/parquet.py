@@ -65,6 +65,10 @@ def load_records_any(
     tune(spark)
     if fmt == "parquet":
         return spark.read.options(**options).parquet(path)
+    if fmt == "orc":
+        # columnar like parquet: footer schema, pushdown, pruning —
+        # no explicit-schema requirement
+        return spark.read.options(**options).orc(path)
     if fmt in ("csv", "json"):
         if schema is None:
             raise ValueError(
