@@ -50,10 +50,13 @@ _CHANGED_SINCE_LAST_CHECK = [
     "promo_revenue_monthly", "q15_top_supplier", "part_small_qty_revenue",
     "large_volume_orders", "q19_discount_revenue", "customer_order_rollup",
     "boilerplate_shingles",
-    # r5 late additions (never driver-checked; listed AFTER every
-    # changed-code name so stale-green attestations keep window
-    # priority — these three spill past the ~50-entry window and are
-    # gated locally at sf0.001+sf0.01 until r6's window reaches them).
+    # r5 late additions (never driver-checked). With 53 changed-or-new
+    # names and ~50 window slots, three must spill; these spill because
+    # a missing driver row for a new query is VISIBLE in CORRECTNESS_r5
+    # (no false green), whereas a changed query left outside the window
+    # would carry a stale green attestation from an earlier round —
+    # the failure mode the round-4 advisor flagged. All three are gated
+    # locally at sf0.001+sf0.01 until r6's window reaches them.
     "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
 ]
 

@@ -580,8 +580,11 @@ def semantic_dedup_pairs(
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-dup
     pairs found by clustering the corpus and comparing cosines ONLY
     within a cluster. Returns ``(cluster_id, vec_a, vec_b, cosine,
-    keeper_vec_id)`` for pairs with cosine ≥ ``threshold``; the keeper
-    convention (min vec_id) matches ``exact_dedup_groups``.
+    keeper_vec_id)`` for pairs with cosine ≥ ``threshold``;
+    ``keeper_vec_id`` is the pairwise keeper (the smaller id — always
+    ``vec_a`` given the a<b pair orientation). For a GROUP-level
+    keeper across chained pairs, feed these pairs to
+    ``dedup.duplicate_clusters`` like the MinHash pipeline does.
 
     Scale shape — this is the entire point of SemDeDup: the O(N²)
     all-pairs comparison becomes k independent O((N/k)²) problems. At
@@ -635,7 +638,7 @@ def semantic_dedup_pairs(
             "vec_a",
             "vec_b",
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-            F.least("vec_a", "vec_b").alias("keeper_vec_id"),
+            F.col("vec_a").alias("keeper_vec_id"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("cluster_id", "vec_a", "vec_b")

@@ -652,12 +652,19 @@ def dsir_weights(
     vocabulary size (that is the point of hashing the features).
     Buckets use the portable md5 hash so the oracle reproduces every
     assignment; the double log-sum takes one final ROUND(.., 6)."""
-    tok = tokens(documents).join(
-        documents.select("doc_id", "source"), "doc_id"
-    ).select(
-        "doc_id",
-        "source",
-        F.pmod(md5_long(F.col("token")), F.lit(n_buckets)).alias("bucket"),
+    # persist: the (doc_id, source, bucket) frame feeds BOTH the
+    # model-training aggregation and the scoring aggregation; without
+    # it the tokenize + join + md5 subtree runs twice — the dominant
+    # cost at corpus scale.
+    tok = (
+        tokens(documents)
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(md5_long(F.col("token")), F.lit(n_buckets)).alias("bucket"),
+        )
+        .persist()
     )
     is_target = F.col("source") == target_source
     counts = tok.groupBy("bucket").agg(

@@ -3988,7 +3988,7 @@ semdots AS (
 SELECT * FROM (
   SELECT d.cluster_id, d.vec_a, d.vec_b,
          ROUND(d.dot / (na.n * nb.n), 6) AS cosine,
-         LEAST(d.vec_a, d.vec_b) AS keeper_vec_id
+         d.vec_a AS keeper_vec_id
   FROM semdots d
   JOIN nrm na ON na.vec_id = d.vec_a
   JOIN nrm nb ON nb.vec_id = d.vec_b
