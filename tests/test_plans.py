@@ -473,3 +473,71 @@ def test_ivfpq_index_non_default_geometry(spark, tmp_path_factory):
         ).collect()
     }
     assert got == {0: (4, 0), 1: (5, 0), 2: (6, 0), 3: (7, 0)}
+
+
+def _parquet_file_spans(path: str, col: str) -> list[tuple]:
+    """Per-file (min, max) of ``col`` from parquet footer statistics —
+    the exact numbers the reader's row-group skipping consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        j = names.index(col)
+        mns, mxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(j).statistics
+            mns.append(st.min)
+            mxs.append(st.max)
+        spans.append((min(mns), max(mxs)))
+    return spans
+
+
+def test_range_cluster_write_yields_disjoint_file_spans(spark, sf_dir, tmp_path):
+    """1-D clustering contract: file min/max ranges on the sort column
+    partition the key space, so a point predicate's stats-eligible
+    file set is exactly one file."""
+    from ureplicator_spark.sources.layout import range_cluster_write
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    out = str(tmp_path / "rc")
+    range_cluster_write(ev, out, "event_id", n_files=8)
+    spans = sorted(_parquet_file_spans(out, "event_id"))
+    assert len(spans) == 8
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint, ordered
+    probe = spans[3][0]  # an existing value
+    assert sum(1 for lo, hi in spans if lo <= probe <= hi) == 1
+
+
+def test_zorder_write_tightens_stats_on_every_clustered_column(spark, sf_dir, tmp_path):
+    """Z-order contract: after clustering on (user_id, event_id), a
+    point predicate on EITHER column is stats-eligible in at most half
+    the files (each file covers a small hyper-rectangle), while the
+    unclustered layout leaves ~every file eligible on at least one of
+    them."""
+    from ureplicator_spark.sources.layout import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    zpath, base = str(tmp_path / "z"), str(tmp_path / "flat")
+    zorder_write(ev, zpath, ["user_id", "event_id"], n_files=16)
+    # baseline: same file count, no clustering (round-robin repartition)
+    ev.repartition(16).write.parquet(base)
+
+    row = ev.agg(
+        F.expr("percentile(user_id, 0.5)").alias("u"),
+        F.expr("percentile(event_id, 0.5)").alias("e"),
+    ).collect()[0]
+    for col, probe in (("user_id", int(row.u)), ("event_id", int(row.e))):
+        z = _parquet_file_spans(zpath, col)
+        flat = _parquet_file_spans(base, col)
+        z_hits = sum(1 for lo, hi in z if lo <= probe <= hi)
+        flat_hits = sum(1 for lo, hi in flat if lo <= probe <= hi)
+        assert 1 <= z_hits <= len(z) // 2, (col, z_hits, z)
+        assert z_hits < flat_hits, (col, z_hits, flat_hits)
+
+    # row counts survive the rewrite
+    assert spark.read.parquet(zpath).count() == ev.count()
