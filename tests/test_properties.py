@@ -463,3 +463,66 @@ def test_shard_packing_matches_reference(spark, sizes, budget, id_stride):
         expect[shard] = (d + 1, t + n, fd if fd is not None else i * id_stride,
                          i * id_stride)
     assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-4, 4), min_size=3, max_size=3),
+        min_size=3,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.7, 0.95]),
+)
+@SETTINGS
+def test_semantic_dedup_matches_reference(spark, vecs, threshold):
+    """SemDeDup == an oblivious Python implementation of the same spec
+    (reference Lloyd assignment, then every within-cluster pair with
+    6dp-rounded cosine >= threshold) on random tiny corpora. Zero
+    vectors produce undefined cosines and are excluded by both sides.
+    """
+    import math
+
+    from ureplicator_spark.operators.similarity import semantic_dedup_pairs
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_a, r.vec_b): (r.cluster_id, r.cosine)
+        for r in semantic_dedup_pairs(df, k=2, iters=2, threshold=threshold).collect()
+    }
+
+    # reference Lloyd (same spec as test_kmeans_matches_reference)
+    q = {i: [x * 1000 for x in v] for i, v in enumerate(vecs)}
+    cents = {j: q[j] for j in range(min(2, len(q)))}
+
+    def assign(cs):
+        return {
+            i: min((sum((a - b) ** 2 for a, b in zip(v, c)), j) for j, c in cs.items())
+            for i, v in q.items()
+        }
+
+    for it in range(2):
+        best = assign(cents)
+        if it == 0:
+            upd: dict = {}
+            for i, (_, j) in best.items():
+                upd.setdefault(j, []).append(q[i])
+            cents = {
+                j: [sum(col) // len(vs) for col in zip(*vs)] for j, vs in upd.items()
+            }
+    cluster = {i: j for i, (_, j) in best.items()}
+
+    expected = {}
+    for a in q:
+        for b in q:
+            if a >= b or cluster[a] != cluster[b]:
+                continue
+            na = math.sqrt(sum(x * x for x in vecs[a]))
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            if na == 0 or nb == 0:
+                continue
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            cos = round(dot / (na * nb), 6)
+            if cos >= threshold:
+                expected[(a, b)] = (cluster[a], cos)
+    assert got == expected

@@ -593,7 +593,7 @@ def lexical_semantic_agreement(
             "doc_a",
             "doc_b",
             "est_jaccard",
-            F.round(dot / (F.col("n_a") * F.col("n_b")), 6).alias("cosine"),
+            F.round(F.try_divide(dot, F.col("n_a") * F.col("n_b")), 6).alias("cosine"),
         )
         .withColumn("agree", F.col("cosine") >= cosine_threshold)
         .orderBy("doc_a", "doc_b")

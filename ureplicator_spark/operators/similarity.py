@@ -64,7 +64,7 @@ def cosine_knn(
         .select(
             "q_id",
             "c_id",
-            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -101,10 +101,10 @@ def cosine_knn_arrays(
             "q_id",
             "c_id",
             F.round(
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / (
+                F.try_divide(
+                    dot(F.col("q_emb"), F.col("c_emb")),
                     F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-                    * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+                    * F.sqrt(dot(F.col("c_emb"), F.col("c_emb"))),
                 ),
                 6,
             ).alias("cosine"),
@@ -196,7 +196,7 @@ def lsh_ann(embeddings: DataFrame, n_queries: int = 10, n_planes: int = N_PLANES
         .join(nc, "c_id")
         .select(
             "q_id", "c_id", "bucket",
-            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -237,7 +237,7 @@ def embedding_near_dup_pairs(
         .join(nb, "vec_b")
         .select(
             "vec_a", "vec_b", "bucket",
-            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
+            F.round(F.try_divide(F.col("dot"), F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
         )
     )
     from ureplicator_spark.functions import top_k_ranked
@@ -289,7 +289,7 @@ def ivf_ann(
         .join(nv, "vec_id")
         .select(
             "vec_id", "cent_id",
-            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cosine"),
+            F.round(F.try_divide(F.col("dot"), F.col("vn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
@@ -336,7 +336,7 @@ def ivf_ann(
         .join(nc, "c_id")  # O(N) norms — cdot (Q·nprobe·list) is the small side
         .select(
             "q_id", "c_id",
-            F.round(F.col("dot") / (F.col("qn") * F.col("cn2")), 6).alias("cosine"),
+            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn2")), 6).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -404,7 +404,7 @@ def _label_scores(embeddings: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias(
+            F.round(F.try_divide(F.col("dot"), F.col("vn") * F.col("cn")), 6).alias(
                 "centroid_cosine"
             ),
         )
@@ -513,7 +513,7 @@ def lsh_ann_filtered(
         .join(nc, "c_id")
         .select(
             "q_id", "c_id", "label",
-            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -637,7 +637,13 @@ def semantic_dedup_pairs(
             "cluster_id",
             "vec_a",
             "vec_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+            # try_divide: a zero-norm vector (an all-zero embedding —
+            # empty doc, failed encode) has no cosine; under ANSI mode
+            # a plain divide would kill the job, try_divide yields
+            # NULL and the threshold filter drops the pair.
+            F.round(
+                F.try_divide(F.col("dot"), F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
             F.col("vec_a").alias("keeper_vec_id"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -713,7 +719,7 @@ def ann_recall(
     )
     nc = nr.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn"))
     w = Window.partitionBy("q_id").orderBy(
-        F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).desc(), F.col("c_id")
+        F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).desc(), F.col("c_id")
     )
     ann = (
         dots.join(F.broadcast(nq), "q_id")

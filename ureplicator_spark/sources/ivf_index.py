@@ -115,7 +115,7 @@ def build_ivf_index(
         .select(
             "vec_id",
             "cent_id",
-            F.round(F.col("dot") / (F.col("norm") * F.col("cn")), 6).alias("cosine"),
+            F.round(F.try_divide(F.col("dot"), F.col("norm") * F.col("cn")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
@@ -185,7 +185,7 @@ def search_ivf_index(
         "q_id",
         F.col("vec_id").alias("c_id"),
         F.round(
-            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("norm")),
+            F.try_divide(_dot(F.col("q_emb"), F.col("embedding")), F.col("qn") * F.col("norm")),
             6,
         ).alias("cosine"),
     )
