@@ -118,6 +118,37 @@ def cosine_knn_arrays(
     )
 
 
+def retrieve_documents(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    snippet_len: int = 80,
+) -> DataFrame:
+    """Retrieval (the RAG shape): cosine top-k neighbors joined back to
+    their documents — ids become answers a consumer can read
+    (``q_id, rank, doc_id, cosine, lang, source, snippet``).
+
+    Scale shape: the ranked id list is Q·k rows and BROADCASTS into
+    the document join, so the corpus-sized documents table never
+    shuffles — it is scanned once with doc_id pushdown-able and only
+    the snippet prefix projected (column pruning keeps full text out
+    of the exchange). Swap :func:`cosine_knn` for the LSH/IVF searcher
+    at corpus scale; the join shape is identical."""
+    topk = cosine_knn(embeddings, n_queries=n_queries, k=k)
+    docs = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, snippet_len).alias("snippet"),
+    )
+    return (
+        docs.join(F.broadcast(topk), docs.doc_id == topk.c_id)
+        .select("q_id", "rank", "doc_id", "cosine", "lang", "source", "snippet")
+        .orderBy("q_id", "rank")
+    )
+
+
 def hyperplanes(spark, dim: int, n_planes: int = N_PLANES) -> DataFrame:
     """Deterministic ±1 random hyperplanes from md5 — reproducible in
     any engine (the 'seeded RNG' of the relational world)."""

@@ -931,6 +931,52 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_knn(load_table(spark, sf_dir, "embeddings"))
 
 
+_RETRIEVE_SQL = _with(
+    _COMP_CTE,
+    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    """
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
+  FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+""".strip(),
+    """
+topk AS (
+  SELECT q_id, c_id, cosine, rank FROM (
+    SELECT d.q_id, d.c_id,
+           ROUND(d.dot / (nq.nrm * nc.nrm), 6) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id
+                              ORDER BY ROUND(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.c_id) AS rank
+    FROM dots d
+    JOIN nrms nq ON nq.vec_id = d.q_id
+    JOIN nrms nc ON nc.vec_id = d.c_id
+  ) WHERE rank <= 3
+)
+""".strip(),
+    """
+SELECT t.q_id, t.rank, d.doc_id, t.cosine, d.lang, d.source,
+       substr(d.text, 1, 80) AS snippet
+FROM topk t JOIN documents d ON d.doc_id = t.c_id
+ORDER BY t.q_id, t.rank
+""",
+)
+
+
+@register("similarity_retrieve_docs", _RETRIEVE_SQL)
+def q_similarity_retrieve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval: ANN ids joined back to readable documents (snippet +
+    metadata) — the query a RAG consumer actually issues. The ranked
+    id list broadcasts; the documents table never shuffles."""
+    from ureplicator_spark.operators.similarity import retrieve_documents
+    from ureplicator_spark.sources.parquet import load_table
+
+    return retrieve_documents(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
 _LSH_HIST_SQL = _with(
     _COMP_CTE,
     """
