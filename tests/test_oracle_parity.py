@@ -1,9 +1,14 @@
 """The correctness gate, run locally: every registered query must
 hash-match its DuckDB oracle at sf0.001 and sf0.01 (the driver runs
 sf0.01). Mirrors the driver's CORRECTNESS check.
+
+``PARITY_SF01=1`` additionally gates every query at sf0.1 — the scale
+the bench runs at; slower, so opt-in rather than per-commit.
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -11,6 +16,8 @@ from ureplicator_spark.queries import QUERIES
 from tests.oracle_harness import compare
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+if os.environ.get("PARITY_SF01"):
+    SF_DIRS.append("/root/testdata/sf0.1")
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))

@@ -260,6 +260,12 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         "embedding_pq_codes",
         "similarity_pq_adc",
         "similarity_pq_recall",
+        # SemDeDup: broadcast side is the k×dim Lloyd centroid table
+        # (same shape as embedding_kmeans) — size fixed by k, not SF.
+        "dedup_semantic_pairs",
+        # retrieval: broadcasts the Q·k ranked-id list (plus the
+        # vec_id<n_queries slice inside cosine_knn), never documents.
+        "similarity_retrieve_docs",
     }
     offenders = {}
     for name, (fn, _sql) in sorted(QUERIES.items()):

@@ -1662,6 +1662,34 @@ def q_workload_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("topic", "partition", "gid", "n_records", "total_bytes")
 
 
+_WORKLOAD_CUBE_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+SELECT topic, "partition" AS partition,
+       GROUPING(topic, "partition") AS gid,
+       COUNT(*) AS n_records,
+       CAST(SUM(value_size) AS BIGINT) AS total_bytes
+FROM records
+GROUP BY CUBE(topic, "partition")
+""",
+)
+
+
+@register("workload_cube", _WORKLOAD_CUBE_SQL)
+def q_workload_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(topic, partition): the rollup's lattice completion — adds
+    the per-partition-across-topics slice a rollup omits (the view
+    that answers 'is partition 3 hot on EVERY topic?'). Same single
+    shuffle with partial aggregation; the grouping-id bit-vector
+    disambiguates NULL keys identically in both engines."""
+    rec = FX.records(spark, sf_dir)
+    return rec.cube("topic", "partition").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_records"),
+        F.sum("value_size").cast("long").alias("total_bytes"),
+    ).select("topic", "partition", "gid", "n_records", "total_bytes")
+
+
 _TOPIC_INVENTORY_SQL = _with(
     FX.RECORDS_CTE,
     """
