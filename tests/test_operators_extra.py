@@ -1111,3 +1111,117 @@ def test_event_transitions_counts_and_tie_break(spark):
     assert got[("b", "b")].n == 1 and got[("b", "b")].p == 1.0
     assert got[("a", "b")].p == 0.5 and got[("a", "c")].p == 0.5
     assert set(got) == {("a", "b"), ("a", "c"), ("b", "b")}
+
+
+def test_upsert_archive_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """MERGE contract: updated keys replaced, new keys inserted, and a
+    partition the batch does not touch keeps its exact files."""
+    import glob
+
+    from ureplicator_spark.sources.archive import read_archive, upsert_archive, write_archive
+
+    root = str(tmp_path / "arch")
+    rec = FX.records(spark, sf_dir).select(
+        "topic", "partition", "offset", "ts_sec", "value_size"
+    )
+    write_archive(rec, root)
+    topics = [r.topic for r in rec.select("topic").distinct().collect()]
+    touched, untouched = topics[0], topics[1]
+    untouched_files = sorted(glob.glob(f"{root}/topic={untouched}/*/*.parquet"))
+    before_total = read_archive(spark, root).count()
+
+    # one event-time day, so the batch touches exactly one (topic, dt)
+    day0 = (
+        rec.filter(F.col("topic") == touched)
+        .agg(F.min(F.to_date(F.timestamp_seconds("ts_sec"))).alias("d"))
+        .collect()[0]
+        .d
+    )
+    base = (
+        rec.filter(
+            (F.col("topic") == touched)
+            & (F.to_date(F.timestamp_seconds("ts_sec")) == F.lit(str(day0)).cast("date"))
+        )
+        .orderBy("partition", "offset")
+        .limit(3)
+    )
+    upd = base.withColumn("value_size", F.lit(-7)).collect()
+    max_off = rec.filter(F.col("topic") == touched).agg(F.max("offset")).collect()[0][0]
+    rows = [tuple(r) for r in upd] + [
+        (touched, 0, max_off + 1 + i, upd[0].ts_sec, -9) for i in range(2)
+    ]
+    updates = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, ts_sec bigint, value_size int"
+    )
+
+    stats = upsert_archive(spark, root, updates)
+    assert stats == {"partitions": 1, "replaced": 3, "inserted": 2}
+    # untouched partition: identical file set
+    assert sorted(glob.glob(f"{root}/topic={untouched}/*/*.parquet")) == untouched_files
+    after = read_archive(spark, root)
+    assert after.count() == before_total + 2
+    got = {
+        (r.partition, r.offset): r.value_size
+        for r in after.filter(F.col("topic") == touched).collect()
+    }
+    for r in upd:
+        assert got[(r.partition, r.offset)] == -7
+    assert got[(0, max_off + 1)] == -9 and got[(0, max_off + 2)] == -9
+    # idempotent under at-least-once replay
+    stats2 = upsert_archive(spark, root, updates)
+    assert stats2 == {"partitions": 1, "replaced": 5, "inserted": 0}
+    assert read_archive(spark, root).count() == before_total + 2
+
+
+def test_delete_from_archive_removes_keys_and_emptied_dirs(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten contract: named keys disappear, a fully
+    deleted (topic, dt) partition's directory is removed, untouched
+    partitions keep their exact files."""
+    import glob
+
+    from ureplicator_spark.sources.archive import (
+        delete_from_archive, read_archive, write_archive,
+    )
+
+    root = str(tmp_path / "arch")
+    rec = FX.records(spark, sf_dir).select(
+        "topic", "partition", "offset", "ts_sec", "value_size"
+    )
+    write_archive(rec, root)
+    with_dt = rec.withColumn("dt", F.to_date(F.timestamp_seconds("ts_sec")))
+    topics = sorted(r.topic for r in rec.select("topic").distinct().collect())
+    t_partial, t_full = topics[0], topics[1]
+    untouched = topics[2] if len(topics) > 2 else None
+
+    # 2 specific rows from t_partial; EVERY row of t_full's first day
+    part_rows = (
+        with_dt.filter(F.col("topic") == t_partial).orderBy("partition", "offset").limit(2)
+    ).collect()
+    day0 = (
+        with_dt.filter(F.col("topic") == t_full).agg(F.min("dt").alias("d")).collect()[0].d
+    )
+    full_rows = with_dt.filter(
+        (F.col("topic") == t_full) & (F.col("dt") == F.lit(str(day0)).cast("date"))
+    ).collect()
+    kdf = spark.createDataFrame(
+        [(r.topic, r.partition, r.offset) for r in part_rows + full_rows],
+        "topic string, partition int, offset long",
+    )
+    if untouched:
+        untouched_files = sorted(glob.glob(f"{root}/topic={untouched}/*/*.parquet"))
+    before = read_archive(spark, root).count()
+
+    stats = delete_from_archive(spark, root, kdf)
+    assert stats["deleted"] == len(part_rows) + len(full_rows)
+    assert stats["removed_dirs"] == 1
+    assert not glob.glob(f"{root}/topic={t_full}/dt={day0}")
+    after = read_archive(spark, root)
+    assert after.count() == before - stats["deleted"]
+    gone = after.join(kdf, ["topic", "partition", "offset"], "left_semi")
+    assert gone.count() == 0
+    if untouched:
+        assert sorted(glob.glob(f"{root}/topic={untouched}/*/*.parquet")) == untouched_files
+    # idempotent: a replayed deletion batch is a no-op
+    assert delete_from_archive(spark, root, kdf) == {
+        "partitions": 0, "deleted": 0, "removed_dirs": 0,
+    }

@@ -197,6 +197,50 @@ def rate_spikes(records: DataFrame, width_sec: int = 60) -> DataFrame:
     )
 
 
+def _ols_exact_aggs(width_sec: int) -> list:
+    """Aggregate columns for an integer-exact per-topic OLS over
+    (window index, y): every sum is exact integer arithmetic, so the
+    only floating-point steps are ONE division per coefficient —
+    deterministic in any engine. ``regr_slope``/``regr_intercept``
+    compute running double means whose summation order is
+    partitioning-dependent; at sf0.1 that produced a 1-ulp difference
+    that flipped the 6-dp rounding of a slope vs the oracle. Requires
+    columns ``ix`` (long window index) and ``y`` (long)."""
+    return [
+        F.count("*").alias("n_windows"),
+        F.sum("ix").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("ix") * F.col("y")).alias("sxy"),
+        F.sum(F.col("ix") * F.col("ix")).alias("sxx"),
+        F.max("ix").alias("max_idx"),
+    ]
+
+
+def _ols_coefficients(df: DataFrame) -> DataFrame:
+    """Attach 6-dp ``slope``/``intercept`` from the exact sums; a
+    single window (zero variance) yields NULLs like regr_slope would.
+    Sums widen to decimal(38,0) before the cross products so no
+    intermediate can overflow long at large window counts."""
+    def D(c):  # noqa: N802 - local cast helper
+        return F.col(c).cast("decimal(38,0)")
+
+    num = D("n_windows") * D("sxy") - D("sx") * D("sy")
+    den = D("n_windows") * D("sxx") - D("sx") * D("sx")
+    icept_num = D("sy") * den - num * D("sx")
+    icept_den = D("n_windows") * den
+    return df.withColumn(
+        "slope",
+        F.when(den == 0, F.lit(None)).otherwise(
+            F.round(num.cast("double") / den.cast("double"), 6)
+        ),
+    ).withColumn(
+        "intercept",
+        F.when(den == 0, F.lit(None)).otherwise(
+            F.round(icept_num.cast("double") / icept_den.cast("double"), 6)
+        ),
+    )
+
+
 def workload_trend(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame:
     """Per-topic ingestion TREND: OLS slope/intercept of per-window
     message counts over the window index, plus the next-window
@@ -205,21 +249,18 @@ def workload_trend(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame
     maxima only; a trend turns that reactive signal proactive).
 
     One windowed aggregation (same key as workload_windows) then one
-    per-topic regression aggregate — regr_slope/regr_intercept are
-    single-pass JVM aggregates, so the whole query is two shuffles on
+    per-topic aggregate of exact integer OLS sums (see
+    ``_ols_exact_aggs``), so the whole query is two shuffles on
     (topic[, window]) regardless of log size. Topics with a single
-    window regress to NULL (no trend claimable), matching the SQL
-    semantics exactly."""
+    window regress to NULL (no trend claimable)."""
     win = (F.col("ts_sec") - (F.col("ts_sec") % width_sec)).alias("window_start")
     counts = records.groupBy("topic", win).agg(F.count("*").alias("n_msgs"))
-    x = (F.col("window_start") / width_sec).cast("double")
-    y = F.col("n_msgs").cast("double")
-    agg = counts.groupBy("topic").agg(
-        F.count("*").alias("n_windows"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-        F.max(x).alias("max_idx"),
+    base = counts.select(
+        "topic",
+        F.expr(f"window_start div {width_sec}").alias("ix"),
+        F.col("n_msgs").alias("y"),
     )
+    agg = _ols_coefficients(base.groupBy("topic").agg(*_ols_exact_aggs(width_sec)))
     return agg.select(
         "topic",
         "n_windows",
@@ -242,20 +283,24 @@ def capacity_forecast(
     worker fleet for the forecast total — the capacity-planning twin
     of ``expected_workers``, which sizes for the observed average.
 
-    Two shuffles (per-(topic, window) sum, per-topic regression +
+    Two shuffles (per-(topic, window) sum, per-topic exact-OLS sums +
     max_by) and a single-row reduce; nothing scales with record count
     beyond the first windowed aggregation."""
     win = (F.col("ts_sec") - (F.col("ts_sec") % width_sec)).alias("window_start")
     wb = records.groupBy("topic", win).agg(
         F.sum("value_size").cast("long").alias("window_bytes")
     )
-    x = (F.col("window_start") / width_sec).cast("double")
-    y = F.col("window_bytes").cast("double")
-    per_topic = wb.groupBy("topic").agg(
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-        F.max(x).alias("max_idx"),
-        F.max_by("window_bytes", F.col("window_start")).alias("last_bytes"),
+    base = wb.select(
+        "topic",
+        "window_start",
+        F.expr(f"window_start div {width_sec}").alias("ix"),
+        F.col("window_bytes").alias("y"),
+    )
+    per_topic = _ols_coefficients(
+        base.groupBy("topic").agg(
+            *_ols_exact_aggs(width_sec),
+            F.max_by("y", F.col("window_start")).alias("last_bytes"),
+        )
     )
     forecast = F.coalesce(
         F.round(F.col("intercept") + F.col("slope") * (F.col("max_idx") + 1), 6),

@@ -4810,12 +4810,28 @@ counts AS (
 )
 """.strip(),
     f"""
+regs AS (
+  SELECT topic, COUNT(*) AS n, SUM(ix) AS sx, SUM(y) AS sy,
+         SUM(ix * y) AS sxy, SUM(ix * ix) AS sxx, MAX(ix) AS max_idx
+  FROM (SELECT topic, window_start // {FX.WINDOW_SEC} AS ix, n_msgs AS y FROM counts)
+  GROUP BY topic
+)
+""".strip(),
+    # integer-exact OLS: every sum/cross-product is exact (HUGEINT);
+    # the ONLY float steps are the two divisions — mirrors the Spark
+    # side's decimal(38) sums, so 6-dp rounding can never straddle a
+    # summation-order ulp (which regr_slope's running means did at
+    # sf0.1).
+    """
 reg AS (
-  SELECT topic, COUNT(*) AS n_windows,
-         ROUND(regr_slope(CAST(n_msgs AS DOUBLE), window_start / {FX.WINDOW_SEC}.0), 6) AS slope,
-         ROUND(regr_intercept(CAST(n_msgs AS DOUBLE), window_start / {FX.WINDOW_SEC}.0), 6) AS intercept,
-         MAX(window_start / {FX.WINDOW_SEC}.0) AS max_idx
-  FROM counts GROUP BY topic
+  SELECT topic, n AS n_windows, max_idx,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE ROUND(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                         / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) END AS intercept
+  FROM regs
 )
 """.strip(),
     """
@@ -5071,13 +5087,27 @@ wb AS (
 )
 """.strip(),
     f"""
+pts AS (
+  SELECT topic, COUNT(*) AS n, SUM(ix) AS sx, SUM(y) AS sy,
+         SUM(ix * y) AS sxy, SUM(ix * ix) AS sxx, MAX(ix) AS max_idx,
+         arg_max(y, window_start) AS last_bytes
+  FROM (SELECT topic, window_start,
+               window_start // {FX.WINDOW_SEC} AS ix, window_bytes AS y
+        FROM wb)
+  GROUP BY topic
+)
+""".strip(),
+    # integer-exact OLS (see workload_trend's reg CTE for rationale)
+    """
 pt AS (
-  SELECT topic,
-         ROUND(regr_slope(CAST(window_bytes AS DOUBLE), window_start / {FX.WINDOW_SEC}.0), 6) AS slope,
-         ROUND(regr_intercept(CAST(window_bytes AS DOUBLE), window_start / {FX.WINDOW_SEC}.0), 6) AS intercept,
-         MAX(window_start / {FX.WINDOW_SEC}.0) AS max_idx,
-         arg_max(window_bytes, window_start) AS last_bytes
-  FROM wb GROUP BY topic
+  SELECT topic, max_idx, last_bytes,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE ROUND(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                         / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) END AS intercept
+  FROM pts
 )
 """.strip(),
     f"""

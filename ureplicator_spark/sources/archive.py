@@ -156,3 +156,144 @@ def compact_archive(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     return done
+
+
+def upsert_archive(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: tuple[str, ...] = ("topic", "partition", "offset"),
+) -> dict:
+    """MERGE-style upsert: replace-or-insert records by key, rewriting
+    ONLY the (topic, dt) partitions the updates touch — the CDC /
+    late-correction pattern (a re-delivered record with a fixed
+    payload, a backfilled day) expressed with dynamic partition
+    overwrite instead of a table format's transaction log.
+
+    Scale shape: the touched-partition list is bounded by topics×days
+    in the update batch (driver-side, metadata-sized); the read side
+    statically prunes to exactly those directories; survivors come
+    from one anti-join keyed on the record identity; the rewrite is
+    crash-safe via the same eager localCheckpoint-then-overwrite
+    discipline as ``compact_archive``. Untouched partitions are never
+    read, never rewritten. At-least-once replays make this idempotent:
+    re-upserting the same batch replaces rows with identical ones.
+
+    Contract: a record's event time (its ``dt``) is stable — the key
+    identifies the row, the update corrects its payload. An update
+    that MOVES a record across days would leave the old version in a
+    partition this batch never reads; such corrections must be issued
+    as delete+insert, or the batch must include a row for the old day.
+
+    Returns ``{"partitions": n, "replaced": r, "inserted": i}``.
+    """
+    from functools import reduce
+    from operator import or_
+
+    up = updates.withColumn("dt", F.to_date(F.timestamp_seconds("ts_sec")))
+    pairs = [(r.topic, str(r.dt)) for r in up.select("topic", "dt").distinct().collect()]
+    if not pairs:
+        return {"partitions": 0, "replaced": 0, "inserted": 0}
+
+    pred = reduce(
+        or_,
+        [
+            (F.col("topic") == t) & (F.col("dt") == F.lit(d).cast("date"))
+            for t, d in pairs
+        ],
+    )
+    existing = spark.read.parquet(root).filter(pred)
+    key_list = list(keys)
+    survivors = existing.join(up.select(*key_list).distinct(), key_list, "left_anti")
+    n_existing = existing.count()
+    n_survivors = survivors.count()
+    n_updates = up.count()
+
+    merged = (
+        survivors.unionByName(up)
+        # eager localCheckpoint BEFORE the overwrite — same reason as
+        # compact_archive: the input plan must stop reading the
+        # directories being replaced, and the blocks make the rewrite
+        # crash-safe.
+        .localCheckpoint()
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("topic", "dt").parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    merged.unpersist()
+    replaced = n_existing - n_survivors
+    return {
+        "partitions": len(pairs),
+        "replaced": replaced,
+        "inserted": n_updates - replaced,
+    }
+
+
+def delete_from_archive(
+    spark: SparkSession,
+    root: str,
+    delete_keys: DataFrame,
+    keys: tuple[str, ...] = ("topic", "partition", "offset"),
+) -> dict:
+    """Targeted record deletion — the right-to-be-forgotten pass a
+    training-data archive must support. ``delete_keys`` carries just
+    the key columns; the archive is scanned ONCE to find which
+    (topic, dt) partitions actually hold matching rows, and only those
+    are rewritten (same localCheckpoint + dynamic-overwrite discipline
+    as upsert/compact).
+
+    The edge dynamic overwrite cannot express: a partition whose every
+    row is deleted produces no output rows, so the overwrite never
+    touches it — those directories are removed explicitly through the
+    Hadoop FS API (works on local/HDFS/S3A alike).
+
+    Scale shape: the key set broadcasts (deletion batches are small
+    relative to the corpus); the discovery pass is one semi join that
+    prunes to nothing on partitions without matches; the rewrite reads
+    only affected directories. Returns ``{"partitions": n,
+    "deleted": d, "removed_dirs": k}``.
+    """
+    from functools import reduce
+    from operator import or_
+
+    key_list = list(keys)
+    kdf = delete_keys.select(*key_list).distinct()
+    archive = spark.read.parquet(root)
+    hits = archive.join(F.broadcast(kdf), key_list, "left_semi")
+    pairs = [(r.topic, str(r.dt)) for r in hits.select("topic", "dt").distinct().collect()]
+    if not pairs:
+        return {"partitions": 0, "deleted": 0, "removed_dirs": 0}
+
+    pred = reduce(
+        or_,
+        [
+            (F.col("topic") == t) & (F.col("dt") == F.lit(d).cast("date"))
+            for t, d in pairs
+        ],
+    )
+    existing = archive.filter(pred)
+    survivors = existing.join(F.broadcast(kdf), key_list, "left_anti").localCheckpoint()
+    n_deleted = existing.count() - survivors.count()
+    kept_pairs = {
+        (r.topic, str(r.dt)) for r in survivors.select("topic", "dt").distinct().collect()
+    }
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("topic", "dt").parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    survivors.unpersist()
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(root).getFileSystem(conf)
+    emptied = [p for p in pairs if p not in kept_pairs]
+    for t, d in emptied:
+        fs.delete(Path(f"{root}/topic={t}/dt={d}"), True)
+    return {"partitions": len(pairs), "deleted": n_deleted, "removed_dirs": len(emptied)}
