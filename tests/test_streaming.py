@@ -473,3 +473,37 @@ def test_streaming_archive_sink_layout_and_pruning(spark, record_dir, tmp_path):
     # maintenance pass runs clean on the streamed layout
     compact_archive(spark, root, target_bytes=128 * 1024 * 1024)
     assert read_archive(spark, root, topic="click_mirror").count() == n_click
+
+
+def test_streaming_archive_effectively_once_replay_converges(spark, record_dir, tmp_path):
+    """Effectively-once contract: a full REPLAY of the same source
+    (fresh checkpoint, so every micro-batch re-fires) leaves the
+    archive row-for-row identical — replayed rows replace themselves
+    by record identity instead of appending duplicates."""
+    from ureplicator_spark.sources.archive import read_archive
+
+    root = str(tmp_path / "arch")
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "ck1"),
+        source_kind="files", source_path=record_dir,
+    )
+    job.start_archive_effectively_once(root, available_now=True).awaitTermination(120)
+    first = read_archive(spark, root)
+    n_first = first.count()
+    assert n_first > 0
+    total_bytes_first = first.agg(F.sum("value_size")).collect()[0][0]
+
+    # replay everything: new checkpoint, same source, same sink
+    job2 = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "ck2"),
+        source_kind="files", source_path=record_dir,
+    )
+    job2.start_archive_effectively_once(root, available_now=True).awaitTermination(120)
+    after = read_archive(spark, root)
+    assert after.count() == n_first
+    assert after.agg(F.sum("value_size")).collect()[0][0] == total_bytes_first
+    # record identity unique — the at-least-once duplicate window is closed
+    assert (
+        after.groupBy("topic", "partition", "offset").count().filter(F.col("count") > 1).count()
+        == 0
+    )

@@ -158,6 +158,30 @@ def compact_archive(
     return done
 
 
+def _anti_by_keys(left: DataFrame, right_keys: DataFrame, keys: list[str]) -> DataFrame:
+    """left_anti join on ``keys`` with NULL-SAFE equality: a nullable
+    key column (e.g. a round-robin ``partition``) must still identify
+    its row — under plain equality NULL never matches NULL, so a
+    replayed record with a null key would silently duplicate instead
+    of replacing."""
+    r = right_keys
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r[k])
+        cond = c if cond is None else (cond & c)
+    return left.join(r, cond, "left_anti")
+
+
+def _semi_by_keys(left: DataFrame, right_keys: DataFrame, keys: list[str]) -> DataFrame:
+    """left_semi twin of :func:`_anti_by_keys` (null-safe)."""
+    r = right_keys
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r[k])
+        cond = c if cond is None else (cond & c)
+    return left.join(r, cond, "left_semi")
+
+
 def upsert_archive(
     spark: SparkSession,
     root: str,
@@ -204,7 +228,7 @@ def upsert_archive(
     )
     existing = spark.read.parquet(root).filter(pred)
     key_list = list(keys)
-    survivors = existing.join(up.select(*key_list).distinct(), key_list, "left_anti")
+    survivors = _anti_by_keys(existing, up.select(*key_list).distinct(), key_list)
     n_existing = existing.count()
     n_survivors = survivors.count()
     n_updates = up.count()
@@ -262,7 +286,7 @@ def delete_from_archive(
     key_list = list(keys)
     kdf = delete_keys.select(*key_list).distinct()
     archive = spark.read.parquet(root)
-    hits = archive.join(F.broadcast(kdf), key_list, "left_semi")
+    hits = _semi_by_keys(archive, F.broadcast(kdf), key_list)
     pairs = [(r.topic, str(r.dt)) for r in hits.select("topic", "dt").distinct().collect()]
     if not pairs:
         return {"partitions": 0, "deleted": 0, "removed_dirs": 0}
@@ -275,7 +299,7 @@ def delete_from_archive(
         ],
     )
     existing = archive.filter(pred)
-    survivors = existing.join(F.broadcast(kdf), key_list, "left_anti").localCheckpoint()
+    survivors = _anti_by_keys(existing, F.broadcast(kdf), key_list).localCheckpoint()
     n_deleted = existing.count() - survivors.count()
     kept_pairs = {
         (r.topic, str(r.dt)) for r in survivors.select("topic", "dt").distinct().collect()

@@ -194,6 +194,69 @@ class ReplicationJob:
         self.query = writer.start()
         return self.query
 
+    def start_archive_effectively_once(
+        self, root: str, available_now: bool = False
+    ) -> StreamingQuery:
+        """Streaming archive landing with EFFECTIVELY-ONCE results:
+        at-least-once micro-batches (same checkpoint discipline as
+        ``start_archive``) composed with the idempotent key upsert
+        (``sources/archive.upsert_archive``), so a replayed batch
+        REPLACES its rows by (topic, partition, offset) identity
+        instead of appending duplicates. The reference stops at
+        at-least-once and leaves dedup to consumers
+        (ZookeeperCheckpointManager.java:43-45 class doc); here the
+        record identity the log already carries makes the sink itself
+        converge.
+
+        Costs more than blind append (each batch reads the touched
+        topic/day partitions back for the anti-join), which is why
+        both sinks exist: high-throughput append + downstream dedup,
+        or converge-at-the-sink for consumers that must never see a
+        duplicate. Batches touch few (topic, dt) partitions, so the
+        rewrite is partition-scoped, never archive-wide.
+
+        The ``partition`` column is the SOURCE partition — the record
+        identity the reference's log guarantees unique with offset.
+        The destination partition (``p % dstCount``) is non-unique
+        across source partitions (and null for round-robin topics),
+        so it cannot key an upsert; it stays derivable from the
+        route's partition counts."""
+        from pyspark.sql import functions as F
+
+        from ureplicator_spark.sources.archive import upsert_archive, write_archive
+
+        out = self._transform(self._source()).select(
+            F.col("dst_topic").alias("topic"),
+            F.col("partition"),
+            "offset",
+            "ts_sec",
+            "value_size",
+            "value",
+            "props",
+        )
+
+        def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            path = jvm.org.apache.hadoop.fs.Path(root)
+            if path.getFileSystem(conf).exists(path):
+                upsert_archive(spark, root, batch_df)
+            else:
+                write_archive(batch_df, root)
+
+        writer = (
+            out.writeStream.foreachBatch(_upsert)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.route.name + "-archive-once")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self.route.trigger_interval:
+            writer = writer.trigger(processingTime=self.route.trigger_interval)
+        self.query = writer.start()
+        return self.query
+
     def start_kafka(self, preserve_order: bool = True) -> StreamingQuery:
         """Streaming replication into the destination Kafka cluster with
         the reference's ordering contract (T2).
