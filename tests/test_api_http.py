@@ -187,3 +187,24 @@ def test_query_passthrough_lists_and_runs(server):
         raise AssertionError("unknown query must 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_sql_endpoint_selects_and_rejects_ddl(server):
+    """POST /sql completes the query language: ad-hoc SELECT over the
+    registered tables, row-capped; anything but SELECT/WITH refused."""
+    code, rows = _call(
+        server, "POST", "/sql",
+        {"sql": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"},
+    )
+    assert code == 200 and len(rows) >= 2 and all(r["n"] > 0 for r in rows)
+
+    code, rows = _call(
+        server, "POST", "/sql",
+        {"sql": "WITH t AS (SELECT 1 AS x) SELECT x FROM t", "limit": 10},
+    )
+    assert code == 200 and rows == [{"x": 1}]
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(server, "POST", "/sql", {"sql": "DROP TABLE records"})
+    # ValueError maps to the 4xx client-error path (existing contract)
+    assert e.value.code == 404 and "SELECT" in json.loads(e.value.read())["error"]

@@ -268,3 +268,20 @@ class Engine:
             raise KeyError(f"unknown query {name!r}")
         fn, _sql = QUERIES[name]
         return fn(self.spark, self.analytics_dir).limit(limit)
+
+    def sql(self, query: str, limit: int = 1000) -> DataFrame:
+        """Ad-hoc Spark SQL over the engine's registered tables (the
+        driver fixture views) — the free-form complement of the named
+        registry, completing the user-facing query language. Read-only
+        by contract: only SELECT / WITH statements are accepted (a
+        query service, not a DDL endpoint); results are row-capped
+        like every REST response."""
+        if self.analytics_dir is None:
+            raise ValueError("engine has no analytics_dir configured")
+        head = query.lstrip().split(None, 1)
+        if not head or head[0].upper() not in ("SELECT", "WITH"):
+            raise ValueError("only SELECT/WITH statements are accepted")
+        from ureplicator_spark.sources.parquet import register_views
+
+        register_views(self.spark, self.analytics_dir)
+        return self.spark.sql(query).limit(limit)

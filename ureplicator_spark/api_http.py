@@ -14,6 +14,7 @@ Routes:
   GET    /health                       → Engine.health()
   GET    /query                        → registered analytics query names
   GET    /query/{name}[?limit=N]       → run one registry query (capped rows)
+  POST   /sql {sql, limit?}            → ad-hoc SELECT over registered tables
   GET    /topics                       → topics registry
   POST   /topics        {topic,dst_topic?,partitions?} → add_topic
   PUT    /topics        {topic,partitions}             → expand_topic
@@ -107,6 +108,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return 200, {"queries": eng.query_names()}
             limit = int(q.get("limit", "1000"))
             return 200, _df_rows(eng.run_query(parts[1], limit=limit))
+        if key == ("POST", "sql"):
+            b = self._body()
+            return 200, _df_rows(eng.sql(b["sql"], limit=int(b.get("limit", 1000))))
         if key == ("GET", "topics"):
             return 200, _df_rows(eng.topics().filter(F.col("topic") != ""))
         if key == ("POST", "topics"):
