@@ -208,3 +208,20 @@ def test_sql_endpoint_selects_and_rejects_ddl(server):
         _call(server, "POST", "/sql", {"sql": "DROP TABLE records"})
     # ValueError maps to the 4xx client-error path (existing contract)
     assert e.value.code == 404 and "SELECT" in json.loads(e.value.read())["error"]
+
+    # WITH-prefixed DML must not execute: the subquery wrapper makes it
+    # a parse error instead of a file write (the prefix check alone is
+    # bypassable by exactly this statement)
+    import os
+    import tempfile
+
+    target = os.path.join(tempfile.gettempdir(), "sql_endpoint_bypass_probe")
+    import shutil
+
+    shutil.rmtree(target, ignore_errors=True)
+    with pytest.raises(urllib.error.HTTPError):
+        _call(server, "POST", "/sql", {
+            "sql": "WITH s AS (SELECT 1 AS x) "
+                   f"INSERT OVERWRITE DIRECTORY '{target}' USING parquet SELECT * FROM s",
+        })
+    assert not os.path.exists(target)

@@ -1150,6 +1150,8 @@ def test_upsert_archive_rewrites_only_touched_partitions(spark, sf_dir, tmp_path
     rows = [tuple(r) for r in upd] + [
         (touched, 0, max_off + 1 + i, upd[0].ts_sec, -9) for i in range(2)
     ]
+    # a duplicate-keyed row within the batch must collapse, not append
+    rows.append(tuple(upd[0]))
     updates = spark.createDataFrame(
         rows, "topic string, partition int, offset long, ts_sec bigint, value_size int"
     )
@@ -1225,3 +1227,10 @@ def test_delete_from_archive_removes_keys_and_emptied_dirs(spark, sf_dir, tmp_pa
     assert delete_from_archive(spark, root, kdf) == {
         "partitions": 0, "deleted": 0, "removed_dirs": 0,
     }
+    # purging EVERYTHING must remove the root (the canonical empty
+    # state) — not leave a _SUCCESS-only directory that bricks reads
+    import os
+
+    all_keys = after.select("topic", "partition", "offset")
+    delete_from_archive(spark, root, all_keys)
+    assert not os.path.exists(root)

@@ -275,7 +275,14 @@ class Engine:
         registry, completing the user-facing query language. Read-only
         by contract: only SELECT / WITH statements are accepted (a
         query service, not a DDL endpoint); results are row-capped
-        like every REST response."""
+        like every REST response.
+
+        Enforcement is structural, not lexical: the statement is
+        wrapped as a subquery (``SELECT * FROM ( ... )``) before
+        parsing, and no DML/DDL can appear inside a subquery — a
+        prefix check alone is bypassable ("WITH s AS (...) INSERT
+        OVERWRITE DIRECTORY ..." starts with WITH but writes files).
+        The prefix check stays only for a friendlier error message."""
         if self.analytics_dir is None:
             raise ValueError("engine has no analytics_dir configured")
         head = query.lstrip().split(None, 1)
@@ -284,4 +291,4 @@ class Engine:
         from ureplicator_spark.sources.parquet import register_views
 
         register_views(self.spark, self.analytics_dir)
-        return self.spark.sql(query).limit(limit)
+        return self.spark.sql(f"SELECT * FROM (\n{query}\n) __readonly_q").limit(limit)

@@ -645,31 +645,30 @@ def dsir_weights(
     here target = the ``target_source`` docs, raw = every other doc,
     and only raw docs are scored (they are the selection pool).
 
-    Scale shape: both bucket distributions are ``n_buckets`` rows —
-    trained with one aggregation each from the token stream, then
-    BROADCAST into the scoring pass, so scoring is a map + one per-doc
-    aggregation; the corpus shuffles once on doc_id regardless of
-    vocabulary size (that is the point of hashing the features).
-    Buckets use the portable md5 hash so the oracle reproduces every
-    assignment; the double log-sum takes one final ROUND(.., 6)."""
-    # persist: the (doc_id, source, bucket) frame feeds BOTH the
-    # model-training aggregation and the scoring aggregation; without
-    # it the tokenize + join + md5 subtree runs twice — the dominant
-    # cost at corpus scale.
-    tok = (
+    Scale shape: the token stream is tokenized + hashed ONCE into a
+    per-(doc, bucket) count table bounded by docs × n_buckets (far
+    smaller than the token stream); that narrow table is the ONLY
+    thing persisted, and it feeds both the model training (one
+    n_buckets-row aggregation, broadcast back) and the per-doc scoring
+    — so the corpus pays exactly one doc_id shuffle regardless of
+    vocabulary size (the point of hashing the features). Buckets use
+    the portable md5 hash so the oracle reproduces every assignment;
+    the double log-sum takes one final ROUND(.., 6)."""
+    pre = (
         tokens(documents)
         .join(documents.select("doc_id", "source"), "doc_id")
-        .select(
+        .groupBy(
             "doc_id",
             "source",
             F.pmod(md5_long(F.col("token")), F.lit(n_buckets)).alias("bucket"),
         )
+        .agg(F.count("*").alias("cnt"))
         .persist()
     )
     is_target = F.col("source") == target_source
-    counts = tok.groupBy("bucket").agg(
-        F.sum(is_target.cast("long")).alias("ct"),
-        F.sum((~is_target).cast("long")).alias("cr"),
+    counts = pre.groupBy("bucket").agg(
+        F.sum(F.when(is_target, F.col("cnt")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_target, F.col("cnt")).otherwise(0)).alias("cr"),
     )
     tot = counts.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
@@ -682,12 +681,12 @@ def dsir_weights(
         ).alias("log_ratio"),
     )
     return (
-        tok.filter(~is_target)
+        pre.filter(~is_target)
         .join(F.broadcast(model), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.sum("log_ratio"), 6).alias("log_weight"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias("log_weight"),
         )
         .orderBy("doc_id")
     )

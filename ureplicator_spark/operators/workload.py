@@ -197,7 +197,7 @@ def rate_spikes(records: DataFrame, width_sec: int = 60) -> DataFrame:
     )
 
 
-def _ols_exact_aggs(width_sec: int) -> list:
+def _ols_exact_aggs() -> list:
     """Aggregate columns for an integer-exact per-topic OLS over
     (window index, y): every sum is exact integer arithmetic, so the
     only floating-point steps are ONE division per coefficient —
@@ -260,7 +260,7 @@ def workload_trend(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame
         F.expr(f"window_start div {width_sec}").alias("ix"),
         F.col("n_msgs").alias("y"),
     )
-    agg = _ols_coefficients(base.groupBy("topic").agg(*_ols_exact_aggs(width_sec)))
+    agg = _ols_coefficients(base.groupBy("topic").agg(*_ols_exact_aggs()))
     return agg.select(
         "topic",
         "n_windows",
@@ -298,7 +298,7 @@ def capacity_forecast(
     )
     per_topic = _ols_coefficients(
         base.groupBy("topic").agg(
-            *_ols_exact_aggs(width_sec),
+            *_ols_exact_aggs(),
             F.max_by("y", F.col("window_start")).alias("last_bytes"),
         )
     )

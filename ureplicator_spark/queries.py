@@ -4396,18 +4396,20 @@ def q_doc_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_SQL = _with(
     _TOK_CTE,
     """
-dsir_tok AS (
+dsir_pre AS (
   SELECT t.doc_id, d.source,
-         ('0x' || substr(md5(t.token), 1, 15))::BIGINT % 256 AS bucket
+         ('0x' || substr(md5(t.token), 1, 15))::BIGINT % 256 AS bucket,
+         COUNT(*) AS cnt
   FROM tok t JOIN documents d USING (doc_id)
+  GROUP BY t.doc_id, d.source, ('0x' || substr(md5(t.token), 1, 15))::BIGINT % 256
 )
 """.strip(),
     """
 dsir_counts AS (
   SELECT bucket,
-         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
-         SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
-  FROM dsir_tok GROUP BY bucket
+         SUM(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct,
+         SUM(CASE WHEN source <> 'src0' THEN cnt ELSE 0 END) AS cr
+  FROM dsir_pre GROUP BY bucket
 )
 """.strip(),
     "dsir_tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM dsir_counts)",
@@ -4419,11 +4421,11 @@ dsir_model AS (
 )
 """.strip(),
     """
-SELECT t.doc_id, COUNT(*) AS n_tokens,
-       ROUND(SUM(m.log_ratio), 6) AS log_weight
-FROM dsir_tok t JOIN dsir_model m USING (bucket)
-WHERE t.source <> 'src0'
-GROUP BY t.doc_id ORDER BY t.doc_id
+SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+       ROUND(SUM(p.cnt * m.log_ratio), 6) AS log_weight
+FROM dsir_pre p JOIN dsir_model m USING (bucket)
+WHERE p.source <> 'src0'
+GROUP BY p.doc_id ORDER BY p.doc_id
 """,
 )
 

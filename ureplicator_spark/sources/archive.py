@@ -214,7 +214,16 @@ def upsert_archive(
     from functools import reduce
     from operator import or_
 
-    up = updates.withColumn("dt", F.to_date(F.timestamp_seconds("ts_sec")))
+    # collapse duplicate-keyed rows within the batch FIRST: the
+    # anti-join removes the archived copy by key, so two updates for
+    # one key would otherwise BOTH append — violating the unique-
+    # identity invariant this function exists to enforce. The winner
+    # among same-key rows is arbitrary (dropDuplicates); a CDC feed
+    # that needs last-write-wins must carry a version column and
+    # pre-reduce on it before calling.
+    up = updates.dropDuplicates(list(keys)).withColumn(
+        "dt", F.to_date(F.timestamp_seconds("ts_sec"))
+    )
     pairs = [(r.topic, str(r.dt)) for r in up.select("topic", "dt").distinct().collect()]
     if not pairs:
         return {"partitions": 0, "replaced": 0, "inserted": 0}
@@ -320,4 +329,15 @@ def delete_from_archive(
     emptied = [p for p in pairs if p not in kept_pairs]
     for t, d in emptied:
         fs.delete(Path(f"{root}/topic={t}/dt={d}"), True)
+        # a topic whose last day was purged must not linger as an
+        # empty topic= directory
+        tdir = Path(f"{root}/topic={t}")
+        if fs.exists(tdir) and len(fs.listStatus(tdir)) == 0:
+            fs.delete(tdir, True)
+    # deleting the LAST record leaves a _SUCCESS-only root every
+    # subsequent parquet read would crash on (UNABLE_TO_INFER_SCHEMA);
+    # remove it — an ABSENT root is the canonical empty-archive state
+    # (write_archive / the streaming sinks recreate it on next data).
+    if len(fs.globStatus(Path(f"{root}/topic=*"))) == 0:
+        fs.delete(Path(root), True)
     return {"partitions": len(pairs), "deleted": n_deleted, "removed_dirs": len(emptied)}

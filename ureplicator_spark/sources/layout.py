@@ -80,6 +80,12 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:
     for c in cols:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
     row = df.agg(*aggs).collect()[0]
+    for c in cols:
+        if row[f"mn_{c}"] is None:
+            raise ValueError(
+                f"cannot z-order on {c!r}: column is empty or all NULL "
+                "(no min/max to normalize against)"
+            )
     top = (1 << bits) - 1
     key = F.lit(0).cast("long")
     for i, c in enumerate(cols):
@@ -106,7 +112,12 @@ def zorder_write(
 ) -> None:
     """Write ``df`` clustered on the Z-order curve of ``cols``: each of
     the ``n_files`` output files covers one contiguous z-range = one
-    small hyper-rectangle of the clustered key space."""
+    small hyper-rectangle of the clustered key space. An empty input
+    (the nightly OPTIMIZE pass on a day with no data) writes the empty
+    output directly instead of failing key construction."""
+    if df.isEmpty():
+        df.write.mode(mode).parquet(path)
+        return
     (
         df.withColumn(_ZKEY, zorder_key(df, cols, bits))
         .repartitionByRange(n_files, F.col(_ZKEY))

@@ -236,11 +236,23 @@ class ReplicationJob:
         )
 
         def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+            # an empty micro-batch (normal before data arrives) must
+            # write NOTHING: write_archive(empty) would leave a
+            # _SUCCESS-only root that every later parquet read crashes
+            # on (UNABLE_TO_INFER_SCHEMA), wedging the stream forever.
+            if batch_df.isEmpty():
+                return
             spark = batch_df.sparkSession
             jvm = spark.sparkContext._jvm
             conf = spark.sparkContext._jsc.hadoopConfiguration()
-            path = jvm.org.apache.hadoop.fs.Path(root)
-            if path.getFileSystem(conf).exists(path):
+            Path = jvm.org.apache.hadoop.fs.Path  # noqa: N806
+            fs = Path(root).getFileSystem(conf)
+            # "exists" means HOLDS DATA — a schema-less root (crashed
+            # first write, purged archive) counts as absent.
+            has_data = fs.exists(Path(root)) and len(
+                fs.globStatus(Path(f"{root}/topic=*"))
+            ) > 0
+            if has_data:
                 upsert_archive(spark, root, batch_df)
             else:
                 write_archive(batch_df, root)
