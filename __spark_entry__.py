@@ -58,7 +58,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     # the failure mode the round-4 advisor flagged. All are gated
     # locally at sf0.001+sf0.01 until r6's window reaches them.
     "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
-    "similarity_retrieve_docs", "workload_cube",
+    "similarity_retrieve_docs", "workload_cube", "dedup_semantic_summary",
 ]
 
 

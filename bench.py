@@ -147,7 +147,7 @@ def main() -> None:
         "dedup_signal_agreement", "curation_pipeline", "similarity_pq_recall",
         "lang_id_confusion", "workload_capacity_forecast", "event_props_stats",
         "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
-        "similarity_retrieve_docs", "workload_cube",
+        "similarity_retrieve_docs", "workload_cube", "dedup_semantic_summary",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:

@@ -607,6 +607,7 @@ def semantic_dedup_pairs(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.95,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-dup
     pairs found by clustering the corpus and comparing cosines ONLY
@@ -631,9 +632,13 @@ def semantic_dedup_pairs(
     # without it the whole multi-stage Lloyd DAG executes once per
     # branch (persist stays lazy and dedups by canonicalized plan —
     # see lsh_candidate_pairs for why not localCheckpoint). The table
-    # is N rows of (id, cluster) — trivially memory-resident.
+    # is N rows of (id, cluster) — trivially memory-resident. Callers
+    # that also need the assignment (the keep/drop summary) pass it in
+    # so the Lloyd pass runs once across both outputs.
     assign = (
-        kmeans_assignments(embeddings, k=k, iters=iters)
+        assignments
+        if assignments is not None
+        else kmeans_assignments(embeddings, k=k, iters=iters)
         .select("vec_id", "cluster_id")
         .persist()
     )
@@ -679,6 +684,54 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("cluster_id", "vec_a", "vec_b")
+    )
+
+
+def semantic_dedup_summary(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """The actionable output of SemDeDup: per cluster, how many vectors
+    survive the greedy min-id keeper policy — a vector is DROPPED when
+    any smaller-id vector in its cluster is a semantic near-dup (so
+    the smallest id of each dup chain survives; deterministic, no
+    tie-breaking needed). Returns ``(cluster_id, n_vecs, n_dropped,
+    keep_rate)`` — the dashboard row a curation run reports before
+    materializing the kept subset.
+
+    Scale shape: one shared Lloyd assignment feeds both the pair scorer
+    and the cluster sizes (passed through, so the broadcast-centroid
+    pass runs once); the drop set is a DISTINCT over the
+    threshold-filtered pair list (N²/k-bounded), and everything after
+    is cluster-cardinality-sized."""
+    assign = (
+        kmeans_assignments(embeddings, k=k, iters=iters)
+        .select("vec_id", "cluster_id")
+        .persist()
+    )
+    pairs = semantic_dedup_pairs(
+        embeddings, k=k, iters=iters, threshold=threshold, assignments=assign
+    )
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("n_vecs"))
+    drops = (
+        pairs.select("cluster_id", "vec_b")
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    return (
+        sizes.join(drops, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.round(
+                1 - F.coalesce("n_dropped", F.lit(0)) / F.col("n_vecs"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("cluster_id")
     )
 
 

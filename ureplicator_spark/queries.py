@@ -4039,7 +4039,9 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(load_table(spark, sf_dir, "embeddings"))
 
 
-_SEMANTIC_DEDUP_SQL = _with(
+# scored within-cluster pair chain, shared by the pairs query and the
+# keep/drop summary (threshold applied by each consumer)
+_SEMANTIC_PAIR_CTES = (
     *_KMEANS_ASSIGN_CTES,
     _COMP_CTE,
     _NRM_CTE,
@@ -4059,14 +4061,21 @@ semdots AS (
 )
 """.strip(),
     """
-SELECT * FROM (
+semscored AS (
   SELECT d.cluster_id, d.vec_a, d.vec_b,
-         ROUND(d.dot / (na.n * nb.n), 6) AS cosine,
-         d.vec_a AS keeper_vec_id
+         ROUND(d.dot / (na.n * nb.n), 6) AS cosine
   FROM semdots d
   JOIN nrm na ON na.vec_id = d.vec_a
   JOIN nrm nb ON nb.vec_id = d.vec_b
-) WHERE cosine >= 0.45
+)
+""".strip(),
+)
+
+_SEMANTIC_DEDUP_SQL = _with(
+    *_SEMANTIC_PAIR_CTES,
+    """
+SELECT cluster_id, vec_a, vec_b, cosine, vec_a AS keeper_vec_id
+FROM semscored WHERE cosine >= 0.45
 ORDER BY cluster_id, vec_a, vec_b
 """,
 )
@@ -4083,6 +4092,36 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+_SEMANTIC_SUMMARY_SQL = _with(
+    *_SEMANTIC_PAIR_CTES,
+    "semdrops AS (SELECT DISTINCT cluster_id, vec_b FROM semscored WHERE cosine >= 0.45)",
+    "semsizes AS (SELECT cluster_id, COUNT(*) AS n_vecs FROM a2 GROUP BY cluster_id)",
+    """
+SELECT s.cluster_id, s.n_vecs,
+       CAST(COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
+       ROUND(1 - COALESCE(dc.n_dropped, 0) * 1.0 / s.n_vecs, 6) AS keep_rate
+FROM semsizes s
+LEFT JOIN (SELECT cluster_id, COUNT(*) AS n_dropped FROM semdrops GROUP BY cluster_id) dc
+  USING (cluster_id)
+ORDER BY s.cluster_id
+""",
+)
+
+
+@register("dedup_semantic_summary", _SEMANTIC_SUMMARY_SQL)
+def q_dedup_semantic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's actionable dashboard: per-cluster survivor counts
+    under the greedy min-id keeper (drop anything with a smaller-id
+    near-dup in its cluster). One Lloyd pass feeds both the pair
+    scorer and the cluster sizes."""
+    from ureplicator_spark.operators.similarity import semantic_dedup_summary
+    from ureplicator_spark.sources.parquet import load_table
+
+    return semantic_dedup_summary(
         load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
