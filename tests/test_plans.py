@@ -263,6 +263,7 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         # SemDeDup: broadcast side is the k×dim Lloyd centroid table
         # (same shape as embedding_kmeans) — size fixed by k, not SF.
         "dedup_semantic_pairs",
+        "dedup_semantic_summary",
         # retrieval: broadcasts the Q·k ranked-id list (plus the
         # vec_id<n_queries slice inside cosine_knn), never documents.
         "similarity_retrieve_docs",
