@@ -59,6 +59,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     # locally at sf0.001+sf0.01 until r6's window reaches them.
     "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
     "similarity_retrieve_docs", "workload_cube", "dedup_semantic_summary",
+    "orders_snapshot_diff", "dedup_cluster_stats", "similarity_multiprobe_ann",
 ]
 
 

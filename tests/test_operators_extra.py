@@ -1234,3 +1234,44 @@ def test_delete_from_archive_removes_keys_and_emptied_dirs(spark, sf_dir, tmp_pa
     all_keys = after.select("topic", "partition", "offset")
     delete_from_archive(spark, root, all_keys)
     assert not os.path.exists(root)
+
+
+def test_multiprobe_ann_dominates_single_probe(spark, sf_dir):
+    """Multi-probe's candidate set contains the home bucket, so its
+    best cosine per query is >= single-probe lsh_ann's; probing
+    Hamming-1 buckets must also never shrink the candidate pool."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.operators.similarity import lsh_ann, lsh_ann_multiprobe
+    from ureplicator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = {r.q_id: r.cosine for r in lsh_ann(emb).collect()}
+    multi = lsh_ann_multiprobe(emb, k=1).collect()
+    assert multi, "multiprobe returned no rows"
+    best = {r.q_id: r.cosine for r in multi if r.rank == 1}
+    # every query that found a single-probe neighbor must appear
+    assert set(single) <= set(best)
+    for q, cos in single.items():
+        assert best[q] >= cos, f"q={q}: multiprobe {best[q]} < single {cos}"
+
+
+def test_snapshot_diff_classification(spark):
+    """added/removed/changed classification with null-safe column
+    compare and multi-column changed_cols."""
+    from ureplicator_spark.sources.archive import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0), (4, "e", 41.0), (5, "f", 50.0)],
+        "k int, s string, v double",
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows[1].change_type == "removed" and rows[1].changed_cols == ""
+    assert 2 not in rows  # unchanged keys drop out
+    assert rows[3].change_type == "changed" and rows[3].changed_cols == "v"
+    assert rows[4].change_type == "changed" and rows[4].changed_cols == "s,v"
+    assert rows[5].change_type == "added" and rows[5].changed_cols == ""

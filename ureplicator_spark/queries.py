@@ -5217,3 +5217,230 @@ def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot CDC diff + dedup cluster-size statistics (round 5)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_SQL = """
+WITH snap_a AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+snap_b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 3
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN ''
+            ELSE concat_ws(',',
+              CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                   THEN 'o_orderstatus' END,
+              CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                   THEN 'o_totalprice' END)
+       END AS changed_cols
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+ORDER BY o_orderkey
+"""
+
+
+@register("orders_snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC over two deterministic versions of the
+    orders table (membership and payload mutations keyed on order
+    id): added / removed / changed keys plus which columns changed —
+    the ``sources/archive.py::snapshot_diff`` operator under the
+    driver's hash gate. One full-outer key shuffle; the delta-sized
+    output is what an incremental downstream consumer ingests."""
+    from ureplicator_spark.sources.archive import snapshot_diff
+    from ureplicator_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(snap_a, snap_b, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+_CLUSTER_STATS_SQL = f"""
+WITH RECURSIVE {_CC_CTES},
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_droppable
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+@register("dedup_cluster_stats", _CLUSTER_STATS_SQL)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup planning view
+    (how much of the corpus sits in how-big dup families, and how many
+    docs a keep-one policy would drop). Rolls the connected-components
+    output up twice: per-cluster size, then a histogram over sizes —
+    both aggregations are cluster-cardinality-sized, so everything
+    after the shared LSH/CC pass is control-plane cheap."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+    from ureplicator_spark.sources.parquet import load_table
+
+    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    sizes = (
+        duplicate_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_droppable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_MULTIPROBE_ANN_SQL = _with(
+    _COMP_CTE,
+    _PLANES_CTE,
+    _BITS_CTE,
+    _BUCKETS_CTE,
+    _NRM_CTE,
+    """
+probes AS (
+  SELECT vec_id AS q_id,
+         CASE WHEN pr = 8 THEN bucket
+              ELSE xor(bucket, CAST(1 << pr AS BIGINT)) END AS probe_bucket
+  FROM buckets CROSS JOIN (SELECT unnest(range(0, 9)) AS pr) prs
+  WHERE vec_id < 10
+)
+""".strip(),
+    """
+cand AS (
+  SELECT DISTINCT p.q_id, c.vec_id AS c_id
+  FROM probes p JOIN buckets c ON c.bucket = p.probe_bucket
+  WHERE c.vec_id <> p.q_id
+)
+""".strip(),
+    """
+dots AS (
+  SELECT cand.q_id, cand.c_id, SUM(q.x * c.x) AS dot
+  FROM cand
+  JOIN comp q ON q.vec_id = cand.q_id
+  JOIN comp c ON c.vec_id = cand.c_id AND c.i = q.i
+  GROUP BY cand.q_id, cand.c_id
+)
+""".strip(),
+    """
+SELECT q_id, rank, c_id, cosine FROM (
+  SELECT d.q_id, d.c_id,
+         ROUND(d.dot / (nq.n * nc.n), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY d.q_id
+                            ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rank
+  FROM dots d
+  JOIN nrm nq ON nq.vec_id = d.q_id
+  JOIN nrm nc ON nc.vec_id = d.c_id
+) WHERE rank <= 3
+ORDER BY q_id, rank
+""",
+)
+
+
+@register("similarity_multiprobe_ann", _MULTIPROBE_ANN_SQL)
+def q_similarity_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: home bucket + all Hamming-1 probes per
+    query, top-3 by exact cosine within the probed candidate union —
+    linear probe cost for the recall a single bucket loses."""
+    from ureplicator_spark.operators import similarity as SIM
+    from ureplicator_spark.sources.parquet import load_table
+
+    return SIM.lsh_ann_multiprobe(load_table(spark, sf_dir, "embeddings"))
+
+
+_TEXTCAT_SQL = """
+WITH tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t) - 1), i -> substr(t, i, 3))) AS g
+  FROM (SELECT doc_id, lang, lower(text) AS t FROM documents)
+  WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, lang, g, COUNT(*) AS c FROM tri GROUP BY doc_id, lang, g),
+doc_prof AS (
+  SELECT doc_id, lang, g, rd FROM (
+    SELECT doc_id, lang, g,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rd
+    FROM cnt
+  ) WHERE rd <= 32
+),
+train AS (
+  SELECT lang, g, SUM(c) AS c FROM cnt WHERE doc_id % 10 < 8 GROUP BY lang, g
+),
+lang_prof AS (
+  SELECT plang, g, rl FROM (
+    SELECT lang AS plang, g,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rl
+    FROM train
+  ) WHERE rl <= 64
+),
+test_prof AS (SELECT * FROM doc_prof WHERE doc_id % 10 >= 8),
+base AS (
+  SELECT doc_id, lang, COUNT(*) * 64 AS base FROM test_prof GROUP BY doc_id, lang
+),
+adj AS (
+  SELECT t.doc_id, lp.plang, SUM(64 - abs(t.rd - lp.rl)) AS adj
+  FROM test_prof t JOIN lang_prof lp ON t.g = lp.g
+  GROUP BY t.doc_id, lp.plang
+),
+langs AS (SELECT DISTINCT plang FROM lang_prof),
+dist AS (
+  SELECT b.doc_id, b.lang, l.plang, b.base - COALESCE(a.adj, 0) AS dist
+  FROM base b CROSS JOIN langs l
+  LEFT JOIN adj a ON a.doc_id = b.doc_id AND a.plang = l.plang
+),
+pred AS (
+  SELECT doc_id, lang, plang AS lang_pred FROM (
+    SELECT doc_id, lang, plang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, plang) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+@register("lang_ngram_classifier", _TEXTCAT_SQL)
+def q_lang_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle ranked-trigram language classifier trained
+    in-engine on the 80% labeled split, evaluated as a held-out
+    confusion matrix — integer ranks and out-of-place distances only,
+    so the learned model and every prediction are engine-exact."""
+    from ureplicator_spark.operators.text import ngram_profile_confusion
+    from ureplicator_spark.sources.parquet import load_table
+
+    return ngram_profile_confusion(load_table(spark, sf_dir, "documents"))

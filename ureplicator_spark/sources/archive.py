@@ -341,3 +341,78 @@ def delete_from_archive(
     if len(fs.globStatus(Path(f"{root}/topic=*"))) == 0:
         fs.delete(Path(root), True)
     return {"partitions": len(pairs), "deleted": n_deleted, "removed_dirs": len(emptied)}
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot-to-snapshot CDC: classify every key as ``added`` /
+    ``removed`` / ``changed`` between two versions of a table, with
+    the list of differing columns. The audit view a versioned archive
+    (``operators/backup.py`` history, or two ``read_archive`` roots)
+    answers "what changed between yesterday's snapshot and today's?"
+    without a table format's commit log — the reference's validation
+    story compares ideal vs actual state the same way
+    (uReplicator-Controller/.../ValidationManager.java:134-206);
+    this generalizes it to arbitrary keyed tables.
+
+    Unchanged keys are dropped, so the output is delta-sized, not
+    table-sized. ``compare`` defaults to every non-key column shared
+    by both sides (schema drift: a column only one side has is
+    ignored — pass it explicitly to surface it as always-changed).
+
+    Scale shape: ONE full-outer shuffle join on the key (both sides
+    hash-partition; at 100 TB each side prunes to its snapshot
+    directories first), change classification is pure map-side column
+    compare (null-safe, so NULL→value transitions count as changes),
+    and the delta output is what a downstream incremental consumer
+    ingests. No collect, no window, no skew pivot (keys are unique
+    per snapshot by contract).
+    """
+    if compare is None:
+        shared = set(old.columns) & set(new.columns)
+        compare = [c for c in old.columns if c in shared and c not in keys]
+
+    o = old.select(*keys, *compare)
+    n = new.select(*keys, *compare)
+    for c in keys + compare:
+        o = o.withColumnRenamed(c, f"_o_{c}")
+        n = n.withColumnRenamed(c, f"_n_{c}")
+    cond = [F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in keys]
+    j = o.join(n, cond, "full_outer")
+
+    # key columns are non-null by contract, so side presence reduces to
+    # the first key column's null-ness after the outer join
+    in_old = F.col(f"_o_{keys[0]}").isNotNull()
+    in_new = F.col(f"_n_{keys[0]}").isNotNull()
+    diffs = [
+        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in compare
+    ]
+    any_diff = diffs[0] if diffs else F.lit(False)
+    for d in diffs[1:]:
+        any_diff = any_diff | d
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    changed_cols = F.when(
+        in_old & in_new,
+        F.concat_ws(
+            ",", *[F.when(d, F.lit(c)) for c, d in zip(compare, diffs)]
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        j.select(
+            *[
+                F.coalesce(F.col(f"_o_{k}"), F.col(f"_n_{k}")).alias(k)
+                for k in keys
+            ],
+            change.alias("change_type"),
+            changed_cols.alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
