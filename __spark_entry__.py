@@ -60,6 +60,8 @@ _CHANGED_SINCE_LAST_CHECK = [
     "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
     "similarity_retrieve_docs", "workload_cube", "dedup_semantic_summary",
     "orders_snapshot_diff", "dedup_cluster_stats", "similarity_multiprobe_ann",
+    "lang_ngram_classifier", "approx_distinct_tokens", "approx_distinct_orders",
+    "similarity_multiprobe_recall", "token_pmi_collocations",
 ]
 
 

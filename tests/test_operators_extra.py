@@ -1275,3 +1275,72 @@ def test_snapshot_diff_classification(spark):
     assert rows[3].change_type == "changed" and rows[3].changed_cols == "v"
     assert rows[4].change_type == "changed" and rows[4].changed_cols == "s,v"
     assert rows[5].change_type == "added" and rows[5].changed_cols == ""
+
+
+def test_ngram_profile_classifier_learns_separable_langs(spark):
+    """On genuinely separable languages the learned Cavnar-Trenkle
+    profiles classify every held-out doc correctly (the fixture corpus
+    has label-independent text, so separability is pinned here)."""
+    from ureplicator_spark.operators.text import ngram_profile_confusion
+
+    rows = []
+    for d in range(20):
+        lang = "aa" if d % 2 == 0 else "bb"
+        body = ("abad abec abid " if lang == "aa" else "xyzo xyqu xyra ") * 4
+        rows.append((d, body + f"tail{d}", lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.lang, r.lang_pred): r.n_docs for r in ngram_profile_confusion(docs).collect()}
+    assert out == {("aa", "aa"): 2, ("bb", "bb"): 2}
+
+
+def test_hll_register_construction_and_merge(spark):
+    """HLL gauge: estimate within the p=9 error envelope on a known
+    cardinality, register state bounded by m, and insensitivity to
+    duplication (max-merge idempotence: feeding every key twice
+    changes nothing)."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.operators.sketch import HLL_M, hll_gauge
+
+    keyed = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    out = hll_gauge(keyed, "g", "k").collect()[0]
+    assert out.true_distinct == 5000
+    assert out.v_nonempty <= HLL_M
+    assert abs(out.rel_error) < 0.15  # ~3 sigma at 4.6% standard error
+
+    doubled = keyed.unionAll(keyed)
+    out2 = hll_gauge(doubled, "g", "k").collect()[0]
+    assert out2.est_distinct == out.est_distinct
+    assert out2.v_nonempty == out.v_nonempty
+
+
+def test_multiprobe_recall_never_below_single(spark, sf_dir):
+    """Superset candidates can only help: recall_multi >= recall_single
+    for every query."""
+    from ureplicator_spark.operators.similarity import multiprobe_recall_comparison
+    from ureplicator_spark.sources.parquet import load_table
+
+    rows = multiprobe_recall_comparison(
+        load_table(spark, sf_dir, "embeddings")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.recall_multi >= r.recall_single, r
+
+
+def test_pmi_ranks_true_collocation_first(spark):
+    """A pair that always co-occurs scores higher PMI than frequent
+    pairs of independent tokens."""
+    from ureplicator_spark.operators.text import collocation_pmi
+
+    # 'san francisco' always adjacent; filler tokens shuffled context
+    docs = [
+        (i, "san francisco " + ("the of a to in " * 3) + "san francisco the of")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = collocation_pmi(df, min_count=5, top_n=5).collect()
+    assert out[0].a == "san" and out[0].b == "francisco"
+    assert out[0].n_occur == 20

@@ -1134,3 +1134,33 @@ def lsh_ann_multiprobe(
         .select("q_id", "rank", "c_id", "cosine")
         .orderBy("q_id", "rank")
     )
+
+
+def multiprobe_recall_comparison(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """Recall@k of single-probe vs multi-probe LSH against brute-force
+    truth, per query — the tuning table that justifies (or rejects)
+    the extra probes: multi-probe recall is provably >= single-probe
+    on the same bucketing since its candidate set is a superset.
+
+    Scale shape: inherits the evaluated paths' shapes (offline gauge
+    over a bounded query sample, like :func:`ann_recall`); the
+    comparison itself is two query-cardinality-sized joins."""
+    bf = cosine_knn(embeddings, n_queries, k).select("q_id", "c_id")
+    single = ann_recall(embeddings, n_queries, k).select(
+        "q_id", F.col("recall").alias("recall_single")
+    )
+    mp = lsh_ann_multiprobe(embeddings, n_queries, k=k).select("q_id", "c_id")
+    mhits = mp.join(bf, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count("*").alias("mh")
+    )
+    return (
+        single.join(mhits, "q_id", "left")
+        .select(
+            "q_id",
+            "recall_single",
+            F.round(F.coalesce("mh", F.lit(0)) / float(k), 6).alias("recall_multi"),
+        )
+        .orderBy("q_id")
+    )

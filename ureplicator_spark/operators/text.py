@@ -877,3 +877,70 @@ def ngram_profile_confusion(
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "lang_pred")
     )
+
+
+def collocation_pmi(
+    documents: DataFrame, min_count: int = 5, top_n: int = 20
+) -> DataFrame:
+    """Collocation mining: top-N adjacent token pairs by pointwise
+    mutual information, ``pmi = ln(c_ab * N1^2 / (N2 * c_a * c_b))``
+    (Church & Hanks, CL'90) with a minimum-support cut — the
+    association table behind phrase detection (word2vec-style
+    phrase merging) and boilerplate signature discovery.
+
+    Engine parity: counts are exact integers; the single float step
+    is one deterministic IEEE multiply-divide chain and one ln,
+    rounded to 6 dp. Scale shape: one shuffle each for unigram and
+    bigram counts (map-side partial aggs); the PMI join runs on the
+    AGGREGATED pair table (vocab-bounded) with the two corpus-total
+    scalars broadcast; the final ranking window sees only pairs past
+    the support cut, never the corpus."""
+    toks = documents.select(F.split("text", " ").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cu"))
+    )
+    n1df = uni.agg(F.sum("cu").alias("n1"))
+    pairs = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    bc = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    n2df = bc.agg(F.sum("cab").alias("n2"))
+    ua = uni.select(F.col("t").alias("a"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("t").alias("b"), F.col("cu").alias("cb"))
+    # numerator/denominator each cast to double FIRST and kept
+    # left-associated so both engines run the identical IEEE chain
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") * F.col("n1") * F.col("n1"))
+            / (F.col("n2").cast("double") * F.col("ca") * F.col("cb"))
+        ),
+        6,
+    )
+    scored = (
+        bc.filter(F.col("cab") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n1df))
+        .crossJoin(F.broadcast(n2df))
+        .select("a", "b", "cab", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "a", "b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "a", "b", F.col("cab").cast("long").alias("n_occur"), "pmi", "rank"
+        )
+        .orderBy("rank")
+    )

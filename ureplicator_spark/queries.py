@@ -5444,3 +5444,280 @@ def q_lang_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return ngram_profile_confusion(load_table(spark, sf_dir, "documents"))
+
+
+_HLL_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT source, h % 512 AS j, h // 512 AS v
+  FROM (SELECT source, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok)
+),
+regs AS (
+  SELECT source, j,
+         MAX(CASE WHEN v > 0 THEN 52 - len(bin(v)) ELSE 52 END) AS mj
+  FROM hashed GROUP BY source, j
+),
+per_src AS (
+  SELECT source, COUNT(*) AS v_nonempty,
+         SUM(power(2.0, -mj)) AS s_present
+  FROM regs GROUP BY source
+),
+exact AS (
+  SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT token) AS true_distinct
+  FROM tok GROUP BY source
+),
+calc AS (
+  SELECT p.source, e.n_rows, p.v_nonempty, e.true_distinct,
+         CASE WHEN (0.7213 / (1 + 1.079 / 512)) * 512 * 512
+                     / ((512 - p.v_nonempty) + p.s_present) <= 1280.0
+                   AND p.v_nonempty < 512
+              THEN 512 * ln(512 / (512 - p.v_nonempty))
+              ELSE (0.7213 / (1 + 1.079 / 512)) * 512 * 512
+                     / ((512 - p.v_nonempty) + p.s_present)
+         END AS est
+  FROM per_src p JOIN exact e USING (source)
+)
+SELECT source, n_rows, v_nonempty,
+       ROUND(est, 4) AS est_distinct,
+       true_distinct,
+       ROUND((ROUND(est, 4) - true_distinct) / true_distinct, 6) AS rel_error
+FROM calc ORDER BY source
+"""
+
+
+@register("approx_distinct_tokens", _HLL_SQL)
+def q_approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (Flajolet'07, p=9) distinct-token estimate
+    per source, reported against the exact count as a calibration
+    gauge — registers derive from md5 arithmetic, so the oracle
+    reproduces the sketch register-for-register (the fixed-state
+    answer to COUNT(DISTINCT) at 100 TB)."""
+    from ureplicator_spark.operators.sketch import hll_distinct_tokens
+    from ureplicator_spark.sources.parquet import load_table
+
+    return hll_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
+_HLL_ORDERS_SQL = """
+WITH keyed AS (
+  SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+),
+hashed AS (
+  SELECT flag, h % 512 AS j, h // 512 AS v
+  FROM (SELECT flag, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM keyed)
+),
+regs AS (
+  SELECT flag, j,
+         MAX(CASE WHEN v > 0 THEN 52 - len(bin(v)) ELSE 52 END) AS mj
+  FROM hashed GROUP BY flag, j
+),
+per_g AS (
+  SELECT flag, COUNT(*) AS v_nonempty,
+         SUM(power(2.0, -mj)) AS s_present
+  FROM regs GROUP BY flag
+),
+exact AS (
+  SELECT flag, COUNT(*) AS n_rows, COUNT(DISTINCT k) AS true_distinct
+  FROM keyed GROUP BY flag
+),
+calc AS (
+  SELECT p.flag, e.n_rows, p.v_nonempty, e.true_distinct,
+         CASE WHEN (0.7213 / (1 + 1.079 / 512)) * 512 * 512
+                     / ((512 - p.v_nonempty) + p.s_present) <= 1280.0
+                   AND p.v_nonempty < 512
+              THEN 512 * ln(512 / (512 - p.v_nonempty))
+              ELSE (0.7213 / (1 + 1.079 / 512)) * 512 * 512
+                     / ((512 - p.v_nonempty) + p.s_present)
+         END AS est
+  FROM per_g p JOIN exact e USING (flag)
+)
+SELECT flag, n_rows, v_nonempty,
+       ROUND(est, 4) AS est_distinct,
+       true_distinct,
+       ROUND((ROUND(est, 4) - true_distinct) / true_distinct, 6) AS rel_error
+FROM calc ORDER BY flag
+"""
+
+
+@register("approx_distinct_orders", _HLL_ORDERS_SQL)
+def q_approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-HLL regime of the portable sketch: per returnflag
+    approximate distinct order keys over the SF-growing lineitem fact
+    (thousands of distinct keys per group, past the linear-counting
+    crossover at sf0.01+) — constant register state per group where
+    exact COUNT(DISTINCT) shuffles the whole key set."""
+    from ureplicator_spark.operators.sketch import hll_gauge
+    from ureplicator_spark.sources.parquet import load_table
+
+    keyed = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").cast("string").alias("k"),
+    )
+    return hll_gauge(keyed, "flag", "k")
+
+
+_MULTIPROBE_RECALL_SQL = _with(
+    _COMP_CTE,
+    _PLANES_CTE,
+    _BITS_CTE,
+    _BUCKETS_CTE,
+    _NRM_CTE,
+    """
+bfdots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
+  FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+""".strip(),
+    """
+bf AS (
+  SELECT q_id, c_id FROM (
+    SELECT d.q_id, d.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id
+                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+    FROM bfdots d
+    JOIN nrm nq ON nq.vec_id = d.q_id
+    JOIN nrm nc ON nc.vec_id = d.c_id
+  ) WHERE rn <= 3
+)
+""".strip(),
+    """
+scand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+""".strip(),
+    """
+sdots AS (
+  SELECT scand.q_id, scand.c_id, SUM(q.x * c.x) AS dot
+  FROM scand
+  JOIN comp q ON q.vec_id = scand.q_id
+  JOIN comp c ON c.vec_id = scand.c_id AND c.i = q.i
+  GROUP BY scand.q_id, scand.c_id
+)
+""".strip(),
+    """
+sann AS (
+  SELECT q_id, c_id FROM (
+    SELECT d.q_id, d.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id
+                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+    FROM sdots d
+    JOIN nrm nq ON nq.vec_id = d.q_id
+    JOIN nrm nc ON nc.vec_id = d.c_id
+  ) WHERE rn <= 3
+)
+""".strip(),
+    """
+probes AS (
+  SELECT vec_id AS q_id,
+         CASE WHEN pr = 8 THEN bucket
+              ELSE xor(bucket, CAST(1 << pr AS BIGINT)) END AS probe_bucket
+  FROM buckets CROSS JOIN (SELECT unnest(range(0, 9)) AS pr) prs
+  WHERE vec_id < 10
+)
+""".strip(),
+    """
+mcand AS (
+  SELECT DISTINCT p.q_id, c.vec_id AS c_id
+  FROM probes p JOIN buckets c ON c.bucket = p.probe_bucket
+  WHERE c.vec_id <> p.q_id
+)
+""".strip(),
+    """
+mdots AS (
+  SELECT mcand.q_id, mcand.c_id, SUM(q.x * c.x) AS dot
+  FROM mcand
+  JOIN comp q ON q.vec_id = mcand.q_id
+  JOIN comp c ON c.vec_id = mcand.c_id AND c.i = q.i
+  GROUP BY mcand.q_id, mcand.c_id
+)
+""".strip(),
+    """
+mann AS (
+  SELECT q_id, c_id FROM (
+    SELECT d.q_id, d.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id
+                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+    FROM mdots d
+    JOIN nrm nq ON nq.vec_id = d.q_id
+    JOIN nrm nc ON nc.vec_id = d.c_id
+  ) WHERE rn <= 3
+)
+""".strip(),
+    """
+shits AS (
+  SELECT bf.q_id, COUNT(*) AS n FROM bf
+  JOIN sann ON bf.q_id = sann.q_id AND bf.c_id = sann.c_id GROUP BY bf.q_id
+)
+""".strip(),
+    """
+mhits AS (
+  SELECT bf.q_id, COUNT(*) AS n FROM bf
+  JOIN mann ON bf.q_id = mann.q_id AND bf.c_id = mann.c_id GROUP BY bf.q_id
+)
+""".strip(),
+    """
+SELECT q.q_id,
+       ROUND(COALESCE(s.n, 0) / 3.0, 6) AS recall_single,
+       ROUND(COALESCE(m.n, 0) / 3.0, 6) AS recall_multi
+FROM (SELECT DISTINCT q_id FROM bf) q
+LEFT JOIN shits s USING (q_id)
+LEFT JOIN mhits m USING (q_id)
+ORDER BY q_id
+""",
+)
+
+
+@register("similarity_multiprobe_recall", _MULTIPROBE_RECALL_SQL)
+def q_similarity_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe vs multi-probe recall@3 against brute-force truth
+    per query — the gauge that prices the Lv'07 probe trade."""
+    from ureplicator_spark.operators.similarity import multiprobe_recall_comparison
+    from ureplicator_spark.sources.parquet import load_table
+
+    return multiprobe_recall_comparison(load_table(spark, sf_dir, "embeddings"))
+
+
+_PMI_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS toks FROM documents),
+uni AS (
+  SELECT t, COUNT(*) AS cu
+  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t
+),
+n1 AS (SELECT SUM(cu) AS n1 FROM uni),
+big AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM toks WHERE len(toks) >= 2)
+),
+bc AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY a, b),
+n2 AS (SELECT SUM(cab) AS n2 FROM bc),
+scored AS (
+  SELECT bc.a, bc.b, bc.cab,
+         ROUND(LN((CAST(bc.cab AS DOUBLE) * n1.n1 * n1.n1)
+                  / (CAST(n2.n2 AS DOUBLE) * ua.cu * ub.cu)), 6) AS pmi
+  FROM bc
+  JOIN uni ua ON ua.t = bc.a
+  JOIN uni ub ON ub.t = bc.b
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE bc.cab >= 5
+)
+SELECT a, b, CAST(cab AS BIGINT) AS n_occur, pmi, rank FROM (
+  SELECT a, b, cab, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank
+  FROM scored
+) WHERE rank <= 20 ORDER BY rank
+"""
+
+
+@register("token_pmi_collocations", _PMI_SQL)
+def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI with min-support 5 —
+    phrase-detection statistics; exact counts, one rounded ln."""
+    from ureplicator_spark.operators.text import collocation_pmi
+    from ureplicator_spark.sources.parquet import load_table
+
+    return collocation_pmi(load_table(spark, sf_dir, "documents"))
