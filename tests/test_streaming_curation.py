@@ -256,3 +256,69 @@ def test_streaming_shard_feed_continues_cumsum_across_batches(spark, tmp_path):
     state = json.load(open(os.path.join(out, "_feed_state.json")))
     assert state["cum"] == 77  # 11 docs x 7 tokens
     assert state["cum_before"] == 35  # 5 docs x 7 tokens before batch 2
+
+
+def test_streaming_cdc_apply_converges_archive(spark, sf_dir, tmp_path):
+    """End-to-end CDC loop: archive holds snapshot A; the delta
+    between A and target B (computed by snapshot_diff, payloads joined
+    back) streams in per-file micro-batches through
+    streaming_cdc_apply; the archive must converge to exactly B."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.sources.archive import (
+        read_archive,
+        snapshot_diff,
+        write_archive,
+    )
+    from ureplicator_spark.streaming.cdc import streaming_cdc_apply
+
+    keys = ["topic", "partition", "offset"]
+    rec = FX.records(spark, sf_dir).drop("props")
+    # snapshot A: missing every 5th offset; target B: drops every 7th,
+    # mutates value_size on every 3rd (ts_sec untouched — dt-stable)
+    snap_a = rec.filter(F.col("offset") % 5 != 0)
+    snap_b = rec.filter(F.col("offset") % 7 != 0).withColumn(
+        "value_size",
+        F.when(F.col("offset") % 3 == 0, F.col("value_size") + 1).otherwise(
+            F.col("value_size")
+        ),
+    )
+    root = str(tmp_path / "archive")
+    write_archive(snap_a, root)
+
+    diff = snapshot_diff(snap_a, snap_b, keys).select(*keys, "change_type")
+    payload_cols = [c for c in snap_b.columns if c not in keys]
+    delta = (
+        diff.filter(F.col("change_type") != "removed")
+        .join(snap_b, keys)
+        .unionByName(diff.filter(F.col("change_type") == "removed").join(snap_a, keys))
+        .select(*keys, *payload_cols, "change_type")
+    )
+    n_delta = delta.count()
+    assert n_delta > 0
+
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    delta_dir = str(tmp_path / "delta")
+    delta.filter(F.col("offset") % 2 == 0).coalesce(1).write.parquet(
+        delta_dir + "/part_even"
+    )
+    delta.filter(F.col("offset") % 2 == 1).coalesce(1).write.parquet(
+        delta_dir + "/part_odd"
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(delta_dir)
+    )
+    q = streaming_cdc_apply(
+        stream, root, str(tmp_path / "ckpt"), tuple(keys), available_now=True
+    )
+    q.awaitTermination(300)
+
+    got = read_archive(spark, root).select(*keys, *payload_cols)
+    want = snap_b.select(*keys, *payload_cols)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
