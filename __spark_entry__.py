@@ -62,6 +62,8 @@ _CHANGED_SINCE_LAST_CHECK = [
     "orders_snapshot_diff", "dedup_cluster_stats", "similarity_multiprobe_ann",
     "lang_ngram_classifier", "approx_distinct_tokens", "approx_distinct_orders",
     "similarity_multiprobe_recall", "token_pmi_collocations",
+    "cms_token_counts", "bloom_decontamination", "weighted_sample_docs",
+    "event_value_outliers", "dedup_token_savings",
 ]
 
 

@@ -1344,3 +1344,65 @@ def test_pmi_ranks_true_collocation_first(spark):
     out = collocation_pmi(df, min_count=5, top_n=5).collect()
     assert out[0].a == "san" and out[0].b == "francisco"
     assert out[0].n_occur == 20
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-Min hard invariant: est >= true for every gauged key."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.operators.sketch import cms_topk_gauge
+    from ureplicator_spark.sources.parquet import load_table
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    rows = cms_topk_gauge(tok, "token").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.est_count >= r.true_count, r
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Bloom hard invariant: every exact hit is flagged
+    (n_flagged >= n_exact per doc); false_positives is their gap."""
+    from ureplicator_spark.operators.sketch import bloom_contamination
+    from ureplicator_spark.sources.parquet import load_table
+
+    rows = bloom_contamination(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert r.n_flagged >= r.n_exact, r
+        assert r.false_positives == r.n_flagged - r.n_exact
+
+
+def test_weighted_sample_matches_oblivious_reference(spark, sf_dir):
+    """A-ES sample reproduced by an oblivious hashlib/math
+    implementation (third engine): same winners, same order."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ureplicator_spark.operators.text import weighted_sample_docs
+    from ureplicator_spark.sources.parquet import load_table
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    scored = []
+    for row in tbl:
+        w = row["n_chars"]
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(f"wsample:{row['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        scored.append((row["lang"], round(math.log(u) / w, 9), row["doc_id"]))
+    want = {}
+    for lang in {s[0] for s in scored}:
+        grp = sorted(
+            [s for s in scored if s[0] == lang], key=lambda s: (-s[1], s[2])
+        )[:5]
+        want[lang] = [s[2] for s in grp]
+
+    got = {}
+    for r in weighted_sample_docs(load_table(spark, sf_dir, "documents")).collect():
+        got.setdefault(r.lang, []).append(r.doc_id)
+    assert got == want

@@ -322,3 +322,73 @@ def test_streaming_cdc_apply_converges_archive(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_ivm_matches_recompute_and_skips_replay(spark, sf_dir, tmp_path):
+    """IVM: a per-topic (count, total value_size) view maintained from
+    the CDC delta stream must equal the from-scratch aggregate of the
+    target snapshot; a replayed batch id must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.sources.archive import snapshot_diff
+    from ureplicator_spark.streaming.ivm import (
+        apply_delta_to_view,
+        streaming_view_maintenance,
+    )
+
+    keys = ["topic", "partition", "offset"]
+    rec = FX.records(spark, sf_dir).select(*keys, "value_size")
+    snap_a = rec.filter(F.col("offset") % 5 != 0)
+    snap_b = rec.filter(F.col("offset") % 7 != 0).withColumn(
+        "value_size",
+        F.when(F.col("offset") % 3 == 0, F.col("value_size") + 10).otherwise(
+            F.col("value_size")
+        ),
+    )
+    view = str(tmp_path / "view")
+    # seed the view with snapshot A's aggregate (the one-off build)
+    seed = snap_a.groupBy("topic").agg(
+        F.count("*").alias("n_records"),
+        F.sum("value_size").cast("long").alias("total"),
+    )
+    seed.write.parquet(view)
+
+    delta = snapshot_diff(snap_a, snap_b, keys, include_values=True)
+    delta_dir = str(tmp_path / "delta")
+    delta.filter(F.col("offset") % 2 == 0).coalesce(1).write.parquet(
+        delta_dir + "/even"
+    )
+    delta.filter(F.col("offset") % 2 == 1).coalesce(1).write.parquet(delta_dir + "/odd")
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(delta_dir)
+    )
+    q = streaming_view_maintenance(
+        stream, view, str(tmp_path / "ckpt"), ["topic"], "value_size",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {r.topic: (r.n_records, r.total) for r in spark.read.parquet(view).collect()}
+    want = {
+        r.topic: (r.n_records, r.total)
+        for r in snap_b.groupBy("topic")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("value_size").cast("long").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # replayed batch id (same as the last applied) must be skipped
+    applied = apply_delta_to_view(
+        spark, view, delta.limit(5), ["topic"], "value_size", batch_id=0
+    )
+    assert applied is False
+    got2 = {r.topic: (r.n_records, r.total) for r in spark.read.parquet(view).collect()}
+    assert got2 == want

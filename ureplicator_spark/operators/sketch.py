@@ -20,7 +20,7 @@ linear-counting correction over EMPTY registers follows the paper.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ureplicator_spark.functions import md5_long
@@ -116,3 +116,141 @@ def hll_distinct_tokens(documents: DataFrame, m: int = HLL_M) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("token")
     )
     return hll_gauge(tok, "source", "token", m)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # counters per row
+
+
+def cms_topk_gauge(
+    keyed: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-Min frequency sketch, gauged against exact counts for the
+    exact top-``top_n`` keys: ``(key, true_count, est_count,
+    overestimate)``. The estimate is ``min`` over ``d`` salted-hash
+    counter rows — pure integer arithmetic end to end, so any engine
+    reproduces the sketch counter-for-counter (no float anywhere, not
+    even a rounded one).
+
+    CMS guarantees est >= true with overestimate <= eN/w at
+    probability 1 - (1/2)^d — the heavy-hitter / frequency oracle at
+    100 TB where an exact per-key count table is itself corpus-sized.
+
+    Scale shape: the sketch build is ONE shuffle on (row, bucket)
+    after a d-way map-side explode — d*w counter rows of state total,
+    independent of corpus size, merged associatively (map-side partial
+    SUM). The gauge side computes exact counts (the thing the sketch
+    replaces); production keeps only the build + broadcast-join
+    probes."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (md5_long(F.col(key_col), salt=f"cms{r}") % w).alias("b"),
+            )
+            for r in range(d)
+        ]
+    )
+    hashed = keyed.select(F.explode(probes).alias("p")).select("p.r", "p.b")
+    counters = hashed.groupBy("r", "b").agg(F.count("*").alias("cnt"))
+
+    exact = keyed.groupBy(key_col).agg(F.count("*").alias("true_count"))
+    wtop = Window.orderBy(F.col("true_count").desc(), key_col)
+    top = (
+        exact.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= top_n)
+        .drop("rn")
+    )
+    top_probed = top.select(
+        key_col, "true_count", F.explode(probes).alias("p")
+    ).select(key_col, "true_count", "p.r", "p.b")
+    est = (
+        top_probed.join(F.broadcast(counters), ["r", "b"])
+        .groupBy(key_col, "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.select(
+        key_col,
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+    ).orderBy(F.col("true_count").desc(), key_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as data (portable bit set; Bloom, CACM 1970)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3     # hashes
+
+
+def bloom_contamination(
+    documents: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Decontamination by Bloom membership: the benchmark set's
+    word-3-gram shingles (docs 0-9, the `benchmark_contamination`
+    convention) are folded into an ``m``-bit Bloom filter; corpus
+    shingles (docs >= 10) probe it. Per corpus doc: shingle count,
+    Bloom-flagged count, exact hit count, and the false-positive
+    surplus — the gauge that prices the bit budget.
+
+    Why a Bloom instead of the exact benchmark-shingle broadcast the
+    exact query uses: the bit set is CONSTANT-SIZE (m bits) however
+    large the held-out benchmark grows, so the probe side broadcasts
+    a set of at most m bit positions, never the benchmark corpus.
+    All bit positions are salted-md5 integers — engine-exact.
+
+    Scale shape: filter build aggregates to <= m rows (DISTINCT bit
+    positions, broadcastable by construction); the corpus side is one
+    map-side k-way explode + broadcast semi-join + per-doc aggregate;
+    one shuffle on doc_id."""
+    from ureplicator_spark.operators.dedup import shingles
+
+    sh = shingles(documents)  # already DISTINCT (doc_id, shingle)
+    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= 10).select("doc_id", "shingle")
+
+    def bits(col):
+        return F.array(
+            *[(md5_long(col, salt=f"bloom{j}") % m).alias(f"b{j}") for j in range(k)]
+        )
+
+    bitset = bench.select(F.explode(bits(F.col("shingle"))).alias("bit")).distinct()
+    probed = corpus.select(
+        "doc_id", "shingle", F.posexplode(bits(F.col("shingle"))).alias("j", "bit")
+    )
+    matched = (
+        probed.join(F.broadcast(bitset), "bit")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == k)
+        .select("doc_id", "shingle")
+    )
+    exact_hits = corpus.join(F.broadcast(bench), "shingle").select("doc_id", "shingle")
+
+    per_doc = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    flagged = matched.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
+    hits = exact_hits.groupBy("doc_id").agg(F.count("*").alias("n_exact"))
+    return (
+        per_doc.join(flagged, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            (F.coalesce("n_flagged", F.lit(0)) - F.coalesce("n_exact", F.lit(0)))
+            .cast("long")
+            .alias("false_positives"),
+        )
+        .orderBy("doc_id")
+    )

@@ -944,3 +944,44 @@ def collocation_pmi(
         )
         .orderBy("rank")
     )
+
+
+def weighted_sample_docs(
+    documents: DataFrame, per_group: int = 5, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Weighted sampling without replacement, per language: the
+    Efraimidis-Spirakis A-ES scheme (IPL 2006) — each doc draws a key
+    ``ln(u) / w`` from a deterministic pseudo-uniform ``u`` and the
+    top ``per_group`` keys win, giving inclusion probability
+    proportional to weight. The sampler behind weight-aware corpus
+    mixing (sample big docs more often than boilerplate stubs)
+    expressed as one ranking — no rejection loop, no driver RNG.
+
+    Determinism/parity: ``u = (md5_long(doc_id) + 1) / 2^60`` is the
+    same salted-hash uniform any engine reproduces; the key is rounded
+    to 9 dp with doc_id tie-break, so rank order is engine-exact.
+    (A-ES maximizes ``u^(1/w)``; taking ``ln(u)/w`` — negative,
+    maximized — is the standard log-domain equivalent that avoids
+    ``pow`` precision traps.)
+
+    Scale shape: map-side key computation, then the established
+    two-phase top-N per group (rank window over per-group candidates
+    only after a size cut would be overkill here: the window
+    partitions by lang over doc-cardinality rows with bounded width
+    per group after ranking — same discipline as ngram_top)."""
+    from ureplicator_spark.functions import md5_long
+
+    u = (md5_long(F.col("doc_id").cast("string"), salt="wsample") + 1) / F.lit(
+        float(1 << 60)
+    )
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    scored = documents.filter(F.col(weight_col) > 0).select(
+        "doc_id", "lang", F.col(weight_col).alias("weight"), key.alias("es_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_group)
+        .select("lang", "rank", "doc_id", "weight", "es_key")
+        .orderBy("lang", "rank")
+    )

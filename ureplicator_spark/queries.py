@@ -5721,3 +5721,236 @@ def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return collocation_pmi(load_table(spark, sf_dir, "documents"))
+
+
+_CMS_SQL = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+hashed AS (
+  SELECT r, ('0x' || substr(md5('cms' || r || ':' || token), 1, 15))::BIGINT % 1024 AS b
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs
+),
+counters AS (SELECT r, b, COUNT(*) AS cnt FROM hashed GROUP BY r, b),
+exact AS (SELECT token, COUNT(*) AS true_count FROM tok GROUP BY token),
+top AS (
+  SELECT token, true_count FROM (
+    SELECT token, true_count,
+           ROW_NUMBER() OVER (ORDER BY true_count DESC, token) AS rn
+    FROM exact
+  ) WHERE rn <= 20
+),
+probed AS (
+  SELECT t.token, t.true_count, rs.r,
+         ('0x' || substr(md5('cms' || rs.r || ':' || t.token), 1, 15))::BIGINT % 1024 AS b
+  FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs
+),
+est AS (
+  SELECT p.token, p.true_count, MIN(c.cnt) AS est_count
+  FROM probed p JOIN counters c ON c.r = p.r AND c.b = p.b
+  GROUP BY p.token, p.true_count
+)
+SELECT token, true_count, est_count, est_count - true_count AS overestimate
+FROM est ORDER BY true_count DESC, token
+"""
+
+
+@register("cms_token_counts", _CMS_SQL)
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode'05, d=4 w=1024) token frequencies,
+    gauged against exact counts for the exact top-20 tokens — pure
+    integer counters reproduced exactly by the oracle; d*w state
+    regardless of corpus size."""
+    from ureplicator_spark.operators.sketch import cms_topk_gauge
+    from ureplicator_spark.sources.parquet import load_table
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    return cms_topk_gauge(tok, "token")
+
+
+_BLOOM_SQL = f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < 10),
+corpus AS (SELECT doc_id, shingle FROM shingles WHERE doc_id >= 10),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5('bloom' || j || ':' || shingle), 1, 15))::BIGINT % 4096 AS bit
+  FROM bench CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+),
+probed AS (
+  SELECT c.doc_id, c.shingle, js.j,
+         ('0x' || substr(md5('bloom' || js.j || ':' || c.shingle), 1, 15))::BIGINT % 4096 AS bit
+  FROM corpus c CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+),
+matched AS (
+  SELECT doc_id, shingle FROM (
+    SELECT p.doc_id, p.shingle, COUNT(*) AS n_set
+    FROM probed p JOIN bits ON bits.bit = p.bit
+    GROUP BY p.doc_id, p.shingle
+  ) WHERE n_set = 3
+),
+hits AS (SELECT c.doc_id, c.shingle FROM corpus c JOIN bench b ON b.shingle = c.shingle),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+fl AS (SELECT doc_id, COUNT(*) AS n_flagged FROM matched GROUP BY doc_id),
+hh AS (SELECT doc_id, COUNT(*) AS n_exact FROM hits GROUP BY doc_id)
+SELECT p.doc_id, p.n_grams,
+       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+       CAST(COALESCE(h.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(f.n_flagged, 0) - COALESCE(h.n_exact, 0) AS BIGINT) AS false_positives
+FROM per_doc p LEFT JOIN fl f USING (doc_id) LEFT JOIN hh h USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+@register("bloom_decontamination", _BLOOM_SQL)
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by Bloom membership (m=4096, k=3): benchmark
+    shingles fold into a constant-size bit set that replaces the
+    benchmark broadcast; per corpus doc the flagged count is gauged
+    against exact hits, pricing the false-positive budget."""
+    from ureplicator_spark.operators.sketch import bloom_contamination
+    from ureplicator_spark.sources.parquet import load_table
+
+    return bloom_contamination(load_table(spark, sf_dir, "documents"))
+
+
+_WSAMPLE_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars AS weight,
+         ROUND(LN((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                  / 1152921504606846976.0) / n_chars, 9) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang, rank, doc_id, weight, es_key FROM (
+  SELECT lang, doc_id, weight, es_key,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
+@register("weighted_sample_docs", _WSAMPLE_SQL)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample (5 docs per language,
+    weight = n_chars) from deterministic md5 uniforms — weight-aware
+    corpus mixing as a single engine-exact ranking."""
+    from ureplicator_spark.operators.text import weighted_sample_docs
+    from ureplicator_spark.sources.parquet import load_table
+
+    return weighted_sample_docs(load_table(spark, sf_dir, "documents"))
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(d.med), 6) AS med,
+       ROUND(ANY_VALUE(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN ROUND(d.adev, 6) > ROUND(3 * m.mad, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+@register("event_value_outliers", _MAD_SQL)
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median / MAD (the
+    outlier test that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers) with a 3-MAD cut on rounded deviations
+    so the threshold comparison is engine-portable.
+
+    Scale shape: two grouped exact-percentile aggregations over the
+    fact table with the 5-row med/mad tables broadcast back — no
+    window over raw events, no driver collect."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.round(F.col("adev"), 6) > F.round(3 * F.col("mad"), 6), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TOKEN_SAVINGS_SQL = f"""
+WITH RECURSIVE {_CC_CTES},
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+cl AS (
+  SELECT c.cluster_id, COUNT(*) AS cluster_size,
+         SUM(t.n_tokens) AS tokens_total,
+         SUM(CASE WHEN c.doc_id = c.cluster_id THEN t.n_tokens ELSE 0 END) AS tokens_kept
+  FROM comp c JOIN tk t USING (doc_id) GROUP BY c.cluster_id
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(tokens_total) AS BIGINT) AS tokens_total,
+       CAST(SUM(tokens_total - tokens_kept) AS BIGINT) AS tokens_droppable
+FROM cl GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+@register("dedup_token_savings", _TOKEN_SAVINGS_SQL)
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fuzzy dedup actually buys, in tokens: per duplicate-
+    cluster size, the total token mass and the share a keep-one-
+    per-cluster policy drops — the budget planner's view of dedup
+    (docs saved is vanity, tokens saved is the training cost). The
+    keeper is the min-id cluster representative; rollups run on
+    cluster-cardinality rows after the shared LSH/CC pass."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    tk = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    cl = (
+        duplicate_clusters(pairs)
+        .join(tk, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(
+                F.when(F.col("is_keeper"), F.col("n_tokens")).otherwise(0)
+            ).alias("tokens_kept"),
+        )
+    )
+    return (
+        cl.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("tokens_total").cast("long").alias("tokens_total"),
+            F.sum(F.col("tokens_total") - F.col("tokens_kept"))
+            .cast("long")
+            .alias("tokens_droppable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -348,6 +348,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: list[str],
     compare: list[str] | None = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """Snapshot-to-snapshot CDC: classify every key as ``added`` /
     ``removed`` / ``changed`` between two versions of a table, with
@@ -363,6 +364,10 @@ def snapshot_diff(
     table-sized. ``compare`` defaults to every non-key column shared
     by both sides (schema drift: a column only one side has is
     ignored — pass it explicitly to surface it as always-changed).
+    ``include_values=True`` additionally emits ``old_<c>``/``new_<c>``
+    before/after images per compare column (Debezium-style), which is
+    what incremental view maintenance needs to retract aggregate
+    contributions.
 
     Scale shape: ONE full-outer shuffle join on the key (both sides
     hash-partition; at 100 TB each side prunes to its snapshot
@@ -405,6 +410,15 @@ def snapshot_diff(
             ",", *[F.when(d, F.lit(c)) for c, d in zip(compare, diffs)]
         ),
     ).otherwise(F.lit(""))
+    # before/after images (Debezium-style): old_<c> is NULL on added
+    # rows, new_<c> on removed — exactly what downstream incremental
+    # view maintenance needs to retract SUM/COUNT contributions
+    value_cols = (
+        [F.col(f"_o_{c}").alias(f"old_{c}") for c in compare]
+        + [F.col(f"_n_{c}").alias(f"new_{c}") for c in compare]
+        if include_values
+        else []
+    )
     return (
         j.select(
             *[
@@ -413,6 +427,7 @@ def snapshot_diff(
             ],
             change.alias("change_type"),
             changed_cols.alias("changed_cols"),
+            *value_cols,
         )
         .filter(F.col("change_type").isNotNull())
     )
