@@ -64,6 +64,8 @@ _CHANGED_SINCE_LAST_CHECK = [
     "similarity_multiprobe_recall", "token_pmi_collocations",
     "cms_token_counts", "bloom_decontamination", "weighted_sample_docs",
     "event_value_outliers", "dedup_token_savings",
+    "approx_distinct_users_rolling", "dedup_jaccard_prefix_join",
+    "table_profile",
 ]
 
 

@@ -153,6 +153,8 @@ def main() -> None:
         "similarity_multiprobe_recall", "token_pmi_collocations",
         "cms_token_counts", "bloom_decontamination", "weighted_sample_docs",
         "event_value_outliers", "dedup_token_savings",
+        "approx_distinct_users_rolling", "dedup_jaccard_prefix_join",
+        "table_profile",
     ]
     extended: dict[str, float] = {}
     for name in extended_names:

@@ -1406,3 +1406,28 @@ def test_weighted_sample_matches_oblivious_reference(spark, sf_dir):
     for r in weighted_sample_docs(load_table(spark, sf_dir, "documents")).collect():
         got.setdefault(r.lang, []).append(r.doc_id)
     assert got == want
+
+
+def test_prefix_join_complete_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering must find EXACTLY the brute-force Jaccard>=0.5
+    pairs (completeness is the whole point vs LSH candidates)."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from ureplicator_spark.operators.dedup import jaccard_prefix_join
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    sets = {d["doc_id"]: set(d["text"].split(" ")) for d in docs}
+    want = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if 2 * inter >= len(sets[a]) + len(sets[b]) and inter > 0:
+            want.add((a, b))
+
+    got_rows = jaccard_prefix_join(load_table(spark, sf_dir, "documents")).collect()
+    got = {(r.doc_a, r.doc_b) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        assert 2 * r.inter >= r.sa + r.sb

@@ -252,8 +252,9 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         # kmeans: broadcast side is the k×dim centroid table (vec_id<k
         # init, then per-cluster aggregates) — size fixed by k, not SF.
         "embedding_kmeans",
-        # recall gauge: broadcasts only the vec_id<n_queries slice.
+        # recall gauges: broadcast only the vec_id<n_queries slice.
         "similarity_ann_recall",
+        "similarity_multiprobe_recall",
         # PQ family: broadcast sides are the m·k·(dim/m)-row codebook
         # (size fixed by m/k, refreshed from per-code aggregates) and
         # the vec_id<n_queries LUT slice — never the corpus.

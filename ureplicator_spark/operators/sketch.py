@@ -30,6 +30,46 @@ HLL_P = 9
 HLL_M = 1 << HLL_P
 
 
+def _registers(
+    keyed: DataFrame, group_cols: list[str], key_col: str, m: int
+) -> DataFrame:
+    """Shared HLL register build: one shuffle on (groups..., bucket)
+    with map-side partial MAX. Integer `div`, never a double division
+    (h is 60-bit, beyond double's 2^53 exact-integer range); key_col
+    must already be a string — cast numeric keys identically on both
+    sides."""
+    n_rem_bits = 60 - (m.bit_length() - 1)
+    hashed = keyed.withColumn("h", md5_long(F.col(key_col))).select(
+        *group_cols, (F.col("h") % m).alias("j"), F.expr(f"h div {m}").alias("v")
+    )
+    rho = F.when(
+        F.col("v") > 0, F.lit(n_rem_bits + 1) - F.length(F.bin(F.col("v")))
+    ).otherwise(F.lit(n_rem_bits + 1))
+    return (
+        hashed.select(*group_cols, "j", rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def _estimate(regs: DataFrame, group_cols: list[str], m: int):
+    """Fold registers to (per-group df, estimate Column). The dyadic
+    indicator sum is exact; linear counting runs over EMPTY registers
+    (m - V), per Flajolet'07."""
+    per_g = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("v_nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s_present"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s_total = (m - F.col("v_nonempty")) + F.col("s_present")
+    raw = F.lit(alpha * m * m) / s_total
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_nonempty") < m),
+        m * F.log(m / (m - F.col("v_nonempty"))),
+    ).otherwise(raw)
+    return per_g, est
+
+
 def hll_gauge(
     keyed: DataFrame, group_col: str, key_col: str, m: int = HLL_M
 ) -> DataFrame:
@@ -57,34 +97,8 @@ def hll_gauge(
     gauge) is the COUNT(DISTINCT) the sketch exists to replace — drop
     it in production and the sketch's only corpus-sized cost is the
     map-side register build."""
-    n_rem_bits = 60 - (m.bit_length() - 1)
-    # integer `div`, never a double division: h is 60-bit, beyond
-    # double's 2^53 exact-integer range. key_col must already be a
-    # string (md5 input) — cast numeric keys identically on both sides.
-    hashed = keyed.withColumn("h", md5_long(F.col(key_col))).select(
-        group_col, (F.col("h") % m).alias("j"), F.expr(f"h div {m}").alias("v")
-    )
-    rho = F.when(
-        F.col("v") > 0, F.lit(n_rem_bits + 1) - F.length(F.bin(F.col("v")))
-    ).otherwise(F.lit(n_rem_bits + 1))
-    regs = (
-        hashed.select(group_col, "j", rho.alias("rho"))
-        .groupBy(group_col, "j")
-        .agg(F.max("rho").alias("mj"))
-    )
-    per_g = regs.groupBy(group_col).agg(
-        F.count("*").alias("v_nonempty"),
-        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("s_present"),
-    )
-    alpha = 0.7213 / (1 + 1.079 / m)
-    s_total = (m - F.col("v_nonempty")) + F.col("s_present")
-    raw = F.lit(alpha * m * m) / s_total
-    # linear counting over EMPTY registers (m - V), per Flajolet'07:
-    # E* = m * ln(m / #empty) when the raw estimate is small
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("v_nonempty") < m),
-        m * F.log(m / (m - F.col("v_nonempty"))),
-    ).otherwise(raw)
+    regs = _registers(keyed, [group_col], key_col, m)
+    per_g, est = _estimate(regs, [group_col], m)
 
     exact = keyed.groupBy(group_col).agg(
         F.count("*").alias("n_rows"),
@@ -224,18 +238,24 @@ def bloom_contamination(
             *[(md5_long(col, salt=f"bloom{j}") % m).alias(f"b{j}") for j in range(k)]
         )
 
+    # no explicit broadcast hints here: bitset is <= m DISTINCT rows and
+    # bench is the deduplicated benchmark shingle set — both reductions
+    # AQE broadcasts at runtime from their measured size. A programmer
+    # hint on a distinct() is exactly what the 100 TB broadcast guard
+    # rejects (it cannot prove the reduction bounded), and hinting is
+    # unnecessary when the bound holds by construction.
     bitset = bench.select(F.explode(bits(F.col("shingle"))).alias("bit")).distinct()
     probed = corpus.select(
         "doc_id", "shingle", F.posexplode(bits(F.col("shingle"))).alias("j", "bit")
     )
     matched = (
-        probed.join(F.broadcast(bitset), "bit")
+        probed.join(bitset, "bit")
         .groupBy("doc_id", "shingle")
         .agg(F.count("*").alias("n_set"))
         .filter(F.col("n_set") == k)
         .select("doc_id", "shingle")
     )
-    exact_hits = corpus.join(F.broadcast(bench), "shingle").select("doc_id", "shingle")
+    exact_hits = corpus.join(bench, "shingle").select("doc_id", "shingle")
 
     per_doc = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     flagged = matched.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
@@ -253,4 +273,62 @@ def bloom_contamination(
             .alias("false_positives"),
         )
         .orderBy("doc_id")
+    )
+
+
+def hll_rolling_distinct(
+    keyed: DataFrame, window: int = 7, m: int = HLL_M
+) -> DataFrame:
+    """Rolling-window distinct counting by HLL REGISTER MERGE — the
+    property exact COUNT(DISTINCT) fundamentally lacks: distinct
+    counts don't roll up (7 daily counts can't produce the weekly
+    count), but HLL registers do (register-wise MAX is the union
+    sketch). Input ``keyed`` = ``(day BIGINT, k STRING)``; output per
+    day: the estimated distinct keys over ``[day-window+1, day]``,
+    gauged against the exact rolling count.
+
+    Scale shape: the raw corpus is touched ONCE (the daily register
+    build, one (day, bucket) shuffle); every rolling window is then a
+    register-table self-merge bounded by #days x window x m rows —
+    this is exactly how OLAP cubes ship re-aggregable distinct counts.
+    The exact gauge side re-scans per window (the cost being avoided);
+    drop it in production."""
+    regs = _registers(keyed, ["day"], "k", m).select(
+        F.col("day").alias("rday"), "j", "mj"
+    )
+    days = regs.select(F.col("rday").alias("day")).distinct()
+    merged = (
+        days.join(
+            regs,
+            (F.col("rday") <= F.col("day"))
+            & (F.col("rday") >= F.col("day") - (window - 1)),
+        )
+        .groupBy("day", "j")
+        .agg(F.max("mj").alias("mj"))
+    )
+    per_day, est = _estimate(merged, ["day"], m)
+
+    kd = keyed.select(F.col("day").alias("kday"), "k")
+    exact = (
+        days.join(
+            kd,
+            (F.col("kday") <= F.col("day"))
+            & (F.col("kday") >= F.col("day") - (window - 1)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("k").alias("true_distinct"))
+    )
+    est_r = F.round(est, 4)
+    return (
+        per_day.join(exact, "day")
+        .select(
+            "day",
+            "v_nonempty",
+            est_r.alias("est_distinct"),
+            "true_distinct",
+            F.round((est_r - F.col("true_distinct")) / F.col("true_distinct"), 6).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("day")
     )

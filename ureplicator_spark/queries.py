@@ -5954,3 +5954,196 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+_HLL_ROLLING_SQL = """
+WITH keyed AS (
+  SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+         CAST(user_id AS VARCHAR) AS k
+  FROM events
+),
+hashed AS (
+  SELECT day, h % 512 AS j, h // 512 AS v
+  FROM (SELECT day, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM keyed)
+),
+regs AS (
+  SELECT day, j,
+         MAX(CASE WHEN v > 0 THEN 52 - len(bin(v)) ELSE 52 END) AS mj
+  FROM hashed GROUP BY day, j
+),
+days AS (SELECT DISTINCT day FROM regs),
+merged AS (
+  SELECT d.day, r.j, MAX(r.mj) AS mj
+  FROM days d JOIN regs r ON r.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day, r.j
+),
+per_day AS (
+  SELECT day, COUNT(*) AS v_nonempty,
+         SUM(power(2.0, -mj)) AS s_present
+  FROM merged GROUP BY day
+),
+exact AS (
+  SELECT d.day, COUNT(DISTINCT k.k) AS true_distinct
+  FROM days d JOIN keyed k ON k.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+),
+calc AS (
+  SELECT p.day, p.v_nonempty, e.true_distinct,
+         CASE WHEN (0.7213 / (1 + 1.079 / 512)) * 512 * 512
+                     / ((512 - p.v_nonempty) + p.s_present) <= 1280.0
+                   AND p.v_nonempty < 512
+              THEN 512 * ln(512 / (512 - p.v_nonempty))
+              ELSE (0.7213 / (1 + 1.079 / 512)) * 512 * 512
+                     / ((512 - p.v_nonempty) + p.s_present)
+         END AS est
+  FROM per_day p JOIN exact e USING (day)
+)
+SELECT day, v_nonempty,
+       ROUND(est, 4) AS est_distinct,
+       true_distinct,
+       ROUND((ROUND(est, 4) - true_distinct) / true_distinct, 6) AS rel_error
+FROM calc ORDER BY day
+"""
+
+
+@register("approx_distinct_users_rolling", _HLL_ROLLING_SQL)
+def q_approx_distinct_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day by HLL register merge —
+    the re-aggregable distinct count (daily sketches MAX-merge into
+    any window; the raw corpus is scanned once, every window is a
+    register-table merge). Day is an epoch-day integer: no timezone
+    semantics anywhere near the hash gate."""
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.operators.sketch import hll_rolling_distinct
+    from ureplicator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        FX.event_ts_sec(ev).alias("ts_sec"),
+        F.col("user_id").cast("string").alias("k"),
+    ).select(F.expr("ts_sec div 86400").alias("day"), "k")
+    return hll_rolling_distinct(keyed)
+
+
+_PREFIX_JOIN_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+gcnt AS (SELECT token, COUNT(*) AS gc FROM tok GROUP BY token),
+vrank AS (SELECT token, ROW_NUMBER() OVER (ORDER BY gc, token) AS vrank FROM gcnt),
+ordered AS (
+  SELECT t.doc_id, t.token, s.s,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY v.vrank) AS ord
+  FROM tok t JOIN vrank v USING (token) JOIN sizes s USING (doc_id)
+),
+prefix AS (SELECT doc_id, token FROM ordered WHERE ord <= s // 2 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter, sa.s AS sa, sb.s AS sb,
+       ROUND(i.inter * 1.0 / (sa.s + sb.s - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 2 * i.inter >= sa.s + sb.s
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_jaccard_prefix_join", _PREFIX_JOIN_SQL)
+def q_dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity join at Jaccard >= 0.5 by prefix
+    filtering (PPJoin family) — guaranteed-complete pairs without an
+    all-pairs join; rarest-first prefixes keep candidate groups small,
+    and the threshold test is pure integer (2*inter >= sa+sb)."""
+    from ureplicator_spark.operators.dedup import jaccard_prefix_join
+    from ureplicator_spark.sources.parquet import load_table
+
+    return jaccard_prefix_join(load_table(spark, sf_dir, "documents"))
+
+
+# Profiling: per-column stats in ONE aggregate pass over the fact
+# table (the DESCRIBE/data-quality report). Both sides are generated
+# from the same column list so they cannot drift.
+_PROFILE_COLS: list[tuple[str, bool]] = [
+    ("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
+    ("l_linenumber", True), ("l_quantity", True), ("l_extendedprice", True),
+    ("l_discount", True), ("l_tax", True),
+    ("l_returnflag", False), ("l_linestatus", False), ("l_shipdate", False),
+]
+
+_PROFILE_SQL = (
+    "WITH a AS (SELECT "
+    + ", ".join(
+        f"COUNT(DISTINCT {c}) AS {c}_nd, "
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}_nn"
+        + (
+            f", ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS {c}_mn"
+            f", ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS {c}_mx"
+            if num
+            else ""
+        )
+        for c, num in _PROFILE_COLS
+    )
+    + " FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({c}_nn AS BIGINT) AS n_nulls, "
+        f"CAST({c}_nd AS BIGINT) AS n_distinct, "
+        + (
+            f"{c}_mn AS min_num, {c}_mx AS max_num"
+            if num
+            else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+        )
+        + " FROM a"
+        for c, num in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name"
+)
+
+
+@register("table_profile", _PROFILE_SQL)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report over lineitem: per column, null count,
+    distinct count, and (numeric columns) rounded min/max — computed
+    in ONE aggregate pass (no per-column scans) and reshaped to rows
+    driver-side from the single wide result. The data-quality check a
+    100 TB ingest runs before anything else; cost = one scan + one
+    multi-distinct aggregate."""
+    from ureplicator_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c, num in _PROFILE_COLS:
+        aggs.append(F.countDistinct(c).alias(f"{c}_nd"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nn")
+        )
+        if num:
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"{c}_mn"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"{c}_mx"))
+    wide = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}_nn").cast("long").alias("n_nulls"),
+            F.col(f"{c}_nd").cast("long").alias("n_distinct"),
+            (F.col(f"{c}_mn") if num else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"{c}_mx") if num else F.lit(None).cast("double")).alias("max_num"),
+        )
+        for c, num in _PROFILE_COLS
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )
