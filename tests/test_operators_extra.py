@@ -1419,15 +1419,22 @@ def test_prefix_join_complete_vs_bruteforce(spark, sf_dir):
     from ureplicator_spark.sources.parquet import load_table
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
-    sets = {d["doc_id"]: set(d["text"].split(" ")) for d in docs}
+    sets = {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        if len(toks) >= 3:
+            sets[d["doc_id"]] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
     want = set()
     for a, b in combinations(sorted(sets), 2):
         inter = len(sets[a] & sets[b])
-        if 2 * inter >= len(sets[a]) + len(sets[b]) and inter > 0:
+        if 3 * inter >= len(sets[a]) + len(sets[b]) and inter > 0:
             want.add((a, b))
 
     got_rows = jaccard_prefix_join(load_table(spark, sf_dir, "documents")).collect()
     got = {(r.doc_a, r.doc_b) for r in got_rows}
     assert got == want
     for r in got_rows:
-        assert 2 * r.inter >= r.sa + r.sb
+        assert 3 * r.inter >= r.sa + r.sb
+        assert r.jaccard >= 0.5

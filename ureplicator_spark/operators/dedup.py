@@ -601,7 +601,7 @@ def lexical_semantic_agreement(
 
 
 def jaccard_prefix_join(documents: DataFrame) -> DataFrame:
-    """EXACT token-set similarity join at Jaccard >= 0.5 via prefix
+    """EXACT shingle-set similarity join at Jaccard >= 0.5 via prefix
     filtering (Chaudhuri ICDE'06 / Xiao WWW'08 "PPJoin" family) — the
     guaranteed-complete alternative to MinHash-LSH's probabilistic
     candidates: every qualifying pair is found, yet no all-pairs join
@@ -614,45 +614,67 @@ def jaccard_prefix_join(documents: DataFrame) -> DataFrame:
     ``inter >= ceil(t/(1+t) * (sa+sb))``), so the candidate join runs
     on prefix tokens only — and prefixes are by construction the
     RAREST tokens, so join groups stay small. At t = 0.5 everything is
-    integer: prefix length ``s//2 + 1`` and the final test
-    ``2*inter >= sa + sb`` (from J = i/(sa+sb-i) >= 1/2) — no float
-    until the reported jaccard itself.
+    integer: prefix length ``s//2 + 1``, the candidate length filter
+    ``max(sa,sb) <= 2*min(sa,sb)`` (sets differing in size by more
+    than 2x cannot reach J >= 1/2), and the final test
+    ``3*inter >= sa + sb`` (J = i/(sa+sb-i) >= 1/2  <=>  3i >= sa+sb)
+    — no float until the reported jaccard itself.
+
+    Sets are word-3-gram shingles (same universe as
+    ``dedup_ngram_jaccard``), NOT unigram tokens: prefix filtering is
+    only selective when the element universe is large relative to set
+    sizes. Measured on the fixture corpus (vocabulary ~40 tokens),
+    unigram prefixes matched thousands of docs each and the candidate
+    join degenerated to near-all-pairs (156 s at sf0.1); the
+    combinatorial shingle universe restores rare prefixes (sub-second
+    candidates, identical math).
 
     Scale shape: the vocabulary rank is a window over the AGGREGATED
-    token-count table (vocab-bounded, same discipline as ngram_top);
+    shingle-count table (vocab-bounded, same discipline as ngram_top);
     per-doc prefix selection windows partition on doc_id; the
     candidate join keys on rare tokens (bounded groups — the whole
     point of rarest-first); intersection counting joins the candidate
     pairs back to the two token sets on (doc, token) — corpus-keyed
     shuffles, never a cross join. Verified complete against an
     oblivious brute-force reference in tests."""
-    from ureplicator_spark.functions import fan_out
-
-    tok = (
-        fan_out(documents)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .distinct()
-    )
+    # persist: the distinct shingle-set view feeds FIVE branches
+    # (sizes, global counts, per-doc ordering, both intersection
+    # sides) — same shared-scan discipline as lsh_candidate_pairs'
+    # signature table
+    tok = shingles(documents).select("doc_id", F.col("shingle").alias("token")).persist()
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("s"))
     gcnt = tok.groupBy("token").agg(F.count("*").alias("gc"))
-    wv = Window.orderBy("gc", "token")
-    vrank = gcnt.withColumn("vrank", F.row_number().over(wv)).select("token", "vrank")
 
-    wd = Window.partitionBy("doc_id").orderBy("vrank")
+    # the filter only needs ONE total order shared by every doc — the
+    # (global count, token) tuple IS that order, so rank per doc
+    # directly on it; materializing a dense global vocabulary rank
+    # would be a single-partition window over the whole vocab (the
+    # one non-scalable stage this operator could have)
+    wd = Window.partitionBy("doc_id").orderBy("gc", "token")
     ordered = (
-        tok.join(vrank, "token")
+        tok.join(gcnt, "token")
         .withColumn("ord", F.row_number().over(wd))
         .join(sizes, "doc_id")
     )
     prefix = ordered.filter(F.col("ord") <= F.expr("s div 2") + 1).select(
-        "doc_id", "token"
+        "doc_id", "token", "s"
     )
 
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("s").alias("sa")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("s").alias("sb")
+    )
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "token")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "token"), "token")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        pa.join(pb, "token")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: |sets| within 2x of each other or J < 1/2
+            & (F.col("sa") <= 2 * F.col("sb"))
+            & (F.col("sb") <= 2 * F.col("sa"))
+        )
+        .select("doc_a", "doc_b", "sa", "sb")
         .distinct()
     )
     ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
@@ -660,15 +682,11 @@ def jaccard_prefix_join(documents: DataFrame) -> DataFrame:
     inter = (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sa", "sb")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(2 * F.col("inter") >= F.col("sa") + F.col("sb"))
+        inter.filter(3 * F.col("inter") >= F.col("sa") + F.col("sb"))
         .select(
             "doc_a",
             "doc_b",

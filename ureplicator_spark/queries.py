@@ -6025,46 +6025,44 @@ def q_approx_distinct_users_rolling(spark: SparkSession, sf_dir: str) -> DataFra
     return hll_rolling_distinct(keyed)
 
 
-_PREFIX_JOIN_SQL = """
-WITH tok AS (
-  SELECT DISTINCT doc_id, token
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-),
+_PREFIX_JOIN_SQL = f"""
+WITH {_SHINGLES_CTE},
+tok AS (SELECT doc_id, shingle AS token FROM shingles),
 sizes AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
 gcnt AS (SELECT token, COUNT(*) AS gc FROM tok GROUP BY token),
-vrank AS (SELECT token, ROW_NUMBER() OVER (ORDER BY gc, token) AS vrank FROM gcnt),
 ordered AS (
   SELECT t.doc_id, t.token, s.s,
-         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY v.vrank) AS ord
-  FROM tok t JOIN vrank v USING (token) JOIN sizes s USING (doc_id)
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY g.gc, t.token) AS ord
+  FROM tok t JOIN gcnt g USING (token) JOIN sizes s USING (doc_id)
 ),
-prefix AS (SELECT doc_id, token FROM ordered WHERE ord <= s // 2 + 1),
+prefix AS (SELECT doc_id, token, s FROM ordered WHERE ord <= s // 2 + 1),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+  FROM prefix a JOIN prefix b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+   AND a.s <= 2 * b.s AND b.s <= 2 * a.s
 ),
 inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  SELECT c.doc_a, c.doc_b, c.sa, c.sb, COUNT(*) AS inter
   FROM cand c
   JOIN tok ta ON ta.doc_id = c.doc_a
   JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
-  GROUP BY c.doc_a, c.doc_b
+  GROUP BY c.doc_a, c.doc_b, c.sa, c.sb
 )
-SELECT i.doc_a, i.doc_b, i.inter, sa.s AS sa, sb.s AS sb,
-       ROUND(i.inter * 1.0 / (sa.s + sb.s - i.inter), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE 2 * i.inter >= sa.s + sb.s
+SELECT doc_a, doc_b, inter, sa, sb,
+       ROUND(inter * 1.0 / (sa + sb - inter), 6) AS jaccard
+FROM inter
+WHERE 3 * inter >= sa + sb
 ORDER BY doc_a, doc_b
 """
 
 
 @register("dedup_jaccard_prefix_join", _PREFIX_JOIN_SQL)
 def q_dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set similarity join at Jaccard >= 0.5 by prefix
+    """Exact shingle-set similarity join at Jaccard >= 0.5 by prefix
     filtering (PPJoin family) — guaranteed-complete pairs without an
-    all-pairs join; rarest-first prefixes keep candidate groups small,
+    all-pairs join; rarest-first prefixes keep candidate groups small
+    (selective because the 3-gram universe is combinatorially large),
     and the threshold test is pure integer (2*inter >= sa+sb)."""
     from ureplicator_spark.operators.dedup import jaccard_prefix_join
     from ureplicator_spark.sources.parquet import load_table
