@@ -225,3 +225,20 @@ def test_sql_endpoint_selects_and_rejects_ddl(server):
                    f"INSERT OVERWRITE DIRECTORY '{target}' USING parquet SELECT * FROM s",
         })
     assert not os.path.exists(target)
+
+
+def test_query_plan_route_explains(server):
+    """GET /query/{name}/plan returns the physical plan text; bad
+    names/modes surface as HTTP errors, not dropped connections."""
+    code, out = _call(server, "GET", "/query/consumer_lag/plan")
+    assert code == 200 and out["query"] == "consumer_lag"
+    assert "Physical Plan" in out["plan"] or "AdaptiveSparkPlan" in out["plan"]
+
+    code, out2 = _call(server, "GET", "/query/consumer_lag/plan?mode=simple")
+    assert code == 200 and out2["plan"]
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(server, "GET", "/query/consumer_lag/plan?mode=bogus")
+    assert e.value.code in (400, 404, 500)
+    with pytest.raises(urllib.error.HTTPError):
+        _call(server, "GET", "/query/nope/plan")

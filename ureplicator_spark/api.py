@@ -269,6 +269,26 @@ class Engine:
         fn, _sql = QUERIES[name]
         return fn(self.spark, self.analytics_dir).limit(limit)
 
+    def explain_query(self, name: str, mode: str = "formatted") -> str:
+        """EXPLAIN for a registered query: the physical plan the engine
+        would execute against its configured data directory — the
+        plan-introspection face of the registry (what PLAN_REPORT.md
+        audits in bulk, exposed per-query for operators). ``mode`` is
+        any Spark explain mode (``simple``/``extended``/``codegen``/
+        ``cost``/``formatted``)."""
+        from ureplicator_spark.queries import QUERIES
+
+        if self.analytics_dir is None:
+            raise ValueError("engine has no analytics_dir configured")
+        if name not in QUERIES:
+            raise KeyError(f"unknown query {name!r}")
+        if mode not in {"simple", "extended", "codegen", "cost", "formatted"}:
+            raise ValueError(f"unknown explain mode {mode!r}")
+        from ureplicator_spark.plans.inspect import plan_string
+
+        fn, _sql = QUERIES[name]
+        return plan_string(fn(self.spark, self.analytics_dir), mode=mode)
+
     def sql(self, query: str, limit: int = 1000) -> DataFrame:
         """Ad-hoc Spark SQL over the engine's registered tables (the
         driver fixture views) — the free-form complement of the named

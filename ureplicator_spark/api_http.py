@@ -14,6 +14,7 @@ Routes:
   GET    /health                       → Engine.health()
   GET    /query                        → registered analytics query names
   GET    /query/{name}[?limit=N]       → run one registry query (capped rows)
+  GET    /query/{name}/plan[?mode=M]   → EXPLAIN (physical plan text)
   POST   /sql {sql, limit?}            → ad-hoc SELECT over registered tables
   GET    /topics                       → topics registry
   POST   /topics        {topic,dst_topic?,partitions?} → add_topic
@@ -106,6 +107,13 @@ class _Handler(BaseHTTPRequestHandler):
         if key == ("GET", "query"):
             if len(parts) == 1:
                 return 200, {"queries": eng.query_names()}
+            if len(parts) == 3 and parts[2] == "plan":
+                mode = q.get("mode", "formatted")
+                return 200, {
+                    "query": parts[1],
+                    "mode": mode,
+                    "plan": eng.explain_query(parts[1], mode=mode),
+                }
             limit = int(q.get("limit", "1000"))
             return 200, _df_rows(eng.run_query(parts[1], limit=limit))
         if key == ("POST", "sql"):

@@ -818,8 +818,14 @@ def ngram_profile_confusion(
     the train aggregation and the per-doc profiles (shared-scan
     reuse; MEMORY_AND_DISK, so at archive scale it spills rather
     than recomputing the extraction twice)."""
+    from ureplicator_spark.functions import fan_out
+
+    # fan_out: trigram extraction is per-row CPU over a possibly
+    # single-row-group scan — the same widening every shingling path
+    # uses (see SCALE.md scan-parallelism note)
     tri = (
-        documents.select("doc_id", "lang", F.lower(F.col("text")).alias("t"))
+        fan_out(documents)
+        .select("doc_id", "lang", F.lower(F.col("text")).alias("t"))
         .filter(F.length("t") >= 3)
         .select(
             "doc_id",
