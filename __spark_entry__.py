@@ -65,7 +65,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     "cms_token_counts", "bloom_decontamination", "weighted_sample_docs",
     "event_value_outliers", "dedup_token_savings",
     "approx_distinct_users_rolling", "dedup_jaccard_prefix_join",
-    "table_profile",
+    "table_profile", "histogram_quantiles",
 ]
 
 

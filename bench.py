@@ -154,7 +154,7 @@ def main() -> None:
         "cms_token_counts", "bloom_decontamination", "weighted_sample_docs",
         "event_value_outliers", "dedup_token_savings",
         "approx_distinct_users_rolling", "dedup_jaccard_prefix_join",
-        "table_profile",
+        "table_profile", "histogram_quantiles",
     ]
     # Housekeep BETWEEN extended queries: many of them persist shared
     # subplans (signature tables, token views, CC rounds), and without

@@ -526,3 +526,47 @@ def test_semantic_dedup_matches_reference(spark, vecs, threshold):
             if cos >= threshold:
                 expected[(a, b)] = (cluster[a], cos)
     assert got == expected
+
+
+@given(
+    old_rows=st.dictionaries(
+        st.integers(0, 30), st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 5)),
+        max_size=15,
+    ),
+    new_rows=st.dictionaries(
+        st.integers(0, 30), st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 5)),
+        max_size=15,
+    ),
+)
+@SETTINGS
+def test_snapshot_diff_reconstructs_target(spark, old_rows, new_rows):
+    """CDC round-trip property: applying the diff to the old snapshot
+    (drop removed+changed keys, insert added+changed rows from new)
+    reconstructs the new snapshot exactly; unchanged keys never appear
+    in the diff."""
+    from ureplicator_spark.sources.archive import snapshot_diff
+
+    def df_of(d):
+        rows = [(k, s, v) for k, (s, v) in sorted(d.items())] or [(-1, "zz", -1)]
+        return spark.createDataFrame(rows, "k long, s string, v long").filter(
+            F.col("k") >= 0
+        )
+
+    diff = {
+        r.k: r.change_type
+        for r in snapshot_diff(df_of(old_rows), df_of(new_rows), ["k"]).collect()
+    }
+    rebuilt = dict(old_rows)
+    for k, ct in diff.items():
+        if ct == "removed":
+            rebuilt.pop(k)
+        elif ct in ("added", "changed"):
+            rebuilt[k] = new_rows[k]
+    assert rebuilt == new_rows
+    for k, ct in diff.items():
+        if ct == "changed":
+            assert old_rows[k] != new_rows[k]
+    unchanged = {
+        k for k in set(old_rows) & set(new_rows) if old_rows[k] == new_rows[k]
+    }
+    assert unchanged.isdisjoint(diff)

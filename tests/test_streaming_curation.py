@@ -392,3 +392,63 @@ def test_streaming_ivm_matches_recompute_and_skips_replay(spark, sf_dir, tmp_pat
     assert applied is False
     got2 = {r.topic: (r.n_records, r.total) for r in spark.read.parquet(view).collect()}
     assert got2 == want
+
+
+def test_streaming_hll_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path):
+    """Streamed register maintenance must equal the one-shot batch
+    registers (same estimates), and re-merging an already-applied
+    batch must change nothing (MAX-merge idempotence — the replay
+    guard IVM needs and sketches don't)."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.operators.sketch import hll_gauge
+    from ureplicator_spark.sources.parquet import load_table
+    from ureplicator_spark.streaming.sketches import (
+        hll_estimates,
+        merge_registers_batch,
+        streaming_hll_maintenance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    for name, part in (("a", half_a), ("b", half_b)):
+        part.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        ).coalesce(1).write.parquet(f"{feed_dir}/{name}")
+
+    table = str(tmp_path / "registers")
+    stream = (
+        spark.readStream.schema("source string, token string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = streaming_hll_maintenance(
+        stream, table, str(tmp_path / "ckpt"), "source", "token",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.source: r.est_distinct
+        for r in hll_estimates(spark, table, "source").collect()
+    }
+    want = {
+        r.source: r.est_distinct for r in hll_gauge(keyed, "source", "token").collect()
+    }
+    assert got == want
+
+    # replayed batch: MAX-merge is a no-op
+    replay = half_a.select("source", F.explode(F.split("text", " ")).alias("token"))
+    merge_registers_batch(spark, table, replay, "source", "token")
+    got2 = {
+        r.source: r.est_distinct
+        for r in hll_estimates(spark, table, "source").collect()
+    }
+    assert got2 == want

@@ -332,3 +332,96 @@ def hll_rolling_distinct(
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantiles (the metrics-pipeline standard:
+# mergeable bucket counts; Prometheus-style, exact formulas)
+# ---------------------------------------------------------------------------
+
+HIST_B = 256
+
+
+def histogram_quantiles(
+    keyed: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = HIST_B,
+) -> DataFrame:
+    """Quantile estimation from a fixed-width histogram, gauged
+    against the exact percentile: ``(group, q, est_value,
+    exact_value, n_rows)`` for q in {50, 95, 99}.
+
+    Why this over a KLL/t-digest sketch: those compactors are
+    ORDER-DEPENDENT (two engines disagree on the same data), while
+    fixed-width bucket counts are pure integers over a deterministic
+    bucket function — mergeable across partitions/windows AND
+    engine-exact, which is why metrics pipelines standardized on
+    histograms. Bucket index ``least(b-1, floor((v-min)/(max-min)*b))``
+    is one deterministic IEEE chain; rank targets are integer
+    ``ceil(n*q/100)``; the estimate is the midpoint of the first
+    bucket whose cumulative count reaches the target (error bounded
+    by bucket width — report alongside the exact value to price it).
+
+    Scale shape: two grouped passes over the fact (min/max/count,
+    then bucket counts — b rows per group of state, mergeable); the
+    cumulative window runs over b-row groups, never raw rows."""
+    from ureplicator_spark.functions import values_df
+
+    spark = keyed.sparkSession
+    g, v = F.col(group_col), F.col(value_col)
+    stats = keyed.groupBy(group_col).agg(
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.count("*").alias("n_rows"),
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("ex50"),
+        F.round(F.percentile(v, F.lit(0.95)), 6).alias("ex95"),
+        F.round(F.percentile(v, F.lit(0.99)), 6).alias("ex99"),
+    )
+    idx = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(b - 1),
+            F.floor((v - F.col("mn")) / (F.col("mx") - F.col("mn")) * b).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    hist = (
+        keyed.join(F.broadcast(stats.select(group_col, "mn", "mx")), group_col)
+        .select(group_col, idx.alias("idx"))
+        .groupBy(group_col, "idx")
+        .agg(F.count("*").alias("c"))
+    )
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wc))
+
+    qs = values_df(spark, [(50,), (95,), (99,)], "q int")
+    targets = stats.crossJoin(F.broadcast(qs)).select(
+        group_col,
+        "q",
+        "mn",
+        "mx",
+        "n_rows",
+        F.expr("(n_rows * q + 99) div 100").alias("rank_q"),
+        F.when(F.col("q") == 50, F.col("ex50"))
+        .when(F.col("q") == 95, F.col("ex95"))
+        .otherwise(F.col("ex99"))
+        .alias("exact_value"),
+    )
+    picked = (
+        targets.join(cum, group_col)
+        .filter(F.col("cum") >= F.col("rank_q"))
+        .groupBy(group_col, "q", "mn", "mx", "n_rows", "exact_value")
+        .agg(F.min("idx").alias("pick"))
+    )
+    est = F.round(
+        F.col("mn")
+        + (F.col("pick") + 0.5) * (F.col("mx") - F.col("mn")) / b,
+        6,
+    )
+    return picked.select(
+        group_col, "q", est.alias("est_value"), "exact_value", "n_rows"
+    ).orderBy(group_col, "q")

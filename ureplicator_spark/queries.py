@@ -6145,3 +6145,59 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("col_name")
     )
+
+
+_HIST_QUANTILES_SQL = """
+WITH stats AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n_rows,
+         ROUND(quantile_cont(value, 0.5), 6) AS ex50,
+         ROUND(quantile_cont(value, 0.95), 6) AS ex95,
+         ROUND(quantile_cont(value, 0.99), 6) AS ex99
+  FROM events GROUP BY event_type
+),
+hist AS (
+  SELECT e.event_type,
+         CASE WHEN s.mx > s.mn
+              THEN LEAST(255, CAST(FLOOR((e.value - s.mn) / (s.mx - s.mn) * 256) AS INT))
+              ELSE 0 END AS idx,
+         COUNT(*) AS c
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, idx,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+targets AS (
+  SELECT s.event_type, q.q, s.mn, s.mx, s.n_rows,
+         (s.n_rows * q.q + 99) // 100 AS rank_q,
+         CASE q.q WHEN 50 THEN ex50 WHEN 95 THEN ex95 ELSE ex99 END AS exact_value
+  FROM stats s CROSS JOIN (SELECT unnest([50, 95, 99]) AS q) q
+),
+picked AS (
+  SELECT t.event_type, t.q, t.mn, t.mx, t.n_rows, t.exact_value, MIN(c.idx) AS pick
+  FROM targets t JOIN cum c USING (event_type)
+  WHERE c.cum >= t.rank_q
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT event_type, q,
+       ROUND(mn + (pick + 0.5) * (mx - mn) / 256, 6) AS est_value,
+       exact_value, n_rows
+FROM picked ORDER BY event_type, q
+"""
+
+
+@register("histogram_quantiles", _HIST_QUANTILES_SQL)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 per event type from a 256-bucket fixed-width
+    histogram, gauged against the exact percentile — the mergeable,
+    engine-exact alternative to order-dependent quantile sketches
+    (KLL/t-digest); b rows of state per group however large the
+    fact."""
+    from ureplicator_spark.operators.sketch import histogram_quantiles
+    from ureplicator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return histogram_quantiles(ev, "event_type", "value")

@@ -1,0 +1,111 @@
+"""Streaming sketch maintenance — distinct-count state kept current
+from an unbounded stream in O(registers), not O(distinct keys).
+
+The batch side (`operators/sketch.py`) established the portable HLL;
+this module maintains its register table from a stream: per
+micro-batch, build the batch's (group, bucket, rho-max) partial
+registers and MAX-merge them into the persisted register table. Two
+properties make this the *easy* streaming aggregate:
+
+- **Associative**: batch registers merge with table registers in any
+  grouping — the same map-side-partial argument that makes the batch
+  build one shuffle.
+- **Idempotent**: MAX-merge of a replayed batch changes nothing, so
+  at-least-once delivery needs NO batch-id replay guard — contrast
+  `streaming/ivm.py`, whose +/- SUM deltas are not idempotent and
+  carry a last-applied-batch sidecar. Monotone sketch state is the
+  textbook case where effectively-once falls out of the algebra.
+
+State size: #groups x m rows forever, however many distinct keys the
+stream carries — the streaming form of the sketch's whole reason to
+exist. An estimate view (`hll_estimates`) folds the current registers
+to per-group counts on demand; `dropDuplicates`-based exact streaming
+distinct would hold O(distinct) state and can never be windowless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ureplicator_spark.operators.sketch import HLL_M, _estimate, _registers
+
+
+def merge_registers_batch(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = HLL_M,
+) -> None:
+    """MAX-merge one batch's partial registers into the persisted
+    register table (full-outer on (group, bucket); register-count
+    sized, never key-count sized). Idempotent by construction."""
+    newregs = _registers(batch, [group_col], key_col, m)
+    if os.path.exists(table_path):
+        cur = spark.read.parquet(table_path)
+        merged = (
+            cur.join(newregs, [group_col, "j"], "full_outer")
+            .select(
+                group_col,
+                "j",
+                F.greatest(
+                    F.coalesce(cur["mj"], F.lit(0)),
+                    F.coalesce(newregs["mj"], F.lit(0)),
+                ).alias("mj"),
+            )
+            # materialize before overwriting the directory being read —
+            # same discipline as compact_archive / the IVM view merge
+            .localCheckpoint()
+        )
+    else:
+        merged = newregs.localCheckpoint()
+    merged.write.mode("overwrite").parquet(table_path)
+    merged.unpersist()
+
+
+def streaming_hll_maintenance(
+    keyed_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    m: int = HLL_M,
+    available_now: bool = False,
+):
+    """Continuously maintain per-group HLL registers from a keyed
+    stream. foreachBatch by design (the merge reads and rewrites the
+    register table); no replay guard needed — see module docstring."""
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.head(1):
+                merge_registers_batch(
+                    batch_df.sparkSession, table_path, batch_df, group_col, key_col, m
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = keyed_stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_estimates(
+    spark: SparkSession, table_path: str, group_col: str, m: int = HLL_M
+) -> DataFrame:
+    """Fold the maintained register table to per-group distinct
+    estimates — the query side of the streaming sketch, group-
+    cardinality sized."""
+    regs = spark.read.parquet(table_path)
+    per_g, est = _estimate(regs, [group_col], m)
+    return per_g.select(
+        group_col, "v_nonempty", F.round(est, 4).alias("est_distinct")
+    ).orderBy(group_col)
