@@ -452,3 +452,51 @@ def test_streaming_hll_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path)
         for r in hll_estimates(spark, table, "source").collect()
     }
     assert got2 == want
+
+
+def test_refcounted_distinct_view_retracts_exactly(spark, sf_dir, tmp_path):
+    """Exact incremental COUNT(DISTINCT partition) per topic with
+    deletions: removing SOME records of a (topic, partition) keeps it
+    in the distinct set; removing ALL of them drops it — and the
+    maintained counts equal a from-scratch recompute of the target
+    snapshot. Replay of an applied batch id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.sources.archive import snapshot_diff
+    from ureplicator_spark.streaming.ivm import (
+        apply_delta_to_distinct_view,
+        distinct_counts,
+    )
+
+    keys = ["topic", "partition", "offset"]
+    rec = FX.records(spark, sf_dir).select(*keys)
+    snap_a = rec
+    # B drops EVERY record of (click, partition 2) -> that partition
+    # must leave click's distinct set; also thins other partitions
+    # (offset % 3) without draining them
+    snap_b = rec.filter(
+        ~((F.col("topic") == "click") & (F.col("partition") == 2))
+    ).filter(F.col("offset") % 3 != 0)
+
+    delta = snapshot_diff(snap_a, snap_b, keys).select(*keys, "change_type")
+    view = str(tmp_path / "distinct_view")
+    # seed with snapshot A as one "added" batch, then apply the delta
+    seed = snap_a.withColumn("change_type", F.lit("added"))
+    assert apply_delta_to_distinct_view(spark, view, seed, ["topic"], "partition", 0)
+    assert apply_delta_to_distinct_view(spark, view, delta, ["topic"], "partition", 1)
+
+    got = {r.topic: r.n_distinct for r in distinct_counts(spark, view, ["topic"]).collect()}
+    want = {
+        r.topic: r.n
+        for r in snap_b.groupBy("topic")
+        .agg(F.countDistinct("partition").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert got["click"] == want["click"] < 4  # partition 2 really dropped
+
+    # replay: same batch id, no change
+    assert not apply_delta_to_distinct_view(spark, view, delta, ["topic"], "partition", 1)
+    got2 = {r.topic: r.n_distinct for r in distinct_counts(spark, view, ["topic"]).collect()}
+    assert got2 == want
