@@ -169,3 +169,20 @@ def test_admin_observer_without_dependency_raises_clearly():
         pass
     with pytest.raises(ImportError, match="kafka-python"):
         KafkaAdminTopicObserver("broker:9092")
+
+
+def test_cache_hygiene_bounded_across_invocations(spark, sf_dir):
+    """Service-mode cache growth must be bounded: repeated REST-style
+    invocations of a cache-pinning query (the prefix join persists its
+    shingle view) must not accumulate persisted RDDs — the scoped
+    release in Engine._cache_hygiene must return the block store to
+    its pre-call population every time (VERDICT r5 item #4)."""
+    eng = Engine(spark, FX.records(spark, sf_dir), analytics_dir=sf_dir)
+    baseline = len(eng._pinned_rdds())
+    for _ in range(3):
+        rows = eng.collect_query("dedup_jaccard_prefix_join", limit=10)
+        assert isinstance(rows, list)
+        assert len(eng._pinned_rdds()) == baseline
+    rows = eng.collect_sql("SELECT count(*) AS n FROM documents", limit=10)
+    assert rows[0]["n"] > 0
+    assert len(eng._pinned_rdds()) == baseline

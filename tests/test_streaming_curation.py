@@ -334,6 +334,7 @@ def test_streaming_ivm_matches_recompute_and_skips_replay(spark, sf_dir, tmp_pat
     from ureplicator_spark.sources.archive import snapshot_diff
     from ureplicator_spark.streaming.ivm import (
         apply_delta_to_view,
+        read_view,
         streaming_view_maintenance,
     )
 
@@ -373,7 +374,7 @@ def test_streaming_ivm_matches_recompute_and_skips_replay(spark, sf_dir, tmp_pat
     )
     q.awaitTermination(300)
 
-    got = {r.topic: (r.n_records, r.total) for r in spark.read.parquet(view).collect()}
+    got = {r.topic: (r.n_records, r.total) for r in read_view(spark, view).collect()}
     want = {
         r.topic: (r.n_records, r.total)
         for r in snap_b.groupBy("topic")
@@ -390,7 +391,7 @@ def test_streaming_ivm_matches_recompute_and_skips_replay(spark, sf_dir, tmp_pat
         spark, view, delta.limit(5), ["topic"], "value_size", batch_id=0
     )
     assert applied is False
-    got2 = {r.topic: (r.n_records, r.total) for r in spark.read.parquet(view).collect()}
+    got2 = {r.topic: (r.n_records, r.total) for r in read_view(spark, view).collect()}
     assert got2 == want
 
 
@@ -500,3 +501,45 @@ def test_refcounted_distinct_view_retracts_exactly(spark, sf_dir, tmp_path):
     assert not apply_delta_to_distinct_view(spark, view, delta, ["topic"], "partition", 1)
     got2 = {r.topic: r.n_distinct for r in distinct_counts(spark, view, ["topic"]).collect()}
     assert got2 == want
+
+
+def test_ivm_commit_is_crash_atomic_and_preserves_fraction(spark, tmp_path):
+    """The replay record must be the SAME atomic event as the data
+    commit: a half-written version directory (no _SUCCESS — a crash
+    mid-write) must NOT count as applied, and retrying that batch must
+    succeed; a committed batch id must be skipped. Fractional sums
+    must keep their value domain instead of truncating to long
+    (r5 ADVICE items 1 and 5)."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.streaming.ivm import apply_delta_to_view, read_view
+
+    delta = spark.createDataFrame(
+        [("a", "added", 0.0, 1.5), ("a", "added", 0.0, 2.25), ("b", "added", 0.0, 4.5)],
+        "topic string, change_type string, old_v double, new_v double",
+    )
+    view = str(tmp_path / "view")
+
+    # simulate a crashed batch-0 write: version dir exists, no _SUCCESS
+    crashed = tmp_path / "view" / "v0"
+    crashed.mkdir(parents=True)
+    (crashed / "part-00000.parquet").write_bytes(b"half-written garbage")
+
+    # the retry of batch 0 must apply (the crash left no commit record)
+    assert apply_delta_to_view(spark, view, delta, ["topic"], "v", batch_id=0)
+    got = {r.topic: (r.n_records, r.total) for r in read_view(spark, view).collect()}
+    assert got == {"a": (2, 3.75), "b": (1, 4.5)}  # double, not long
+
+    # a replay of the now-committed batch 0 must be a no-op
+    assert not apply_delta_to_view(spark, view, delta, ["topic"], "v", batch_id=0)
+    got2 = {r.topic: (r.n_records, r.total) for r in read_view(spark, view).collect()}
+    assert got2 == got
+
+    # a change delta adjusts by (new - old), still fractional
+    upd = spark.createDataFrame(
+        [("a", "changed", 1.5, 2.0), ("b", "removed", 4.5, 0.0)],
+        "topic string, change_type string, old_v double, new_v double",
+    )
+    assert apply_delta_to_view(spark, view, upd, ["topic"], "v", batch_id=1)
+    got3 = {r.topic: (r.n_records, r.total) for r in read_view(spark, view).collect()}
+    assert got3 == {"a": (2, 4.25)}

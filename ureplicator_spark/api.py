@@ -26,6 +26,7 @@ from ureplicator_spark.operators import lag as LAG
 from ureplicator_spark.operators import whitelist as WL
 from ureplicator_spark.operators import workload as WKL
 import threading
+from contextlib import contextmanager
 
 from ureplicator_spark.session import tune
 from ureplicator_spark.streaming.replication import ReplicationJob, RouteRegistry
@@ -268,6 +269,40 @@ class Engine:
             raise KeyError(f"unknown query {name!r}")
         fn, _sql = QUERIES[name]
         return fn(self.spark, self.analytics_dir).limit(limit)
+
+    def _pinned_rdds(self) -> dict:
+        """Currently persisted RDDs, id → JavaRDD handle."""
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        return {e.getKey(): e.getValue() for e in jmap.entrySet().toArray()}
+
+    @contextmanager
+    def _cache_hygiene(self):
+        """Release every cache entry pinned INSIDE the block once it
+        exits — service-mode hygiene. Several operators persist a
+        shared intermediate (e.g. the prefix-join shingle view) that
+        stays pinned after the result is collected; a long-lived REST
+        engine would accumulate one such frame per invocation
+        (SCALE.md known trade-off). Scoped release keeps the executor
+        block store bounded across unbounded REST traffic without
+        touching caches the caller pinned beforehand."""
+        before = set(self._pinned_rdds())
+        try:
+            yield
+        finally:
+            for rdd_id, handle in self._pinned_rdds().items():
+                if rdd_id not in before:
+                    handle.unpersist()
+
+    def collect_query(self, name: str, limit: int = 1000) -> list:
+        """``run_query`` + collect + scoped cache release — the
+        materializing form the REST layer uses."""
+        with self._cache_hygiene():
+            return self.run_query(name, limit=limit).collect()
+
+    def collect_sql(self, query: str, limit: int = 1000) -> list:
+        """``sql`` + collect + scoped cache release."""
+        with self._cache_hygiene():
+            return self.sql(query, limit=limit).collect()
 
     def explain_query(self, name: str, mode: str = "formatted") -> str:
         """EXPLAIN for a registered query: the physical plan the engine

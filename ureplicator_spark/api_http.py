@@ -49,8 +49,12 @@ from pyspark.sql import functions as F
 from ureplicator_spark.api import Engine
 
 
+def _rows(rows: list) -> list[dict]:
+    return [row.asDict(recursive=True) for row in rows]
+
+
 def _df_rows(df: DataFrame) -> list[dict]:
-    return [row.asDict(recursive=True) for row in df.collect()]
+    return _rows(df.collect())
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -115,10 +119,12 @@ class _Handler(BaseHTTPRequestHandler):
                     "plan": eng.explain_query(parts[1], mode=mode),
                 }
             limit = int(q.get("limit", "1000"))
-            return 200, _df_rows(eng.run_query(parts[1], limit=limit))
+            # collect_query releases any caches the query pinned —
+            # unbounded REST traffic must not grow the block store
+            return 200, _rows(eng.collect_query(parts[1], limit=limit))
         if key == ("POST", "sql"):
             b = self._body()
-            return 200, _df_rows(eng.sql(b["sql"], limit=int(b.get("limit", 1000))))
+            return 200, _rows(eng.collect_sql(b["sql"], limit=int(b.get("limit", 1000))))
         if key == ("GET", "topics"):
             return 200, _df_rows(eng.topics().filter(F.col("topic") != ""))
         if key == ("POST", "topics"):

@@ -1,0 +1,51 @@
+"""Hadoop-FileSystem helpers shared by the persisted-state modules.
+
+Driver-local ``os.path`` checks silently return False for HDFS/S3
+roots, so an existing table would be treated as empty and rebuilt from
+a delta alone — wrong results, not an error. Every existence/listing
+check against a *table path* (which may live on any Hadoop-supported
+filesystem) must go through these, mirroring
+``streaming/cdc._root_exists``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    """Return (FileSystem, Path, jvm) for ``path`` on whatever
+    filesystem its scheme names (local, HDFS, S3A, ...)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return fs.exists(p)
+
+
+def committed_parquet_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` is a parquet directory whose write finished
+    (the committer's ``_SUCCESS`` marker is present) — distinguishes a
+    committed table from the debris of a crashed write."""
+    fs, p, jvm = _fs(spark, path)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+
+
+def list_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of the immediate subdirectories of ``path`` (empty when
+    the path does not exist)."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+    ]
+
+
+def delete_recursive(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return fs.delete(p, True)

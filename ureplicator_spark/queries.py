@@ -6063,7 +6063,7 @@ def q_dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering (PPJoin family) — guaranteed-complete pairs without an
     all-pairs join; rarest-first prefixes keep candidate groups small
     (selective because the 3-gram universe is combinatorially large),
-    and the threshold test is pure integer (2*inter >= sa+sb)."""
+    and the threshold test is pure integer (3*inter >= sa+sb)."""
     from ureplicator_spark.operators.dedup import jaccard_prefix_join
     from ureplicator_spark.sources.parquet import load_table
 

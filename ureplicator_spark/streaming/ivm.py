@@ -12,42 +12,85 @@ full-outer merge against the (group-cardinality-sized) view — the
 controller's always-current workload tables (per-topic counts the
 reference recomputes from metrics on every rebalance tick).
 
-Effectively-once: foreachBatch is at-least-once, and a Δ-apply is NOT
-idempotent, so the view carries the last applied batch id in a
-sidecar; a replayed batch id is skipped (the same recorded-offset
-discipline as ``streaming/curation.streaming_shard_feed``).
+Effectively-once, crash-atomically: foreachBatch is at-least-once and
+a Δ-apply is NOT idempotent, so each apply writes a NEW version
+directory ``<view>/v<batch_id>`` and the committer's ``_SUCCESS``
+marker is simultaneously (a) the data commit and (b) the replay
+record — there is no window where the data is written but the batch id
+is not (the flaw of a post-write sidecar: a crash between the two
+replays the batch into an already-updated view). A replayed batch id
+sees its own committed version and is skipped; a crashed half-write
+has no ``_SUCCESS`` and is transparently overwritten by the retry.
+All existence checks go through the Hadoop FileSystem API (fsutil) so
+HDFS/S3 view roots behave identically to local ones.
 """
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ureplicator_spark.fsutil import (
+    committed_parquet_exists,
+    delete_recursive,
+    list_subdirs,
+)
 
 
-def _meta_path(view_path: str) -> str:
-    return os.path.join(view_path + "_meta", "applied.json")
+def _committed_versions(spark: SparkSession, view_path: str) -> list[int]:
+    return sorted(
+        int(name[1:])
+        for name in list_subdirs(spark, view_path)
+        if name.startswith("v")
+        and name[1:].isdigit()
+        and committed_parquet_exists(spark, f"{view_path}/{name}")
+    )
 
 
-def _last_applied(view_path: str) -> int:
-    try:
-        with open(_meta_path(view_path)) as f:
-            return json.load(f)["last_batch_id"]
-    except (OSError, ValueError, KeyError):
-        return -1
+def _last_applied(spark: SparkSession, view_path: str) -> int:
+    versions = _committed_versions(spark, view_path)
+    return versions[-1] if versions else -1
 
 
-def _record_applied(view_path: str, batch_id: int) -> None:
-    path = _meta_path(view_path)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    # write-then-rename so a crash mid-write can't leave a truncated
-    # marker (same discipline as streaming_shard_feed's state file)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"last_batch_id": batch_id}, f)
-    os.replace(tmp, path)
+def read_view(spark: SparkSession, view_path: str) -> DataFrame | None:
+    """Current committed contents of a maintained view, or None when no
+    version has ever committed. A plain parquet directory at
+    ``view_path`` itself (e.g. a one-off seed aggregate) is accepted as
+    the pre-versioned state."""
+    versions = _committed_versions(spark, view_path)
+    if versions:
+        return spark.read.parquet(f"{view_path}/v{versions[-1]}")
+    if committed_parquet_exists(spark, view_path):
+        return spark.read.parquet(view_path)
+    return None
+
+
+def _commit_version(
+    spark: SparkSession, view_path: str, merged: DataFrame, batch_id: int
+) -> None:
+    """Write one new view version; the parquet ``_SUCCESS`` marker IS
+    the atomic commit+replay record. Prunes versions older than the
+    immediately previous one (kept so a concurrent reader of the
+    prior version is not yanked mid-scan)."""
+    merged.write.mode("overwrite").parquet(f"{view_path}/v{batch_id}")
+    for v in _committed_versions(spark, view_path)[:-2]:
+        delete_recursive(spark, f"{view_path}/v{v}")
+
+
+def _sum_result_type(delta: DataFrame, col: str) -> T.DataType:
+    """SUM result type for the maintained total: integrals widen to
+    long (Spark's own SUM behavior); fractional/decimal inputs keep
+    their value domain instead of being truncated to long."""
+    dt = delta.schema[col].dataType
+    if isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return T.LongType()
+    if isinstance(dt, T.DecimalType):
+        # SUM over decimal(p, s) is decimal(p+10, s) in both engines
+        return T.DecimalType(min(dt.precision + 10, 38), dt.scale)
+    return T.DoubleType()
 
 
 def apply_delta_to_view(
@@ -62,9 +105,12 @@ def apply_delta_to_view(
     ``old_<sum_col>``/``new_<sum_col>`` images) into the maintained
     ``(group_cols..., n_records, total)`` view. Returns False when the
     batch id was already applied (replay skip). Groups whose count
-    reaches zero are dropped from the view."""
-    if batch_id >= 0 and batch_id <= _last_applied(view_path):
+    reaches zero are dropped from the view. ``total`` preserves the
+    input column's value domain (long for integrals, double/decimal
+    otherwise)."""
+    if batch_id >= 0 and batch_id <= _last_applied(spark, view_path):
         return False
+    total_t = _sum_result_type(delta, f"new_{sum_col}")
 
     d_count = (
         F.when(F.col("change_type") == "added", F.lit(1))
@@ -80,14 +126,13 @@ def apply_delta_to_view(
         F.sum(d_count).alias("_dn"), F.sum(d_sum).alias("_ds")
     )
 
-    if os.path.exists(view_path):
-        cur = spark.read.parquet(view_path)
-    else:
+    cur = read_view(spark, view_path)
+    if cur is None:
         cur = (
             adj.select(*group_cols)
             .limit(0)
             .withColumn("n_records", F.lit(0).cast("long"))
-            .withColumn("total", F.lit(0).cast("long"))
+            .withColumn("total", F.lit(0).cast(total_t))
         )
     merged = (
         cur.join(adj, group_cols, "full_outer")
@@ -96,19 +141,17 @@ def apply_delta_to_view(
             (F.coalesce("n_records", F.lit(0)) + F.coalesce("_dn", F.lit(0)))
             .cast("long")
             .alias("n_records"),
-            (F.coalesce("total", F.lit(0)) + F.coalesce("_ds", F.lit(0)))
-            .cast("long")
+            (
+                F.coalesce(F.col("total").cast(total_t), F.lit(0).cast(total_t))
+                + F.coalesce(F.col("_ds").cast(total_t), F.lit(0).cast(total_t))
+            )
+            .cast(total_t)
             .alias("total"),
         )
         .filter(F.col("n_records") > 0)
-        # the overwrite below replaces the directory the plan reads —
-        # same eager-materialize-first discipline as compact_archive
-        .localCheckpoint()
     )
-    merged.write.mode("overwrite").parquet(view_path)
-    merged.unpersist()
-    if batch_id >= 0:
-        _record_applied(view_path, batch_id)
+    next_id = batch_id if batch_id >= 0 else _last_applied(spark, view_path) + 1
+    _commit_version(spark, view_path, merged, next_id)
     return True
 
 
@@ -167,14 +210,14 @@ def apply_delta_to_distinct_view(
     0 (the key is part of row identity; a change re-keys via
     delete+insert). A key leaves the distinct set only when its
     refcount reaches zero — removing one of several referencing rows
-    correctly keeps it. Same batch-id replay sidecar as
+    correctly keeps it. Same crash-atomic versioned commit as
     :func:`apply_delta_to_view` (sum deltas are not idempotent).
 
     Scale shape per batch: one group-aggregate over the delta + one
     full-outer merge on (group, key) against the view — O(delta +
     view); the base table is never re-read. ``distinct_counts`` folds
     the view to per-group counts (group-cardinality sized)."""
-    if batch_id >= 0 and batch_id <= _last_applied(view_path):
+    if batch_id >= 0 and batch_id <= _last_applied(spark, view_path):
         return False
 
     d = (
@@ -185,9 +228,8 @@ def apply_delta_to_distinct_view(
     adj = delta.groupBy(*group_cols, key_col).agg(F.sum(d).alias("_d"))
 
     merge_keys = [*group_cols, key_col]
-    if os.path.exists(view_path):
-        cur = spark.read.parquet(view_path)
-    else:
+    cur = read_view(spark, view_path)
+    if cur is None:
         cur = adj.select(*merge_keys).limit(0).withColumn(
             "refcount", F.lit(0).cast("long")
         )
@@ -200,12 +242,9 @@ def apply_delta_to_distinct_view(
             .alias("refcount"),
         )
         .filter(F.col("refcount") > 0)
-        .localCheckpoint()
     )
-    merged.write.mode("overwrite").parquet(view_path)
-    merged.unpersist()
-    if batch_id >= 0:
-        _record_applied(view_path, batch_id)
+    next_id = batch_id if batch_id >= 0 else _last_applied(spark, view_path) + 1
+    _commit_version(spark, view_path, merged, next_id)
     return True
 
 
@@ -214,9 +253,9 @@ def distinct_counts(
 ) -> DataFrame:
     """Per-group exact distinct counts from the maintained
     reference-counted view."""
+    view = read_view(spark, view_path)
     return (
-        spark.read.parquet(view_path)
-        .groupBy(*group_cols)
+        view.groupBy(*group_cols)
         .agg(F.count("*").alias("n_distinct"))
         .orderBy(*group_cols)
     )

@@ -25,12 +25,11 @@ distinct would hold O(distinct) state and can never be windowless.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ureplicator_spark.operators.sketch import HLL_M, _estimate, _registers
+from ureplicator_spark.streaming.ivm import _commit_version, _last_applied, read_view
 
 
 def merge_registers_batch(
@@ -45,26 +44,24 @@ def merge_registers_batch(
     register table (full-outer on (group, bucket); register-count
     sized, never key-count sized). Idempotent by construction."""
     newregs = _registers(batch, [group_col], key_col, m)
-    if os.path.exists(table_path):
-        cur = spark.read.parquet(table_path)
-        merged = (
-            cur.join(newregs, [group_col, "j"], "full_outer")
-            .select(
-                group_col,
-                "j",
-                F.greatest(
-                    F.coalesce(cur["mj"], F.lit(0)),
-                    F.coalesce(newregs["mj"], F.lit(0)),
-                ).alias("mj"),
-            )
-            # materialize before overwriting the directory being read —
-            # same discipline as compact_archive / the IVM view merge
-            .localCheckpoint()
+    cur = read_view(spark, table_path)
+    if cur is not None:
+        merged = cur.join(newregs, [group_col, "j"], "full_outer").select(
+            group_col,
+            "j",
+            F.greatest(
+                F.coalesce(cur["mj"], F.lit(0)),
+                F.coalesce(newregs["mj"], F.lit(0)),
+            ).alias("mj"),
         )
     else:
-        merged = newregs.localCheckpoint()
-    merged.write.mode("overwrite").parquet(table_path)
-    merged.unpersist()
+        merged = newregs
+    # crash-atomic versioned commit (ivm._commit_version): a new
+    # version directory per merge, _SUCCESS as the commit marker —
+    # a crash mid-overwrite of a flat table would silently lose the
+    # registers (monotone under-count, not an error). Existence goes
+    # through the Hadoop FS API so HDFS/S3 roots work.
+    _commit_version(spark, table_path, merged, _last_applied(spark, table_path) + 1)
 
 
 def streaming_hll_maintenance(
@@ -104,7 +101,7 @@ def hll_estimates(
     """Fold the maintained register table to per-group distinct
     estimates — the query side of the streaming sketch, group-
     cardinality sized."""
-    regs = spark.read.parquet(table_path)
+    regs = read_view(spark, table_path)
     per_g, est = _estimate(regs, [group_col], m)
     return per_g.select(
         group_col, "v_nonempty", F.round(est, 4).alias("est_distinct")
