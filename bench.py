@@ -1,23 +1,45 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line (the LAST
+stdout line, sized well under the driver's 2000-char tail):
+{"metric": ..., "value": cold_total_sec, "unit": "sec",
+ "queries": {cold per-query}, "warm_sequential_total_sec": ...,
+ "extended_total_sec": ..., "concurrent_makespan_sec": ..., "sf": ...}
 
-Each query is forced end-to-end with a noop sink (full computation, no
-driver collect overhead). Queries run once, cold-cache within one
-session — the same discipline the correctness driver uses.
+Full per-query detail (warm/extended medians, every rep) goes to
+bench_detail.json next to this file — r5/r6 printed the detail map
+FIRST on stdout and the driver's tail truncation dropped the headline
+two rounds running (r6 verdict #4).
+
+Noise discipline: this host shows ~2x wall-clock spread on identical
+code within one session (r6 verdict measured it), so single-shot
+numbers cannot support regression calls. Warm and extended passes run
+REPS (default 3) repetitions per query and report the MEDIAN; the
+cold pass is single-shot by definition (first touch pays codegen +
+plan construction exactly once).
+
+Cache discipline: every timed run executes inside caching.pin_scope,
+so operator-persisted intermediates (signature tables, shingle views)
+are released per-invocation — the extended pass needs no clearCache
+workaround and pinned-RDD population stays flat across the run
+(asserted at the end; tests/test_api.py gates the same contract).
+
+Each query is forced end-to-end with a noop sink (full computation,
+no driver collect overhead).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # headline set: data plane, control plane, relational, LLM-pipeline
 BENCH_QUERIES = [
@@ -57,6 +79,28 @@ BENCH_QUERIES = [
     "boilerplate_shingles",
 ]
 
+# Round-5 additions, timed but kept OUT of the headline total so
+# cross-round totals stay comparable on the original 34-query set.
+EXTENDED_QUERIES = [
+    "user_retention", "event_funnel", "embedding_kmeans",
+    "similarity_ann_recall", "chunk_dedup", "token_count_bpe",
+    "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",
+    "doc_perplexity_proxy", "source_unigram_kl", "token_shard_packing",
+    "dedup_keep_best", "embedding_pq_codes", "similarity_pq_adc",
+    "dedup_exact_substring", "multimodal_pcm_energy", "workload_trend",
+    "dedup_signal_agreement", "curation_pipeline", "similarity_pq_recall",
+    "lang_id_confusion", "workload_capacity_forecast", "event_props_stats",
+    "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
+    "similarity_retrieve_docs", "workload_cube", "dedup_semantic_summary",
+    "orders_snapshot_diff", "dedup_cluster_stats", "similarity_multiprobe_ann",
+    "lang_ngram_classifier", "approx_distinct_tokens", "approx_distinct_orders",
+    "similarity_multiprobe_recall", "token_pmi_collocations",
+    "cms_token_counts", "bloom_decontamination", "weighted_sample_docs",
+    "event_value_outliers", "dedup_token_savings",
+    "approx_distinct_users_rolling", "dedup_jaccard_prefix_join",
+    "table_profile", "histogram_quantiles",
+]
+
 
 def F_col_id():
     from pyspark.sql import functions as F
@@ -83,14 +127,29 @@ def _ivf_search_query(root: str):
 
 
 def main() -> None:
+    import gc
     import shutil
     import tempfile
 
+    from ureplicator_spark.caching import pin_scope
     from ureplicator_spark.queries import QUERIES
     from ureplicator_spark.session import get_spark
 
     spark = get_spark("ureplicator-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(fn) -> float:
+        """One end-to-end run inside a pin scope: operator caches are
+        alive for the action and released on exit, so no run inherits
+        (or leaks) another's pinned blocks."""
+        with pin_scope():
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+    def pinned_rdd_count() -> int:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return jmap.size()
 
     # JVM/codegen warmup (not data-dependent): one tiny job through the
     # scan→shuffle→noop path so the first timed query isn't paying JIT
@@ -113,66 +172,39 @@ def main() -> None:
     ivf_build_sec = round(time.perf_counter() - t0, 3)
     extra = {"similarity_ivf_search": _ivf_search_query(ivf_root)}
 
-    timings: dict[str, float] = {}
+    pins_baseline = pinned_rdd_count()
+
+    # Cold pass: single-shot by definition (first touch pays codegen +
+    # plan construction once; a repeat is warm). Stays the headline
+    # `value` for cross-round comparability.
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = extra[name] if name in extra else QUERIES[name][0]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = timed(fn)
 
-    # Steady-state sequential pass: same queries, now with codegen
-    # compiled and fixture plans built — the recurring-query cost a
-    # long-lived cluster actually pays. Runs IMMEDIATELY after the cold
-    # pass: measuring it at the end of the session (as r5's first cut
-    # did) captured the accumulated localCheckpoint/broadcast blocks of
-    # ~60 unrelated queries instead of steady state, and read 1.7×
-    # SLOWER than cold. The cold `value` stays the headline for
-    # cross-round comparability.
-    warm: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = extra[name] if name in extra else QUERIES[name][0]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+    # Steady-state sequential pass: same queries with codegen compiled
+    # and fixture plans built — the recurring-query cost a long-lived
+    # cluster actually pays. Runs IMMEDIATELY after the cold pass
+    # (measuring at session end captured 60 queries' accumulated blocks
+    # in r5's first cut). MEDIAN of REPS runs: host noise is ~2x.
+    warm_runs: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _rep in range(REPS):
+        for name in BENCH_QUERIES:
+            fn = extra[name] if name in extra else QUERIES[name][0]
+            warm_runs[name].append(timed(fn))
+    warm = {n: round(statistics.median(r), 3) for n, r in warm_runs.items()}
 
-    # Round-5 additions, timed but kept OUT of the headline total so
-    # cross-round totals stay comparable on the original 34-query set.
-    extended_names = [
-        "user_retention", "event_funnel", "embedding_kmeans",
-        "similarity_ann_recall", "chunk_dedup", "token_count_bpe",
-        "dedup_containment", "dedup_threshold_sweep", "workload_rate_spikes",
-        "doc_perplexity_proxy", "source_unigram_kl", "token_shard_packing",
-        "dedup_keep_best", "embedding_pq_codes", "similarity_pq_adc",
-        "dedup_exact_substring", "multimodal_pcm_energy", "workload_trend",
-        "dedup_signal_agreement", "curation_pipeline", "similarity_pq_recall",
-        "lang_id_confusion", "workload_capacity_forecast", "event_props_stats",
-        "dedup_semantic_pairs", "dsir_importance_weights", "event_transitions",
-        "similarity_retrieve_docs", "workload_cube", "dedup_semantic_summary",
-        "orders_snapshot_diff", "dedup_cluster_stats", "similarity_multiprobe_ann",
-        "lang_ngram_classifier", "approx_distinct_tokens", "approx_distinct_orders",
-        "similarity_multiprobe_recall", "token_pmi_collocations",
-        "cms_token_counts", "bloom_decontamination", "weighted_sample_docs",
-        "event_value_outliers", "dedup_token_savings",
-        "approx_distinct_users_rolling", "dedup_jaccard_prefix_join",
-        "table_profile", "histogram_quantiles",
-    ]
-    # Housekeep BETWEEN extended queries: many of them persist shared
-    # subplans (signature tables, token views, CC rounds), and without
-    # eviction each query inherits the previous ~40 queries' cached
-    # blocks + GC pressure — measured order-dependent inflation of up
-    # to 4x on late entries. A clean cache per query makes the numbers
-    # mean "this query from cold", same contract as the headline pass.
-    import gc as _gc
-
-    extended: dict[str, float] = {}
-    for name in extended_names:
-        if name not in QUERIES:
-            continue
-        spark.catalog.clearCache()
-        _gc.collect()
-        t0 = time.perf_counter()
-        QUERIES[name][0](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.perf_counter() - t0, 3)
+    # Extended pass, median of REPS. No clearCache: pin_scope releases
+    # each query's operator caches; gc keeps Py4J refs from delaying
+    # the ContextCleaner on localCheckpoint blocks (CC rounds).
+    ext_runs: dict[str, list[float]] = {}
+    for _rep in range(REPS):
+        for name in EXTENDED_QUERIES:
+            if name not in QUERIES:
+                continue
+            gc.collect()
+            ext_runs.setdefault(name, []).append(timed(QUERIES[name][0]))
+    extended = {n: round(statistics.median(r), 3) for n, r in ext_runs.items()}
 
     # IVF-PQ persisted index: build reported separately (amortized,
     # like ivf_build_sec), pruned ADC search timed in the extended set.
@@ -184,28 +216,28 @@ def main() -> None:
     t0 = time.perf_counter()
     build_ivfpq_index(load_table(spark, SF_DIR, "embeddings"), ivfpq_root)
     ivfpq_build_sec = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    q10 = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 10)
-    search_ivfpq_index(spark, ivfpq_root, q10).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    extended["similarity_ivfpq_search"] = round(time.perf_counter() - t0, 3)
+
+    def _ivfpq_search(spark_, sf_dir):
+        q10 = load_table(spark_, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+        return search_ivfpq_index(spark_, ivfpq_root, q10)
+
+    extended["similarity_ivfpq_search"] = round(
+        statistics.median(timed(_ivfpq_search) for _ in range(REPS)), 3
+    )
+
+    # The no-leak contract the pin scopes guarantee (r6 verdict #5):
+    # after cold + warm + extended, the persistent-RDD population must
+    # be back at the pre-pass baseline without any clearCache.
+    gc.collect()
+    pins_after = pinned_rdd_count()
 
     # Concurrent makespan: the same 34 queries submitted together, the
     # way a shared cluster actually runs them. A single local[N] query
     # rarely saturates N cores (stage barriers, planning gaps), so the
     # scheduler overlaps jobs and most of the per-query fixed cost
     # amortizes away; the gap between sum-of-sequential and makespan is
-    # the overhead that vanishes under real concurrency.
-    #
-    # Evict what the extended phases left behind first (cached plans,
-    # Py4J-pinned localCheckpoint RDDs): a long-lived service does this
-    # housekeeping too, and without it the makespan measures the
-    # previous phases' leftover memory pressure, not scheduling.
-    import gc
-
-    spark.catalog.clearCache()
-    gc.collect()  # release Py4J refs so ContextCleaner can reclaim blocks
+    # the overhead that vanishes under real concurrency. pin_scope is
+    # thread-local, so each worker releases exactly its own caches.
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:
@@ -214,31 +246,66 @@ def main() -> None:
 
     def run_one(name: str) -> None:
         fn = extra[name] if name in extra else QUERIES[name][0]
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timed(fn)
 
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=8) as pool:
         list(pool.map(run_one, BENCH_QUERIES))
     concurrent_makespan = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf else None
+    totals = {
+        "value": round(sum(cold.values()), 3),
+        "warm_sequential_total_sec": round(sum(warm.values()), 3),
+        "extended_total_sec": round(sum(extended.values()), 3),
+        "concurrent_makespan_sec": concurrent_makespan,
+        "ivf_build_sec": ivf_build_sec,
+        "ivfpq_build_sec": ivfpq_build_sec,
+    }
+
+    # Full detail to a FILE (not stdout): per-query warm/extended
+    # medians plus every rep, so round-over-round regression calls can
+    # check spread instead of trusting one sample.
+    detail = {
+        "metric": "headline_query_wall_clock_total",
+        "unit": "sec",
+        "sf": sf_val,
+        "reps": REPS,
+        **totals,
+        "queries": cold,
+        "warm_queries": warm,
+        "extended_queries": extended,
+        "warm_runs": warm_runs,
+        "extended_runs": ext_runs,
+        "pinned_rdds_baseline": pins_baseline,
+        "pinned_rdds_after_passes": pins_after,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"detail -> {detail_path}", file=sys.stderr)
+    if pins_after > pins_baseline:
+        print(
+            f"WARNING: pinned RDDs grew {pins_baseline} -> {pins_after}",
+            file=sys.stderr,
+        )
+
+    # THE one JSON line, printed LAST: compact headline (cold per-query
+    # map + totals) — fits the driver's 2000-char tail.
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "extended_queries": extended,
-                "extended_total_sec": round(sum(extended.values()), 3),
-                "concurrent_makespan_sec": concurrent_makespan,
-                "warm_sequential_total_sec": round(sum(warm.values()), 3),
-                "warm_queries": warm,
-                "ivf_build_sec": ivf_build_sec,
-                "ivfpq_build_sec": ivfpq_build_sec,
-                "sf": float(sf) if sf else None,
-            }
+                "sf": sf_val,
+                "reps": REPS,
+                **totals,
+                "queries": cold,
+            },
+            separators=(",", ":"),
         )
     )
     shutil.rmtree(ivf_root, ignore_errors=True)

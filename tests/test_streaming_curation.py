@@ -543,3 +543,72 @@ def test_ivm_commit_is_crash_atomic_and_preserves_fraction(spark, tmp_path):
     assert apply_delta_to_view(spark, view, upd, ["topic"], "v", batch_id=1)
     got3 = {r.topic: (r.n_records, r.total) for r in read_view(spark, view).collect()}
     assert got3 == {"a": (2, 4.25)}
+
+
+def test_ivm_manual_seed_does_not_shadow_streaming_batch_zero(spark, tmp_path):
+    """An unmanaged manual apply (batch_id=-1) must advance only the
+    version SEQUENCE, not the replay high-water mark: seeding a fresh
+    view manually and then starting streaming maintenance must apply
+    batch 0 instead of silently skipping it as a replay (r6 ADVICE,
+    medium — the old scheme named the manual seed v0 and the version
+    namespace doubled as the replay record)."""
+    from ureplicator_spark.streaming.ivm import apply_delta_to_view, read_view
+
+    view = str(tmp_path / "view")
+    seed = spark.createDataFrame(
+        [("a", "added", 0, 10)],
+        "topic string, change_type string, old_v long, new_v long",
+    )
+    # unmanaged manual seed — no batch id
+    assert apply_delta_to_view(spark, view, seed, ["topic"], "v")
+    b0 = spark.createDataFrame(
+        [("a", "added", 0, 5), ("b", "added", 0, 7)],
+        "topic string, change_type string, old_v long, new_v long",
+    )
+    # the FIRST streaming batch must not be mistaken for a replay
+    assert apply_delta_to_view(spark, view, b0, ["topic"], "v", batch_id=0)
+    got = {r.topic: (r.n_records, r.total) for r in read_view(spark, view).collect()}
+    assert got == {"a": (2, 15), "b": (1, 7)}
+    # and a true replay of batch 0 is still skipped
+    assert not apply_delta_to_view(spark, view, b0, ["topic"], "v", batch_id=0)
+    # a later manual apply between streaming batches keeps the mark:
+    # batch 0 stays a replay afterwards, batch 1 applies
+    assert apply_delta_to_view(spark, view, seed, ["topic"], "v")
+    assert not apply_delta_to_view(spark, view, b0, ["topic"], "v", batch_id=0)
+    assert apply_delta_to_view(spark, view, b0, ["topic"], "v", batch_id=1)
+
+
+def test_ivm_total_type_widens_only(spark, tmp_path):
+    """A later all-integral delta must not downcast an accumulated
+    double total to long (r6 ADVICE, low): the total's type is derived
+    from the existing view, widening only."""
+    from ureplicator_spark.streaming.ivm import apply_delta_to_view, read_view
+
+    view = str(tmp_path / "view")
+    frac = spark.createDataFrame(
+        [("a", "added", 0.0, 1.5)],
+        "topic string, change_type string, old_v double, new_v double",
+    )
+    assert apply_delta_to_view(spark, view, frac, ["topic"], "v", batch_id=0)
+    ints = spark.createDataFrame(
+        [("a", "added", 0, 2)],
+        "topic string, change_type string, old_v long, new_v long",
+    )
+    assert apply_delta_to_view(spark, view, ints, ["topic"], "v", batch_id=1)
+    [row] = read_view(spark, view).collect()
+    assert row.total == 3.5  # fractional state preserved, not truncated
+
+
+def test_missing_maintained_views_raise_descriptive_errors(spark, tmp_path):
+    """Querying a never-committed maintained view must raise a clear
+    FileNotFoundError naming the path, not AttributeError on None
+    (r6 ADVICE, low)."""
+    import pytest
+
+    from ureplicator_spark.streaming.ivm import distinct_counts
+    from ureplicator_spark.streaming.sketches import hll_estimates
+
+    with pytest.raises(FileNotFoundError, match="reference-counted distinct"):
+        distinct_counts(spark, str(tmp_path / "nope"), ["topic"])
+    with pytest.raises(FileNotFoundError, match="HLL register"):
+        hll_estimates(spark, str(tmp_path / "nope2"), "topic")

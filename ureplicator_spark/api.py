@@ -26,7 +26,6 @@ from ureplicator_spark.operators import lag as LAG
 from ureplicator_spark.operators import whitelist as WL
 from ureplicator_spark.operators import workload as WKL
 import threading
-from contextlib import contextmanager
 
 from ureplicator_spark.session import tune
 from ureplicator_spark.streaming.replication import ReplicationJob, RouteRegistry
@@ -271,38 +270,38 @@ class Engine:
         return fn(self.spark, self.analytics_dir).limit(limit)
 
     def _pinned_rdds(self) -> dict:
-        """Currently persisted RDDs, id → JavaRDD handle."""
+        """Currently persisted RDDs, id → JavaRDD handle (read-only
+        introspection — the hygiene tests gauge block-store growth
+        with it)."""
         jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
         return {e.getKey(): e.getValue() for e in jmap.entrySet().toArray()}
 
-    @contextmanager
-    def _cache_hygiene(self):
-        """Release every cache entry pinned INSIDE the block once it
-        exits — service-mode hygiene. Several operators persist a
-        shared intermediate (e.g. the prefix-join shingle view) that
-        stays pinned after the result is collected; a long-lived REST
-        engine would accumulate one such frame per invocation
-        (SCALE.md known trade-off). Scoped release keeps the executor
-        block store bounded across unbounded REST traffic without
-        touching caches the caller pinned beforehand."""
-        before = set(self._pinned_rdds())
-        try:
-            yield
-        finally:
-            for rdd_id, handle in self._pinned_rdds().items():
-                if rdd_id not in before:
-                    handle.unpersist()
-
     def collect_query(self, name: str, limit: int = 1000) -> list:
-        """``run_query`` + collect + scoped cache release — the
-        materializing form the REST layer uses."""
-        with self._cache_hygiene():
+        """``run_query`` + collect inside a cache-pin scope — the
+        materializing form the REST layer uses.
+
+        Release is OWNERSHIP-based, not global: operators persist
+        shared intermediates through ``caching.pin``, which registers
+        the handle with this call's thread-local ``pin_scope``; the
+        scope releases exactly those handles after the collect. The
+        previous implementation diffed the session-global
+        ``getPersistentRDDs`` set, which under ThreadingHTTPServer /
+        concurrent streaming foreachBatch handlers could unpersist
+        RDDs pinned mid-job by ANOTHER thread (round-6 advisor) —
+        a thread-local scope cannot, by construction, touch caches
+        pinned by other threads."""
+        from ureplicator_spark.caching import pin_scope
+
+        with pin_scope():
             return self.run_query(name, limit=limit).collect()
 
     def collect_sql(self, query: str, limit: int = 1000) -> list:
-        """``sql`` + collect + scoped cache release."""
-        with self._cache_hygiene():
-            return self.sql(query, limit=limit).collect()
+        """``sql`` + collect. No cache hygiene needed: the statement is
+        structurally restricted to read-only SELECT/WITH over the
+        registered parquet views (``sql``'s subquery wrapper), so it
+        can neither reach the Python operators that pin caches nor
+        issue CACHE TABLE — there is nothing to release."""
+        return self.sql(query, limit=limit).collect()
 
     def explain_query(self, name: str, mode: str = "formatted") -> str:
         """EXPLAIN for a registered query: the physical plan the engine

@@ -1,0 +1,72 @@
+"""Scoped cache-pin registry.
+
+Several operators persist a shared intermediate (a shingle view, a
+MinHash signature table, a Lloyd assignment) that multiple branches of
+the returned plan re-read. The returned DataFrame is lazy, so the
+operator itself can never unpersist — the pin must outlive the
+function and die with the *invocation*. Before round 7 the only
+release path was the REST layer's global ``getPersistentRDDs()`` diff,
+which (a) leaked for standalone and bench callers and (b) was
+thread-unsafe: with overlapping REST requests (ThreadingHTTPServer) or
+concurrent streaming foreachBatch handlers, one request's exit
+unpersisted RDDs pinned mid-job by another thread (round-6 advisor,
+medium).
+
+The fix is ownership, not diffing: operators persist through
+``pin()``, which registers the handle with the innermost active
+``pin_scope()`` on the CURRENT THREAD; the scope unpersists its own
+pins — and only its own — on exit. Plan construction happens inside
+the caller's scope (operator functions run eagerly; only execution is
+lazy), so a scope wrapped around build+collect owns exactly the pins
+of that invocation, whatever transformations the caller layered on
+top of the operator's frame. No global state is ever diffed, so
+concurrent threads cannot release each other's caches, by
+construction. Without an active scope ``pin`` degrades to a plain
+``persist()`` — ad-hoc notebook callers keep the shared-scan benefit
+and may release manually.
+
+Streaming foreachBatch handlers manage their batch-frame persists
+explicitly (persist/unpersist in a finally block, see streaming/);
+they do not use this registry.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_local = threading.local()
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + register with the innermost active scope on
+    this thread (no-op registration when no scope is active)."""
+    df = df.persist()
+    stack = getattr(_local, "stack", None)
+    if stack:
+        stack[-1].append(df)
+    return df
+
+
+@contextmanager
+def pin_scope(blocking: bool = False):
+    """Release every frame ``pin()``-ed on this thread inside the
+    block once it exits. Scopes nest: an inner scope owns (and
+    releases) its own pins; the outer scope never sees them. Yields
+    the live pin list (tests gauge it)."""
+    stack = getattr(_local, "stack", None)
+    if stack is None:
+        stack = _local.stack = []
+    pins: list[DataFrame] = []
+    stack.append(pins)
+    try:
+        yield pins
+    finally:
+        stack.pop()
+        for df in pins:
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass  # session already stopped — nothing to release

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.caching import pin
+
 
 N_MINHASH = 8
 N_BANDS = 4  # → 2 hashes per band
@@ -144,7 +146,7 @@ def lsh_candidate_pairs(
     # shuffle AT PLAN-CONSTRUCTION time (a 2.5 s job before the query
     # is even submitted), whereas cache stays lazy and dedups by
     # canonicalized plan across repeated calls.
-    wide = minhash_wide(documents, n_hashes).persist()
+    wide = pin(minhash_wide(documents, n_hashes))
 
     band_structs = [
         F.struct(
@@ -274,7 +276,7 @@ def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
     # Four branches read the shingle view (both join sides + both size
     # lookups); persist it once instead of re-shingling per branch
     # (cache, not localCheckpoint — see lsh_candidate_pairs).
-    sh = shingles(documents).persist()
+    sh = pin(shingles(documents))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -370,7 +372,7 @@ def simhash_near_pairs(
     corpus grows — the Manku selectivity contract, property-tested in
     test_properties.py. The simhash table feeds three branches so it is
     cached once like the minhash signatures."""
-    sim = simhash(documents).persist()
+    sim = pin(simhash(documents))
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -432,7 +434,7 @@ def containment_pairs(
     (bucket-local join on the shingle key, AQE skew-split for
     stop-shingles), never all-pairs; the threshold filter bounds the
     output. The shingle view is cached once for its three branches."""
-    sh = shingles(documents).persist()
+    sh = pin(shingles(documents))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = sh.select(F.col("doc_id").alias("inner_doc"), "shingle")
     b = sh.select(F.col("doc_id").alias("outer_doc"), "shingle")
@@ -640,8 +642,9 @@ def jaccard_prefix_join(documents: DataFrame) -> DataFrame:
     # persist: the distinct shingle-set view feeds FIVE branches
     # (sizes, global counts, per-doc ordering, both intersection
     # sides) — same shared-scan discipline as lsh_candidate_pairs'
-    # signature table
-    tok = shingles(documents).select("doc_id", F.col("shingle").alias("token")).persist()
+    # signature table. pin(): the caller's pin_scope releases it after
+    # the last action (see caching.py).
+    tok = pin(shingles(documents).select("doc_id", F.col("shingle").alias("token")))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("s"))
     gcnt = tok.groupBy("token").agg(F.count("*").alias("gc"))
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ureplicator_spark.caching import pin
+
 from ureplicator_spark.operators.dedup import (
     duplicate_clusters,
     exact_dedup_groups,
@@ -62,11 +64,11 @@ def curation_pipeline_report(
     # gated/exsurv frames instead is a trap — materializing full text
     # columns into the columnar cache costs more than the recompute it
     # saves (measured 44 s -> 72 s at sf0.1; narrow-id persist wins).
-    ok_ids = quality_gate_ok(documents).filter(F.col("ok")).select("doc_id").persist()
+    ok_ids = pin(quality_gate_ok(documents).filter(F.col("ok")).select("doc_id"))
     gated = documents.join(ok_ids, "doc_id")
     # exact stage: keep the min-doc_id representative of each digest
-    keeper_ids = (
-        exact_dedup_groups(gated).select(F.col("keeper_doc_id").alias("doc_id")).persist()
+    keeper_ids = pin(
+        exact_dedup_groups(gated).select(F.col("keeper_doc_id").alias("doc_id"))
     )
     exsurv = gated.join(keeper_ids, "doc_id")
     # fuzzy stage: longest-doc keeper per LSH cluster

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.caching import pin
 from ureplicator_spark.functions import md5_long
 
 N_PLANES = 8
@@ -333,7 +334,7 @@ def ivf_ann(
     # sources/ivf_index.py persists to parquet for production use
     # (cache, not localCheckpoint, whose toRdd conversion under AQE
     # runs the whole pipeline at plan-construction time).
-    ranked = ascore.withColumn("rn", F.row_number().over(w)).persist()
+    ranked = pin(ascore.withColumn("rn", F.row_number().over(w)))
     assign = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("c_id"), "cent_id"
     )
@@ -638,9 +639,11 @@ def semantic_dedup_pairs(
     assign = (
         assignments
         if assignments is not None
-        else kmeans_assignments(embeddings, k=k, iters=iters)
-        .select("vec_id", "cluster_id")
-        .persist()
+        else pin(
+            kmeans_assignments(embeddings, k=k, iters=iters).select(
+                "vec_id", "cluster_id"
+            )
+        )
     )
     comp = _components(embeddings)
     nr = norms(embeddings)
@@ -706,10 +709,10 @@ def semantic_dedup_summary(
     pass runs once); the drop set is a DISTINCT over the
     threshold-filtered pair list (N²/k-bounded), and everything after
     is cluster-cardinality-sized."""
-    assign = (
-        kmeans_assignments(embeddings, k=k, iters=iters)
-        .select("vec_id", "cluster_id")
-        .persist()
+    assign = pin(
+        kmeans_assignments(embeddings, k=k, iters=iters).select(
+            "vec_id", "cluster_id"
+        )
     )
     pairs = semantic_dedup_pairs(
         embeddings, k=k, iters=iters, threshold=threshold, assignments=assign

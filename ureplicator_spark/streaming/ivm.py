@@ -14,15 +14,26 @@ reference recomputes from metrics on every rebalance tick).
 
 Effectively-once, crash-atomically: foreachBatch is at-least-once and
 a Δ-apply is NOT idempotent, so each apply writes a NEW version
-directory ``<view>/v<batch_id>`` and the committer's ``_SUCCESS``
-marker is simultaneously (a) the data commit and (b) the replay
-record — there is no window where the data is written but the batch id
-is not (the flaw of a post-write sidecar: a crash between the two
-replays the batch into an already-updated view). A replayed batch id
-sees its own committed version and is skipped; a crashed half-write
-has no ``_SUCCESS`` and is transparently overwritten by the retry.
-All existence checks go through the Hadoop FileSystem API (fsutil) so
-HDFS/S3 view roots behave identically to local ones.
+directory and the committer's ``_SUCCESS`` marker is simultaneously
+(a) the data commit and (b) the replay record — there is no window
+where the data is written but the batch id is not (the flaw of a
+post-write sidecar: a crash between the two replays the batch into an
+already-updated view). A replayed batch id sees the committed
+high-water mark and is skipped; a crashed half-write has no
+``_SUCCESS`` and is transparently overwritten by the retry.
+
+Version naming separates ORDER from REPLAY STATE (round-6 advisor):
+``v<seq>_b<hwm>`` where ``seq`` is a per-view monotone sequence (the
+read order) and ``hwm`` is the applied-batch high-water mark. A
+streaming apply of batch B commits ``v<seq+1>_b<B>``; an unmanaged
+manual apply (no batch id) commits ``v<seq+1>_b<hwm>`` — it advances
+the sequence but INHERITS the mark, so seeding a fresh view manually
+yields ``v0`` (mark −1) and the first streaming batch (id 0) is
+correctly applied, not skipped as a replay. Because every new version
+carries the full replay state in its own name, pruning old versions
+can never lose it. All existence checks go through the Hadoop
+FileSystem API (fsutil) so HDFS/S3 view roots behave identically to
+local ones.
 """
 
 from __future__ import annotations
@@ -38,19 +49,46 @@ from ureplicator_spark.fsutil import (
 )
 
 
-def _committed_versions(spark: SparkSession, view_path: str) -> list[int]:
-    return sorted(
-        int(name[1:])
-        for name in list_subdirs(spark, view_path)
-        if name.startswith("v")
-        and name[1:].isdigit()
-        and committed_parquet_exists(spark, f"{view_path}/{name}")
-    )
+def _parse_version(name: str) -> tuple[int, int] | None:
+    """``v<seq>_b<hwm>`` → (seq, hwm); ``v<seq>`` → (seq, -1);
+    anything else → None."""
+    if not name.startswith("v"):
+        return None
+    body = name[1:]
+    if "_b" in body:
+        seq_s, hwm_s = body.split("_b", 1)
+        if seq_s.isdigit() and hwm_s.isdigit():
+            return int(seq_s), int(hwm_s)
+        return None
+    if body.isdigit():
+        return int(body), -1
+    return None
+
+
+def _committed_versions(
+    spark: SparkSession, view_path: str
+) -> list[tuple[int, int, str]]:
+    """Committed (seq, hwm, dirname) triples, sorted by seq."""
+    out = []
+    for name in list_subdirs(spark, view_path):
+        parsed = _parse_version(name)
+        if parsed is not None and committed_parquet_exists(
+            spark, f"{view_path}/{name}"
+        ):
+            out.append((parsed[0], parsed[1], name))
+    return sorted(out)
 
 
 def _last_applied(spark: SparkSession, view_path: str) -> int:
+    """Applied-batch high-water mark = the NEWEST committed version's
+    mark (each commit carries the full replay state forward)."""
     versions = _committed_versions(spark, view_path)
-    return versions[-1] if versions else -1
+    return versions[-1][1] if versions else -1
+
+
+def _last_seq(spark: SparkSession, view_path: str) -> int:
+    versions = _committed_versions(spark, view_path)
+    return versions[-1][0] if versions else -1
 
 
 def read_view(spark: SparkSession, view_path: str) -> DataFrame | None:
@@ -60,37 +98,78 @@ def read_view(spark: SparkSession, view_path: str) -> DataFrame | None:
     the pre-versioned state."""
     versions = _committed_versions(spark, view_path)
     if versions:
-        return spark.read.parquet(f"{view_path}/v{versions[-1]}")
+        return spark.read.parquet(f"{view_path}/{versions[-1][2]}")
     if committed_parquet_exists(spark, view_path):
         return spark.read.parquet(view_path)
     return None
+
+
+def _require_view(spark: SparkSession, view_path: str, what: str) -> DataFrame:
+    view = read_view(spark, view_path)
+    if view is None:
+        raise FileNotFoundError(
+            f"no committed {what} view at {view_path!r}: seed it with an "
+            "apply_delta_to_*_view call or run the streaming maintenance "
+            "job before querying it"
+        )
+    return view
 
 
 def _commit_version(
     spark: SparkSession, view_path: str, merged: DataFrame, batch_id: int
 ) -> None:
     """Write one new view version; the parquet ``_SUCCESS`` marker IS
-    the atomic commit+replay record. Prunes versions older than the
-    immediately previous one (kept so a concurrent reader of the
-    prior version is not yanked mid-scan)."""
-    merged.write.mode("overwrite").parquet(f"{view_path}/v{batch_id}")
-    for v in _committed_versions(spark, view_path)[:-2]:
-        delete_recursive(spark, f"{view_path}/v{v}")
+    the atomic commit+replay record. ``batch_id`` < 0 means an
+    unmanaged apply: the sequence advances, the high-water mark is
+    inherited. Prunes versions older than the immediately previous one
+    (kept so a concurrent reader of the prior version is not yanked
+    mid-scan) — always safe, because the newest version's name carries
+    the full replay state."""
+    seq = _last_seq(spark, view_path) + 1
+    hwm = batch_id if batch_id >= 0 else _last_applied(spark, view_path)
+    name = f"v{seq}_b{hwm}" if hwm >= 0 else f"v{seq}"
+    merged.write.mode("overwrite").parquet(f"{view_path}/{name}")
+    for _seq, _hwm, dirname in _committed_versions(spark, view_path)[:-2]:
+        delete_recursive(spark, f"{view_path}/{dirname}")
 
 
-def _sum_result_type(delta: DataFrame, col: str) -> T.DataType:
+def _sum_result_type(
+    delta: DataFrame, col: str, view: DataFrame | None
+) -> T.DataType:
     """SUM result type for the maintained total: integrals widen to
     long (Spark's own SUM behavior); fractional/decimal inputs keep
-    their value domain instead of being truncated to long."""
-    dt = delta.schema[col].dataType
-    if isinstance(
-        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        return T.LongType()
-    if isinstance(dt, T.DecimalType):
-        # SUM over decimal(p, s) is decimal(p+10, s) in both engines
-        return T.DecimalType(min(dt.precision + 10, 38), dt.scale)
-    return T.DoubleType()
+    their value domain instead of being truncated to long.
+
+    When the view already exists, the accumulated total's type is the
+    floor — the result only ever WIDENS (long ∪ double → double,
+    decimal ∪ decimal → max precision/scale): a later all-integral
+    delta must not cast an existing double/decimal total down to long
+    and silently truncate accumulated fractional state (round-6
+    advisor)."""
+
+    def of(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return T.LongType()
+        if isinstance(dt, T.DecimalType):
+            # SUM over decimal(p, s) is decimal(p+10, s) in both engines
+            return T.DecimalType(min(dt.precision + 10, 38), dt.scale)
+        return T.DoubleType()
+
+    delta_t = of(delta.schema[col].dataType)
+    if view is None or "total" not in view.columns:
+        return delta_t
+    view_t = view.schema["total"].dataType
+    if isinstance(view_t, T.DecimalType) and isinstance(delta_t, T.DecimalType):
+        return T.DecimalType(
+            min(max(view_t.precision, delta_t.precision), 38),
+            max(view_t.scale, delta_t.scale),
+        )
+    if type(view_t) is type(delta_t):
+        return view_t
+    if isinstance(view_t, T.DoubleType) or isinstance(delta_t, T.DoubleType):
+        return T.DoubleType()
+    # long ∪ decimal: the decimal side is the wider value domain
+    return view_t if isinstance(view_t, T.DecimalType) else delta_t
 
 
 def apply_delta_to_view(
@@ -104,13 +183,15 @@ def apply_delta_to_view(
     """Fold one CDC delta batch (rows: group_cols + change_type +
     ``old_<sum_col>``/``new_<sum_col>`` images) into the maintained
     ``(group_cols..., n_records, total)`` view. Returns False when the
-    batch id was already applied (replay skip). Groups whose count
-    reaches zero are dropped from the view. ``total`` preserves the
-    input column's value domain (long for integrals, double/decimal
-    otherwise)."""
+    batch id was already applied (replay skip); ``batch_id`` < 0 is an
+    unmanaged apply that never triggers (or advances) replay
+    protection. Groups whose count reaches zero are dropped from the
+    view. ``total`` preserves the input column's value domain (long
+    for integrals, double/decimal otherwise), widening only."""
     if batch_id >= 0 and batch_id <= _last_applied(spark, view_path):
         return False
-    total_t = _sum_result_type(delta, f"new_{sum_col}")
+    cur = read_view(spark, view_path)
+    total_t = _sum_result_type(delta, f"new_{sum_col}", cur)
 
     d_count = (
         F.when(F.col("change_type") == "added", F.lit(1))
@@ -126,7 +207,6 @@ def apply_delta_to_view(
         F.sum(d_count).alias("_dn"), F.sum(d_sum).alias("_ds")
     )
 
-    cur = read_view(spark, view_path)
     if cur is None:
         cur = (
             adj.select(*group_cols)
@@ -150,8 +230,7 @@ def apply_delta_to_view(
         )
         .filter(F.col("n_records") > 0)
     )
-    next_id = batch_id if batch_id >= 0 else _last_applied(spark, view_path) + 1
-    _commit_version(spark, view_path, merged, next_id)
+    _commit_version(spark, view_path, merged, batch_id)
     return True
 
 
@@ -211,7 +290,8 @@ def apply_delta_to_distinct_view(
     delete+insert). A key leaves the distinct set only when its
     refcount reaches zero — removing one of several referencing rows
     correctly keeps it. Same crash-atomic versioned commit as
-    :func:`apply_delta_to_view` (sum deltas are not idempotent).
+    :func:`apply_delta_to_view` (sum deltas are not idempotent);
+    ``batch_id`` < 0 is an unmanaged apply outside replay protection.
 
     Scale shape per batch: one group-aggregate over the delta + one
     full-outer merge on (group, key) against the view — O(delta +
@@ -243,8 +323,7 @@ def apply_delta_to_distinct_view(
         )
         .filter(F.col("refcount") > 0)
     )
-    next_id = batch_id if batch_id >= 0 else _last_applied(spark, view_path) + 1
-    _commit_version(spark, view_path, merged, next_id)
+    _commit_version(spark, view_path, merged, batch_id)
     return True
 
 
@@ -252,8 +331,10 @@ def distinct_counts(
     spark: SparkSession, view_path: str, group_cols: list[str]
 ) -> DataFrame:
     """Per-group exact distinct counts from the maintained
-    reference-counted view."""
-    view = read_view(spark, view_path)
+    reference-counted view. Raises a descriptive FileNotFoundError
+    when no version has ever committed (a missing view used to
+    surface as AttributeError on None)."""
+    view = _require_view(spark, view_path, "reference-counted distinct")
     return (
         view.groupBy(*group_cols)
         .agg(F.count("*").alias("n_distinct"))

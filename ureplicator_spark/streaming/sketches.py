@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ureplicator_spark.operators.sketch import HLL_M, _estimate, _registers
-from ureplicator_spark.streaming.ivm import _commit_version, _last_applied, read_view
+from ureplicator_spark.streaming.ivm import _commit_version, _require_view, read_view
 
 
 def merge_registers_batch(
@@ -60,8 +60,10 @@ def merge_registers_batch(
     # version directory per merge, _SUCCESS as the commit marker —
     # a crash mid-overwrite of a flat table would silently lose the
     # registers (monotone under-count, not an error). Existence goes
-    # through the Hadoop FS API so HDFS/S3 roots work.
-    _commit_version(spark, table_path, merged, _last_applied(spark, table_path) + 1)
+    # through the Hadoop FS API so HDFS/S3 roots work. batch_id=-1:
+    # MAX-merge is idempotent, so these are unmanaged commits (the
+    # sequence advances, no replay mark is consumed).
+    _commit_version(spark, table_path, merged, -1)
 
 
 def streaming_hll_maintenance(
@@ -100,8 +102,10 @@ def hll_estimates(
 ) -> DataFrame:
     """Fold the maintained register table to per-group distinct
     estimates — the query side of the streaming sketch, group-
-    cardinality sized."""
-    regs = read_view(spark, table_path)
+    cardinality sized. Raises a descriptive FileNotFoundError when no
+    register version has ever committed (a missing table used to
+    surface as AttributeError on None)."""
+    regs = _require_view(spark, table_path, "HLL register")
     per_g, est = _estimate(regs, [group_col], m)
     return per_g.select(
         group_col, "v_nonempty", F.round(est, 4).alias("est_distinct")
