@@ -206,6 +206,15 @@ def main() -> None:
             ext_runs.setdefault(name, []).append(timed(QUERIES[name][0]))
     extended = {n: round(statistics.median(r), 3) for n, r in ext_runs.items()}
 
+    # The no-leak contract the pin scopes guarantee (r6 verdict #5):
+    # after cold + warm + extended, the persistent-RDD population must
+    # be back at the pre-pass baseline without any clearCache. Gauged
+    # HERE, before the IVF-PQ build below — its one-off localCheckpoint
+    # (pq_index.py) is released asynchronously by the ContextCleaner
+    # and would read as a false positive.
+    gc.collect()
+    pins_after = pinned_rdd_count()
+
     # IVF-PQ persisted index: build reported separately (amortized,
     # like ivf_build_sec), pruned ADC search timed in the extended set.
     from pyspark.sql import functions as F  # noqa: N812
@@ -224,12 +233,6 @@ def main() -> None:
     extended["similarity_ivfpq_search"] = round(
         statistics.median(timed(_ivfpq_search) for _ in range(REPS)), 3
     )
-
-    # The no-leak contract the pin scopes guarantee (r6 verdict #5):
-    # after cold + warm + extended, the persistent-RDD population must
-    # be back at the pre-pass baseline without any clearCache.
-    gc.collect()
-    pins_after = pinned_rdd_count()
 
     # Concurrent makespan: the same 34 queries submitted together, the
     # way a shared cluster actually runs them. A single local[N] query

@@ -549,3 +549,32 @@ def test_zorder_write_tightens_stats_on_every_clustered_column(spark, sf_dir, tm
 
     # row counts survive the rewrite
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_table_profile_is_expand_free_with_one_column_branches(spark, sf_dir):
+    """table_profile's scale contract (r7 shape): NO Expand operator
+    anywhere (the multi-distinct rewrite that replicates every row 11x
+    through the first shuffle), and every parquet scan reads exactly
+    ONE column (the union's branches must each prune to their own
+    column, so total I/O is one full-width scan)."""
+    from ureplicator_spark.plans.inspect import plan_string
+
+    df = QUERIES["table_profile"][0](spark, sf_dir)
+    plan = plan_string(df)
+    assert "Expand" not in plan, "multi-distinct Expand is back"
+    schemas = read_schemas(df)
+    assert len(schemas) >= 11, f"expected 11 one-column scans, got {schemas}"
+    for s in schemas:
+        assert s.count("l_") == 1, f"branch scan reads >1 column: {s}"
+
+
+def test_prefix_join_verification_has_no_token_level_pair_join(spark, sf_dir):
+    """jaccard_prefix_join's r7 verification contract: intersection
+    counts come from array_intersect over per-doc token arrays (a
+    candidate-row map), not a token-level join whose intermediate is
+    |cand| x tokens-per-doc rows."""
+    from ureplicator_spark.plans.inspect import plan_string
+
+    df = QUERIES["dedup_jaccard_prefix_join"][0](spark, sf_dir)
+    plan = plan_string(df)
+    assert "array_intersect" in plan
