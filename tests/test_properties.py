@@ -570,3 +570,37 @@ def test_snapshot_diff_reconstructs_target(spark, old_rows, new_rows):
         k for k in set(old_rows) & set(new_rows) if old_rows[k] == new_rows[k]
     }
     assert unchanged.isdisjoint(diff)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), max_size=9),
+        min_size=2,
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_prefix_join_positional_prune_is_lossless(spark, docs):
+    """The PPJoin positional bound (r7) must drop ONLY pairs that
+    cannot reach Jaccard >= 0.5: on random tiny corpora over a 5-token
+    vocabulary (maximal shingle sharing — the adversarial case for
+    prefix/positional filtering), the join equals the oblivious
+    brute-force pair set exactly."""
+    from itertools import combinations
+
+    from ureplicator_spark.operators.dedup import jaccard_prefix_join
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {
+        i: {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        for i, toks in enumerate(docs)
+        if len(toks) >= 3
+    }
+    want = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter > 0 and 3 * inter >= len(sets[a]) + len(sets[b]):
+            want.add((a, b))
+    got = {(r.doc_a, r.doc_b) for r in jaccard_prefix_join(df).collect()}
+    assert got == want

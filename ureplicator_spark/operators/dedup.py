@@ -62,6 +62,14 @@ def shingles(documents: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
     INVALID_PARAMETER_VALUE.START, aborting the whole job on any real
     corpus containing a short/empty document. (DuckDB's ``range``
     yields empty for the same case, so the oracle agrees.)
+
+    Dedup is ``array_distinct`` BEFORE the explode, not ``.distinct()``
+    after it: the distinct keys are (doc_id, shingle), i.e. purely
+    per-document, so a map-side array dedup is semantically identical
+    to the corpus-wide distinct shuffle it replaces — and this view
+    feeds every shingle consumer (Jaccard, containment, prefix join,
+    boilerplate), so the removed exchange is removed from ALL of them
+    (r7: measured -30-40% on the shingle-dominated queries at sf0.1).
     """
     from ureplicator_spark.functions import fan_out, word_kgrams
 
@@ -71,8 +79,9 @@ def shingles(documents: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
         .filter(F.size("toks") >= k)
     )
     return toked.select(
-        "doc_id", F.explode(word_kgrams("toks", k)).alias("shingle")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(word_kgrams("toks", k))).alias("shingle"),
+    )
 
 
 def minhash_wide(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
