@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ureplicator_spark.functions import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -104,7 +106,10 @@ def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+    # fan_out: a single-split scan would run the whole Python/Arrow
+    # stage on one core (see functions.fan_out; measured 1-partition
+    # plans on the fixture) — no-op once the scan has enough splits
+    return fan_out(media).mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
@@ -167,7 +172,7 @@ def resize(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFram
                 }
             )
 
-    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+    return fan_out(media).mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
 ENERGY_SCHEMA = T.StructType(
@@ -222,7 +227,7 @@ def pcm_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
         energy_batches, schema=ENERGY_SCHEMA
     )
 
@@ -255,4 +260,4 @@ def pcm_decimate(media: DataFrame, factor: int = 4) -> DataFrame:
             T.StructField("n_bytes", T.LongType(), False),
         ]
     )
-    return media.select("media_id", "payload").mapInPandas(decimate_batches, schema)
+    return fan_out(media.select("media_id", "payload")).mapInPandas(decimate_batches, schema)
