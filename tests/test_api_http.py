@@ -131,17 +131,19 @@ def test_validation_by_instance_option(server):
 
 
 def test_ratelimiter_reports_restart_semantics(server):
-    """PUT /ratelimiter documents its contract in the response: the new
-    rate applies to routes created AFTER the call; routes already
-    running keep their old rate until restarted from checkpoint (the
-    reference swaps a live Guava RateLimiter instead,
-    RateLimiterResource.java:41-62). With no running routes the
-    pending list is empty."""
+    """PUT /ratelimiter documents its contract in the response: routes
+    with a live ControlDoc (start_dynamic) get the rate at their next
+    micro-batch (the reference's live RateLimiter swap,
+    RateLimiterResource.java:41-62; see test_dynamic.py for the
+    applied-live path); option-configured routes already running keep
+    their old rate until restarted from checkpoint. With no running
+    routes both lists are empty."""
     code, out = _call(server, "PUT", "/ratelimiter?messagerate=250")
     assert code == 200
     assert out == {
         "rate": 250,
         "applied_to_new_routes": True,
+        "applied_live_routes": [],
         "running_routes_pending_restart": [],
     }
 

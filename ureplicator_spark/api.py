@@ -101,36 +101,57 @@ class Engine:
 
     # -- rate limiting (PUT /ratelimiter) -----------------------------------
     def set_rate(self, records_per_trigger: int) -> dict:
-        """Set maxOffsetsPerTrigger for all routes. Unlike the
+        """Set the replication rate for all routes, matching the
         reference's live Guava RateLimiter swap
-        (RateLimiterResource.java:41-62, FetcherManager.java:101-123),
-        a Spark streaming query reads its options at START: the new
-        rate applies immediately to routes created afterwards, while
-        RUNNING routes keep their old rate until restarted from
-        checkpoint (stop + resubmit; exactly-once state carries over).
-        Returns the applied/pending split so callers see which routes
-        still need a restart."""
+        (RateLimiterResource.java:41-62, FetcherManager.java:101-123)
+        wherever it can be matched:
+
+        * Routes started with ``start_dynamic`` carry a live
+          ``ControlDoc`` — the new rate is written there and the
+          running query applies it at its NEXT micro-batch, no restart
+          (``applied_live_routes``).
+        * Option-configured routes (``maxOffsetsPerTrigger`` /
+          ``maxFilesPerTrigger``) read their options at query START:
+          the new rate applies to routes created afterwards, while
+          running ones keep the old rate until restarted from
+          checkpoint (``running_routes_pending_restart``)."""
         with self._mutex:
             self._rate = records_per_trigger
-            pending = []
+            pending, live = [], []
             for job in self.routes.jobs.values():
                 job.route.max_records_per_trigger = records_per_trigger
-                if job.query is not None and job.query.isActive:
+                if job.control is not None:
+                    job.control.set_rate(records_per_trigger)
+                    if job.query is not None and job.query.isActive:
+                        live.append(job.route.name)
+                elif job.query is not None and job.query.isActive:
                     pending.append(job.route.name)
             return {
                 "rate": records_per_trigger,
                 "applied_to_new_routes": True,
+                "applied_live_routes": sorted(live),
                 "running_routes_pending_restart": sorted(pending),
             }
 
     # -- blacklist (GET/POST/DELETE /blacklist) ------------------------------
+    def _push_blacklist(self) -> None:
+        """Propagate the current blacklist to every live ControlDoc —
+        running dynamic routes drop the topic at their next batch
+        (P7 live, the reference's non-stop whitelist reconciliation)."""
+        topics = sorted(self._blacklist)
+        for job in self.routes.jobs.values():
+            if job.control is not None:
+                job.control.set_blacklist(topics)
+
     def blacklist_add(self, topic: str) -> None:
         with self._mutex:
             self._blacklist.add(topic)
+            self._push_blacklist()
 
     def blacklist_remove(self, topic: str) -> None:
         with self._mutex:
             self._blacklist.discard(topic)
+            self._push_blacklist()
 
     def blacklist(self) -> DataFrame:
         with self._mutex:

@@ -194,10 +194,10 @@ class _Handler(BaseHTTPRequestHandler):
             return 200, {"unblacklisted": parts[1]}
         if key == ("PUT", "ratelimiter"):
             # Reference applies the new rate to a LIVE RateLimiter
-            # (RateLimiterResource.java:41-62); Spark queries read their
-            # options at start, so running routes keep the old rate
-            # until restarted — the response lists them so operators
-            # aren't surprised (see Engine.set_rate docstring).
+            # (RateLimiterResource.java:41-62). Dynamic routes (live
+            # ControlDoc) match that: next micro-batch, no restart.
+            # Option-configured routes read options at start and are
+            # listed as pending-restart (Engine.set_rate docstring).
             return 200, eng.set_rate(int(q["messagerate"]))
         return None
 

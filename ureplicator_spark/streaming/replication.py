@@ -81,6 +81,8 @@ class ReplicationJob:
         self.topics = topics
         self.transform = transform
         self.query: StreamingQuery | None = None
+        self.control = None  # live ControlDoc when started via start_dynamic
+        self.dynamic_sink = None
 
     # -- source ------------------------------------------------------------
     @staticmethod
@@ -143,6 +145,33 @@ class ReplicationJob:
             .option("path", out_path)
             .option("checkpointLocation", self.checkpoint_dir)
             .queryName(self.route.name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self.route.trigger_interval:
+            writer = writer.trigger(processingTime=self.route.trigger_interval)
+        self.query = writer.start()
+        return self.query
+
+    def start_dynamic(
+        self, out_path: str, control, available_now: bool = False
+    ) -> StreamingQuery:
+        """Streaming replication under a LIVE control document — rate
+        and blacklist changes apply at the next micro-batch with no
+        restart (T4 live rate, RateLimiterResource.java:41-62; T9
+        non-stop topology, ConsumerFetcherThread.java:183-206; see
+        ``streaming/dynamic.py``). ``control`` is a
+        ``dynamic.ControlDoc``; the per-batch decision log is
+        ``job.dynamic_sink.log``."""
+        from ureplicator_spark.streaming.dynamic import DynamicSink
+
+        self.control = control
+        self.dynamic_sink = DynamicSink(control, out_path)
+        out = self._transform(self._source())
+        writer = (
+            out.writeStream.foreachBatch(self.dynamic_sink)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.route.name + "-dynamic")
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
