@@ -136,6 +136,41 @@ def test_topic_add_without_restart(spark, sf_dir, dyn):
     assert q.runId == run_id and q.isActive
 
 
+def test_live_topic_remap_and_expand(spark, sf_dir, dyn):
+    """Runtime topology change WITHOUT restart: a new rename target and
+    a bigger partition count land in the next batch's broadcast dims —
+    the reference's topic-expand reconciliation
+    (ConsumerFetcherThread.java:183-206)."""
+    job, q, control, src, out = dyn
+    q.processAllAvailable()
+    run_id = q.runId
+    before = spark.read.parquet(out)
+    assert before.filter(F.col("dst_topic") == "click_v2").count() == 0
+    max_p_before = (
+        before.filter(F.col("topic") == "click")
+        .agg(F.max("dst_partition"))
+        .collect()[0][0]
+    )
+    assert max_p_before < 3  # static route maps click -> 3 partitions
+
+    # rename click -> click_v2 and expand to 16 partitions, live
+    control.set_topics({"click": "click_v2"}, {"click_v2": 16})
+    _feed(spark, sf_dir, src, 400)
+    q.processAllAvailable()
+    after = spark.read.parquet(out)
+    new_click = after.filter(
+        (F.col("topic") == "click") & (F.col("dst_topic") == "click_v2")
+    )
+    assert new_click.count() > 0
+    assert new_click.agg(F.max("dst_partition")).collect()[0][0] > 2
+    # pre-change rows are untouched history
+    assert after.filter(F.col("dst_topic") == "click_mirror").count() == before.filter(
+        F.col("dst_topic") == "click_mirror"
+    ).count()
+    assert q.runId == run_id and q.isActive
+    assert job.dynamic_sink.log[-1]["live_topology"] is True
+
+
 def test_engine_applies_rate_and_blacklist_live(spark, sf_dir, tmp_path):
     """Engine.set_rate / blacklist_add reach a running dynamic route's
     ControlDoc (the REST PUT /ratelimiter path) — applied_live_routes
@@ -169,5 +204,17 @@ def test_engine_applies_rate_and_blacklist_live(spark, sf_dir, tmp_path):
         last = job.dynamic_sink.log[-1]
         assert last["rate"] == 5000
         assert last["blacklist"] == ["view"]
+
+        # PUT /topics path: expand reaches the running route live
+        eng.add_topic("click", dst_topic="click_wide", partitions=12)
+        FX.records(spark, sf_dir).limit(200).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        assert job.dynamic_sink.log[-1]["live_topology"] is True
+        landed = spark.read.parquet(out).filter(
+            F.col("dst_topic") == "click_wide"
+        )
+        assert landed.count() > 0
     finally:
         q.stop()

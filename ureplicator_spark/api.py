@@ -74,19 +74,39 @@ class Engine:
             return self._autobalancing
 
     # -- topic management (POST/DELETE /topics) ----------------------------
+    def _push_topics(self) -> None:
+        """Propagate the topic table to every live ControlDoc: running
+        dynamic routes rename/remap with the NEW mapping and partition
+        counts at their next batch — the reference's runtime topic
+        expand reconciled without a restart
+        (ConsumerFetcherThread.java:183-206). Counts are keyed by the
+        DESTINATION topic (the P2 remap joins on dst_topic)."""
+        mapping = {t: v["dst"] for t, v in self._topics.items()}
+        counts = {
+            v["dst"]: v["partitions"]
+            for v in self._topics.values()
+            if v["partitions"] is not None
+        }
+        for job in self.routes.jobs.values():
+            if job.control is not None:
+                job.control.set_topics(mapping, counts)
+
     def add_topic(self, topic: str, dst_topic: str | None = None, partitions: int | None = None) -> None:
         with self._mutex:
             self._topics[topic] = {"dst": dst_topic or topic, "partitions": partitions}
+            self._push_topics()
 
     def expand_topic(self, topic: str, partitions: int) -> None:
         with self._mutex:
             if topic not in self._topics:
                 raise KeyError(topic)
             self._topics[topic]["partitions"] = partitions
+            self._push_topics()
 
     def delete_topic(self, topic: str) -> None:
         with self._mutex:
             self._topics.pop(topic, None)
+            self._push_topics()
 
     def topics(self) -> DataFrame:
         with self._mutex:

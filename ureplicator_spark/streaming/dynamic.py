@@ -98,14 +98,39 @@ class ControlDoc:
     def set_blacklist(self, topics: list[str]) -> dict:
         return self.update(blacklist=sorted(topics))
 
+    def set_topics(
+        self, topic_mapping: dict[str, str], partition_counts: dict[str, int]
+    ) -> dict:
+        """Live topology override: next batch renames/remaps with THESE
+        tables (present-but-empty = no renames; key absent = keep the
+        route's static tables). The reference's runtime topic
+        expand/whitelist reconciliation
+        (ConsumerFetcherThread.java:183-206)."""
+        return self.update(
+            topic_mapping=dict(topic_mapping),
+            partition_counts=dict(partition_counts),
+        )
+
 
 class DynamicSink:
     """``foreachBatch`` handler enforcing the live control document.
 
     Per micro-batch: read the doc, filter blacklisted source topics,
-    append the batch to the parquet sink, then throttle so sustained
-    throughput stays ≤ ``records_per_sec``. The row count rides the
-    write job via ``Observation`` (no second pass over the batch).
+    apply the replicate transform with the doc's CURRENT topic mapping
+    and partition counts (falling back to the route's static tables
+    when the doc has no override), append the batch to the parquet
+    sink, then throttle so sustained throughput stays ≤
+    ``records_per_sec``. Row counts ride the write job via
+    ``Observation`` (no second pass over the batch).
+
+    Applying the transform batch-side (instead of once in the
+    streaming plan) is what makes the TOPOLOGY live: a runtime topic
+    expand (`PUT /topics`, the reference's
+    ConsumerFetcherThread.java:183-206 reconciliation) lands in the
+    very next batch's broadcast dims — two tiny ``VALUES``
+    LocalRelations rebuilt per batch, costing nothing at any scale.
+    A custom P5 transform hook, when provided, is applied batch-side
+    unchanged (it is a plain DataFrame→DataFrame callable).
 
     The throttle is Guava-``SmoothBursty``-shaped: ``_next_free`` is
     the earliest instant the NEXT batch may commit; a batch of ``n``
@@ -113,15 +138,49 @@ class DynamicSink:
     part of that is already due. Rate changes re-anchor at the current
     clock (no retroactive debt from the old rate).
 
-    ``log`` records (batch_id, rows_in, rows_written, rate, slept_sec)
-    per batch — driver-side, control-plane-sized, what tests and the
-    REST status endpoint read instead of racing wall clocks."""
+    ``log`` records (batch_id, rows_in, rows_written, rate, blacklist,
+    live_topology, slept_sec) per batch — driver-side,
+    control-plane-sized, what tests and the REST status endpoint read
+    instead of racing wall clocks."""
 
-    def __init__(self, control: ControlDoc, out_path: str) -> None:
+    def __init__(
+        self, control: ControlDoc, out_path: str, route=None, transform=None
+    ) -> None:
         self.control = control
         self.out_path = out_path
+        self.route = route
+        self.transform = transform
         self.log: list[dict] = []
         self._next_free = 0.0
+
+    def _apply_transform(self, batch_df: DataFrame, doc: dict) -> DataFrame:
+        if self.transform is not None:  # P5 hook: caller-owned semantics
+            return self.transform(batch_df)
+        if self.route is None:
+            return batch_df
+        from ureplicator_spark.functions import values_df
+        from ureplicator_spark.operators.replicate import replicate_transform
+
+        spark = batch_df.sparkSession
+        mapping = doc.get("topic_mapping")
+        if mapping is None:
+            mapping = self.route.topic_mapping
+        counts = doc.get("partition_counts")
+        if counts is None:
+            counts = self.route.partition_counts
+        return replicate_transform(
+            batch_df,
+            values_df(
+                spark,
+                list(mapping.items()) or [("", "")],
+                "src_topic string, dst_topic string",
+            ),
+            values_df(
+                spark,
+                list(counts.items()) or [("", 0)],
+                "topic string, num_partitions int",
+            ),
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Observation
@@ -133,7 +192,11 @@ class DynamicSink:
         obs_in = Observation()
         out = batch_df.observe(obs_in, F.count(F.lit(1)).alias("n"))
         if blacklist:
+            # consume-side exclusion on the SOURCE topic (P7), before
+            # the rename — matching the reference's whitelist check in
+            # the fetch loop, not at the producer.
             out = out.filter(~F.col("topic").isin(blacklist))
+        out = self._apply_transform(out, doc)
         obs_out = Observation()
         out = out.observe(obs_out, F.count(F.lit(1)).alias("n"))
         out.write.mode("append").parquet(self.out_path)
@@ -157,6 +220,7 @@ class DynamicSink:
                 "rows_written": rows_written,
                 "rate": rate,
                 "blacklist": list(blacklist),
+                "live_topology": doc.get("topic_mapping") is not None,
                 "slept_sec": round(slept, 3),
             }
         )

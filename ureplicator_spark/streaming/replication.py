@@ -156,18 +156,23 @@ class ReplicationJob:
     def start_dynamic(
         self, out_path: str, control, available_now: bool = False
     ) -> StreamingQuery:
-        """Streaming replication under a LIVE control document — rate
-        and blacklist changes apply at the next micro-batch with no
-        restart (T4 live rate, RateLimiterResource.java:41-62; T9
-        non-stop topology, ConsumerFetcherThread.java:183-206; see
-        ``streaming/dynamic.py``). ``control`` is a
-        ``dynamic.ControlDoc``; the per-batch decision log is
-        ``job.dynamic_sink.log``."""
+        """Streaming replication under a LIVE control document — rate,
+        blacklist, topic-mapping and partition-count changes apply at
+        the next micro-batch with no restart (T4 live rate,
+        RateLimiterResource.java:41-62; T9 non-stop topology,
+        ConsumerFetcherThread.java:183-206; see
+        ``streaming/dynamic.py``). The replicate transform runs
+        BATCH-side in the sink (rebuilt from the doc per batch) rather
+        than once in the streaming plan — that is what makes the
+        topology live. ``control`` is a ``dynamic.ControlDoc``; the
+        per-batch decision log is ``job.dynamic_sink.log``."""
         from ureplicator_spark.streaming.dynamic import DynamicSink
 
         self.control = control
-        self.dynamic_sink = DynamicSink(control, out_path)
-        out = self._transform(self._source())
+        self.dynamic_sink = DynamicSink(
+            control, out_path, route=self.route, transform=self.transform
+        )
+        out = self._source()
         writer = (
             out.writeStream.foreachBatch(self.dynamic_sink)
             .option("checkpointLocation", self.checkpoint_dir)
