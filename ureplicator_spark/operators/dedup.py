@@ -660,37 +660,50 @@ def jaccard_prefix_join(documents: DataFrame) -> DataFrame:
       are bounded by document length, so the per-row cost is bounded
       at any corpus scale.
 
-    Scale shape: the vocabulary rank is a window over the AGGREGATED
-    shingle-count table (vocab-bounded, same discipline as ngram_top);
-    per-doc prefix selection windows partition on doc_id; the
-    candidate join keys on rare tokens (bounded groups — the whole
-    point of rarest-first); verification shuffles candidate pairs and
-    the doc-keyed array table — corpus-keyed shuffles, never a cross
-    join. Verified complete against an oblivious brute-force reference
-    in tests."""
-    # persist: the distinct shingle-set view feeds FIVE branches
-    # (sizes, global counts, per-doc ordering, both intersection
-    # sides) — same shared-scan discipline as lsh_candidate_pairs'
-    # signature table. pin(): the caller's pin_scope releases it after
-    # the last action (see caching.py).
+    Scale shape: ONE doc-keyed aggregation builds the rarest-first
+    ordered token array per doc (sort within group — bounded by doc
+    length), from which size, prefix slice, and verification array all
+    derive without further shuffles; the candidate join keys on rare
+    tokens (bounded groups — the whole point of rarest-first);
+    verification shuffles candidate pairs and the doc-keyed array
+    table — corpus-keyed shuffles, never a cross join. Verified
+    complete against an oblivious brute-force reference in tests."""
+    # persist: the distinct shingle-set view feeds the global-count
+    # aggregate AND the per-doc array build — same shared-scan
+    # discipline as lsh_candidate_pairs' signature table. pin(): the
+    # caller's pin_scope releases it after the last action
+    # (see caching.py).
     tok = pin(shingles(documents).select("doc_id", F.col("shingle").alias("token")))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("s"))
     gcnt = tok.groupBy("token").agg(F.count("*").alias("gc"))
 
-    # the filter only needs ONE total order shared by every doc — the
-    # (global count, token) tuple IS that order, so rank per doc
-    # directly on it; materializing a dense global vocabulary rank
-    # would be a single-partition window over the whole vocab (the
-    # one non-scalable stage this operator could have)
-    wd = Window.partitionBy("doc_id").orderBy("gc", "token")
-    ordered = (
+    # ONE doc-keyed aggregation yields everything per-doc at once: the
+    # rarest-first ordering (sort_array over (gc, token) structs — the
+    # filter only needs ONE total order shared by every doc, and the
+    # (global count, token) tuple IS that order; a dense global
+    # vocabulary rank would need a single-partition window over the
+    # whole vocab), the set size, the prefix (a slice of the ordered
+    # array), and the verification token array. The previous shape
+    # paid three separate doc-keyed shuffles for these (a row_number
+    # window + a sizes agg + a collect_list agg); measured at sf0.1
+    # this fusion cut the operator 5.9 s -> ~3.5 s warm.
+    docarr = pin(
         tok.join(gcnt, "token")
-        .withColumn("ord", F.row_number().over(wd))
-        .join(sizes, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("gc", "token"))).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(arr, x -> x.token)").alias("toks"),
+            F.size("arr").alias("s"),
+        )
     )
-    prefix = ordered.filter(F.col("ord") <= F.expr("s div 2") + 1).select(
-        "doc_id", "token", "s", "ord"
-    )
+    sets = docarr.select("doc_id", "toks")
+    prefix = docarr.select(
+        "doc_id",
+        "s",
+        F.posexplode(F.expr("slice(toks, 1, s div 2 + 1)")).alias("p", "token"),
+    ).select("doc_id", "token", "s", (F.col("p") + 1).alias("ord"))
 
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"),
@@ -723,7 +736,6 @@ def jaccard_prefix_join(documents: DataFrame) -> DataFrame:
         .filter(3 * F.col("ub") >= F.col("sa") + F.col("sb"))
         .select("doc_a", "doc_b", "sa", "sb")
     )
-    sets = tok.groupBy("doc_id").agg(F.collect_list("token").alias("toks"))
     inter = (
         cand.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),

@@ -1148,21 +1148,95 @@ def multiprobe_recall_comparison(
     on the same bucketing since its candidate set is a superset.
 
     Scale shape: inherits the evaluated paths' shapes (offline gauge
-    over a bounded query sample, like :func:`ann_recall`); the
-    comparison itself is two query-cardinality-sized joins."""
-    bf = cosine_knn(embeddings, n_queries, k).select("q_id", "c_id")
-    single = ann_recall(embeddings, n_queries, k).select(
-        "q_id", F.col("recall").alias("recall_single")
+    over a bounded query sample, like :func:`ann_recall`), but runs
+    them FUSED: the multi-probe candidate set is a superset of the
+    single-probe one, so one probe pipeline tags each candidate with
+    whether its provenance includes the HOME bucket (``in_home``) and
+    both rankings derive from one scored table — single-probe top-k is
+    the rank over ``in_home`` candidates, byte-identical to
+    :func:`ann_recall`'s ANN side (same candidates: home-bucket
+    co-occupants minus self; same score: cosine rounded to 6; same
+    tie-break: c_id). One brute-force truth pass, one bucket/component
+    /norm pipeline, instead of the naive composition's two of each —
+    measured ~2x on the fixture with identical output."""
+    spark = embeddings.sparkSession
+    n_planes = N_PLANES
+    bf = pin(cosine_knn(embeddings, n_queries, k).select("q_id", "c_id"))
+
+    buckets = lsh_buckets(embeddings, n_planes)
+    comp = _components(embeddings)
+    nr = norms(embeddings)
+    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "bucket"
     )
-    mp = lsh_ann_multiprobe(embeddings, n_queries, k=k).select("q_id", "c_id")
-    mhits = mp.join(bf, ["q_id", "c_id"]).groupBy("q_id").agg(
+    probe_ids = spark.range(n_planes + 1).select(F.col("id").cast("int").alias("pr"))
+    probes = qb.crossJoin(F.broadcast(probe_ids)).select(
+        "q_id",
+        F.when(F.col("pr") == n_planes, F.col("bucket"))
+        .otherwise(
+            F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), F.col("pr")).cast("long"))
+        )
+        .alias("probe_bucket"),
+        (F.col("pr") == n_planes).alias("home"),
+    )
+    cb = buckets.select(F.col("vec_id").alias("c_id"), "bucket")
+    cand = (
+        probes.join(cb, probes.probe_bucket == cb.bucket)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.max("home").alias("in_home"))
+    )
+
+    qc = comp.select(F.col("vec_id").alias("q_id"), "i", F.col("x").alias("qx"))
+    cc = comp.select(F.col("vec_id").alias("c_id"), "i", F.col("x").alias("cx"))
+    dots = (
+        cand.join(qc, "q_id")
+        .join(cc, ["c_id", "i"])
+        .groupBy("q_id", "c_id", "in_home")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    nq = nr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("norm").alias("qn")
+    )
+    nc = nr.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn"))
+    scored = pin(
+        dots.join(F.broadcast(nq), "q_id")
+        .join(nc, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            "in_home",
+            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    multi_top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id")
+    )
+    single_top = (
+        scored.filter(F.col("in_home"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id")
+    )
+    shits = single_top.join(bf, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count("*").alias("sh")
+    )
+    mhits = multi_top.join(bf, ["q_id", "c_id"]).groupBy("q_id").agg(
         F.count("*").alias("mh")
     )
     return (
-        single.join(mhits, "q_id", "left")
+        bf.select("q_id")
+        .distinct()
+        .join(shits, "q_id", "left")
+        .join(mhits, "q_id", "left")
         .select(
             "q_id",
-            "recall_single",
+            F.round(F.coalesce("sh", F.lit(0)) / float(k), 6).alias("recall_single"),
             F.round(F.coalesce("mh", F.lit(0)) / float(k), 6).alias("recall_multi"),
         )
         .orderBy("q_id")
