@@ -49,3 +49,12 @@ def list_subdirs(spark: SparkSession, path: str) -> list[str]:
 def delete_recursive(spark: SparkSession, path: str) -> bool:
     fs, p, _ = _fs(spark, path)
     return fs.delete(p, True)
+
+
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    """Create ``path`` (and parents). Used as a cheap idempotent commit
+    marker by the streaming index maintainers: the marker directory is
+    created AFTER its batch's data lands, so a present marker proves a
+    completed apply (mirrors streaming/ivm.py's version-dir commit)."""
+    fs, p, _ = _fs(spark, path)
+    return fs.mkdirs(p)

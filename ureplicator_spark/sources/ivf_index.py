@@ -135,6 +135,60 @@ def build_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    spark: SparkSession, root: str, new_embeddings: DataFrame
+) -> int:
+    """Grow the persisted index WITHOUT a rebuild: assign each new
+    vector to its nearest EXISTING centroid list (broadcast centroids,
+    one map pass + the per-vector argmax window) and append the rows
+    partition-wise — the standard IVF maintenance move (new vectors
+    join lists; the coarse quantizer is retrained only on drift, which
+    is a rebuild by definition). Returns rows appended.
+
+    The assignment math mirrors ``build_ivf_index`` (cosine against
+    the persisted centroids, rounded to 6, ties to the lower cent_id;
+    norms from the same component formulation), so appended vectors
+    land where a full rebuild would put them. Cost is
+    O(new · n_centroids) — never touches existing lists' files.
+
+    Crash contract: a crash mid-append can leave a partial batch
+    (at-least-once, the same posture as the archive's blind-append
+    sink); the streaming maintainer (``streaming/ann_index.py``)
+    commits a marker AFTER each batch so normal micro-batch replays
+    are no-ops."""
+    from pyspark.sql import Observation
+
+    centroids = spark.read.parquet(root + "/centroids").select(
+        "cent_id", F.col("embedding").alias("c_emb"), "cn"
+    )
+    nrm = norms(new_embeddings)
+    v = new_embeddings.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v_emb"),
+    ).join(nrm, "vec_id")
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "cent_id",
+        F.round(
+            F.try_divide(_dot(F.col("v_emb"), F.col("c_emb")), F.col("norm") * F.col("cn")),
+            6,
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", "cent_id")
+    )
+    obs = Observation()
+    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+    assigned.write.mode("append").partitionBy("cent_id").parquet(root + "/vectors")
+    return int(obs.get["n"])
+
+
 def search_ivf_index(
     spark: SparkSession,
     root: str,
