@@ -130,3 +130,98 @@ def test_replay_marker_makes_duplicate_batch_a_noop(spark, emb, tmp_path):
     if not fs_exists(spark, f"{root}/_applied_batches/b7"):
         append_to_ivf_index(spark, root, batch)
     assert spark.read.parquet(root + "/vectors").count() == n1
+
+
+def _expected_pq_codes(root: str, appended: pd.DataFrame, meta: dict):
+    """Oblivious NumPy encode with the persisted quantizers: integer
+    components, exact int-L2 coarse argmin (tie -> lower cent_id),
+    per-sub residual argmin vs the codebook (tie -> lower code)."""
+    qscale, m, dim = meta["qscale"], meta["m"], meta["dim"]
+    subdim = dim // m
+    coarse = pd.read_parquet(root + "/coarse")
+    cmat = {}
+    for cid, g in coarse.groupby("cent_id"):
+        cmat[int(cid)] = g.sort_values("i")["c"].to_numpy(dtype=np.int64)
+    cb = pd.read_parquet(root + "/codebook")
+    cbmat = {}
+    for (sub, code), g in cb.groupby(["sub", "code"]):
+        cbmat[(int(sub), int(code))] = g.sort_values("i")["c"].to_numpy(np.int64)
+    out = {}
+    for _, row in appended.iterrows():
+        q = np.round(
+            np.asarray(row["embedding"], dtype=np.float64) * qscale
+        ).astype(np.int64)
+        best = min(
+            (int(((q - c) ** 2).sum()), cid) for cid, c in cmat.items()
+        )
+        cid = best[1]
+        r = q - cmat[cid]
+        codes = []
+        for sub in range(m):
+            rs = r[sub * subdim:(sub + 1) * subdim]
+            codes.append(
+                min(
+                    (int(((rs - cw) ** 2).sum()), code)
+                    for (s, code), cw in cbmat.items()
+                    if s == sub
+                )[1]
+            )
+        out[int(row["vec_id"])] = (cid, codes)
+    return out
+
+
+def test_pq_append_encodes_with_persisted_quantizers(spark, emb, tmp_path):
+    import json
+
+    from ureplicator_spark.sources.pq_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    root = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < SPLIT), root)
+    n0 = spark.read.parquet(root + "/codes").count()
+
+    new = emb.filter(F.col("vec_id") >= SPLIT)
+    n_appended = append_to_ivfpq_index(spark, root, new)
+    codes = spark.read.parquet(root + "/codes")
+    assert n_appended == new.count()
+    assert codes.count() == n0 + n_appended
+    assert codes.select("vec_id").distinct().count() == n0 + n_appended
+
+    got = {
+        int(r["vec_id"]): (int(r["cent_id"]), [int(c) for c in r["codes"]])
+        for r in codes.filter(F.col("vec_id") >= SPLIT).collect()
+    }
+    meta = json.load(open(root + "/meta.json"))
+    want = _expected_pq_codes(root, new.limit(50).toPandas(), meta)
+    for vid, exp in want.items():
+        assert got[vid] == exp, vid
+
+    res = search_ivfpq_index(spark, root, emb.filter(F.col("vec_id") < 5))
+    assert res.count() == 5 * 5  # searchable after growth
+
+
+def test_streaming_pq_maintenance_replay_safe(spark, emb, tmp_path):
+    from ureplicator_spark.sources.pq_index import build_ivfpq_index
+    from ureplicator_spark.streaming.ann_index import maintain_ivfpq_index
+
+    root = str(tmp_path / "ivfpq")
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < SPLIT), root)
+    emb.filter(F.col("vec_id") >= SPLIT).coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    maintain_ivfpq_index(stream, root, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(root + "/codes").count()
+    assert n1 == emb.count()
+
+    # restart over the same source + checkpoint: no duplicates
+    stream2 = spark.readStream.schema(static.schema).parquet(src)
+    maintain_ivfpq_index(stream2, root, ckpt).awaitTermination(120)
+    codes = spark.read.parquet(root + "/codes")
+    assert codes.count() == n1
+    assert codes.select("vec_id").distinct().count() == n1

@@ -163,6 +163,77 @@ def build_ivfpq_index(
                    "dim": dim, "qscale": qscale}, f)
 
 
+def append_to_ivfpq_index(
+    spark: SparkSession, root: str, new_embeddings: DataFrame
+) -> int:
+    """Grow the compressed index WITHOUT retraining: encode new
+    vectors with the EXISTING coarse centroids and PQ codebooks (the
+    FAISS ``add`` operation — quantizers are fixed after training) and
+    append the codes partition-wise to their coarse lists. Returns
+    rows appended.
+
+    Encoding is byte-identical to the build's own encode step: integer
+    components at the index's persisted qscale, exact integer-L2
+    argmin against the broadcast coarse table (ties to the lower
+    cent_id), per-subspace residual argmin against the broadcast
+    codebook (ties to the lower code) — pinned in tests against an
+    oblivious NumPy reference. Cost is O(new · (n_centroids + m·k));
+    existing lists' files are never touched. Crash contract matches
+    ``append_to_ivf_index`` (at-least-once mid-append; the streaming
+    maintainer's marker commit makes normal replays no-ops)."""
+    import json
+
+    from pyspark.sql import Observation
+
+    with open(root + "/meta.json") as f:
+        meta = json.load(f)
+    qscale, subdim = meta["qscale"], meta["dim"] // meta["m"]
+
+    coarse = spark.read.parquet(root + "/coarse")
+    cb = spark.read.parquet(root + "/codebook")
+
+    comp = _int_components(new_embeddings, qscale)
+    cdist = (
+        comp.join(F.broadcast(coarse), "i")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+    )
+    assign = _argmin_assign(cdist, ["vec_id"], "cent_id").select("vec_id", "cent_id")
+
+    resid = (
+        comp.join(assign, "vec_id")
+        .join(F.broadcast(coarse), ["cent_id", "i"])
+        .select(
+            "vec_id",
+            "cent_id",
+            F.expr(f"(i - 1) div {subdim}").alias("sub"),
+            "i",
+            (F.col("q") - F.col("c")).alias("r"),
+        )
+    )
+    dist = (
+        resid.join(F.broadcast(cb), ["sub", "i"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))).alias("dist"))
+    )
+    codes = _argmin_assign(dist, ["vec_id", "sub"], "code").select(
+        "vec_id", "sub", "code"
+    )
+    packed = (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select("vec_id", F.expr("transform(sc, s -> CAST(s.code AS INT))").alias("codes"))
+        .join(assign, "vec_id")
+    )
+    obs = Observation()
+    packed = packed.observe(obs, F.count(F.lit(1)).alias("n"))
+    # same one-file-per-list write discipline as the build
+    packed.repartition("cent_id").write.mode("append").partitionBy(
+        "cent_id"
+    ).parquet(root + "/codes")
+    return int(obs.get["n"])
+
+
 def search_ivfpq_index(
     spark: SparkSession,
     root: str,

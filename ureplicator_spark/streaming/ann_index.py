@@ -37,6 +37,34 @@ from ureplicator_spark.fsutil import fs_exists, mkdirs
 from ureplicator_spark.sources.ivf_index import append_to_ivf_index
 
 
+def _maintainer(
+    embeddings_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    append_fn,
+    name: str,
+    available_now: bool,
+) -> StreamingQuery:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker = f"{root}/_applied_batches/b{batch_id}"
+        if fs_exists(spark, marker):
+            return  # replayed batch: already applied, no-op
+        append_fn(spark, root, batch_df.select("vec_id", "embedding"))
+        mkdirs(spark, marker)
+
+    writer = (
+        embeddings_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def maintain_ivf_index(
     embeddings_stream: DataFrame,
     root: str,
@@ -46,25 +74,36 @@ def maintain_ivf_index(
     """Run the maintainer over a streaming (vec_id, embedding) frame.
     The index at ``root`` must already exist (``build_ivf_index`` on
     the initial corpus — the quantizer needs training data)."""
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        marker = f"{root}/_applied_batches/b{batch_id}"
-        if fs_exists(spark, marker):
-            return  # replayed batch: already applied, no-op
-        append_to_ivf_index(spark, root, batch_df.select("vec_id", "embedding"))
-        mkdirs(spark, marker)
-
-    writer = (
-        embeddings_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("ivf-index-maintenance")
+    return _maintainer(
+        embeddings_stream,
+        root,
+        checkpoint_dir,
+        append_to_ivf_index,
+        "ivf-index-maintenance",
+        available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+
+
+def maintain_ivfpq_index(
+    embeddings_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Same contract for the compressed index: new vectors are encoded
+    with the persisted coarse/PQ quantizers (FAISS ``add``) and their
+    codes appended to the probed-list layout — O(batch) per batch,
+    replay-safe via the marker commit."""
+    from ureplicator_spark.sources.pq_index import append_to_ivfpq_index
+
+    return _maintainer(
+        embeddings_stream,
+        root,
+        checkpoint_dir,
+        append_to_ivfpq_index,
+        "ivfpq-index-maintenance",
+        available_now,
+    )
 
 
 def list_stats(spark: SparkSession, root: str) -> DataFrame:
