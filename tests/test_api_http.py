@@ -244,3 +244,43 @@ def test_query_plan_route_explains(server):
     assert e.value.code in (400, 404, 500)
     with pytest.raises(urllib.error.HTTPError):
         _call(server, "GET", "/query/nope/plan")
+
+
+def test_routes_listing_and_dynamic_batch_log(server, spark, sf_dir, tmp_path):
+    """GET /routes lists registered routes; GET /routes/<name>/batches
+    exposes a live dynamic route's per-batch decision log (the REST
+    face of the live control plane, test_dynamic.py's engine path)."""
+    import urllib.parse
+
+    from ureplicator_spark.streaming.dynamic import ControlDoc
+    from ureplicator_spark.streaming.replication import ReplicationJob, Route
+
+    assert _call(server, "GET", "/routes")[1] == []
+
+    src = str(tmp_path / "records")
+    FX.records(spark, sf_dir).limit(100).coalesce(1).write.parquet(src)
+    job = ReplicationJob(
+        spark,
+        Route(src_cluster="sjc1", dst_cluster="dca1", route_id=9,
+              topic_mapping=dict(FX.TOPIC_MAPPING_ROWS),
+              partition_counts=dict(FX.PARTITION_COUNT_ROWS)),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_kind="files",
+        source_path=src,
+    )
+    server._httpd.RequestHandlerClass.engine.add_route(job)
+    control = ControlDoc(str(tmp_path / "control.json"))
+    q = job.start_dynamic(str(tmp_path / "out"), control)
+    try:
+        q.processAllAvailable()
+        code, routes = _call(server, "GET", "/routes")
+        assert code == 200
+        assert [r["route"] for r in routes] == [job.route.name]
+        assert routes[0]["active"] is True
+
+        quoted = urllib.parse.quote(job.route.name)
+        code, out = _call(server, "GET", f"/routes/{quoted}/batches")
+        assert code == 200 and out["route"] == job.route.name
+        assert sum(b["rows_written"] for b in out["batches"]) == 100
+    finally:
+        q.stop()

@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,7 +85,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self, method: str) -> None:
         url = urlparse(self.path)
-        parts = [p for p in url.path.split("/") if p]
+        # unquote AFTER splitting so %2F inside a segment (e.g. a route
+        # name) cannot inject extra path components
+        parts = [unquote(p) for p in url.path.split("/") if p]
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         try:
             handled = self._dispatch(method, parts, q)
@@ -125,6 +127,17 @@ class _Handler(BaseHTTPRequestHandler):
         if key == ("POST", "sql"):
             b = self._body()
             return 200, _rows(eng.collect_sql(b["sql"], limit=int(b.get("limit", 1000))))
+        if key == ("GET", "routes") and len(parts) == 1:
+            return 200, _df_rows(eng.routes.to_df().filter(F.col("route") != ""))
+        if key == ("GET", "routes") and len(parts) == 3 and parts[2] == "batches":
+            # per-batch decision log of a live dynamic route: rows
+            # written, applied rate, blacklist, sleep — control-plane
+            # sized by construction (one dict per micro-batch)
+            job = eng.routes.jobs.get(parts[1])
+            if job is None:
+                raise KeyError(parts[1])
+            log = job.dynamic_sink.log if job.dynamic_sink is not None else []
+            return 200, {"route": parts[1], "batches": log}
         if key == ("GET", "topics"):
             return 200, _df_rows(eng.topics().filter(F.col("topic") != ""))
         if key == ("POST", "topics"):
