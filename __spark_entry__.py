@@ -29,6 +29,9 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
+    # new in r7 (never driver-checked): the incremental-index lifecycle
+    # query (build -> append_to_ivf_index -> DPP-pruned search).
+    "similarity_ivf_incremental",
     # r7 window rotation (the r5 and r6 verdicts' #1 task): these 22
     # names have never appeared in any driver window across rounds
     # 1-6 (CORRECTNESS_r01..r06 union = 126/148). They lead the list

@@ -1905,6 +1905,42 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("similarity_ivf_incremental", _IVF_SQL + "\nORDER BY q_id, rank")
+def q_similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL index path under the hash gate: build the
+    persisted IVF index on the first 400 vectors, grow it with
+    ``append_to_ivf_index`` (the no-rebuild maintenance op,
+    ``streaming/ann_index.py``'s per-batch apply), then run the
+    DPP-pruned search. Because append places each vector exactly where
+    a full rebuild would (nearest existing centroid, round-6 cosine,
+    ties to the lower cent_id — pinned in
+    tests/test_ann_index_maintenance.py), the result is provably equal
+    to a search over a full build — which is what the inline IVF SQL
+    oracle computes. A hash match here attests the whole
+    build→append→search lifecycle, not just the search.
+
+    Scale shape: the build is one corpus pass, the append is
+    O(new · n_centroids) and never touches existing lists' files, and
+    the search reads only probed cent_id directories (DPP,
+    plan-asserted in test_plans.py)."""
+    import tempfile
+
+    from ureplicator_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ureplicator_ivf_inc_")
+    build_ivf_index(emb.filter(F.col("vec_id") < 400), root)
+    append_to_ivf_index(spark, root, emb.filter(F.col("vec_id") >= 400))
+    return search_ivf_index(
+        spark, root, emb.filter(F.col("vec_id") < 10), nprobe=2, k=3
+    ).orderBy("q_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Corpus-clean pipeline + percentile workload stats
 # ---------------------------------------------------------------------------
