@@ -218,3 +218,88 @@ def test_engine_applies_rate_and_blacklist_live(spark, sf_dir, tmp_path):
         assert landed.count() > 0
     finally:
         q.stop()
+
+
+def test_dynamic_route_checkpoint_restart_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """A clean stop + restart from the same checkpoint must not
+    re-append committed batches (the T1 at-least-once window is only
+    crash-mid-batch, never a clean restart), and the control doc keeps
+    governing the resumed query."""
+    src = str(tmp_path / "records")
+    FX.records(spark, sf_dir).limit(300).coalesce(1).write.parquet(src)
+    control = ControlDoc(str(tmp_path / "control.json"))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    job1 = ReplicationJob(
+        spark, _route(), checkpoint_dir=ckpt,
+        source_kind="files", source_path=src,
+    )
+    q1 = job1.start_dynamic(out, control)
+    q1.processAllAvailable()
+    q1.stop()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 300
+
+    # restart: same checkpoint, nothing new -> nothing re-emitted
+    job2 = ReplicationJob(
+        spark, _route(), checkpoint_dir=ckpt,
+        source_kind="files", source_path=src,
+    )
+    q2 = job2.start_dynamic(out, control)
+    try:
+        q2.processAllAvailable()
+        assert spark.read.parquet(out).count() == n1
+
+        # the resumed query still reads the live doc
+        control.set_blacklist(["click"])
+        _feed(spark, sf_dir, src, 200)
+        q2.processAllAvailable()
+        after = spark.read.parquet(out)
+        assert after.count() > n1
+        assert job2.dynamic_sink.log[-1]["blacklist"] == ["click"]
+        assert job2.dynamic_sink.log[-1]["rows_in"] > job2.dynamic_sink.log[-1][
+            "rows_written"
+        ]
+    finally:
+        q2.stop()
+
+
+def test_rest_route_teardown(spark, sf_dir, tmp_path):
+    """DELETE /routes/{name} stops the query and drops it from the
+    registry; checkpoint state survives for a later resume."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from ureplicator_spark.api import Engine
+    from ureplicator_spark.api_http import RestServer
+
+    src = str(tmp_path / "records")
+    FX.records(spark, sf_dir).limit(100).coalesce(1).write.parquet(src)
+    control = ControlDoc(str(tmp_path / "control.json"))
+    job = ReplicationJob(
+        spark, _route(), checkpoint_dir=str(tmp_path / "ckpt"),
+        source_kind="files", source_path=src,
+    )
+    eng = Engine(spark)
+    eng.add_route(job)
+    srv = RestServer(eng, port=0).start()
+    q = job.start_dynamic(str(tmp_path / "out"), control)
+    try:
+        q.processAllAvailable()
+        quoted = urllib.parse.quote(job.route.name)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/routes/{quoted}", method="DELETE"
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert _json.loads(resp.read())["removed"] == job.route.name
+        assert not q.isActive  # stopped by the teardown
+        assert job.route.name not in eng.routes.jobs
+    finally:
+        if q.isActive:
+            q.stop()
+        srv.stop()

@@ -138,6 +138,14 @@ class _Handler(BaseHTTPRequestHandler):
                 raise KeyError(parts[1])
             log = job.dynamic_sink.log if job.dynamic_sink is not None else []
             return 200, {"route": parts[1], "batches": log}
+        if key == ("DELETE", "routes") and len(parts) == 2:
+            # route teardown: stop the streaming query (checkpoint
+            # state survives — re-adding the route resumes exactly
+            # where it left off) and drop it from the registry
+            if parts[1] not in eng.routes.jobs:
+                raise KeyError(parts[1])
+            eng.routes.remove(parts[1])
+            return 200, {"removed": parts[1]}
         if key == ("GET", "topics"):
             return 200, _df_rows(eng.topics().filter(F.col("topic") != ""))
         if key == ("POST", "topics"):
