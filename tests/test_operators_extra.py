@@ -1438,3 +1438,75 @@ def test_prefix_join_complete_vs_bruteforce(spark, sf_dir):
     for r in got_rows:
         assert 3 * r.inter >= r.sa + r.sb
         assert r.jaccard >= 0.5
+
+
+def test_bm25_matches_oblivious_reference(spark, sf_dir):
+    """BM25 top-10 reproduced by a pure-Python implementation (third
+    engine): same winners, same order, same 6-dp scores."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ureplicator_spark.operators.text import bm25_search
+    from ureplicator_spark.sources.parquet import load_table
+
+    terms = ("dup", "spark", "merge")
+    rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    scored = []
+    for doc_id, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+        if s > 0:
+            scored.append((round(s, 6), doc_id))
+    want = sorted(scored, key=lambda x: (-x[0], x[1]))[:10]
+
+    got = [
+        (r.bm25, r.doc_id)
+        for r in bm25_search(load_table(spark, sf_dir, "documents")).collect()
+    ]
+    assert got == want
+
+
+def test_hybrid_rrf_prefers_doc_strong_in_both_arms(spark):
+    """A candidate ranked #1 by BOTH arms must outrank candidates that
+    win only one arm; the fused score must equal 1/(60+v)+1/(60+l)."""
+    from ureplicator_spark.operators.similarity import hybrid_rrf_retrieval
+
+    # doc 0 is the query. doc 1: lexically identical AND vector-near
+    # (wins both arms). doc 2: vector-near only. doc 3: lexical only.
+    docs = spark.createDataFrame(
+        [
+            (0, "join merge sort join merge", "en", "web", 25),
+            (1, "join merge sort join merge", "en", "web", 25),
+            (2, "scan filter window scan filter", "en", "web", 30),
+            (3, "join merge sort sort join", "en", "web", 25),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0] + [0.0] * 63, 0),
+            (1, [0.99, 0.1] + [0.0] * 62, 0),
+            (2, [0.98, 0.15] + [0.0] * 62, 0),
+            (3, [0.0, 1.0] + [0.0] * 62, 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = hybrid_rrf_retrieval(docs, emb, n_queries=1, depth=3, top_k=3)
+    rows = {r.c_id: r for r in out.collect()}
+    assert rows[1].rank == 1  # strong in both arms
+    assert rows[1].v_rank is not None and rows[1].l_rank is not None
+    for r in rows.values():
+        expect = (1.0 / (60 + r.v_rank) if r.v_rank else 0.0) + (
+            1.0 / (60 + r.l_rank) if r.l_rank else 0.0
+        )
+        assert abs(r.rrf - round(expect, 9)) < 1e-12

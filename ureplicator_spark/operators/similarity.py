@@ -1241,3 +1241,86 @@ def multiprobe_recall_comparison(
         )
         .orderBy("q_id")
     )
+
+
+def hybrid_rrf_retrieval(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    depth: int = 10,
+    top_k: int = 5,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack SIGIR'09):
+    fuse the dense arm (brute-force cosine top-``depth``) with a
+    lexical more-like-this arm (BM25 where the query bag is the query
+    doc's own distinct tokens) via ``sum 1/(rrf_k + rank)`` — the
+    standard RAG retrieval shape where neither signal alone suffices.
+
+    Scale shape: the query side is ``n_queries`` docs — its distinct
+    token bag broadcasts, so the lexical arm is one broadcast-hash
+    semi-join into the corpus tf aggregate (df-bounded candidates per
+    query term; the corpus-wide window partitions by q_id over those
+    candidates only). The dense arm here is the oracle-matched
+    brute-force baseline; at fleet scale the same fusion consumes the
+    IVF/LSH arm's (q_id, c_id, rank) output unchanged — RRF only needs
+    ranks, which is exactly why it is the fusion of choice when the
+    two arms' scores live on incomparable scales.
+
+    Determinism/parity: BM25 sums are rounded (6 dp) before ranking;
+    RRF values are sums of two exact IEEE divisions of integers, so
+    both engines produce bit-identical fusion scores (rounded 9 dp for
+    display); every window breaks ties on c_id.
+    """
+    from ureplicator_spark.operators.text import bm25_contribution, tokens
+
+    tok = tokens(documents).select("doc_id", "token")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    qtok = (
+        tok.filter(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("q_id"), "token")
+        .distinct()
+    )
+    tf = tok.groupBy(F.col("doc_id").alias("c_id"), "token").agg(
+        F.count("*").alias("tf")
+    )
+    lex = (
+        tf.join(F.broadcast(qtok), "token")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .join(dl.withColumnRenamed("doc_id", "c_id"), "c_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "c_id")
+    lrank = (
+        lex.withColumn("l_rank", F.row_number().over(wl))
+        .filter(F.col("l_rank") <= depth)
+        .select("q_id", "c_id", "l_rank")
+    )
+    vrank = cosine_knn(embeddings, n_queries=n_queries, k=depth).select(
+        "q_id", "c_id", F.col("rank").alias("v_rank")
+    )
+    fused = lrank.join(vrank, ["q_id", "c_id"], "full_outer").select(
+        "q_id",
+        "c_id",
+        "v_rank",
+        "l_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("v_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("l_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "c_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", "rank", "c_id", "rrf", "v_rank", "l_rank")
+        .orderBy("q_id", "rank")
+    )

@@ -13,7 +13,7 @@ exact integer counts → bit-identical across engines and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ureplicator_spark.caching import pin
@@ -1000,4 +1000,91 @@ def weighted_sample_docs(
         .filter(F.col("rank") <= per_group)
         .select("lang", "rank", "doc_id", "weight", "es_key")
         .orderBy("lang", "rank")
+    )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag of query terms
+    (Robertson-Walker TREC-3 '94; the Lucene-default non-negative idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``) — the lexical ranking arm
+    a retrieval/curation pipeline runs next to the ANN arm.
+
+    Scale shape: the term filter pushes an ``isin`` predicate into the
+    token scan, so only query-term postings survive the first shuffle
+    (|terms| · df rows, not the corpus token count); df and the
+    (avgdl, N) pair are vocabulary-/scalar-sized broadcasts; doc
+    length is one count aggregate reused from the same token view.
+    Nothing corpus-sized crosses the wire except the per-doc partial
+    tf counts, which map-side combine bounds by |terms| per task.
+
+    Determinism/parity: per-term contributions are exact-order-free
+    (each is one double expression over integer tf/df/dl), and only
+    the final per-doc sum is rounded (6 dp) for the rank gate."""
+    tok = tokens(documents).select("doc_id", "token")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    hits = tok.filter(F.col("token").isin(*query_terms))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))
+    )
+
+
+def bm25_contribution(k1: float, b: float) -> Column:
+    """Per-(doc, term) BM25 contribution ``idf * tf_norm`` over columns
+    (tf, df, dl, avgdl, n_docs). One shared expression for the
+    query-terms arm and the more-like-this arm (hybrid retrieval), so
+    the scoring formula cannot drift between call sites. Non-negative
+    Lucene idf; literal subexpressions are pre-folded Python floats so
+    the oracle SQL can mirror them digit-for-digit."""
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return idf * tf_norm
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = ("dup", "spark", "merge"),
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 retrieval: rank :func:`bm25_scores` output, ties to
+    the smaller doc_id, and pull back the snippet/metadata only for
+    the k winners (the ranked-id list is tiny, so the documents table
+    joins it broadcast and never shuffles).
+
+    The global top-k is ``orderBy().limit()`` — Spark plans it as
+    TakeOrderedAndProject (per-partition partial top-k, k-row merge),
+    so no corpus-sized single-partition window ever exists; the rank
+    column is then a window over exactly k rows."""
+    scored = bm25_scores(documents, query_terms)
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(top_k)
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    top = top.withColumn("rank", F.row_number().over(w))
+    return (
+        documents.join(F.broadcast(top), "doc_id")
+        .select(
+            "rank",
+            "doc_id",
+            "bm25",
+            "lang",
+            "source",
+            F.substring("text", 1, 60).alias("snippet"),
+        )
+        .orderBy("rank")
     )

@@ -6264,3 +6264,148 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return histogram_quantiles(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Lexical + hybrid retrieval: BM25 and reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_BM25_CONTRIB = (
+    "ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    " * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)))"
+)
+
+_BM25_SQL = _with(
+    _TOK_CTE,
+    "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)",
+    "corpus AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl)",
+    """
+hits AS (
+  SELECT doc_id, token FROM tok WHERE token IN ('dup', 'spark', 'merge')
+)
+""".strip(),
+    "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM hits GROUP BY doc_id, token)",
+    "dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY token)",
+    f"""
+scored AS (
+  SELECT t.doc_id, ROUND(SUM({_BM25_CONTRIB}), 6) AS bm25
+  FROM tf t JOIN dfreq d USING (token) JOIN dl l USING (doc_id) CROSS JOIN corpus c
+  GROUP BY t.doc_id
+)
+""".strip(),
+    """
+top AS (
+  SELECT doc_id, bm25, rank FROM (
+    SELECT doc_id, bm25,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)
+""".strip(),
+    """
+SELECT t.rank, t.doc_id, t.bm25, d.lang, d.source,
+       substr(d.text, 1, 60) AS snippet
+FROM top t JOIN documents d USING (doc_id)
+ORDER BY t.rank
+""",
+)
+
+
+@register("text_bm25_search", _BM25_SQL)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (Robertson-Walker '94, Lucene idf) for a
+    fixed 3-term query — the lexical ranking arm of a curation/RAG
+    pipeline. The term filter pushes into the token scan so only
+    query-term postings shuffle; global top-k is
+    TakeOrderedAndProject, never a corpus-wide single-partition
+    window."""
+    from ureplicator_spark.operators.text import bm25_search
+    from ureplicator_spark.sources.parquet import load_table
+
+    return bm25_search(load_table(spark, sf_dir, "documents"))
+
+
+_HYBRID_RRF_SQL = _with(
+    _TOK_CTE,
+    _COMP_CTE,
+    "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)",
+    "corpus AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl)",
+    "dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)",
+    "qtok AS (SELECT DISTINCT doc_id AS q_id, token FROM tok WHERE doc_id < 5)",
+    "tf AS (SELECT doc_id AS c_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token)",
+    f"""
+lex AS (
+  SELECT q.q_id, t.c_id, ROUND(SUM({_BM25_CONTRIB}), 6) AS bm25
+  FROM tf t JOIN qtok q USING (token)
+  JOIN dl l ON l.doc_id = t.c_id
+  JOIN dfreq d USING (token)
+  CROSS JOIN corpus c
+  WHERE t.c_id <> q.q_id
+  GROUP BY q.q_id, t.c_id
+)
+""".strip(),
+    """
+lrank AS (
+  SELECT q_id, c_id, l_rank FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY bm25 DESC, c_id) AS l_rank
+    FROM lex
+  ) WHERE l_rank <= 10
+)
+""".strip(),
+    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    """
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
+  FROM comp q JOIN comp c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+""".strip(),
+    """
+vrank AS (
+  SELECT q_id, c_id, v_rank FROM (
+    SELECT d.q_id, d.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id
+                              ORDER BY ROUND(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.c_id) AS v_rank
+    FROM dots d
+    JOIN nrms nq ON nq.vec_id = d.q_id
+    JOIN nrms nc ON nc.vec_id = d.c_id
+  ) WHERE v_rank <= 10
+)
+""".strip(),
+    """
+fused AS (
+  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         COALESCE(l.c_id, v.c_id) AS c_id,
+         v.v_rank, l.l_rank,
+         ROUND(COALESCE(1.0 / (60 + v.v_rank), 0.0)
+               + COALESCE(1.0 / (60 + l.l_rank), 0.0), 9) AS rrf
+  FROM lrank l FULL OUTER JOIN vrank v
+    ON l.q_id = v.q_id AND l.c_id = v.c_id
+)
+""".strip(),
+    """
+SELECT q_id, rank, c_id, rrf, v_rank, l_rank FROM (
+  SELECT q_id, c_id, rrf, v_rank, l_rank,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rank
+  FROM fused
+) WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+)
+
+
+@register("similarity_hybrid_rrf", _HYBRID_RRF_SQL)
+def q_similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack SIGIR'09) of
+    the dense cosine arm and a BM25 more-like-this lexical arm for the
+    first 5 query docs — the standard two-tower RAG retrieval shape.
+    RRF consumes only ranks, so at fleet scale the dense arm swaps to
+    the IVF/LSH index output unchanged."""
+    from ureplicator_spark.operators.similarity import hybrid_rrf_retrieval
+    from ureplicator_spark.sources.parquet import load_table
+
+    return hybrid_rrf_retrieval(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
