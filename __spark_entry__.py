@@ -32,9 +32,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     # new in r7 (never driver-checked): the incremental-index lifecycle
     # query (build -> append_to_ivf_index -> DPP-pruned search).
     "similarity_ivf_incremental",
-    # new in r7 (never driver-checked): lexical BM25 retrieval and the
-    # hybrid dense+lexical reciprocal-rank-fusion retrieval.
-    "text_bm25_search", "similarity_hybrid_rrf",
+    # new in r7 (never driver-checked): lexical BM25 retrieval, the
+    # hybrid dense+lexical reciprocal-rank-fusion retrieval, and the
+    # incremental inverted-index lifecycle (build -> append -> pruned
+    # search).
+    "text_bm25_search", "similarity_hybrid_rrf", "bm25_index_search",
     # r7 window rotation (the r5 and r6 verdicts' #1 task): these 22
     # names have never appeared in any driver window across rounds
     # 1-6 (CORRECTNESS_r01..r06 union = 126/148). They lead the list

@@ -1,0 +1,113 @@
+"""Incremental lexical (BM25) index: append without re-tokenizing,
+search equal to full-corpus BM25, bucket-level partition pruning, and
+replay-safe streaming maintenance.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ureplicator_spark.plans.inspect import plan_string
+from ureplicator_spark.sources.lexical_index import (
+    append_to_lexical_index,
+    build_lexical_index,
+    search_lexical_index,
+)
+from ureplicator_spark.sources.parquet import load_table
+from ureplicator_spark.streaming.lexical_index import maintain_lexical_index
+
+TERMS = ("dup", "spark", "merge")
+SPLIT = 400
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _full_corpus_top10(docs):
+    from ureplicator_spark.operators.text import bm25_search
+
+    return [
+        (r.rank, r.doc_id, r.bm25) for r in bm25_search(docs, TERMS).collect()
+    ]
+
+
+def test_index_search_equals_fullcorpus_bm25_after_append(spark, docs, tmp_path):
+    root = str(tmp_path / "lex")
+    build_lexical_index(spark, docs.filter(F.col("doc_id") < SPLIT), root)
+    append_to_lexical_index(spark, root, docs.filter(F.col("doc_id") >= SPLIT))
+
+    got = [
+        (r.rank, r.doc_id, r.bm25)
+        for r in search_lexical_index(spark, root, TERMS).collect()
+    ]
+    assert got == _full_corpus_top10(docs)
+
+    # appended stats are exactly a full build's (batch-disjoint ids)
+    from ureplicator_spark.streaming.ivm import read_view
+
+    df_view = {r.token: r.df for r in read_view(spark, root + "/stats").collect()}
+    from ureplicator_spark.operators.text import tokens
+
+    want_df = {
+        r.token: r.df
+        for r in tokens(docs)
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    assert df_view == want_df
+
+
+def test_search_scan_is_bucket_pruned(spark, docs, tmp_path):
+    """The postings scan must prune at the partition level to the
+    query terms' tb buckets — the lexical analog of the IVF probe's
+    DPP — and never read unrelated buckets."""
+    root = str(tmp_path / "lex")
+    build_lexical_index(spark, docs, root)
+    plan = plan_string(search_lexical_index(spark, root, TERMS))
+    m = re.search(r"PartitionFilters: \[([^\]]*tb[^\]]*)\]", plan)
+    assert m, f"no tb partition filter in plan:\n{plan}"
+
+
+def test_streaming_maintenance_applies_once_and_replays_noop(
+    spark, docs, tmp_path
+):
+    root = str(tmp_path / "lex")
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    build_lexical_index(spark, docs.filter(F.col("doc_id") < SPLIT), root)
+
+    arrivals = docs.filter(F.col("doc_id") >= SPLIT)
+    arrivals.repartition(2).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        maintain_lexical_index(stream, root, ckpt).awaitTermination(120)
+
+    run()
+    got = [
+        (r.rank, r.doc_id, r.bm25)
+        for r in search_lexical_index(spark, root, TERMS).collect()
+    ]
+    assert got == _full_corpus_top10(docs)
+    n_postings = spark.read.parquet(root + "/postings").count()
+
+    # restart over the same source + checkpoint: markers no-op, no
+    # duplicate postings, unchanged df stats, identical search
+    run()
+    assert spark.read.parquet(root + "/postings").count() == n_postings
+    again = [
+        (r.rank, r.doc_id, r.bm25)
+        for r in search_lexical_index(spark, root, TERMS).collect()
+    ]
+    assert again == got

@@ -247,6 +247,11 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         "similarity_knn_bruteforce",
         "similarity_lsh_ann",
         "similarity_ivf_ann",
+        # incremental lifecycle: same search as similarity_ivf_ann
+        # (broadcast sides are centroids, the Q·nprobe probe list and
+        # the vec_id<n_queries slice; the append broadcasts the k×dim
+        # centroid table against the batch) — never the corpus.
+        "similarity_ivf_incremental",
         "dedup_embedding_cosine",
         "knn_label_vote",
         # kmeans: broadcast side is the k×dim centroid table (vec_id<k
@@ -268,6 +273,10 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         # retrieval: broadcasts the Q·k ranked-id list (plus the
         # vec_id<n_queries slice inside cosine_knn), never documents.
         "similarity_retrieve_docs",
+        # hybrid RRF: dense arm is cosine_knn (vec_id<n_queries slice);
+        # lexical broadcasts are the query-doc token bag and the
+        # vocabulary-sized df table, both Aggregate-reduced.
+        "similarity_hybrid_rrf",
     }
     offenders = {}
     for name, (fn, _sql) in sorted(QUERIES.items()):

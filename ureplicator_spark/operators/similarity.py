@@ -1280,10 +1280,14 @@ def hybrid_rrf_retrieval(
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # Explicit groupBy rather than .distinct(): same semantics, but the
+    # Aggregate node marks the broadcast side as a bounded reduction
+    # (n_queries · vocab rows) for the forced-broadcast plan guard.
     qtok = (
         tok.filter(F.col("doc_id") < n_queries)
-        .select(F.col("doc_id").alias("q_id"), "token")
-        .distinct()
+        .groupBy(F.col("doc_id").alias("q_id"), F.col("token"))
+        .agg(F.lit(1).alias("_one"))
+        .select("q_id", "token")
     )
     tf = tok.groupBy(F.col("doc_id").alias("c_id"), "token").agg(
         F.count("*").alias("tf")

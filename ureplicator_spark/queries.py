@@ -6275,7 +6275,7 @@ _BM25_CONTRIB = (
     " * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)))"
 )
 
-_BM25_SQL = _with(
+_BM25_PARTS = (
     _TOK_CTE,
     "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)",
     "corpus AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl)",
@@ -6302,6 +6302,10 @@ top AS (
   ) WHERE rank <= 10
 )
 """.strip(),
+)
+
+_BM25_SQL = _with(
+    *_BM25_PARTS,
     """
 SELECT t.rank, t.doc_id, t.bm25, d.lang, d.source,
        substr(d.text, 1, 60) AS snippet
@@ -6409,3 +6413,39 @@ def q_similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+_BM25_INDEX_SQL = _with(
+    *_BM25_PARTS,
+    "SELECT rank, doc_id, bm25 FROM top ORDER BY rank",
+)
+
+
+@register("bm25_index_search", _BM25_INDEX_SQL)
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL lexical index under the hash gate: build the
+    persisted inverted index on the first 400 docs, grow it with
+    ``append_to_lexical_index`` (O(batch) postings append + versioned
+    df/corpus stats merge — the corpus is never re-tokenized), then
+    run the bucket-pruned BM25 search. Because batch-disjoint doc ids
+    make the appended df/dl/avgdl stats exactly equal a full build's,
+    the search is provably equal to full-corpus BM25 — which is what
+    the oracle computes. A hash match attests the whole
+    build→append→search lifecycle, the same contract as
+    ``similarity_ivf_incremental``."""
+    import tempfile
+
+    from ureplicator_spark.sources.lexical_index import (
+        append_to_lexical_index,
+        build_lexical_index,
+        search_lexical_index,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="ureplicator_lex_inc_")
+    build_lexical_index(spark, docs.filter(F.col("doc_id") < 400), root)
+    append_to_lexical_index(spark, root, docs.filter(F.col("doc_id") >= 400))
+    return search_lexical_index(
+        spark, root, ("dup", "spark", "merge"), top_k=10
+    ).orderBy("rank")

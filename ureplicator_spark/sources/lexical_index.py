@@ -1,0 +1,184 @@
+"""Persisted inverted (BM25) index — incremental lexical retrieval.
+
+`operators/text.bm25_search` tokenizes the corpus per query run. A
+production pipeline ingests batches into a 100 TB corpus and serves
+lexical retrieval continuously; re-tokenizing the corpus per query is
+the cost this index removes. One corpus pass persists the postings;
+each new batch tokenizes ONLY itself and appends — the lexical twin of
+the IVF/MinHash index discipline (`sources/ivf_index.py`,
+`sources/minhash_index.py`: corpus never re-processed).
+
+Layout:
+
+    <root>/postings/tb=<b>/   (token, doc_id, tf, dl) rows,
+                              partitioned by tb = md5_long(token) % B
+    <root>/stats/             versioned (token, df) view  (ivm commits)
+    <root>/corpus/            versioned 1-row (n_docs, total_dl) view
+
+A query's terms hash to a handful of tb buckets driver-side, so the
+search scans only those partition directories (static pruning — the
+lexical analog of the IVF probe's DPP). The df/corpus stats BM25 needs
+are NOT recomputed from postings (that would be an O(corpus) scan per
+batch): they are maintained incrementally — per batch, df grows by the
+batch's per-token distinct-doc counts and (n_docs, total_dl) by scalar
+sums, merged into versioned views via the crash-atomic
+`streaming/ivm.py` commit (a torn overwrite of a flat stats table
+would silently corrupt every future score).
+
+Append-only contract: a doc_id arrives exactly once (updates are new
+doc ids; deletions go through the archive RTBF/compaction path, which
+rewrites affected postings partitions and re-seeds the stats). The
+streaming maintainer (`streaming/lexical_index.py`) adds the
+marker-directory replay guard so checkpoint-restart re-deliveries
+no-op instead of double-counting df.
+
+Scoring portability: search reuses `operators/text.bm25_contribution`
+— the exact expression the batch operator and the SQL oracle compute,
+so an index search is hash-comparable to a full-corpus BM25.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ureplicator_spark.functions import md5_long
+from ureplicator_spark.streaming.ivm import _commit_version, _require_view, read_view
+
+N_TOKEN_BUCKETS = 64
+_BUCKET_SALT = "lexidx"
+
+
+def _bucket_py(token: str, n_buckets: int = N_TOKEN_BUCKETS) -> int:
+    """Driver-side twin of the Spark bucket expression (md5_long % B):
+    lets the search compute its partition filter as literals, which is
+    what makes the postings scan statically pruned."""
+    h = int(hashlib.md5(f"{_BUCKET_SALT}:{token}".encode()).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def _postings(documents: DataFrame, n_buckets: int) -> DataFrame:
+    from ureplicator_spark.operators.text import tokens
+
+    tok = tokens(documents).select("doc_id", "token")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    return tf.join(dl, "doc_id").select(
+        (md5_long("token", salt=_BUCKET_SALT) % n_buckets).alias("tb"),
+        "token",
+        "doc_id",
+        "tf",
+        "dl",
+    )
+
+
+def _merge_stats(spark: SparkSession, root: str, batch_docs: DataFrame) -> None:
+    """Fold one batch's df / corpus-scalar deltas into the versioned
+    stats views. O(batch vocabulary + 1) rows of delta; the merged df
+    view is vocabulary-sized, never corpus-sized."""
+    from ureplicator_spark.operators.text import tokens
+
+    tok = tokens(batch_docs).select("doc_id", "token")
+    df_delta = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    cur_df = read_view(spark, root + "/stats")
+    if cur_df is not None:
+        merged_df = (
+            cur_df.join(df_delta, "token", "full_outer")
+            .select(
+                "token",
+                (
+                    F.coalesce(cur_df["df"], F.lit(0))
+                    + F.coalesce(df_delta["df"], F.lit(0))
+                ).alias("df"),
+            )
+        )
+    else:
+        merged_df = df_delta
+    _commit_version(spark, root + "/stats", merged_df, -1)
+
+    scalars = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    cur_c = read_view(spark, root + "/corpus")
+    if cur_c is not None:
+        scalars = cur_c.unionByName(scalars).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_dl").cast("long").alias("total_dl"),
+        )
+    _commit_version(spark, root + "/corpus", scalars, -1)
+
+
+def build_lexical_index(
+    spark: SparkSession,
+    documents: DataFrame,
+    root: str,
+    n_buckets: int = N_TOKEN_BUCKETS,
+) -> None:
+    """One corpus pass: bucket-partitioned postings + seeded stats.
+    The only corpus-sized exchange is the partitioned write."""
+    _postings(documents, n_buckets).write.mode("overwrite").partitionBy(
+        "tb"
+    ).parquet(root + "/postings")
+    _merge_stats(spark, root, documents)
+
+
+def append_to_lexical_index(
+    spark: SparkSession,
+    root: str,
+    new_documents: DataFrame,
+    n_buckets: int = N_TOKEN_BUCKETS,
+) -> None:
+    """Absorb a batch: tokenize ONLY the batch, append its postings
+    partition-wise, fold its stats deltas in. O(batch), no rebuild;
+    existing postings files are never touched. df stays exact because
+    doc ids are append-only (batch-distinct counts sum to the global
+    distinct count when no doc spans batches)."""
+    _postings(new_documents, n_buckets).write.mode("append").partitionBy(
+        "tb"
+    ).parquet(root + "/postings")
+    _merge_stats(spark, root, new_documents)
+
+
+def search_lexical_index(
+    spark: SparkSession,
+    root: str,
+    query_terms: tuple[str, ...],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = N_TOKEN_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k over the persisted index WITHOUT touching the corpus:
+    the postings scan is statically pruned to the query terms' tb
+    buckets (driver-side literal filter — the lexical analog of the
+    IVF probe), df/corpus stats are broadcast from the maintained
+    views, and the global top-k is TakeOrderedAndProject. Work is
+    O(sum of query-term posting lists), independent of corpus size."""
+    from ureplicator_spark.operators.text import bm25_contribution
+
+    buckets = sorted({_bucket_py(t, n_buckets) for t in query_terms})
+    postings = (
+        spark.read.parquet(root + "/postings")
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("token").isin(*query_terms))
+    )
+    dfreq = _require_view(spark, root + "/stats", "lexical-index stats").filter(
+        F.col("token").isin(*query_terms)
+    )
+    corpus = _require_view(spark, root + "/corpus", "lexical-index corpus").select(
+        (F.col("total_dl") / F.col("n_docs")).alias("avgdl"), "n_docs"
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))
+    )
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(top_k)
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "bm25"
+    )

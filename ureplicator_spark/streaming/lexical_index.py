@@ -1,0 +1,60 @@
+"""Streaming lexical (BM25) index maintenance — keep the persisted
+inverted index (`sources/lexical_index.py`) current as documents
+arrive, without ever re-tokenizing the corpus.
+
+Per micro-batch: tokenize ONLY the batch, append its postings to the
+tb-bucketed layout, and fold its df / corpus-scalar deltas into the
+versioned stats views — O(batch) work, the same incremental discipline
+as the IVF maintainer (`streaming/ann_index.py`) and the IVM views.
+
+Replay contract: unlike the HLL register MAX-merge, df deltas are
++sums (NOT idempotent), so a replayed micro-batch would double-count
+df AND duplicate postings rows. The marker-directory guard from
+ann_index covers both in one check: ``<root>/_applied_batches/b<id>``
+is created only after the batch's postings and stats commits land, so
+a checkpoint-restart re-delivery no-ops. A crash between append and
+marker leaves the engine's documented at-least-once window (T1
+posture, commit-after-flush).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ureplicator_spark.fsutil import fs_exists, mkdirs
+from ureplicator_spark.sources.lexical_index import (
+    N_TOKEN_BUCKETS,
+    append_to_lexical_index,
+)
+
+
+def maintain_lexical_index(
+    documents_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    n_buckets: int = N_TOKEN_BUCKETS,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the maintainer over a streaming documents frame (needs
+    doc_id + text). Works against an empty root (first batch seeds the
+    stats views) or one pre-seeded by ``build_lexical_index``."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker = f"{root}/_applied_batches/b{batch_id}"
+        if fs_exists(spark, marker):
+            return  # replayed batch: postings + stats already applied
+        append_to_lexical_index(spark, root, batch_df, n_buckets)
+        mkdirs(spark, marker)
+
+    writer = (
+        documents_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("lexical-index-maintenance")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
