@@ -99,6 +99,10 @@ EXTENDED_QUERIES = [
     "event_value_outliers", "dedup_token_savings",
     "approx_distinct_users_rolling", "dedup_jaccard_prefix_join",
     "table_profile", "histogram_quantiles",
+    # round-7 additions: retrieval family + incremental-index lifecycles
+    # (the two *_index lifecycles time build+append+search end-to-end).
+    "similarity_ivf_incremental", "text_bm25_search",
+    "similarity_hybrid_rrf", "bm25_index_search",
 ]
 
 

@@ -1510,3 +1510,46 @@ def test_hybrid_rrf_prefers_doc_strong_in_both_arms(spark):
             1.0 / (60 + r.l_rank) if r.l_rank else 0.0
         )
         assert abs(r.rrf - round(expect, 9)) < 1e-12
+
+
+def test_retrieval_arm_overlap_counts_exact_intersection(spark):
+    """overlap@k must be |lex top-k ∩ dense top-k| / k per query,
+    with zero-overlap queries still present in the output."""
+    from ureplicator_spark.operators.similarity import (
+        cosine_knn,
+        more_like_this_ranks,
+        retrieval_arm_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join merge sort join", "en", "web", 20),
+            (1, "join merge sort sort", "en", "web", 20),
+            (2, "scan filter window scan", "en", "web", 24),
+            (3, "join merge merge sort", "en", "web", 21),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0] + [0.0] * 62, 0),
+            (1, [0.0, 1.0] + [0.0] * 62, 0),
+            (2, [0.9, 0.1] + [0.0] * 62, 0),
+            (3, [0.1, 0.9] + [0.0] * 62, 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    k = 2
+    lex = {
+        (r.q_id, r.c_id)
+        for r in more_like_this_ranks(docs, n_queries=1, depth=k).collect()
+    }
+    den = {
+        (r.q_id, r.c_id)
+        for r in cosine_knn(emb, n_queries=1, k=k).collect()
+    }
+    want = len(lex & den)
+    got = retrieval_arm_overlap(docs, emb, n_queries=1, k=k).collect()
+    assert len(got) == 1
+    assert got[0].n_common == want
+    assert got[0].overlap_at_k == round(want / k, 6)

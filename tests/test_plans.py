@@ -273,10 +273,12 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         # retrieval: broadcasts the Q·k ranked-id list (plus the
         # vec_id<n_queries slice inside cosine_knn), never documents.
         "similarity_retrieve_docs",
-        # hybrid RRF: dense arm is cosine_knn (vec_id<n_queries slice);
-        # lexical broadcasts are the query-doc token bag and the
-        # vocabulary-sized df table, both Aggregate-reduced.
+        # hybrid RRF + arm gauge: dense arm is cosine_knn
+        # (vec_id<n_queries slice); lexical broadcasts are the
+        # query-doc token bag and the vocabulary-sized df table, both
+        # Aggregate-reduced.
         "similarity_hybrid_rrf",
+        "retrieval_arm_overlap",
     }
     offenders = {}
     for name, (fn, _sql) in sorted(QUERIES.items()):

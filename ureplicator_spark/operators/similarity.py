@@ -1243,6 +1243,93 @@ def multiprobe_recall_comparison(
     )
 
 
+def more_like_this_ranks(
+    documents: DataFrame,
+    n_queries: int = 5,
+    depth: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Lexical more-like-this arm: BM25 ranks of every candidate doc
+    against each query doc's own token bag → (q_id, c_id, l_rank),
+    l_rank <= depth. Shared by the RRF fusion and the arm-agreement
+    gauge so both see the identical ranking.
+
+    Scale shape: the query side is ``n_queries`` docs — its token bag
+    broadcasts, so the arm is one broadcast-hash semi-join into the
+    corpus tf aggregate (df-bounded candidates per query term; the
+    rank window partitions by q_id over those candidates only)."""
+    from ureplicator_spark.operators.text import bm25_contribution, tokens
+
+    tok = tokens(documents).select("doc_id", "token")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # Explicit groupBy rather than .distinct(): same semantics, but the
+    # Aggregate node marks the broadcast side as a bounded reduction
+    # (n_queries · vocab rows) for the forced-broadcast plan guard.
+    qtok = (
+        tok.filter(F.col("doc_id") < n_queries)
+        .groupBy(F.col("doc_id").alias("q_id"), F.col("token"))
+        .agg(F.lit(1).alias("_one"))
+        .select("q_id", "token")
+    )
+    tf = tok.groupBy(F.col("doc_id").alias("c_id"), "token").agg(
+        F.count("*").alias("tf")
+    )
+    lex = (
+        tf.join(F.broadcast(qtok), "token")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .join(dl.withColumnRenamed("doc_id", "c_id"), "c_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "c_id")
+    return (
+        lex.withColumn("l_rank", F.row_number().over(wl))
+        .filter(F.col("l_rank") <= depth)
+        .select("q_id", "c_id", "l_rank")
+    )
+
+
+def retrieval_arm_overlap(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query agreement between the two retrieval arms: |lexical
+    top-k ∩ dense top-k| and overlap@k — the diagnostic that tells a
+    pipeline whether hybrid fusion is worth its cost (arms that always
+    agree add nothing; arms that never agree need a bigger fusion
+    depth). Both arms reuse the exact rankings the fusion consumes.
+    Delta-sized output (n_queries rows); the intersection is a tiny
+    (q_id, c_id) join, never corpus-sized."""
+    lex = more_like_this_ranks(documents, n_queries, k, k1, b).select(
+        "q_id", "c_id"
+    )
+    den = cosine_knn(embeddings, n_queries=n_queries, k=k).select("q_id", "c_id")
+    common = lex.join(den, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_common")
+    )
+    qs = den.groupBy("q_id").agg(F.count("*").alias("_n")).select("q_id")
+    return (
+        qs.join(common, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(F.coalesce("n_common", F.lit(0)) / float(k), 6).alias(
+                "overlap_at_k"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
 def hybrid_rrf_retrieval(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -1274,39 +1361,7 @@ def hybrid_rrf_retrieval(
     both engines produce bit-identical fusion scores (rounded 9 dp for
     display); every window breaks ties on c_id.
     """
-    from ureplicator_spark.operators.text import bm25_contribution, tokens
-
-    tok = tokens(documents).select("doc_id", "token")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    # Explicit groupBy rather than .distinct(): same semantics, but the
-    # Aggregate node marks the broadcast side as a bounded reduction
-    # (n_queries · vocab rows) for the forced-broadcast plan guard.
-    qtok = (
-        tok.filter(F.col("doc_id") < n_queries)
-        .groupBy(F.col("doc_id").alias("q_id"), F.col("token"))
-        .agg(F.lit(1).alias("_one"))
-        .select("q_id", "token")
-    )
-    tf = tok.groupBy(F.col("doc_id").alias("c_id"), "token").agg(
-        F.count("*").alias("tf")
-    )
-    lex = (
-        tf.join(F.broadcast(qtok), "token")
-        .filter(F.col("c_id") != F.col("q_id"))
-        .join(dl.withColumnRenamed("doc_id", "c_id"), "c_id")
-        .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("q_id", "c_id")
-        .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))
-    )
-    wl = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "c_id")
-    lrank = (
-        lex.withColumn("l_rank", F.row_number().over(wl))
-        .filter(F.col("l_rank") <= depth)
-        .select("q_id", "c_id", "l_rank")
-    )
+    lrank = more_like_this_ranks(documents, n_queries, depth, k1, b)
     vrank = cosine_knn(embeddings, n_queries=n_queries, k=depth).select(
         "q_id", "c_id", F.col("rank").alias("v_rank")
     )

@@ -6329,7 +6329,7 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(load_table(spark, sf_dir, "documents"))
 
 
-_HYBRID_RRF_SQL = _with(
+_HYBRID_PARTS = (
     _TOK_CTE,
     _COMP_CTE,
     "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)",
@@ -6377,6 +6377,10 @@ vrank AS (
   ) WHERE v_rank <= 10
 )
 """.strip(),
+)
+
+_HYBRID_RRF_SQL = _with(
+    *_HYBRID_PARTS,
     """
 fused AS (
   SELECT COALESCE(l.q_id, v.q_id) AS q_id,
@@ -6449,3 +6453,39 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_lexical_index(
         spark, root, ("dup", "spark", "merge"), top_k=10
     ).orderBy("rank")
+
+
+_ARM_OVERLAP_SQL = _with(
+    *_HYBRID_PARTS,
+    """
+common AS (
+  SELECT l.q_id, COUNT(*) AS n_common
+  FROM lrank l JOIN vrank v ON l.q_id = v.q_id AND l.c_id = v.c_id
+  GROUP BY l.q_id
+)
+""".strip(),
+    """
+SELECT q.q_id,
+       COALESCE(c.n_common, 0) AS n_common,
+       ROUND(COALESCE(c.n_common, 0) / 10.0, 6) AS overlap_at_k
+FROM (SELECT DISTINCT q_id FROM vrank) q
+LEFT JOIN common c ON c.q_id = q.q_id
+ORDER BY q.q_id
+""",
+)
+
+
+@register("retrieval_arm_overlap", _ARM_OVERLAP_SQL)
+def q_retrieval_arm_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query overlap@10 between the lexical (BM25 more-like-this)
+    and dense (cosine) retrieval arms — the diagnostic that prices
+    hybrid fusion: arms that always agree make RRF redundant, arms
+    that never agree need a deeper fusion depth. Reuses the exact arm
+    rankings `similarity_hybrid_rrf` fuses; n_queries-row output."""
+    from ureplicator_spark.operators.similarity import retrieval_arm_overlap
+    from ureplicator_spark.sources.parquet import load_table
+
+    return retrieval_arm_overlap(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
