@@ -1553,3 +1553,56 @@ def test_retrieval_arm_overlap_counts_exact_intersection(spark):
     assert len(got) == 1
     assert got[0].n_common == want
     assert got[0].overlap_at_k == round(want / k, 6)
+
+
+def test_nb_classifier_learns_separable_langs(spark):
+    """NB must classify held-out docs of two vocabulary-disjoint
+    languages perfectly (diagonal confusion matrix). doc_id % 10 >= 8
+    selects ids 8, 9, 18, 19 as the test split."""
+    from ureplicator_spark.operators.text import nb_lang_confusion
+
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, "alpha beta gamma beta alpha", "aa", "s", 27))
+        else:
+            rows.append((i, "uno dos tres dos uno", "bb", "s", 20))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r.lang, r.lang_pred): r.n_docs for r in nb_lang_confusion(docs).collect()}
+    assert got == {("aa", "aa"): 2, ("bb", "bb"): 2}
+
+
+def test_bigram_lm_matches_hand_computation(spark):
+    """Cross-entropy reproduced by a pure-Python reference on a tiny
+    corpus (third engine), including the interpolation weights."""
+    import math
+
+    from ureplicator_spark.operators.text import bigram_lm_score
+
+    texts = {0: "a b a b a", 1: "a b c a b", 2: "c c a b b"}
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    uni, big = {}, {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n1 = sum(uni.values())
+    want = {}
+    for i, t in toks.items():
+        ps = [
+            0.75 * (big[(a, b)] / uni[a]) + 0.25 * (uni[b] / n1)
+            for a, b in zip(t, t[1:])
+        ]
+        want[i] = (len(ps), round(sum(-math.log(p) for p in ps) / len(ps), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in bigram_lm_score(docs).collect()
+    }
+    assert got == want

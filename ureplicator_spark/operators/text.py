@@ -1088,3 +1088,141 @@ def bm25_search(
         )
         .orderBy("rank")
     )
+
+
+def bigram_lm_score(documents: DataFrame, lam: float = 0.75) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained interpolated
+    bigram LM — the quality-ranking upgrade of :func:`unigram_lm_score`
+    (repetitive boilerplate scores even lower once context is
+    conditioned on): ``p(b|a) = lam * c_ab/c_a + (1-lam) * c_b/N``
+    (Jelinek-Mercer interpolation; the unigram term makes every
+    observed bigram scoreable without discounting machinery).
+
+    Bigram extraction is the shuffle-free array transform
+    :func:`collocation_pmi` uses (no per-doc window). Model tables:
+    the aggregated bigram table is observed-pairs-sized and the
+    unigram table vocabulary-sized — both broadcast (at 100 TB, after
+    the standard frequency cut; a shuffle join on (a, b) is the
+    fallback when the pair table outgrows the broadcast threshold).
+    Scoring is one join pass + a per-doc aggregation.
+
+    Parity: ``lam`` defaults to 0.75 so both ``lam`` and ``1 - lam``
+    are exact binary doubles any engine reproduces from the literal;
+    the per-doc average is rounded to 6 dp."""
+    one_m = 1.0 - lam
+    toks = documents.select("doc_id", F.split("text", " ").alias("toks"))
+    pairs = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    bc = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    uni = (
+        toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cu"))
+    )
+    n1df = uni.agg(F.sum("cu").alias("n1"))
+    ua = uni.select(F.col("t").alias("a"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("t").alias("b"), F.col("cu").alias("cb"))
+    p = lam * (F.col("cab") / F.col("ca")) + one_m * (F.col("cb") / F.col("n1"))
+    return (
+        pairs.join(F.broadcast(bc), ["a", "b"])
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n1df))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def nb_lang_confusion(documents: DataFrame) -> DataFrame:
+    """Second trainable classifier family next to the rank-based
+    Cavnar-Trenkle (:func:`ngram_profile_confusion`): multinomial
+    Naive Bayes over word tokens with add-one smoothing, trained
+    IN-ENGINE on the labeled 80% split (doc_id % 10 < 8), evaluated
+    as a confusion matrix on the held-out 20%.
+
+    Score(d, l) = ln(n_l / n) + sum_t tf(d,t) * ln((c(l,t) + 1) /
+    (C(l) + V)); prediction = argmax, ties to the smaller lang.
+
+    Scale shape: the model is the (lang, token) count table —
+    vocabulary x L rows, broadcast (with the standard frequency cut at
+    100 TB); priors and per-lang totals are L-row broadcasts. Scoring
+    crosses each test doc's tf rows with the L-row language list (the
+    same fan-out the CT distance pass pays) and aggregates per
+    (doc, lang) — one doc-keyed shuffle over the 20% split only; the
+    80/20 split predicates sit below the aggregations, so the train
+    and test branches scan disjoint slices.
+
+    Parity: the only floats are the per-token ln terms and the prior;
+    the (doc, lang) log-likelihood is rounded to 6 dp before the
+    argmax window (ties -> lang asc), so both engines rank
+    identically."""
+    tokl = documents.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tr = tokl.filter(F.col("doc_id") % 10 < 8)
+    te = (
+        tokl.filter(F.col("doc_id") % 10 >= 8)
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    ctok = tr.groupBy(F.col("lang").alias("plang"), "token").agg(
+        F.count("*").alias("c")
+    )
+    cl = ctok.groupBy("plang").agg(F.sum("c").alias("ctot"))
+    v = tr.agg(F.countDistinct("token").alias("v"))
+    pri = tr.groupBy(F.col("lang").alias("plang")).agg(
+        F.countDistinct("doc_id").alias("nl")
+    )
+    ntr = pri.agg(F.sum("nl").alias("n"))
+
+    ll_tok = F.col("tf") * F.log(
+        (F.coalesce("c", F.lit(0)) + 1.0) / (F.col("ctot") + F.col("v"))
+    )
+    scored = (
+        te.crossJoin(F.broadcast(pri.select("plang")))
+        .join(F.broadcast(ctok), ["plang", "token"], "left")
+        .join(F.broadcast(cl), "plang")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum(ll_tok).alias("ll_tok"))
+    )
+    ll = (
+        scored.join(F.broadcast(pri), "plang")
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "doc_id",
+            "lang",
+            "plang",
+            F.round(
+                F.col("ll_tok")
+                + F.log(F.col("nl").cast("double") / F.col("n")),
+                6,
+            ).alias("ll"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("ll").desc(), "plang")
+    pred = (
+        ll.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("lang_pred"))
+    )
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )

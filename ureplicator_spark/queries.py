@@ -6489,3 +6489,95 @@ def q_retrieval_arm_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity proxy + Naive Bayes language classifier
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pairs AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM toks WHERE len(toks) >= 2)
+),
+bc AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b),
+uni AS (
+  SELECT t, COUNT(*) AS cu
+  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY t
+),
+n1 AS (SELECT SUM(cu) AS n1 FROM uni)
+SELECT p.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN(0.75 * (bc.cab / ua.cu) + 0.25 * (ub.cu / n1.n1))), 6)
+         AS cross_entropy
+FROM pairs p
+JOIN bc ON bc.a = p.a AND bc.b = p.b
+JOIN uni ua ON ua.t = p.a
+JOIN uni ub ON ub.t = p.b
+CROSS JOIN n1
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
+@register("doc_bigram_perplexity", _BIGRAM_LM_SQL)
+def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document
+    (Jelinek-Mercer, lam=0.75) — the context-aware upgrade of
+    doc_perplexity_proxy's unigram score for quality ranking."""
+    from ureplicator_spark.operators.text import bigram_lm_score
+    from ureplicator_spark.sources.parquet import load_table
+
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+_NB_CONFUSION_SQL = """
+WITH tokl AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tr AS (SELECT * FROM tokl WHERE doc_id % 10 < 8),
+te AS (
+  SELECT doc_id, lang, token, COUNT(*) AS tf
+  FROM tokl WHERE doc_id % 10 >= 8 GROUP BY doc_id, lang, token
+),
+ctok AS (SELECT lang AS plang, token, COUNT(*) AS c FROM tr GROUP BY lang, token),
+cl AS (SELECT plang, SUM(c) AS ctot FROM ctok GROUP BY plang),
+v AS (SELECT COUNT(DISTINCT token) AS v FROM tr),
+pri AS (SELECT lang AS plang, COUNT(DISTINCT doc_id) AS nl FROM tr GROUP BY lang),
+ntr AS (SELECT SUM(nl) AS n FROM pri),
+scored AS (
+  SELECT te.doc_id, te.lang, p.plang,
+         SUM(te.tf * LN((COALESCE(ct.c, 0) + 1.0) / (cl.ctot + v.v))) AS ll_tok
+  FROM te CROSS JOIN (SELECT plang FROM pri) p
+  LEFT JOIN ctok ct ON ct.plang = p.plang AND ct.token = te.token
+  JOIN cl ON cl.plang = p.plang
+  CROSS JOIN v
+  GROUP BY te.doc_id, te.lang, p.plang
+),
+ll AS (
+  SELECT s.doc_id, s.lang, s.plang,
+         ROUND(s.ll_tok + LN(CAST(p.nl AS DOUBLE) / n.n), 6) AS ll
+  FROM scored s JOIN pri p ON p.plang = s.plang CROSS JOIN ntr n
+),
+pred AS (
+  SELECT doc_id, lang, plang AS lang_pred FROM (
+    SELECT doc_id, lang, plang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ll DESC, plang) AS rn
+    FROM ll
+  ) WHERE rn = 1
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+@register("nb_lang_confusion", _NB_CONFUSION_SQL)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (add-one smoothing)
+    trained in-engine on the 80% split, held-out confusion matrix —
+    the probabilistic counterpart to lang_ngram_classifier's
+    rank-based Cavnar-Trenkle."""
+    from ureplicator_spark.operators.text import nb_lang_confusion
+    from ureplicator_spark.sources.parquet import load_table
+
+    return nb_lang_confusion(load_table(spark, sf_dir, "documents"))
