@@ -37,7 +37,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     # incremental inverted-index lifecycle (build -> append -> pruned
     # search).
     "text_bm25_search", "similarity_hybrid_rrf", "bm25_index_search",
-    "retrieval_arm_overlap", "doc_bigram_perplexity", "nb_lang_confusion",
+    "retrieval_arm_overlap", "doc_bigram_perplexity", "nb_lang_confusion", "kmv_source_overlap",
     # r7 window rotation (the r5 and r6 verdicts' #1 task): these 22
     # names have never appeared in any driver window across rounds
     # 1-6 (CORRECTNESS_r01..r06 union = 126/148). They lead the list

@@ -103,7 +103,7 @@ EXTENDED_QUERIES = [
     # (the two *_index lifecycles time build+append+search end-to-end).
     "similarity_ivf_incremental", "text_bm25_search",
     "similarity_hybrid_rrf", "bm25_index_search", "retrieval_arm_overlap",
-    "doc_bigram_perplexity", "nb_lang_confusion",
+    "doc_bigram_perplexity", "nb_lang_confusion", "kmv_source_overlap",
 ]
 
 

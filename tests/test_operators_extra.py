@@ -1606,3 +1606,30 @@ def test_bigram_lm_matches_hand_computation(spark):
         for r in bigram_lm_score(docs).collect()
     }
     assert got == want
+
+
+def test_kmv_overlap_exact_when_union_fits_synopsis(spark):
+    """With fewer distinct shingles than k, the synopsis IS the set:
+    union/intersection/Jaccard estimates must equal the exact values."""
+    from ureplicator_spark.operators.sketch import kmv_source_overlap
+
+    # src A: shingles over "w1..w6" (4 shingles); src B shares a
+    # 3-token suffix window with A's text and adds its own.
+    docs = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3 w4 w5 w6", "en", "A", 17),
+            (1, "w4 w5 w6 w7 w8", "en", "B", 14),
+            (2, "w7 w8 w9", "en", "B", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = kmv_source_overlap(docs, k=64).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # A: {w1w2w3, w2w3w4, w3w4w5, w4w5w6}; B: {w4w5w6, w5w6w7, w6w7w8,
+    # w7w8w9} -> union 7, intersection 1
+    assert (r.true_union, r.true_inter) == (7, 1)
+    assert r.n_synopsis == 7
+    assert r.union_est == 7.0
+    assert r.inter_est == 1.0
+    assert r.jaccard_est == round(1 / 7, 6)

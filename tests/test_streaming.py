@@ -156,10 +156,21 @@ def test_rate_limited_triggers(spark, record_dir, tmp_path):
     src = spark.read.parquet(record_dir)
     assert spark.read.parquet(out).count() == src.count()
     spark.streams.resetTerminated()
-    prog = mon.progress_df(spark).filter(
-        (F.col("query_name") == route.name) & (F.col("num_input_rows") > 0)
-    )
-    batches = [r.num_input_rows for r in prog.collect()]
+    # Listener events are delivered asynchronously (Py4J callback
+    # socket): the final batch's progress can land AFTER
+    # awaitTermination returns, so poll briefly before asserting
+    # (observed once as a 3-vs-4 flake on a loaded host).
+    import time as _time
+
+    batches: list[int] = []
+    for _ in range(40):
+        prog = mon.progress_df(spark).filter(
+            (F.col("query_name") == route.name) & (F.col("num_input_rows") > 0)
+        )
+        batches = [r.num_input_rows for r in prog.collect()]
+        if len(batches) >= 4:
+            break
+        _time.sleep(0.5)
     assert len(batches) >= 4
     per_file_max = (
         src.groupBy(F.input_file_name()).count().agg(F.max("count")).collect()[0][0]

@@ -431,3 +431,139 @@ def histogram_quantiles(
     return picked.select(
         group_col, "q", est.alias("est_value"), "exact_value", "n_rows"
     ).orderBy(group_col, "q")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) — the distinct synopsis that supports set
+# INTERSECTION estimation, which HLL's monotone registers cannot.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def kmv_registers(
+    keyed: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV synopsis (Beyer et al., SIGMOD'07): the ``k``
+    smallest distinct 60-bit md5 hashes of ``key_col`` → (group, h, r).
+
+    Uniform hashes make the k-th smallest an order statistic of the
+    distinct-value count, and — unlike HLL registers — the synopsis
+    members themselves are comparable across groups, which is what
+    enables union/intersection/Jaccard estimation between synopses.
+
+    Scale shape: one (group, h) distinct shuffle (map-side combine),
+    then a per-group ascending rank truncated at k. At corpus scale
+    the standard refinement is a static hash prefilter
+    (``h < 2^60 * f`` with f sized so expected survivors >> k) so the
+    rank window's input is tiny; the fixture leaves it off so the
+    oracle stays a plain window."""
+    distinct = (
+        keyed.select(group_col, md5_long(F.col(key_col)).alias("h"))
+        .groupBy(group_col, "h")
+        .agg(F.lit(1).alias("_one"))
+        .select(group_col, "h")
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        distinct.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(group_col, "h", "r")
+    )
+
+
+def kmv_source_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Estimated pairwise content overlap between document sources
+    from KMV synopses over word-3-gram shingles — the dedup-planning
+    view that prices a cross-source dedup run BEFORE paying for it
+    (sources with near-zero estimated intersection need no joint
+    pass). Per source pair: D(A∪B) ≈ (k-1) · 2^60 / h_k over the k
+    smallest union hashes (exact count when the union synopsis is
+    smaller than k), Jaccard ≈ |both ∩ union-synopsis| / |synopsis|,
+    intersection ≈ Jaccard · D(A∪B). Gauged against the exact values
+    (the COUNT(DISTINCT) joins the sketch exists to replace — drop
+    them in production).
+
+    Scale shape: synopses are G·k rows; everything pairwise operates
+    on synopsis rows only (G² · 2k worst case — G is source
+    cardinality, a handful), so after the one shingle-distinct shuffle
+    the whole estimator is broadcast-sized. Estimation arithmetic is
+    one IEEE division + one multiply from exact integers, so any
+    engine reproduces the rounded estimates."""
+    from ureplicator_spark.operators.dedup import shingles
+
+    sh = shingles(documents)
+    src = documents.select("doc_id", "source")
+    keyed = sh.join(src, "doc_id").select("source", "shingle")
+    regs = kmv_registers(keyed, "source", "shingle", k)
+
+    ra = regs.select(
+        F.col("source").alias("src_a"), "h", F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    rb = regs.select(
+        F.col("source").alias("src_b"), "h", F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    srcs = regs.groupBy("source").agg(F.count("*").alias("_n")).select("source")
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    both = (
+        pairs.join(F.broadcast(ra), "src_a")
+        .unionByName(pairs.join(F.broadcast(rb), "src_b"))
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wk = Window.partitionBy("src_a", "src_b").orderBy("h")
+    kept = both.withColumn("r", F.row_number().over(wk)).filter(F.col("r") <= k)
+    per_pair = kept.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_synopsis"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+
+    u = F.when(
+        F.col("n_synopsis") < k, F.col("n_synopsis").cast("double")
+    ).otherwise(F.lit(float(k - 1) * float(1 << 60)) / F.col("hk"))
+    j = F.col("n_both") / F.col("n_synopsis")
+    est = per_pair.select(
+        "src_a",
+        "src_b",
+        "n_synopsis",
+        F.round(u, 4).alias("union_est"),
+        F.round(j, 6).alias("jaccard_est"),
+        F.round(j * u, 4).alias("inter_est"),
+    )
+
+    dsh = keyed.groupBy("source", "shingle").agg(F.lit(1).alias("_one"))
+    dcnt = dsh.groupBy("source").agg(F.count("*").alias("d"))
+    inter = (
+        dsh.select(F.col("source").alias("src_a"), "shingle")
+        .join(dsh.select(F.col("source").alias("src_b"), "shingle"), "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("true_inter"))
+    )
+    da = dcnt.select(F.col("source").alias("src_a"), F.col("d").alias("da"))
+    db = dcnt.select(F.col("source").alias("src_b"), F.col("d").alias("db"))
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(F.broadcast(da), "src_a")
+        .join(F.broadcast(db), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_synopsis",
+            "union_est",
+            "jaccard_est",
+            "inter_est",
+            (
+                F.col("da") + F.col("db") - F.coalesce("true_inter", F.lit(0))
+            ).cast("long").alias("true_union"),
+            F.coalesce("true_inter", F.lit(0)).cast("long").alias("true_inter"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -6581,3 +6581,107 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return nb_lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# KMV synopsis: cross-source overlap estimation
+# ---------------------------------------------------------------------------
+
+_KMV_OVERLAP_SQL = _with(
+    _SHINGLES_CTE,
+    """
+keyed AS (
+  SELECT DISTINCT d.source,
+         ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT AS h
+  FROM shingles s JOIN documents d USING (doc_id)
+)
+""".strip(),
+    """
+regs AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM keyed
+  ) WHERE r <= 64
+)
+""".strip(),
+    """
+prs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM regs) a
+  CROSS JOIN (SELECT DISTINCT source FROM regs) b
+  WHERE a.source < b.source
+)
+""".strip(),
+    """
+marked AS (
+  SELECT src_a, src_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.src_a, p.src_b, r.h, 1 AS in_a, 0 AS in_b
+    FROM prs p JOIN regs r ON r.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, r.h, 0 AS in_a, 1 AS in_b
+    FROM prs p JOIN regs r ON r.source = p.src_b
+  ) GROUP BY src_a, src_b, h
+)
+""".strip(),
+    """
+per_pair AS (
+  SELECT src_a, src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_synopsis,
+         MAX(h) AS hk,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM (
+    SELECT src_a, src_b, h, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+    FROM marked
+  ) WHERE r <= 64
+  GROUP BY src_a, src_b
+)
+""".strip(),
+    """
+est AS (
+  SELECT src_a, src_b, n_synopsis,
+         ROUND(CASE WHEN n_synopsis < 64 THEN CAST(n_synopsis AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / hk END, 4) AS union_est,
+         ROUND(n_both / n_synopsis, 6) AS jaccard_est,
+         ROUND((n_both / n_synopsis)
+               * (CASE WHEN n_synopsis < 64 THEN CAST(n_synopsis AS DOUBLE)
+                       ELSE 63.0 * 1152921504606846976.0 / hk END), 4) AS inter_est
+  FROM per_pair
+)
+""".strip(),
+    """
+dsh AS (SELECT DISTINCT d.source, s.shingle
+        FROM shingles s JOIN documents d USING (doc_id))
+""".strip(),
+    "dcnt AS (SELECT source, COUNT(*) AS d FROM dsh GROUP BY source)",
+    """
+tinter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS true_inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+""".strip(),
+    """
+SELECT e.src_a, e.src_b, e.n_synopsis, e.union_est, e.jaccard_est, e.inter_est,
+       CAST(ca.d + cb.d - COALESCE(t.true_inter, 0) AS BIGINT) AS true_union,
+       CAST(COALESCE(t.true_inter, 0) AS BIGINT) AS true_inter
+FROM est e
+LEFT JOIN tinter t ON t.src_a = e.src_a AND t.src_b = e.src_b
+JOIN dcnt ca ON ca.source = e.src_a
+JOIN dcnt cb ON cb.source = e.src_b
+ORDER BY e.src_a, e.src_b
+""",
+)
+
+
+@register("kmv_source_overlap", _KMV_OVERLAP_SQL)
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap estimation from KMV synopses
+    (Beyer SIGMOD'07) over word-3-gram shingles — union, Jaccard and
+    INTERSECTION estimates per source pair (the set operation HLL
+    cannot provide), gauged against exact counts. The dedup-planning
+    query that prices a cross-source dedup run before paying for it."""
+    from ureplicator_spark.operators.sketch import kmv_source_overlap
+    from ureplicator_spark.sources.parquet import load_table
+
+    return kmv_source_overlap(load_table(spark, sf_dir, "documents"))
