@@ -111,3 +111,49 @@ def test_streaming_maintenance_applies_once_and_replays_noop(
         for r in search_lexical_index(spark, root, TERMS).collect()
     ]
     assert again == got
+
+
+def test_delete_makes_index_equal_rebuild_on_survivors(spark, docs, tmp_path):
+    """RTBF: after deleting the appended docs, search and stats must be
+    byte-identical to a fresh build over the surviving corpus."""
+    from ureplicator_spark.sources.lexical_index import delete_from_lexical_index
+    from ureplicator_spark.streaming.ivm import read_view
+
+    root = str(tmp_path / "lex")
+    build_lexical_index(spark, docs, root)
+    doomed_ids = [r.doc_id for r in docs.filter(F.col("doc_id") >= SPLIT).collect()]
+    out = delete_from_lexical_index(spark, root, doomed_ids)
+    assert out["deleted_docs"] == len(doomed_ids)
+    assert out["buckets_rewritten"] >= 1
+
+    survivors = docs.filter(F.col("doc_id") < SPLIT)
+    got = [
+        (r.rank, r.doc_id, r.bm25)
+        for r in search_lexical_index(spark, root, TERMS).collect()
+    ]
+    assert got == _full_corpus_top10(survivors)
+
+    # no deleted doc's postings remain anywhere
+    remaining = spark.read.parquet(root + "/postings")
+    assert remaining.filter(F.col("doc_id") >= SPLIT).count() == 0
+
+    # stats equal a recompute over survivors
+    from ureplicator_spark.operators.text import tokens
+
+    want_df = {
+        r.token: r.df
+        for r in tokens(survivors)
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    got_df = {r.token: r.df for r in read_view(spark, root + "/stats").collect()}
+    assert got_df == want_df
+    corpus = read_view(spark, root + "/corpus").collect()[0]
+    n_tok = tokens(survivors).count()
+    assert (corpus.n_docs, corpus.total_dl) == (survivors.count(), n_tok)
+
+    # deleting unknown ids is a no-op
+    assert delete_from_lexical_index(spark, root, [10**9]) == {
+        "deleted_docs": 0, "buckets_rewritten": 0, "removed_dirs": 0,
+    }

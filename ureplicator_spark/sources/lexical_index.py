@@ -25,12 +25,13 @@ sums, merged into versioned views via the crash-atomic
 `streaming/ivm.py` commit (a torn overwrite of a flat stats table
 would silently corrupt every future score).
 
-Append-only contract: a doc_id arrives exactly once (updates are new
-doc ids; deletions go through the archive RTBF/compaction path, which
-rewrites affected postings partitions and re-seeds the stats). The
-streaming maintainer (`streaming/lexical_index.py`) adds the
-marker-directory replay guard so checkpoint-restart re-deliveries
-no-op instead of double-counting df.
+Append-only arrival contract: a doc_id arrives exactly once (updates
+are new doc ids); targeted removal is `delete_from_lexical_index`
+(RTBF — rewrites only the affected tb partitions and folds exact
+negative df/corpus deltas). The streaming maintainer
+(`streaming/lexical_index.py`) adds the marker-directory replay guard
+so checkpoint-restart re-deliveries no-op instead of double-counting
+df.
 
 Scoring portability: search reuses `operators/text.bm25_contribution`
 — the exact expression the batch operator and the SQL oracle compute,
@@ -182,3 +183,84 @@ def search_lexical_index(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "bm25"
     )
+
+
+def delete_from_lexical_index(
+    spark: SparkSession, root: str, doc_ids: list[int]
+) -> dict:
+    """Right-to-be-forgotten for the inverted index: remove the docs'
+    postings and fold EXACT negative stats deltas — completing the
+    index lifecycle (build / append / delete / search) with the same
+    contract as ``archive.delete_from_archive``.
+
+    Discovery is one postings scan (the delete key is doc_id, which
+    the tb layout deliberately does not cluster by — every doc spreads
+    across its tokens' buckets); the rewrite then touches ONLY the tb
+    partitions that actually held the docs' rows (dynamic partition
+    overwrite; a bucket emptied entirely is removed through the Hadoop
+    FS API, which the overwrite cannot express). Stats stay exact
+    without rescanning the corpus: the doomed rows themselves carry
+    per-token distinct-doc counts (df decrements), each doc's dl and
+    the doc count (corpus decrements); tokens whose df reaches zero
+    drop out of the stats view. Both views commit via the crash-atomic
+    ivm version-dir, so a torn delete can never leave half-applied
+    scores."""
+    postings = spark.read.parquet(root + "/postings")
+    ids = [int(i) for i in doc_ids]
+    doomed = postings.filter(F.col("doc_id").isin(ids)).localCheckpoint()
+    if not doomed.head(1):
+        return {"deleted_docs": 0, "buckets_rewritten": 0, "removed_dirs": 0}
+
+    buckets = sorted(r.tb for r in doomed.select("tb").distinct().collect())
+    df_delta = doomed.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("ddf")
+    )
+    dls = doomed.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    n_del = dls.count()
+    dl_sum = int(dls.agg(F.sum("dl")).collect()[0][0])
+
+    existing = postings.filter(F.col("tb").isin(buckets))
+    survivors = (
+        existing.filter(~F.col("doc_id").isin(ids)).localCheckpoint()
+    )
+    kept_buckets = {r.tb for r in survivors.select("tb").distinct().collect()}
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("tb").parquet(
+            root + "/postings"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    survivors.unpersist()
+    doomed.unpersist()
+
+    from ureplicator_spark.fsutil import delete_recursive
+
+    emptied = [b for b in buckets if b not in kept_buckets]
+    for b in emptied:
+        delete_recursive(spark, f"{root}/postings/tb={b}")
+
+    cur_df = _require_view(spark, root + "/stats", "lexical-index stats")
+    merged_df = (
+        cur_df.join(df_delta, "token", "left")
+        .select(
+            "token",
+            (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    _commit_version(spark, root + "/stats", merged_df, -1)
+    cur_c = _require_view(spark, root + "/corpus", "lexical-index corpus")
+    merged_c = cur_c.select(
+        (F.col("n_docs") - n_del).cast("long").alias("n_docs"),
+        (F.col("total_dl") - dl_sum).cast("long").alias("total_dl"),
+    )
+    _commit_version(spark, root + "/corpus", merged_c, -1)
+    return {
+        "deleted_docs": n_del,
+        "buckets_rewritten": len(buckets),
+        "removed_dirs": len(emptied),
+    }
