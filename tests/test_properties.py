@@ -604,3 +604,50 @@ def test_prefix_join_positional_prune_is_lossless(spark, docs):
             want.add((a, b))
     got = {(r.doc_a, r.doc_b) for r in jaccard_prefix_join(df).collect()}
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    split=st.integers(min_value=0, max_value=10),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lexical_index_append_equals_single_build(spark, tmp_path_factory, texts, split):
+    """The incremental-index invariant, randomized: building on any
+    prefix and appending the rest must produce byte-identical search
+    results (and stats) to one build over everything — including
+    empty prefixes, empty appends and single-token docs."""
+    from ureplicator_spark.sources.lexical_index import (
+        append_to_lexical_index,
+        build_lexical_index,
+        search_lexical_index,
+    )
+    from ureplicator_spark.streaming.ivm import read_view
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t), "en", "s", len(" ".join(t))) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    split = min(split, len(texts))
+    terms = ("w1", "w3")
+
+    r_full = str(tmp_path_factory.mktemp("lex_full"))
+    build_lexical_index(spark, docs, r_full)
+    want = [tuple(r) for r in search_lexical_index(spark, r_full, terms).collect()]
+    want_df = {r.token: r.df for r in read_view(spark, r_full + "/stats").collect()}
+
+    r_inc = str(tmp_path_factory.mktemp("lex_inc"))
+    build_lexical_index(spark, docs.filter(F.col("doc_id") < split), r_inc)
+    append_to_lexical_index(spark, r_inc, docs.filter(F.col("doc_id") >= split))
+    got = [tuple(r) for r in search_lexical_index(spark, r_inc, terms).collect()]
+    got_df = {r.token: r.df for r in read_view(spark, r_inc + "/stats").collect()}
+
+    assert got == want
+    assert got_df == want_df
