@@ -612,3 +612,64 @@ def test_missing_maintained_views_raise_descriptive_errors(spark, tmp_path):
         distinct_counts(spark, str(tmp_path / "nope"), ["topic"])
     with pytest.raises(FileNotFoundError, match="HLL register"):
         hll_estimates(spark, str(tmp_path / "nope2"), "topic")
+
+
+def test_streaming_kmv_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path):
+    """Streamed KMV maintenance must equal the one-shot batch synopsis
+    (set-union idempotence: no replay guard needed), and re-merging an
+    applied batch must change nothing."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.operators.sketch import kmv_registers
+    from ureplicator_spark.sources.parquet import load_table
+    from ureplicator_spark.streaming.ivm import read_view
+    from ureplicator_spark.streaming.sketches import (
+        kmv_estimates,
+        merge_kmv_batch,
+        streaming_kmv_maintenance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+
+    feed_dir = str(tmp_path / "feed")
+    for name, part in (
+        ("a", docs.filter(F.col("doc_id") % 2 == 0)),
+        ("b", docs.filter(F.col("doc_id") % 2 == 1)),
+    ):
+        part.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        ).coalesce(1).write.parquet(f"{feed_dir}/{name}")
+
+    table = str(tmp_path / "kmv")
+    stream = (
+        spark.readStream.schema("source string, token string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    streaming_kmv_maintenance(
+        stream, table, str(tmp_path / "ckpt"), "source", "token", k=16,
+        available_now=True,
+    ).awaitTermination(300)
+
+    got = {
+        (r.source, r.h) for r in read_view(spark, table).collect()
+    }
+    want = {
+        (r.source, r.h)
+        for r in kmv_registers(keyed, "source", "token", 16).collect()
+    }
+    assert got == want  # streamed synopsis == one-shot batch synopsis
+
+    ests = {r[0]: r.est_distinct for r in kmv_estimates(spark, table, "source", 16).collect()}
+    assert ests  # estimates readable
+
+    # replay: re-merging half_a changes nothing (union idempotence)
+    half_a_keyed = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+    )
+    merge_kmv_batch(spark, table, half_a_keyed, "source", "token", 16)
+    again = {(r.source, r.h) for r in read_view(spark, table).collect()}
+    assert again == want

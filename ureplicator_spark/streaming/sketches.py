@@ -110,3 +110,91 @@ def hll_estimates(
     return per_g.select(
         group_col, "v_nonempty", F.round(est, 4).alias("est_distinct")
     ).orderBy(group_col)
+
+
+def merge_kmv_batch(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> None:
+    """Fold one batch's KMV synopsis into the persisted per-group
+    synopsis table: union of hash sets, re-ranked, truncated at k.
+    Set union is idempotent and associative — a replayed batch
+    re-contributes the same hashes and changes nothing, so KMV joins
+    HLL in the no-replay-guard class (contrast the df +sums of the
+    lexical index, which need the marker). State: #groups × k rows
+    forever."""
+    from ureplicator_spark.operators.sketch import kmv_registers
+
+    newregs = kmv_registers(batch, group_col, key_col, k).select(group_col, "h")
+    cur = read_view(spark, table_path)
+    if cur is not None:
+        merged_hashes = cur.select(group_col, "h").unionByName(newregs).groupBy(
+            group_col, "h"
+        ).agg(F.lit(1).alias("_one")).select(group_col, "h")
+    else:
+        merged_hashes = newregs
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h")
+    merged = (
+        merged_hashes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(group_col, "h", "r")
+    )
+    _commit_version(spark, table_path, merged, -1)
+
+
+def streaming_kmv_maintenance(
+    keyed_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    available_now: bool = False,
+):
+    """Continuously maintain per-group KMV synopses from a keyed
+    stream — the streaming twin of ``operators/sketch.kmv_registers``,
+    giving live distinct counts AND live cross-group overlap/Jaccard
+    estimates (the set operations the streaming HLL cannot answer)."""
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.head(1):
+                merge_kmv_batch(
+                    batch_df.sparkSession, table_path, batch_df,
+                    group_col, key_col, k,
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = keyed_stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kmv_estimates(
+    spark: SparkSession, table_path: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group distinct estimates from the maintained synopses:
+    (k-1) · 2^60 / h_k, exact count when the group never filled its
+    synopsis. Group-cardinality-sized output."""
+    regs = _require_view(spark, table_path, "KMV synopsis")
+    per_g = regs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_synopsis"),
+        F.max("h").alias("hk"),
+    )
+    est = F.when(
+        F.col("n_synopsis") < k, F.col("n_synopsis").cast("double")
+    ).otherwise(F.lit(float(k - 1) * float(1 << 60)) / F.col("hk"))
+    return per_g.select(
+        group_col, "n_synopsis", F.round(est, 4).alias("est_distinct")
+    ).orderBy(group_col)
