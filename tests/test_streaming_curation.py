@@ -665,6 +665,20 @@ def test_streaming_kmv_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path)
     ests = {r[0]: r.est_distinct for r in kmv_estimates(spark, table, "source", 16).collect()}
     assert ests  # estimates readable
 
+    # live pairwise overlap from the maintained table equals the batch
+    # estimator over the one-shot synopsis (same function, same state)
+    from ureplicator_spark.operators.sketch import kmv_pairwise_estimates
+    from ureplicator_spark.streaming.sketches import kmv_pair_estimates
+
+    live = {tuple(r) for r in kmv_pair_estimates(spark, table, "source", 16).collect()}
+    batch = {
+        tuple(r)
+        for r in kmv_pairwise_estimates(
+            kmv_registers(keyed, "source", "token", 16), "source", 16
+        ).collect()
+    }
+    assert live == batch and live
+
     # replay: re-merging half_a changes nothing (union idempotence)
     half_a_keyed = (
         docs.filter(F.col("doc_id") % 2 == 0)

@@ -472,6 +472,58 @@ def kmv_registers(
     )
 
 
+def kmv_pairwise_estimates(
+    regs: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise union/Jaccard/intersection estimates from a synopsis
+    table (group, h) — shared by the batch overlap query and the
+    streaming synopsis view (`streaming/sketches.kmv_pair_estimates`)
+    so the estimator cannot drift between them. Per pair: the k
+    smallest union hashes; D(A∪B) = (k-1)·2^60/h_k (exact count when
+    the union synopsis never fills), Jaccard = |both|/|synopsis|,
+    intersection = Jaccard · D(A∪B). Operates on synopsis rows only —
+    G²·2k worst case, broadcast-sized for any real group count."""
+    ra = regs.select(
+        F.col(group_col).alias("src_a"), "h", F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    rb = regs.select(
+        F.col(group_col).alias("src_b"), "h", F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    srcs = regs.groupBy(group_col).agg(F.count("*").alias("_n")).select(group_col)
+    pairs = (
+        srcs.select(F.col(group_col).alias("src_a"))
+        .crossJoin(srcs.select(F.col(group_col).alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    merged = (
+        pairs.join(F.broadcast(ra), "src_a")
+        .unionByName(pairs.join(F.broadcast(rb), "src_b"))
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wk = Window.partitionBy("src_a", "src_b").orderBy("h")
+    kept = merged.withColumn("r", F.row_number().over(wk)).filter(F.col("r") <= k)
+    per_pair = kept.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_synopsis"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    u = F.when(
+        F.col("n_synopsis") < k, F.col("n_synopsis").cast("double")
+    ).otherwise(F.lit(float(k - 1) * float(1 << 60)) / F.col("hk"))
+    j = F.col("n_both") / F.col("n_synopsis")
+    return per_pair.select(
+        "src_a",
+        "src_b",
+        "n_synopsis",
+        F.round(u, 4).alias("union_est"),
+        F.round(j, 6).alias("jaccard_est"),
+        F.round(j * u, 4).alias("inter_est"),
+    )
+
+
 def kmv_source_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     """Estimated pairwise content overlap between document sources
     from KMV synopses over word-3-gram shingles — the dedup-planning
@@ -496,47 +548,7 @@ def kmv_source_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     src = documents.select("doc_id", "source")
     keyed = sh.join(src, "doc_id").select("source", "shingle")
     regs = kmv_registers(keyed, "source", "shingle", k)
-
-    ra = regs.select(
-        F.col("source").alias("src_a"), "h", F.lit(1).alias("in_a"),
-        F.lit(0).alias("in_b"),
-    )
-    rb = regs.select(
-        F.col("source").alias("src_b"), "h", F.lit(0).alias("in_a"),
-        F.lit(1).alias("in_b"),
-    )
-    srcs = regs.groupBy("source").agg(F.count("*").alias("_n")).select("source")
-    pairs = (
-        srcs.select(F.col("source").alias("src_a"))
-        .crossJoin(srcs.select(F.col("source").alias("src_b")))
-        .filter(F.col("src_a") < F.col("src_b"))
-    )
-    both = (
-        pairs.join(F.broadcast(ra), "src_a")
-        .unionByName(pairs.join(F.broadcast(rb), "src_b"))
-        .groupBy("src_a", "src_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wk = Window.partitionBy("src_a", "src_b").orderBy("h")
-    kept = both.withColumn("r", F.row_number().over(wk)).filter(F.col("r") <= k)
-    per_pair = kept.groupBy("src_a", "src_b").agg(
-        F.count("*").cast("long").alias("n_synopsis"),
-        F.max("h").alias("hk"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
-    )
-
-    u = F.when(
-        F.col("n_synopsis") < k, F.col("n_synopsis").cast("double")
-    ).otherwise(F.lit(float(k - 1) * float(1 << 60)) / F.col("hk"))
-    j = F.col("n_both") / F.col("n_synopsis")
-    est = per_pair.select(
-        "src_a",
-        "src_b",
-        "n_synopsis",
-        F.round(u, 4).alias("union_est"),
-        F.round(j, 6).alias("jaccard_est"),
-        F.round(j * u, 4).alias("inter_est"),
-    )
+    est = kmv_pairwise_estimates(regs, "source", k)
 
     dsh = keyed.groupBy("source", "shingle").agg(F.lit(1).alias("_one"))
     dcnt = dsh.groupBy("source").agg(F.count("*").alias("d"))

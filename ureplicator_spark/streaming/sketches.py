@@ -198,3 +198,18 @@ def kmv_estimates(
     return per_g.select(
         group_col, "n_synopsis", F.round(est, 4).alias("est_distinct")
     ).orderBy(group_col)
+
+
+def kmv_pair_estimates(
+    spark: SparkSession, table_path: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise union/Jaccard/intersection estimates from the
+    MAINTAINED synopsis table — the live overlap query the streaming
+    HLL structurally cannot answer. Delegates to the batch estimator
+    (`operators/sketch.kmv_pairwise_estimates`) over the current view,
+    so streamed and one-shot overlap numbers are the same function of
+    the same synopsis."""
+    from ureplicator_spark.operators.sketch import kmv_pairwise_estimates
+
+    regs = _require_view(spark, table_path, "KMV synopsis")
+    return kmv_pairwise_estimates(regs, group_col, k).orderBy("src_a", "src_b")
