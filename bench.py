@@ -177,6 +177,17 @@ def main() -> None:
     ivf_build_sec = round(time.perf_counter() - t0, 3)
     extra = {"similarity_ivf_search": _ivf_search_query(ivf_root)}
 
+    # Standing lexical (BM25) index for this SF: same amortized-build
+    # accounting as ivf_build_sec. Built HERE so every timed
+    # bm25_index_search rep measures the production search shape, not
+    # a fresh 64-bucket index write (r7 verdict #1 — the build was 79x
+    # the oracle inside the timed query).
+    from ureplicator_spark.queries import ensure_standing_lexical_index
+
+    t0 = time.perf_counter()
+    ensure_standing_lexical_index(spark, SF_DIR)
+    lex_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -206,16 +217,24 @@ def main() -> None:
     # for "what does this code cost" under additive noise.
     warm_min = {n: round(min(r), 3) for n, r in warm_runs.items()}
 
-    # Extended pass, median of REPS. No clearCache: pin_scope releases
+    # Extended pass, median of REPS over REPS+1 sweeps with the FIRST
+    # sweep dropped as an untimed warm-up: unlike the warm pass (whose
+    # warm-up is the cold pass itself), extended queries' first touch
+    # pays codegen + plan construction + any first-post-boot page-cache
+    # misses, which contaminated two r7 medians (lang_ngram reps
+    # [24.5, 13.8, 3.1] published a 13.8 s median for a 3.1 s query —
+    # r7 verdict #5). Every sweep is still RECORDED in bench_detail so
+    # the warm-up cost stays visible. No clearCache: pin_scope releases
     # each query's operator caches; gc keeps Py4J refs from delaying
     # the ContextCleaner on localCheckpoint blocks (CC rounds).
-    ext_runs: dict[str, list[float]] = {}
-    for _rep in range(REPS):
+    ext_all_runs: dict[str, list[float]] = {}
+    for _rep in range(REPS + 1):
         for name in EXTENDED_QUERIES:
             if name not in QUERIES:
                 continue
             gc.collect()
-            ext_runs.setdefault(name, []).append(timed(QUERIES[name][0]))
+            ext_all_runs.setdefault(name, []).append(timed(QUERIES[name][0]))
+    ext_runs = {n: r[1:] for n, r in ext_all_runs.items()}
     extended = {n: round(statistics.median(r), 3) for n, r in ext_runs.items()}
     extended_min = {n: round(min(r), 3) for n, r in ext_runs.items()}
 
@@ -243,7 +262,9 @@ def main() -> None:
         q10 = load_table(spark_, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
         return search_ivfpq_index(spark_, ivfpq_root, q10)
 
-    ivfpq_runs = [timed(_ivfpq_search) for _ in range(REPS)]
+    ivfpq_all_runs = [timed(_ivfpq_search) for _ in range(REPS + 1)]
+    ivfpq_runs = ivfpq_all_runs[1:]  # first sweep = untimed warm-up
+    ext_all_runs["similarity_ivfpq_search"] = ivfpq_all_runs
     ext_runs["similarity_ivfpq_search"] = ivfpq_runs
     extended["similarity_ivfpq_search"] = round(statistics.median(ivfpq_runs), 3)
     extended_min["similarity_ivfpq_search"] = round(min(ivfpq_runs), 3)
@@ -281,6 +302,7 @@ def main() -> None:
         "concurrent_makespan_sec": concurrent_makespan,
         "ivf_build_sec": ivf_build_sec,
         "ivfpq_build_sec": ivfpq_build_sec,
+        "lex_build_sec": lex_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended
@@ -298,7 +320,9 @@ def main() -> None:
         "extended_queries": extended,
         "extended_min_queries": extended_min,
         "warm_runs": warm_runs,
-        "extended_runs": ext_runs,
+        # first element of each list is the UNTIMED warm-up sweep,
+        # excluded from extended/extended_min above
+        "extended_runs": ext_all_runs,
         "pinned_rdds_baseline": pins_baseline,
         "pinned_rdds_after_passes": pins_after,
     }
