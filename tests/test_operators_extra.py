@@ -1611,7 +1611,7 @@ def test_bigram_lm_matches_hand_computation(spark):
 def test_kmv_overlap_exact_when_union_fits_synopsis(spark):
     """With fewer distinct shingles than k, the synopsis IS the set:
     union/intersection/Jaccard estimates must equal the exact values."""
-    from ureplicator_spark.operators.sketch import kmv_source_overlap
+    from ureplicator_spark.operators.sketch import kmv_source_overlap_gauged
 
     # src A: shingles over "w1..w6" (4 shingles); src B shares a
     # 3-token suffix window with A's text and adds its own.
@@ -1623,7 +1623,7 @@ def test_kmv_overlap_exact_when_union_fits_synopsis(spark):
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    rows = kmv_source_overlap(docs, k=64).collect()
+    rows = kmv_source_overlap_gauged(docs, k=64).collect()
     assert len(rows) == 1
     r = rows[0]
     # A: {w1w2w3, w2w3w4, w3w4w5, w4w5w6}; B: {w4w5w6, w5w6w7, w6w7w8,

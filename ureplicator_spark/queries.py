@@ -6683,26 +6683,9 @@ est AS (
 )
 """.strip(),
     """
-dsh AS (SELECT DISTINCT d.source, s.shingle
-        FROM shingles s JOIN documents d USING (doc_id))
-""".strip(),
-    "dcnt AS (SELECT source, COUNT(*) AS d FROM dsh GROUP BY source)",
-    """
-tinter AS (
-  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS true_inter
-  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.source < b.source
-  GROUP BY a.source, b.source
-)
-""".strip(),
-    """
-SELECT e.src_a, e.src_b, e.n_synopsis, e.union_est, e.jaccard_est, e.inter_est,
-       CAST(ca.d + cb.d - COALESCE(t.true_inter, 0) AS BIGINT) AS true_union,
-       CAST(COALESCE(t.true_inter, 0) AS BIGINT) AS true_inter
-FROM est e
-LEFT JOIN tinter t ON t.src_a = e.src_a AND t.src_b = e.src_b
-JOIN dcnt ca ON ca.source = e.src_a
-JOIN dcnt cb ON cb.source = e.src_b
-ORDER BY e.src_a, e.src_b
+SELECT src_a, src_b, n_synopsis, union_est, jaccard_est, inter_est
+FROM est
+ORDER BY src_a, src_b
 """,
 )
 
@@ -6712,8 +6695,13 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content-overlap estimation from KMV synopses
     (Beyer SIGMOD'07) over word-3-gram shingles — union, Jaccard and
     INTERSECTION estimates per source pair (the set operation HLL
-    cannot provide), gauged against exact counts. The dedup-planning
-    query that prices a cross-source dedup run before paying for it."""
+    cannot provide). Synopsis-only (G·k rows of state, estimates on
+    synopsis rows alone): the exact COUNT(DISTINCT) calibration the
+    r7 query carried is test-only now (`kmv_source_overlap_gauged`,
+    tests/test_operators_extra.py) — production never pays the
+    corpus-sized overlap joins the sketch exists to replace. The
+    dedup-planning query that prices a cross-source dedup run before
+    paying for it."""
     from ureplicator_spark.operators.sketch import kmv_source_overlap
     from ureplicator_spark.sources.parquet import load_table
 
