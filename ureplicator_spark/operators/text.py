@@ -840,22 +840,28 @@ def ngram_profile_confusion(
             ).alias("g"),
         )
     )
-    cnt = tri.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("c"))
+    # Split BEFORE any aggregation, and aggregate each branch to the
+    # granularity it actually needs. The r7 shape funneled BOTH splits
+    # through one (doc_id, lang, g) count — for the 80% train split
+    # that intermediate is the expensive part: (doc, gram) keys barely
+    # combine map-side (per-doc gram sets are mostly unique), so ~80%
+    # of the exploded trigram stream shuffled once at doc grain and
+    # then AGAIN to (lang, g). Aggregating the train branch straight
+    # to (lang, g) lets the map-side partial combine collapse each
+    # partition to ~|langs|·|trigram vocab| rows — the shuffle shrinks
+    # from corpus-sized to vocabulary-sized (sum of per-doc counts ==
+    # direct count, so the profiles are bit-identical). Only the 20%
+    # test split still pays a doc-grain aggregation, which its per-doc
+    # ranking window needs anyway.
+    test_tri = tri.filter(F.col("doc_id") % 10 >= 8)
+    train_tri = tri.filter(F.col("doc_id") % 10 < 8)
+    cnt = test_tri.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("c"))
 
     wd = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
-    # Test-split filter BEFORE the per-doc ranking window: the window
-    # input shrinks 5x, and the predicate (grouping-key-only) pushes
-    # below the groupBy to the scan side of this branch.
-    doc_prof = (
-        cnt.filter(F.col("doc_id") % 10 >= 8)
-        .withColumn("rd", F.row_number().over(wd))
-        .filter(F.col("rd") <= doc_profile_len)
+    doc_prof = cnt.withColumn("rd", F.row_number().over(wd)).filter(
+        F.col("rd") <= doc_profile_len
     )
-    train = (
-        cnt.filter(F.col("doc_id") % 10 < 8)
-        .groupBy("lang", "g")
-        .agg(F.sum("c").alias("c"))
-    )
+    train = train_tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
     wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
     lang_prof = (
         train.withColumn("rl", F.row_number().over(wl))
