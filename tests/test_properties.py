@@ -607,6 +607,45 @@ def test_prefix_join_positional_prune_is_lossless(spark, docs):
 
 
 @given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), max_size=9),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.5, 0.75, 0.9, 1.0]),
+)
+@SETTINGS
+def test_containment_prefix_filter_is_lossless(spark, docs, threshold):
+    """The r8 asymmetric prefix filter (A-prefix × B-full candidates
+    + size prune) must drop ONLY pairs that cannot reach containment
+    >= t: on random tiny corpora over a 5-token vocabulary (maximal
+    shingle sharing — adversarial for prefix filtering) and across
+    thresholds, the operator equals the oblivious brute force
+    exactly, including n_shared/n_inner values."""
+    from itertools import permutations
+
+    from ureplicator_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {
+        i: {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        for i, toks in enumerate(docs)
+        if len(toks) >= 3
+    }
+    want = {}
+    for a, b in permutations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter > 0 and inter / len(sets[a]) >= threshold:
+            want[(a, b)] = (len(sets[a]), inter)
+    got = {
+        (r.inner_doc, r.outer_doc): (r.n_inner, r.n_shared)
+        for r in containment_pairs(df, threshold=threshold).collect()
+    }
+    assert got == want
+
+
+@given(
     texts=st.lists(
         st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5"]), min_size=1, max_size=8),
         min_size=2,

@@ -438,34 +438,101 @@ def containment_pairs(
     symmetric Jaccard under-scores (a small doc inside a big one has
     low Jaccard but full containment).
 
-    Scale shape: identical inverted-index topology to
-    :func:`ngram_jaccard_pairs` — candidates must share ≥1 shingle
-    (bucket-local join on the shingle key, AQE skew-split for
-    stop-shingles), never all-pairs; the threshold filter bounds the
-    output. The shingle view is cached once for its three branches."""
-    sh = pin(shingles(documents))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a = sh.select(F.col("doc_id").alias("inner_doc"), "shingle")
-    b = sh.select(F.col("doc_id").alias("outer_doc"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("inner_doc") != F.col("outer_doc"))
-        .groupBy("inner_doc", "outer_doc")
-        .agg(F.count("*").alias("n_shared"))
+    Scale shape — ASYMMETRIC prefix filter (the PPJoin discipline of
+    :func:`jaccard_prefix_join`, adapted to directional containment):
+    if |A∩B|/|A| >= t then at most floor((1-t)·|A|) of A's shingles
+    are missing from B, so among A's rarest floor((1-t)·|A|)+1
+    shingles (one global rarest-first order, same as the PPJoin
+    prefix) at least one occurs in B — pigeonhole, provably complete
+    for ANY ordering. The candidate join therefore runs A-PREFIX ×
+    B-full instead of full × full: at t = 0.9 the inner side shrinks
+    ~10×, and because prefixes are by construction the rarest
+    shingles, stop-shingles (the fat tail that made the full inverted
+    index 6.4× its oracle at sf0.1 — r7 verdict) contribute almost no
+    candidates: a stop-shingle appears on the B side only, matched
+    against the handful of docs rare-enough to hold it in a prefix.
+    Candidates that survive a size prune (|B| >= t·|A|, since
+    n_shared <= |B|) are verified exactly with
+    ``size(array_intersect)`` over per-doc distinct shingle arrays —
+    a |cand|-row map after two doc-keyed joins, the same array
+    verification the PPJoin sibling measured 5.9 s → sub-second.
+    Completeness is property-tested against an oblivious brute force
+    (tests/test_properties.py)."""
+    tok = pin(shingles(documents).select("doc_id", F.col("shingle").alias("token")))
+    gcnt = tok.groupBy("token").agg(F.count("*").alias("gc"))
+
+    # One doc-keyed aggregation: rarest-first ordered array (the
+    # (global count, token) struct IS the shared total order), set
+    # size, prefix slice, and verification array all derive from it.
+    docarr = pin(
+        tok.join(gcnt, "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("gc", "token"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.expr("transform(arr, x -> x.token)").alias("toks"),
+            F.size("arr").cast("long").alias("s"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("inner_doc"), F.col("n_grams").alias("n_inner"))
-    return (
-        inter.join(sa, "inner_doc")
+    # allowed-missing bound floor((1-t)·s): the +1e-9 guards the IEEE
+    # product from rounding DOWN past an exact integer (which would
+    # shorten the prefix and break completeness); rounding UP only
+    # lengthens the prefix — conservative, never lossy.
+    p_len = (
+        F.floor(F.col("s") * F.lit(1.0 - threshold) + F.lit(1e-9)) + 1
+    ).cast("int")
+    prefix = docarr.select(
+        F.col("doc_id").alias("inner_doc"),
+        F.col("s").alias("n_inner"),
+        F.explode(F.slice("toks", F.lit(1), p_len)).alias("token"),
+    )
+    b_side = tok.select(F.col("doc_id").alias("outer_doc"), "token")
+    # Candidates are NOT deduplicated here: a pair recurs once per
+    # shared prefix token (~2% duplication measured at sf0.1 — 136 k
+    # raw vs 133 k distinct), so verifying duplicates costs a handful
+    # of extra array_intersects while dropping the 133 k-row
+    # dedup-shuffle wave cut the operator 5.1 s → 2.3 s warm (the agg
+    # barrier also blocked AQE's runtime broadcast of the candidate
+    # side into the verification joins). The tiny verified output is
+    # deduplicated at the end instead.
+    cand = (
+        prefix.join(b_side, "token")
+        .filter(F.col("inner_doc") != F.col("outer_doc"))
+        .select("inner_doc", "outer_doc", "n_inner")
+    )
+    va = docarr.select(F.col("doc_id").alias("inner_doc"), F.col("toks").alias("toks_a"))
+    vb = docarr.select(
+        F.col("doc_id").alias("outer_doc"),
+        F.col("toks").alias("toks_b"),
+        F.col("s").alias("s_outer"),
+    )
+    verified = (
+        cand.join(va, "inner_doc")
+        .join(vb, "outer_doc")
+        # n_shared <= |B|: outer docs smaller than t·|A| cannot qualify
+        .filter(F.col("s_outer") >= F.col("n_inner") * F.lit(threshold))
         .select(
             "inner_doc",
             "outer_doc",
             "n_inner",
-            "n_shared",
-            F.round(F.col("n_shared") / F.col("n_inner"), 6).alias("containment"),
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("n_shared"),
         )
-        .filter(F.col("containment") >= threshold)
-        .orderBy("inner_doc", "outer_doc")
+        .filter(F.col("n_shared") / F.col("n_inner") >= F.lit(threshold))
+        # dedup the duplicated candidates on the THRESHOLDED output
+        # (n_inner/n_shared are functions of the pair, so grouping by
+        # all four == distinct pairs)
+        .groupBy("inner_doc", "outer_doc", "n_inner", "n_shared")
+        .agg(F.lit(1).alias("_d"))
     )
+    return verified.select(
+        "inner_doc",
+        "outer_doc",
+        "n_inner",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_inner"), 6).alias("containment"),
+    ).orderBy("inner_doc", "outer_doc")
 
 
 def keep_best_per_cluster(documents: DataFrame, clusters: DataFrame) -> DataFrame:
