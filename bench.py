@@ -104,6 +104,8 @@ EXTENDED_QUERIES = [
     "similarity_ivf_incremental", "text_bm25_search",
     "similarity_hybrid_rrf", "bm25_index_search", "retrieval_arm_overlap",
     "doc_bigram_perplexity", "nb_lang_confusion", "kmv_source_overlap",
+    # round-8 addition: the single-pass production profile twin
+    "table_profile_approx",
 ]
 
 
