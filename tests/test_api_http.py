@@ -284,3 +284,59 @@ def test_routes_listing_and_dynamic_batch_log(server, spark, sf_dir, tmp_path):
         assert sum(b["rows_written"] for b in out["batches"]) == 100
     finally:
         q.stop()
+
+
+def test_route_creation_over_rest(server, spark, sf_dir, tmp_path):
+    """POST /routes creates AND starts a live-controlled route from a
+    JSON body — the Manager's route-creation flow
+    (TopicManagementRestletResource.java:148-221) over the wire:
+    POST → it replicates and appears in GET /routes → duplicate POST
+    is 409 → DELETE tears it down → re-POST resumes from checkpoint."""
+    import urllib.parse
+
+    src = str(tmp_path / "records")
+    FX.records(spark, sf_dir).limit(120).coalesce(1).write.parquet(src)
+    body = {
+        "src_cluster": "sjc1",
+        "dst_cluster": "dca1",
+        "route_id": 3,
+        "source_path": src,
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "out_path": str(tmp_path / "out"),
+        "available_now": True,
+    }
+    code, created = _call(server, "POST", "/routes", body)
+    assert code == 201
+    assert created["route"] == "@sjc1@dca1@3"
+
+    eng = server._httpd.RequestHandlerClass.engine
+    job = eng.routes.jobs["@sjc1@dca1@3"]
+    job.query.awaitTermination()  # availableNow drains then stops
+
+    code, routes = _call(server, "GET", "/routes")
+    assert code == 200 and [r["route"] for r in routes] == ["@sjc1@dca1@3"]
+
+    quoted = urllib.parse.quote("@sjc1@dca1@3")
+    code, out = _call(server, "GET", f"/routes/{quoted}/batches")
+    assert code == 200
+    assert sum(b["rows_written"] for b in out["batches"]) == 120
+    out_rows = spark.read.parquet(str(tmp_path / "out")).count()
+    assert out_rows == 120
+
+    # duplicate name → 409, and the original job is left untouched
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _call(server, "POST", "/routes", body)
+    assert ei.value.code == 409
+    assert eng.routes.jobs["@sjc1@dca1@3"] is job
+
+    code, _ = _call(server, "DELETE", f"/routes/{quoted}")
+    assert code == 200
+    assert _call(server, "GET", "/routes")[1] == []
+
+    # recreate: checkpoint survives teardown, so the drained source
+    # yields no new rows (exactly-once resume posture)
+    code, created = _call(server, "POST", "/routes", body)
+    assert code == 201
+    eng.routes.jobs["@sjc1@dca1@3"].query.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 120
+    _call(server, "DELETE", f"/routes/{quoted}")

@@ -28,7 +28,11 @@ from ureplicator_spark.operators import workload as WKL
 import threading
 
 from ureplicator_spark.session import tune
-from ureplicator_spark.streaming.replication import ReplicationJob, RouteRegistry
+from ureplicator_spark.streaming.replication import (
+    ReplicationJob,
+    Route,
+    RouteRegistry,
+)
 
 
 class Engine:
@@ -118,6 +122,72 @@ class Engine:
     # -- routes (manager /topics?src=&dst=) ---------------------------------
     def add_route(self, job: ReplicationJob) -> None:
         self.routes.add(job)
+
+    def create_route(
+        self,
+        src_cluster: str,
+        dst_cluster: str,
+        route_id: int,
+        source_path: str,
+        checkpoint_dir: str,
+        out_path: str,
+        control_path: str | None = None,
+        available_now: bool = False,
+    ) -> dict:
+        """Create AND start a replication route from request parameters
+        — the Manager's whole route-creation flow
+        (TopicManagementRestletResource.java:148-221 builds the route
+        from the POSTed src/dst/routeid and hands it to
+        ControllerHelixManager.java:1110-1206 to instantiate), which
+        until r8 existed only as the Python ``ReplicationJob`` path.
+
+        The route starts under a LIVE ControlDoc seeded with the
+        engine's current control plane (rate, blacklist, topic
+        topology), so a route created over REST is immediately
+        steerable by ``PUT /ratelimiter`` / ``POST /blacklist`` /
+        ``PUT /topics`` with no restart — identical posture to routes
+        started via ``start_dynamic`` directly. Raises ``ValueError``
+        on a duplicate route name (the reference 409s)."""
+        from ureplicator_spark.streaming.dynamic import ControlDoc
+
+        with self._mutex:
+            route = Route(
+                src_cluster=src_cluster,
+                dst_cluster=dst_cluster,
+                route_id=int(route_id),
+                topic_mapping={t: v["dst"] for t, v in self._topics.items()},
+                partition_counts={
+                    v["dst"]: v["partitions"]
+                    for v in self._topics.values()
+                    if v["partitions"] is not None
+                },
+            )
+            if route.name in self.routes.jobs:
+                raise ValueError(f"route {route.name} already exists")
+            job = ReplicationJob(
+                self.spark,
+                route,
+                checkpoint_dir=checkpoint_dir,
+                source_kind="files",
+                source_path=source_path,
+            )
+            control = ControlDoc(control_path or f"{checkpoint_dir}/control.json")
+            if self._rate is not None:
+                control.set_rate(self._rate)
+            if self._blacklist:
+                control.set_blacklist(sorted(self._blacklist))
+            self.routes.add(job)
+            job.start_dynamic(out_path, control, available_now=available_now)
+            # push current topology into the new route's doc (same
+            # propagation every control-plane mutation does)
+            self._push_topics()
+            return {
+                "route": route.name,
+                "src_cluster": src_cluster,
+                "dst_cluster": dst_cluster,
+                "route_id": int(route_id),
+                "active": bool(job.query and job.query.isActive),
+            }
 
     # -- rate limiting (PUT /ratelimiter) -----------------------------------
     def set_rate(self, records_per_trigger: int) -> dict:

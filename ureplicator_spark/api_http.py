@@ -16,6 +16,12 @@ Routes:
   GET    /query/{name}[?limit=N]       → run one registry query (capped rows)
   GET    /query/{name}/plan[?mode=M]   → EXPLAIN (physical plan text)
   POST   /sql {sql, limit?}            → ad-hoc SELECT over registered tables
+  POST   /routes {src_cluster,dst_cluster,route_id,source_path,
+                  checkpoint_dir,out_path[,control_path,available_now]}
+                                        → create + start a live route
+  GET    /routes                        → route registry
+  GET    /routes/{r}/batches            → per-batch decision log
+  DELETE /routes/{r}                    → stop + drop a route
   GET    /topics                       → topics registry
   POST   /topics        {topic,dst_topic?,partitions?} → add_topic
   PUT    /topics        {topic,partitions}             → expand_topic
@@ -129,6 +135,27 @@ class _Handler(BaseHTTPRequestHandler):
             return 200, _rows(eng.collect_sql(b["sql"], limit=int(b.get("limit", 1000))))
         if key == ("GET", "routes") and len(parts) == 1:
             return 200, _df_rows(eng.routes.to_df().filter(F.col("route") != ""))
+        if key == ("POST", "routes"):
+            # route creation over REST — the Manager flow
+            # (TopicManagementRestletResource.java:148-221): build the
+            # route from the request, start it live-controlled. Paths
+            # (source, checkpoint, sink) come from the request body the
+            # way the reference takes them from the controller config.
+            b = self._body()
+            try:
+                created = eng.create_route(
+                    src_cluster=b["src_cluster"],
+                    dst_cluster=b["dst_cluster"],
+                    route_id=b.get("route_id", 0),
+                    source_path=b["source_path"],
+                    checkpoint_dir=b["checkpoint_dir"],
+                    out_path=b["out_path"],
+                    control_path=b.get("control_path"),
+                    available_now=bool(b.get("available_now", False)),
+                )
+            except ValueError as e:  # duplicate route → 409 like the ref
+                return 409, {"error": str(e)}
+            return 201, created
         if key == ("GET", "routes") and len(parts) == 3 and parts[2] == "batches":
             # per-batch decision log of a live dynamic route: rows
             # written, applied rate, blacklist, sleep — control-plane
