@@ -157,3 +157,75 @@ def test_delete_makes_index_equal_rebuild_on_survivors(spark, docs, tmp_path):
     assert delete_from_lexical_index(spark, root, [10**9]) == {
         "deleted_docs": 0, "buckets_rewritten": 0, "removed_dirs": 0,
     }
+
+
+def test_torn_delete_is_repaired_exactly_once(spark, docs, tmp_path):
+    """The r8 crash contract: a delete that dies between the intent
+    commit and the stats commits is completed by repair_lexical_index
+    — and a repair after a FULLY-applied delete whose intent cleanup
+    was the only casualty must not decrement stats a second time.
+    Either way the healed index is byte-identical to a clean delete."""
+    from ureplicator_spark.sources.lexical_index import (
+        _apply_delete_stats,
+        _commit_version,
+        _rewrite_postings_without,
+        delete_from_lexical_index,
+        repair_lexical_index,
+    )
+    from ureplicator_spark.streaming.ivm import _last_seq, read_view
+
+    # reference state: a CLEAN delete on an identical twin index
+    clean = str(tmp_path / "clean")
+    build_lexical_index(spark, docs, clean)
+    doomed_ids = [r.doc_id for r in docs.filter(F.col("doc_id") >= SPLIT).collect()]
+    delete_from_lexical_index(spark, clean, doomed_ids)
+    want_search = [
+        (r.rank, r.doc_id, r.bm25)
+        for r in search_lexical_index(spark, clean, TERMS).collect()
+    ]
+    want_df = {r.token: r.df for r in read_view(spark, clean + "/stats").collect()}
+    want_corpus = tuple(read_view(spark, clean + "/corpus").collect()[0])
+
+    def _simulate_crash(root, apply_stats):
+        """Run the delete's steps manually up to the crash point."""
+        from ureplicator_spark.operators.text import tokens as _tokens  # noqa: F401
+
+        postings = spark.read.parquet(root + "/postings")
+        doomed = postings.filter(F.col("doc_id").isin(doomed_ids))
+        df_delta = doomed.groupBy("token").agg(
+            F.countDistinct("doc_id").alias("ddf")
+        )
+        dls = doomed.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        n_del = dls.count()
+        dl_sum = int(dls.agg(F.sum("dl")).collect()[0][0])
+        s_seq = _last_seq(spark, root + "/stats")
+        c_seq = _last_seq(spark, root + "/corpus")
+        intent = root + "/_delete_intent"
+        _commit_version(spark, intent + "/deltas", df_delta, -1)
+        meta = spark.createDataFrame(
+            [(doomed_ids, n_del, dl_sum, s_seq, c_seq)],
+            "doc_ids array<long>, n_del long, dl_sum long, "
+            "stats_seq long, corpus_seq long",
+        )
+        _commit_version(spark, intent + "/meta", meta, -1)
+        _rewrite_postings_without(spark, root, doomed_ids)
+        if apply_stats:  # crash AFTER stats landed, before intent cleanup
+            deltas = read_view(spark, intent + "/deltas")
+            _apply_delete_stats(spark, root, deltas, n_del, dl_sum, s_seq, c_seq)
+
+    for crash_after_stats in (False, True):
+        root = str(tmp_path / f"torn_{crash_after_stats}")
+        build_lexical_index(spark, docs, root)
+        _simulate_crash(root, apply_stats=crash_after_stats)
+        assert repair_lexical_index(spark, root) is True
+        # healed: search, stats and corpus equal the clean delete
+        got = [
+            (r.rank, r.doc_id, r.bm25)
+            for r in search_lexical_index(spark, root, TERMS).collect()
+        ]
+        assert got == want_search
+        got_df = {r.token: r.df for r in read_view(spark, root + "/stats").collect()}
+        assert got_df == want_df
+        assert tuple(read_view(spark, root + "/corpus").collect()[0]) == want_corpus
+        # intent cleared; a second repair is a no-op
+        assert repair_lexical_index(spark, root) is False

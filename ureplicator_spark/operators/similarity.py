@@ -1277,11 +1277,16 @@ def more_like_this_ranks(
     tf = tok.groupBy(F.col("doc_id").alias("c_id"), "token").agg(
         F.count("*").alias("tf")
     )
+    # qtok (n_queries docs' bags) and the 1-row corpus scalar keep
+    # their hints — bounded regardless of SF. dfreq is the FULL
+    # vocabulary df table, which grows with the corpus: no hint (r7
+    # advisor — a forced broadcast OOMs before 100 TB); AQE broadcasts
+    # it at runtime while it fits and shuffle-joins past that.
     lex = (
         tf.join(F.broadcast(qtok), "token")
         .filter(F.col("c_id") != F.col("q_id"))
         .join(dl.withColumnRenamed("doc_id", "c_id"), "c_id")
-        .join(F.broadcast(dfreq), "token")
+        .join(dfreq, "token")
         .crossJoin(F.broadcast(corpus))
         .groupBy("q_id", "c_id")
         .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))

@@ -1107,10 +1107,11 @@ def bigram_lm_score(documents: DataFrame, lam: float = 0.75) -> DataFrame:
     Bigram extraction is the shuffle-free array transform
     :func:`collocation_pmi` uses (no per-doc window). Model tables:
     the aggregated bigram table is observed-pairs-sized and the
-    unigram table vocabulary-sized — both broadcast (at 100 TB, after
-    the standard frequency cut; a shuffle join on (a, b) is the
-    fallback when the pair table outgrows the broadcast threshold).
-    Scoring is one join pass + a per-doc aggregation.
+    unigram table vocabulary-sized — both corpus-growing, so neither
+    carries a broadcast hint: AQE broadcasts them at runtime while
+    they fit the threshold and falls back to a shuffle join on (a, b)
+    when they outgrow it. Scoring is one join pass + a per-doc
+    aggregation.
 
     Parity: ``lam`` defaults to 0.75 so both ``lam`` and ``1 - lam``
     are exact binary doubles any engine reproduces from the literal;
@@ -1140,10 +1141,17 @@ def bigram_lm_score(documents: DataFrame, lam: float = 0.75) -> DataFrame:
     ua = uni.select(F.col("t").alias("a"), F.col("cu").alias("ca"))
     ub = uni.select(F.col("t").alias("b"), F.col("cu").alias("cb"))
     p = lam * (F.col("cab") / F.col("ca")) + one_m * (F.col("cb") / F.col("n1"))
+    # No broadcast hints on the model tables: the bigram-pair table is
+    # observed-pairs-sized and the unigram table vocabulary-sized —
+    # both GROW with the corpus, so a forced broadcast would OOM long
+    # before 100 TB (r7 advisor). AQE picks broadcast at runtime while
+    # they fit and falls back to a shuffle join when they don't —
+    # which is the documented fallback, now actually in the plan. Only
+    # the 1-row corpus total keeps its hint.
     return (
-        pairs.join(F.broadcast(bc), ["a", "b"])
-        .join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        pairs.join(bc, ["a", "b"])
+        .join(ua, "a")
+        .join(ub, "b")
         .crossJoin(F.broadcast(n1df))
         .groupBy("doc_id")
         .agg(

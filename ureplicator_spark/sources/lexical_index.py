@@ -185,6 +185,104 @@ def search_lexical_index(
     )
 
 
+def _rewrite_postings_without(
+    spark: SparkSession, root: str, ids: list[int]
+) -> tuple[int, int]:
+    """Dynamic-overwrite every tb partition still holding any of
+    ``ids``; remove buckets emptied entirely. Idempotent: once the
+    rows are gone the affected-bucket set is empty and this is a
+    no-op — which is what makes the delete repairable after a crash
+    mid-rewrite. Returns (buckets_rewritten, removed_dirs)."""
+    from ureplicator_spark.fsutil import delete_recursive
+
+    postings = spark.read.parquet(root + "/postings")
+    doomed = postings.filter(F.col("doc_id").isin(ids))
+    buckets = sorted(r.tb for r in doomed.select("tb").distinct().collect())
+    if not buckets:
+        return 0, 0
+    survivors = (
+        postings.filter(F.col("tb").isin(buckets))
+        .filter(~F.col("doc_id").isin(ids))
+        .localCheckpoint()
+    )
+    kept_buckets = {r.tb for r in survivors.select("tb").distinct().collect()}
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("tb").parquet(
+            root + "/postings"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    survivors.unpersist()
+
+    emptied = [b for b in buckets if b not in kept_buckets]
+    for b in emptied:
+        delete_recursive(spark, f"{root}/postings/tb={b}")
+    return len(buckets), len(emptied)
+
+
+def _apply_delete_stats(
+    spark: SparkSession, root: str, deltas: DataFrame, n_del: int, dl_sum: int,
+    stats_seq_before: int, corpus_seq_before: int,
+) -> None:
+    """Fold the recorded negative deltas into whichever stats views
+    have NOT yet advanced past their recorded pre-delete sequence —
+    each view commit is individually atomic (ivm version-dir), so
+    'already advanced' is exactly 'this view's decrement landed'."""
+    from ureplicator_spark.streaming.ivm import _last_seq
+
+    if _last_seq(spark, root + "/stats") <= stats_seq_before:
+        cur_df = _require_view(spark, root + "/stats", "lexical-index stats")
+        merged_df = (
+            cur_df.join(deltas, "token", "left")
+            .select(
+                "token",
+                (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+        )
+        _commit_version(spark, root + "/stats", merged_df, -1)
+    if _last_seq(spark, root + "/corpus") <= corpus_seq_before:
+        cur_c = _require_view(spark, root + "/corpus", "lexical-index corpus")
+        merged_c = cur_c.select(
+            (F.col("n_docs") - n_del).cast("long").alias("n_docs"),
+            (F.col("total_dl") - dl_sum).cast("long").alias("total_dl"),
+        )
+        _commit_version(spark, root + "/corpus", merged_c, -1)
+
+
+def repair_lexical_index(spark: SparkSession, root: str) -> bool:
+    """Complete a torn ``delete_from_lexical_index``: if a committed
+    delete-intent survives (crash after the intent landed but before
+    the final cleanup), re-run the idempotent postings rewrite and
+    apply the RECORDED stats deltas to any view whose sequence shows
+    the decrement never committed — then clear the intent. Returns
+    True when a repair ran. Safe to call any time (no intent → no-op);
+    ``delete_from_lexical_index`` calls it first, and a restart should
+    call it before serving searches."""
+    from ureplicator_spark.fsutil import delete_recursive
+
+    intent = root + "/_delete_intent"
+    meta_df = read_view(spark, intent + "/meta")
+    deltas = read_view(spark, intent + "/deltas")
+    if meta_df is None or deltas is None:
+        # absent, or torn BEFORE the intent committed — the delete
+        # never touched postings or stats; drop any half-written intent
+        delete_recursive(spark, intent)
+        return False
+    meta = meta_df.collect()[0]
+    _rewrite_postings_without(spark, root, [int(i) for i in meta.doc_ids])
+    _apply_delete_stats(
+        spark, root, deltas, int(meta.n_del), int(meta.dl_sum),
+        int(meta.stats_seq), int(meta.corpus_seq),
+    )
+    delete_recursive(spark, intent)
+    return True
+
+
 def delete_from_lexical_index(
     spark: SparkSession, root: str, doc_ids: list[int]
 ) -> dict:
@@ -202,65 +300,61 @@ def delete_from_lexical_index(
     without rescanning the corpus: the doomed rows themselves carry
     per-token distinct-doc counts (df decrements), each doc's dl and
     the doc count (corpus decrements); tokens whose df reaches zero
-    drop out of the stats view. Both views commit via the crash-atomic
-    ivm version-dir, so a torn delete can never leave half-applied
-    scores."""
+    drop out of the stats view.
+
+    Crash contract (r7 advisor — each view commit alone is atomic,
+    but the delete spans postings + two views): BEFORE touching
+    anything, the doomed ids and the computed deltas are committed as
+    a delete-intent (``_delete_intent/{meta,deltas}``, parquet with
+    ``_SUCCESS`` as the commit marker) together with each stats
+    view's current sequence number; the intent is cleared only after
+    both stats commits land. A crash anywhere in between is healed by
+    :func:`repair_lexical_index` — the postings rewrite is idempotent
+    and the per-view sequence comparison makes the stats decrement
+    exactly-once."""
+    repair_lexical_index(spark, root)
+
+    from ureplicator_spark.fsutil import delete_recursive
+    from ureplicator_spark.streaming.ivm import _last_seq
+
     postings = spark.read.parquet(root + "/postings")
     ids = [int(i) for i in doc_ids]
     doomed = postings.filter(F.col("doc_id").isin(ids)).localCheckpoint()
     if not doomed.head(1):
         return {"deleted_docs": 0, "buckets_rewritten": 0, "removed_dirs": 0}
 
-    buckets = sorted(r.tb for r in doomed.select("tb").distinct().collect())
     df_delta = doomed.groupBy("token").agg(
         F.countDistinct("doc_id").alias("ddf")
     )
     dls = doomed.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     n_del = dls.count()
     dl_sum = int(dls.agg(F.sum("dl")).collect()[0][0])
+    stats_seq = _last_seq(spark, root + "/stats")
+    corpus_seq = _last_seq(spark, root + "/corpus")
 
-    existing = postings.filter(F.col("tb").isin(buckets))
-    survivors = (
-        existing.filter(~F.col("doc_id").isin(ids)).localCheckpoint()
+    # Commit the intent FIRST: deltas (vocabulary of the doomed docs)
+    # + a 1-row meta carrying ids, scalar deltas and the pre-delete
+    # view sequences. Written via the same versioned commit as the
+    # views, so "committed intent" is a _SUCCESS check.
+    intent = root + "/_delete_intent"
+    delete_recursive(spark, intent)
+    _commit_version(spark, intent + "/deltas", df_delta, -1)
+    meta = spark.createDataFrame(
+        [(ids, n_del, dl_sum, stats_seq, corpus_seq)],
+        "doc_ids array<long>, n_del long, dl_sum long, "
+        "stats_seq long, corpus_seq long",
     )
-    kept_buckets = {r.tb for r in survivors.select("tb").distinct().collect()}
-    old_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        survivors.write.mode("overwrite").partitionBy("tb").parquet(
-            root + "/postings"
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    survivors.unpersist()
+    _commit_version(spark, intent + "/meta", meta, -1)
     doomed.unpersist()
 
-    from ureplicator_spark.fsutil import delete_recursive
-
-    emptied = [b for b in buckets if b not in kept_buckets]
-    for b in emptied:
-        delete_recursive(spark, f"{root}/postings/tb={b}")
-
-    cur_df = _require_view(spark, root + "/stats", "lexical-index stats")
-    merged_df = (
-        cur_df.join(df_delta, "token", "left")
-        .select(
-            "token",
-            (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
-        )
-        .filter(F.col("df") > 0)
+    buckets_rewritten, removed = _rewrite_postings_without(spark, root, ids)
+    deltas = _require_view(spark, intent + "/deltas", "delete-intent deltas")
+    _apply_delete_stats(
+        spark, root, deltas, n_del, dl_sum, stats_seq, corpus_seq
     )
-    _commit_version(spark, root + "/stats", merged_df, -1)
-    cur_c = _require_view(spark, root + "/corpus", "lexical-index corpus")
-    merged_c = cur_c.select(
-        (F.col("n_docs") - n_del).cast("long").alias("n_docs"),
-        (F.col("total_dl") - dl_sum).cast("long").alias("total_dl"),
-    )
-    _commit_version(spark, root + "/corpus", merged_c, -1)
+    delete_recursive(spark, intent)
     return {
         "deleted_docs": n_del,
-        "buckets_rewritten": len(buckets),
-        "removed_dirs": len(emptied),
+        "buckets_rewritten": buckets_rewritten,
+        "removed_dirs": removed,
     }

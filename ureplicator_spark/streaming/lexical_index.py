@@ -41,14 +41,25 @@ def maintain_lexical_index(
     stats views) or one pre-seeded by ``build_lexical_index``."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        marker = f"{root}/_applied_batches/b{batch_id}"
-        if fs_exists(spark, marker):
-            return  # replayed batch: postings + stats already applied
-        append_to_lexical_index(spark, root, batch_df, n_buckets)
-        mkdirs(spark, marker)
+        # persist: the batch is consumed by multiple actions (isEmpty,
+        # the postings write, a second tokenize for the stats deltas);
+        # without it the micro-batch source recomputes per action —
+        # extra scans, and for a non-deterministic source the postings
+        # and df stats could derive from DIFFERENT data (the same
+        # reason streaming/sketches.streaming_kmv_maintenance pins its
+        # batch; r7 advisor).
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            marker = f"{root}/_applied_batches/b{batch_id}"
+            if fs_exists(spark, marker):
+                return  # replayed batch: postings + stats already applied
+            append_to_lexical_index(spark, root, batch_df, n_buckets)
+            mkdirs(spark, marker)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         documents_stream.writeStream.foreachBatch(_apply)
