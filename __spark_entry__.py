@@ -29,34 +29,30 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
-    # new in r7 (never driver-checked): the incremental-index lifecycle
-    # query (build -> append_to_ivf_index -> DPP-pruned search).
-    "similarity_ivf_incremental",
-    # new in r7 (never driver-checked): lexical BM25 retrieval, the
-    # hybrid dense+lexical reciprocal-rank-fusion retrieval, and the
-    # incremental inverted-index lifecycle (build -> append -> pruned
-    # search).
-    "text_bm25_search", "similarity_hybrid_rrf", "bm25_index_search",
-    "retrieval_arm_overlap", "doc_bigram_perplexity", "nb_lang_confusion", "kmv_source_overlap",
-    # r7 window rotation (the r5 and r6 verdicts' #1 task): these 22
-    # names have never appeared in any driver window across rounds
-    # 1-6 (CORRECTNESS_r01..r06 union = 126/148). They lead the list
-    # so CORRECTNESS_r07 attests them and the cumulative union reaches
-    # 148/148. Two of them (`table_profile`, `lang_ngram_classifier`)
-    # are ALSO the queries whose implementations r7 changes (perf
-    # rewrites), so the rotation doubles as the changed-query re-check.
-    "table_profile", "lang_ngram_classifier",
-    "similarity_retrieve_docs", "workload_cube", "event_transitions",
-    "dedup_semantic_summary", "dsir_importance_weights",
-    "orders_snapshot_diff", "dedup_cluster_stats", "similarity_multiprobe_ann",
-    "approx_distinct_tokens", "approx_distinct_orders",
-    "similarity_multiprobe_recall", "token_pmi_collocations",
-    "cms_token_counts", "bloom_decontamination", "weighted_sample_docs",
-    "event_value_outliers", "dedup_token_savings",
-    "approx_distinct_users_rolling", "dedup_jaccard_prefix_join",
-    "histogram_quantiles",
-    # Everything below is already driver-attested (r01-r06) and fills
-    # the remaining window slots naturally in registry order.
+    # new in r8 (never driver-checked): the single-pass HLL profile
+    # twin (rows-only — approx_count_distinct is engine-specific).
+    "table_profile_approx",
+    # r8 SCHEMA change: synopsis-only now (the exact COUNT(DISTINCT)
+    # gauge columns moved to a test-only twin), so it must re-enter
+    # the window.
+    "kmv_source_overlap",
+    # r8 implementation changes: bm25_index_search searches the
+    # standing index (build amortized out, like ivf_build_sec);
+    # dedup_containment switched to asymmetric prefix-filter
+    # candidates + array verification; lang_ngram_classifier
+    # aggregates the train split straight to (lang, gram);
+    # doc_bigram_perplexity dropped forced model-table broadcasts.
+    "bm25_index_search", "dedup_containment", "lang_ngram_classifier",
+    "doc_bigram_perplexity",
+    # r8 ORACLE change: _BM25_CONTRIB literals now cast to DOUBLE so
+    # DuckDB runs Spark's IEEE chain — every oracle embedding it
+    # re-enters the window (similarity_hybrid_rrf /
+    # retrieval_arm_overlap also lost a forced broadcast in the
+    # shared lexical arm).
+    "text_bm25_search", "similarity_hybrid_rrf", "retrieval_arm_overlap",
+    # Everything below is already driver-attested (r01-r07, cumulative
+    # 156/156 green) and fills the remaining window slots naturally in
+    # registry order.
 ]
 
 
