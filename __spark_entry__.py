@@ -29,9 +29,12 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
-    # new in r8 (never driver-checked): the single-pass HLL profile
-    # twin (rows-only — approx_count_distinct is engine-specific).
-    "table_profile_approx",
+    # new in r8 (never driver-checked): in-engine BPE tokenizer
+    # training + its compression gauge (rows-only — the merge loop is
+    # iterative, hash-gated vs a Python reference in tests/test_bpe.py)
+    # and the single-pass HLL profile twin (rows-only —
+    # approx_count_distinct is engine-specific).
+    "bpe_learn_merges", "bpe_segment_stats", "table_profile_approx",
     # r8 SCHEMA change: synopsis-only now (the exact COUNT(DISTINCT)
     # gauge columns moved to a test-only twin), so it must re-enter
     # the window.

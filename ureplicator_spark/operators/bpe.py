@@ -1,0 +1,200 @@
+"""In-engine BPE (byte-pair-encoding) vocabulary learning.
+
+The tokenizer-training step of an LLM data pipeline (Sennrich, Haddow
+& Birch, "Neural Machine Translation of Rare Words with Subword
+Units", ACL 2016): iteratively merge the most frequent adjacent
+symbol pair across the corpus until ``num_merges`` merge rules are
+learned. Complements ``token_count_bpe`` (which only *counts* with a
+fixed BPE-ish regex): here the merge table itself is learned from the
+corpus, in the engine.
+
+Scale shape — the classic trainer trick, distributed:
+
+1. The corpus collapses to a ``(word, count)`` table with ONE
+   corpus-sized shuffle. Every later step touches only this table,
+   which is vocabulary-sized (|V| ~ 10^6-10^8 even at 100 TB — a
+   word's count grows with the corpus, the distinct-word table does
+   not, per Heaps' law).
+2. Each merge iteration is: adjacent-pair explode over the word
+   table (weighted by count) -> one small pair-count shuffle ->
+   scalar argmax to the driver (count DESC, pair ASC — fully
+   deterministic tie-break) -> a pure-Catalyst left-to-right fold
+   rewriting each word's symbol array. No Python touches row data;
+   the only driver traffic is one 3-field row per iteration.
+3. Lineage is truncated per iteration with ``localCheckpoint`` —
+   the same discipline as the connected-components label
+   propagation (operators/dedup.py) — so k merges never build a
+   k-deep plan.
+
+Non-SQL-expressible: the merge chosen at step i depends on the
+rewrite applied at step i-1, so no single SQL statement reproduces
+the loop. Correctness is hash-gated in pytest against an oblivious
+pure-Python BPE reference (tests/test_bpe.py), the same discipline
+as the PQ codebooks (bit-exact vs NumPy).
+
+Reference scope note: the reference (uReplicator) is a Kafka
+replicator with no tokenizer; this module is part of the
+beyond-reference LLM-pipeline surface the engine provides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ureplicator_spark.functions import fan_out
+
+END_OF_WORD = "</w>"
+
+
+def _word_counts(documents: DataFrame) -> DataFrame:
+    """(syms, cnt): distinct lowercase whitespace words as initial
+    character-symbol arrays (+ the end-of-word marker), with corpus
+    frequencies. The one corpus-sized shuffle of the whole trainer."""
+    return (
+        fan_out(documents)
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD))).alias("syms"),
+            "cnt",
+        )
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping replacement of the adjacent pair
+    (left, right) with the fused symbol — the exact scan a reference
+    BPE trainer performs, as a Catalyst fold (no UDF).
+
+    ``F.get`` (0-based, null on out-of-range) rather than
+    ``element_at`` keeps the fold ANSI-safe on the empty accumulator.
+    Overlap semantics match the reference scan: merging (a,a) over
+    "aaa" yields [aa, a] because the freshly fused "aa" is no longer
+    equal to "a" when the third element arrives.
+    """
+    fused = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(left)) & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(fused)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _top_pair(words: DataFrame):
+    """The most frequent adjacent symbol pair, or None when no word
+    has two symbols left. Deterministic: count DESC, then pair ASC."""
+    rows = (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS l,"
+                    "             element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def learn_bpe_merges(documents: DataFrame, num_merges: int = 12) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merge rules from the corpus.
+
+    Returns (step, left, right, merged, pair_count) — the ordered
+    merge table a tokenizer ships. Stops early (fewer rows) if the
+    word table runs out of adjacent pairs.
+    """
+    spark = documents.sparkSession
+    cur = _word_counts(documents).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        top = _top_pair(cur)
+        if top is None:
+            break
+        left, right, pair_count = top["l"], top["r"], int(top["pair_count"])
+        merges.append((step, left, right, left + right, pair_count))
+        # lazy checkpoint: the NEXT round's _top_pair collect is the
+        # first action to touch it and materializes it then — same
+        # lineage truncation as eager, one fewer job per round
+        # (measured: ~0.5 s/round vs ~0.95 s/round at sf0.01).
+        cur = cur.withColumn(
+            "syms", _apply_merge(F.col("syms"), left, right)
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def segment_with_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply an ordered merge list to a (word, ...) table, adding
+    ``syms`` (the BPE segmentation) and ``n_syms``. Each merge is one
+    narrow map over the vocabulary-sized table — k chained folds, no
+    shuffle. Greedy-by-learn-order application, the standard
+    fast-tokenizer semantics."""
+    out = words.withColumn(
+        "syms", F.concat(F.split("word", ""), F.array(F.lit(END_OF_WORD)))
+    )
+    for left, right in merges:
+        out = out.withColumn("syms", _apply_merge(F.col("syms"), left, right))
+    return out.withColumn("n_syms", F.size("syms"))
+
+
+def bpe_segment_stats(documents: DataFrame, num_merges: int = 12) -> DataFrame:
+    """Per-language tokenization quality under the learned vocab:
+    token-frequency-weighted average symbols per word, before (chars +
+    end marker) and after the ``num_merges`` learned merges — the
+    compression gauge a tokenizer-training run reports per epoch.
+
+    Shape: merges are learned once (driver holds k tiny rules), the
+    distinct-word table is segmented with k narrow folds, and the
+    per-(lang, word) counts join it on ``word`` — the skew-free
+    vocabulary-sized join, never a corpus rewrite.
+    """
+    merge_rows = learn_bpe_merges(documents, num_merges).collect()
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+
+    lang_words = (
+        fan_out(documents)
+        .select("lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = segment_with_merges(
+        lang_words.select("word").distinct(), merges
+    ).select("word", "n_syms", (F.length("word") + F.lit(1)).alias("n_chars_ew"))
+    return (
+        lang_words.join(vocab, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_syms")) / F.sum("cnt"), 4
+            ).alias("avg_syms_per_word"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_chars_ew")) / F.sum("cnt"), 4
+            ).alias("avg_chars_per_word"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_syms"))
+                / F.sum(F.col("cnt") * F.col("n_chars_ew")),
+                4,
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )

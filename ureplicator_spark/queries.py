@@ -6759,3 +6759,47 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return kmv_source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# In-engine BPE tokenizer training (Sennrich ACL'16)
+# ---------------------------------------------------------------------------
+
+
+@register("bpe_learn_merges", None)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 12 BPE merge rules from the corpus — the
+    tokenizer-training step of an LLM data pipeline, in the engine.
+    Scale shape (operators/bpe.py): ONE corpus-sized shuffle collapses
+    the corpus to a (word, count) table (Heaps'-law-bounded even at
+    100 TB); each merge iteration is a small pair-count shuffle, a
+    scalar argmax to the driver and a pure-Catalyst fold rewrite,
+    lineage truncated per round like the CC label propagation.
+
+    Rows-only driver check: the merge chosen at step i depends on the
+    rewrite at step i-1, so no single SQL statement reproduces the
+    loop. The full hash gate lives in tests/test_bpe.py, where the
+    merge table is compared rule-for-rule (including pair counts and
+    tie-breaks) against an oblivious pure-Python BPE reference —
+    the PQ-vs-NumPy discipline."""
+    from ureplicator_spark.operators.bpe import learn_bpe_merges
+    from ureplicator_spark.sources.parquet import load_table
+
+    return learn_bpe_merges(load_table(spark, sf_dir, "documents"), num_merges=12)
+
+
+@register("bpe_segment_stats", None)
+def q_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language compression under the learned BPE vocabulary:
+    frequency-weighted avg symbols per word after 12 merges vs the
+    character baseline — the gauge a tokenizer-training run reports.
+    The vocabulary (not the corpus) is segmented — k narrow folds
+    over the distinct-word table, joined back to (lang, word) counts
+    on the skew-free word key. Rows-only for the same reason as
+    `bpe_learn_merges`; segmentation application is pinned
+    symbol-for-symbol against the Python reference in
+    tests/test_bpe.py."""
+    from ureplicator_spark.operators.bpe import bpe_segment_stats
+    from ureplicator_spark.sources.parquet import load_table
+
+    return bpe_segment_stats(load_table(spark, sf_dir, "documents"), num_merges=12)
