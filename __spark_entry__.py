@@ -34,7 +34,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     # iterative, hash-gated vs a Python reference in tests/test_bpe.py)
     # and the single-pass HLL profile twin (rows-only —
     # approx_count_distinct is engine-specific).
-    "bpe_learn_merges", "bpe_segment_stats", "table_profile_approx",
+    # and content-defined chunk dedup over binary payloads (rows-only —
+    # the Gear rolling-boundary walk is pinned per-byte vs a Python
+    # reference in tests/test_cdc_chunking.py).
+    "bpe_learn_merges", "bpe_segment_stats", "cdc_chunk_dedup",
+    "table_profile_approx",
     # r8 SCHEMA change: synopsis-only now (the exact COUNT(DISTINCT)
     # gauge columns moved to a test-only twin), so it must re-enter
     # the window.

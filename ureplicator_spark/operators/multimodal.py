@@ -261,3 +261,140 @@ def pcm_decimate(media: DataFrame, factor: int = 4) -> DataFrame:
         ]
     )
     return fan_out(media.select("media_id", "payload")).mapInPandas(decimate_batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) over binary payloads
+# ---------------------------------------------------------------------------
+
+# Gear table: engine-reproducible (md5-derived, like every other
+# portable hash in this repo — functions.md5_long) so any independent
+# implementation regenerates identical boundaries.
+def _gear_table():
+    import hashlib
+
+    return [
+        int(hashlib.md5(bytes([b])).hexdigest()[:8], 16) & 0xFFFF for b in range(256)
+    ]
+
+
+CDC_MIN_SIZE = 16
+CDC_MASK_BITS = 5  # expected chunk ~2^5 = 32 bytes
+CDC_MAX_SIZE = 64
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("length", T.IntegerType(), False),
+        T.StructField("chunk_hash", T.StringType(), False),
+    ]
+)
+
+
+def cdc_chunk_payloads(
+    media: DataFrame,
+    min_size: int = CDC_MIN_SIZE,
+    mask_bits: int = CDC_MASK_BITS,
+    max_size: int = CDC_MAX_SIZE,
+) -> DataFrame:
+    """Content-defined chunking of binary payloads with a Gear rolling
+    hash (the FastCDC family: Xia et al., USENIX ATC'16) — the dedup
+    primitive for binary/multimodal data, where fixed-offset chunking
+    breaks on any byte insertion but content-defined boundaries
+    re-align immediately after the edit.
+
+    Semantics: h = ((h << 1) + gear[byte]) & 0xFFFF, reset at each
+    chunk start; cut after a byte when chunk length >= ``min_size``
+    and (h & (2^mask_bits - 1)) == 0, forced at ``max_size``.
+
+    Vectorization (the reason this scales): the 16-bit hash state
+    forgets bytes more than 16 positions back (each step shifts one
+    bit out), and ``min_size`` >= 16, so the boundary test NEVER
+    depends on the reset — h at any testable position equals a pure
+    16-byte windowed value. That turns the "inherently sequential"
+    rolling scan into 16 shifted vector adds over the whole payload
+    (numpy, per Arrow batch) plus a sparse walk over the ~1/2^mask_bits
+    candidate positions. No per-byte Python anywhere.
+
+    Output is (media_id, chunk_idx, start, length, chunk_hash) —
+    chunk content itself never shuffles, only md5 identities (the
+    dedup-join discipline of operators/dedup.py).
+    """
+    if min_size < 16:
+        raise ValueError("min_size must be >= 16 (the Gear window) for exactness")
+    mask = (1 << mask_bits) - 1
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        gear = np.asarray(_gear_table(), dtype=np.uint32)
+        for pdf in batches:
+            ids, cidx, starts, lengths, hashes = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(buf)
+                if n == 0:
+                    continue
+                g = gear[buf]
+                h = np.zeros(n, dtype=np.uint32)
+                for t in range(16):
+                    h[t:] += g[: n - t] << t
+                h &= 0xFFFF
+                cand = np.flatnonzero((h & mask) == 0)  # cut AFTER these
+                cuts = []
+                start = 0
+                ci = 0
+                while start < n:
+                    end = min(start + max_size, n)
+                    lo = start + min_size - 1
+                    j = np.searchsorted(cand, lo)
+                    if j < len(cand) and cand[j] < end:
+                        end = int(cand[j]) + 1
+                    cuts.append((start, end))
+                    start = end
+                    ci += 1
+                for i, (s, e) in enumerate(cuts):
+                    ids.append(mid)
+                    cidx.append(i)
+                    starts.append(s)
+                    lengths.append(e - s)
+                    hashes.append(hashlib.md5(buf[s:e].tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(cidx, dtype="int32"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "length": pd.Series(lengths, dtype="int32"),
+                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        chunk_batches, schema=CDC_SCHEMA
+    )
+
+
+def cdc_chunk_dedup(media: DataFrame, **chunk_kw) -> DataFrame:
+    """Cross-payload duplicate chunks: chunk every payload with CDC,
+    then one hash-keyed aggregation — the storage/dedup planning view
+    ("how many bytes does chunk-level dedup reclaim"). Only (hash,
+    length) pairs shuffle; dedupable_bytes counts every copy beyond
+    the first."""
+    chunks = cdc_chunk_payloads(media, **chunk_kw)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.count("*").alias("n_occur"),
+            F.max("length").alias("chunk_bytes"),
+            ((F.count("*") - F.lit(1)) * F.max("length")).alias("dedupable_bytes"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy("chunk_hash")
+    )

@@ -6803,3 +6803,28 @@ def q_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return bpe_segment_stats(load_table(spark, sf_dir, "documents"), num_merges=12)
+
+
+@register("cdc_chunk_dedup", None)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup over binary payloads (Gear CDC,
+    FastCDC family — Xia USENIX ATC'16): variable-size chunks whose
+    boundaries re-align after byte insertions, so chunk-level dedup
+    survives edits that break fixed-offset chunking (`doc_chunks`).
+    The binary/multimodal counterpart of the text dedup family.
+
+    Scale shape (operators/multimodal.py::cdc_chunk_payloads): the
+    16-bit Gear state makes boundaries reset-independent, so the
+    rolling scan vectorizes to 16 shifted numpy adds per Arrow batch —
+    no per-byte Python; only (hash, length) identities shuffle into
+    one hash-keyed aggregation. Rows-only driver check: the rolling
+    boundary walk is not SQL-expressible; boundaries are pinned
+    byte-for-byte against an oblivious per-byte Python reference in
+    tests/test_cdc_chunking.py, shift-resilience property included."""
+    from ureplicator_spark.operators.multimodal import (
+        cdc_chunk_dedup,
+        documents_as_media,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    return cdc_chunk_dedup(documents_as_media(load_table(spark, sf_dir, "documents")))
