@@ -104,8 +104,12 @@ EXTENDED_QUERIES = [
     "similarity_ivf_incremental", "text_bm25_search",
     "similarity_hybrid_rrf", "bm25_index_search", "retrieval_arm_overlap",
     "doc_bigram_perplexity", "nb_lang_confusion", "kmv_source_overlap",
-    # round-8 addition: the single-pass production profile twin
-    "table_profile_approx",
+    # round-8 additions: the single-pass production profile twin,
+    # in-engine BPE tokenizer training (iteration-constant-bound at
+    # fixture SF, like the CC label-prop loop) and content-defined
+    # chunk dedup over binary payloads.
+    "table_profile_approx", "bpe_learn_merges", "bpe_segment_stats",
+    "cdc_chunk_dedup",
 ]
 
 
