@@ -38,7 +38,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     # the Gear rolling-boundary walk is pinned per-byte vs a Python
     # reference in tests/test_cdc_chunking.py).
     "bpe_learn_merges", "bpe_segment_stats", "cdc_chunk_dedup",
-    "table_profile_approx",
+    "cdc_incremental_dedup", "table_profile_approx",
     # r8 SCHEMA change: synopsis-only now (the exact COUNT(DISTINCT)
     # gauge columns moved to a test-only twin), so it must re-enter
     # the window.

@@ -1,0 +1,118 @@
+"""Persisted CDC chunk index: append≡rebuild, probe equals an
+oblivious recompute, and byte-identical payloads reach containment
+exactly 1.0."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from ureplicator_spark.caching import pin_scope
+from ureplicator_spark.operators.multimodal import documents_as_media
+from ureplicator_spark.sources.chunk_index import (
+    append_to_chunk_index,
+    build_chunk_index,
+    incremental_payload_dedup,
+)
+
+
+@pytest.fixture()
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="chunk_index_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return documents_as_media(docs)
+
+
+def test_append_equals_single_build(spark, sf_dir, tmp_root):
+    media = _media(spark, sf_dir)
+    a = media.filter("media_id % 2 = 0")
+    b = media.filter("media_id % 2 = 1")
+    build_chunk_index(a, tmp_root + "/inc")
+    append_to_chunk_index(b, tmp_root + "/inc")
+    build_chunk_index(media, tmp_root + "/full")
+    inc = {
+        tuple(r)
+        for r in spark.read.parquet(tmp_root + "/inc/chunks").collect()
+    }
+    full = {
+        tuple(r)
+        for r in spark.read.parquet(tmp_root + "/full/chunks").collect()
+    }
+    assert inc == full
+
+
+def test_probe_matches_oblivious_recompute(spark, sf_dir, tmp_root):
+    media = _media(spark, sf_dir)
+    corpus = media.filter("media_id % 10 < 8")
+    batch = media.filter("media_id % 10 >= 8")
+    build_chunk_index(corpus, tmp_root)
+    with pin_scope():
+        got = {
+            (r["new_media"], r["corpus_media"]): (
+                r["shared_chunks"],
+                r["shared_bytes"],
+                r["containment"],
+            )
+            for r in incremental_payload_dedup(spark, tmp_root, batch).collect()
+        }
+    # oblivious: chunk EVERYTHING in one pass, intersect hash sets
+    from ureplicator_spark.operators.multimodal import cdc_chunk_payloads
+
+    rows = cdc_chunk_payloads(media).collect()
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    new_ids = {r["media_id"] for r in batch.select("media_id").collect()}
+    expect = {}
+    for nid in new_ids:
+        nch = by_media.get(nid, [])
+        tot = sum(c["length"] for c in nch)
+        for cid, cch in by_media.items():
+            if cid == nid or cid in new_ids:
+                continue
+            corpus_hashes = {c["chunk_hash"] for c in cch}
+            shared = [c for c in nch if c["chunk_hash"] in corpus_hashes]
+            if shared:
+                sb = sum(c["length"] for c in shared)
+                expect[(nid, cid)] = (len(shared), sb, round(sb / tot, 6))
+    assert got == expect
+
+
+def test_exact_copy_has_containment_one(spark, sf_dir, tmp_root):
+    media = _media(spark, sf_dir)
+    corpus = media.filter("media_id < 100")
+    build_chunk_index(corpus, tmp_root)
+    # re-submit payload 7 under a new id: byte-identical chunks
+    batch = corpus.filter("media_id = 7").selectExpr(
+        "media_id + 100000 AS media_id", "payload"
+    )
+    with pin_scope():
+        rows = incremental_payload_dedup(spark, tmp_root, batch).collect()
+    hit = [r for r in rows if r["corpus_media"] == 7]
+    assert hit and hit[0]["containment"] == 1.0
+
+
+def test_probe_scan_is_bucket_pruned(spark, sf_dir, tmp_root):
+    """The index scan must prune at the partition level to the
+    batch's bucket ids — the chunk-index analog of the lexical
+    index's tb pruning — and never read unrelated buckets."""
+    import re
+
+    from ureplicator_spark.plans.inspect import plan_string
+
+    media = _media(spark, sf_dir)
+    build_chunk_index(media.filter("media_id < 400"), tmp_root)
+    with pin_scope():
+        probe = incremental_payload_dedup(
+            spark, tmp_root, media.filter("media_id >= 400")
+        )
+        plan = plan_string(probe)
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m, f"no bucket partition filter in plan:\n{plan}"

@@ -6828,3 +6828,44 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return cdc_chunk_dedup(documents_as_media(load_table(spark, sf_dir, "documents")))
+
+
+@register("cdc_incremental_dedup", None)
+def q_cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental payload dedup against a persisted CDC chunk index —
+    the lifecycle query (build 80% corpus index -> probe the 20%
+    batch), the binary-payload counterpart of
+    `similarity_ivf_incremental`. Production amortizes the build once
+    per corpus snapshot; the probe chunks ONLY the batch, collects its
+    <=64 bucket ids driver-side and statically prunes the bucket
+    partitions before the chunk_hash equi-join — the corpus is never
+    re-chunked (sources/chunk_index.py). Rows-only: the Gear boundary
+    walk is non-SQL-expressible; the probe is pinned against an
+    oblivious full-recompute in tests/test_chunk_index.py, and
+    append≡rebuild + byte-identical-copy containment=1.0 are pinned
+    there too."""
+    import shutil
+    import tempfile
+
+    from ureplicator_spark.caching import pin_scope
+    from ureplicator_spark.operators.multimodal import documents_as_media
+    from ureplicator_spark.sources.chunk_index import (
+        build_chunk_index,
+        incremental_payload_dedup,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    root = tempfile.mkdtemp(prefix="ureplicator_chunk_index_")
+    try:
+        build_chunk_index(media.filter("media_id % 10 < 8"), root)
+        with pin_scope():
+            out = incremental_payload_dedup(
+                spark, root, media.filter("media_id % 10 >= 8")
+            )
+            # materialize inside the scope+tempdir lifetime, then
+            # re-frame as a local relation (result is pair-sized)
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,120 @@
+"""Persisted CDC chunk-hash index — incremental binary-payload dedup.
+
+`operators/multimodal.cdc_chunk_dedup` chunks the whole corpus per
+query run. A production pipeline ingests payload batches into a
+100 TB media corpus; re-chunking the corpus per batch is the cost
+this index removes: the corpus is chunked ONCE per snapshot and only
+its chunk IDENTITIES (md5, length — never the bytes) are persisted,
+bucket-partitioned by hash prefix so an incremental probe scans only
+the buckets the new batch's chunks map to (the partition-pruned
+probe discipline of `lexical_index.py` postings).
+
+Layout:
+
+    <root>/chunks/bucket=<b>/   (chunk_hash, media_id, chunk_idx, length)
+
+Append is O(batch): new payloads are chunked and their identity rows
+land in their bucket partitions; existing files are never rewritten —
+the same snapshot-then-append discipline as `ivf_index.py` /
+`minhash_index.py` / `lexical_index.py`, completing the incremental-
+index family for the binary/multimodal path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ureplicator_spark.caching import pin
+from ureplicator_spark.operators.multimodal import cdc_chunk_payloads
+
+N_BUCKETS = 64
+
+
+def _bucketed_chunks(media: DataFrame, **chunk_kw) -> DataFrame:
+    return cdc_chunk_payloads(media, **chunk_kw).withColumn(
+        "bucket",
+        # conv returns a STRING — cast before the modulo (ANSI-safe)
+        (
+            F.conv(F.substring("chunk_hash", 1, 4), 16, 10).cast("long")
+            % F.lit(N_BUCKETS)
+        ).cast("int"),
+    )
+
+
+def build_chunk_index(media: DataFrame, root: str, mode: str = "overwrite", **chunk_kw) -> None:
+    """One corpus pass: chunk every payload, persist identity rows
+    bucket-partitioned. Payload bytes never leave the scan stage."""
+    _bucketed_chunks(media, **chunk_kw).write.mode(mode).partitionBy("bucket").parquet(
+        root + "/chunks"
+    )
+
+
+def append_to_chunk_index(media: DataFrame, root: str, **chunk_kw) -> None:
+    """Add a batch's chunk identities — the daily post-ingest step.
+    Append-only: no rewrite of existing bucket files."""
+    build_chunk_index(media, root, mode="append", **chunk_kw)
+
+
+def incremental_payload_dedup(
+    spark: SparkSession,
+    root: str,
+    new_media: DataFrame,
+    **chunk_kw,
+) -> DataFrame:
+    """Chunk-level overlap of a NEW payload batch against the
+    persisted corpus index: (new_media, corpus_media, shared_chunks,
+    shared_bytes, containment) where containment = shared chunk bytes
+    / the new payload's total chunk bytes (1.0 = fully contained).
+
+    The batch is chunked locally (it is small); the corpus is NEVER
+    re-chunked. The probe collects the batch's <=``N_BUCKETS`` bucket
+    ids (a scalar driver list, like the lexical index's query-token
+    buckets) and statically prunes the bucket partitions before the
+    chunk_hash equi-join. Self-pairs are excluded so re-probing after
+    an append stays clean. Duplicate chunk copies within one corpus
+    payload count once (distinct on the pair + chunk identity) so
+    containment never exceeds 1."""
+    # pin, not persist/finally: the returned frame is lazy, so the pin
+    # must outlive this function and die with the caller's pin_scope
+    # (see caching.py) — the minhash_index.incremental_dedup pattern.
+    new_chunks = pin(_bucketed_chunks(new_media, **chunk_kw))
+    buckets = [r["bucket"] for r in new_chunks.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(root + "/chunks").filter(F.col("bucket").isin(buckets))
+    new_tot = new_chunks.groupBy("media_id").agg(F.sum("length").alias("new_bytes"))
+    shared = (
+        new_chunks.alias("n")
+        .join(
+            idx.alias("c"),
+            (F.col("n.bucket") == F.col("c.bucket"))
+            & (F.col("n.chunk_hash") == F.col("c.chunk_hash"))
+            & (F.col("n.media_id") != F.col("c.media_id")),
+        )
+        .select(
+            F.col("n.media_id").alias("new_media"),
+            F.col("c.media_id").alias("corpus_media"),
+            F.col("n.chunk_idx").alias("new_chunk_idx"),
+            F.col("n.length").alias("length"),
+        )
+        # one credit per NEW chunk occurrence per corpus doc, even
+        # if the corpus doc holds several copies of the chunk
+        .distinct()
+    )
+    return (
+        shared.groupBy("new_media", "corpus_media")
+        .agg(
+            F.count("*").alias("shared_chunks"),
+            F.sum("length").alias("shared_bytes"),
+        )
+        .join(new_tot.withColumnRenamed("media_id", "new_media"), "new_media")
+        .select(
+            "new_media",
+            "corpus_media",
+            "shared_chunks",
+            "shared_bytes",
+            F.round(F.col("shared_bytes") / F.col("new_bytes"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("new_media", "corpus_media")
+    )
