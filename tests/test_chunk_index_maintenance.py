@@ -1,0 +1,121 @@
+"""Streaming CDC chunk-index maintenance: apply-once with replay
+no-op, late arrivals absorbed, and a maintained index that answers the
+dedup probe exactly like a from-scratch build."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ureplicator_spark.caching import pin_scope
+from ureplicator_spark.operators.multimodal import documents_as_media
+from ureplicator_spark.sources.chunk_index import (
+    build_chunk_index,
+    incremental_payload_dedup,
+)
+from ureplicator_spark.streaming.chunk_index import maintain_chunk_index
+
+SPLIT = 300  # initial snapshot: media_id < SPLIT; streamed: the rest
+
+
+def _media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return documents_as_media(docs).select("media_id", "payload")
+
+
+def test_streaming_maintenance_applies_once_and_replays_noop(
+    spark, sf_dir, tmp_path
+):
+    media = _media(spark, sf_dir).filter("media_id < 500")
+    root = str(tmp_path / "chunks_idx")
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    build_chunk_index(media.filter(F.col("media_id") < SPLIT), root)
+    n0 = spark.read.parquet(root + "/chunks").count()
+
+    arriving = media.filter(
+        (F.col("media_id") >= SPLIT) & (F.col("media_id") < SPLIT + 100)
+    )
+    arriving.coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    maintain_chunk_index(stream, root, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(root + "/chunks").count()
+    assert n1 > n0
+
+    # restart over the same source + checkpoint: nothing re-applied
+    stream2 = spark.readStream.schema(static.schema).parquet(src)
+    maintain_chunk_index(stream2, root, ckpt).awaitTermination(120)
+    assert spark.read.parquet(root + "/chunks").count() == n1
+
+    # late arrivals flow in; earlier batches untouched
+    media.filter(F.col("media_id") >= SPLIT + 100).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream3 = spark.readStream.schema(static.schema).parquet(src)
+    maintain_chunk_index(stream3, root, ckpt).awaitTermination(120)
+
+    # the maintained index is identity-for-identity a from-scratch build
+    full = str(tmp_path / "full_idx")
+    build_chunk_index(media, full)
+    got = {
+        tuple(r) for r in spark.read.parquet(root + "/chunks").collect()
+    }
+    want = {
+        tuple(r) for r in spark.read.parquet(full + "/chunks").collect()
+    }
+    assert got == want
+
+
+def test_maintained_index_answers_probe_like_batch_build(
+    spark, sf_dir, tmp_path
+):
+    media = _media(spark, sf_dir).filter("media_id < 400")
+    corpus = media.filter("media_id % 10 < 8")
+    batch = media.filter("media_id % 10 >= 8")
+    inc_root = str(tmp_path / "inc_idx")
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+
+    # half the corpus as the snapshot, the rest streamed in
+    build_chunk_index(corpus.filter("media_id < 200"), inc_root)
+    corpus.filter("media_id >= 200").coalesce(1).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    maintain_chunk_index(stream, inc_root, ckpt).awaitTermination(120)
+
+    full_root = str(tmp_path / "full_idx")
+    build_chunk_index(corpus, full_root)
+
+    with pin_scope():
+        got = {
+            (r["new_media"], r["corpus_media"]): tuple(r)[2:]
+            for r in incremental_payload_dedup(spark, inc_root, batch).collect()
+        }
+    with pin_scope():
+        want = {
+            (r["new_media"], r["corpus_media"]): tuple(r)[2:]
+            for r in incremental_payload_dedup(spark, full_root, batch).collect()
+        }
+    assert got == want and want
+
+
+def test_replay_marker_makes_duplicate_batch_a_noop(spark, sf_dir, tmp_path):
+    """Restart-from-checkpoint re-delivery: a batch id with a marker
+    must not append again."""
+    from ureplicator_spark.fsutil import fs_exists, mkdirs
+    from ureplicator_spark.sources.chunk_index import append_to_chunk_index
+
+    media = _media(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    build_chunk_index(media.filter("media_id < 100"), root)
+    batch = media.filter("media_id >= 100").limit(20)
+
+    append_to_chunk_index(batch, root)
+    mkdirs(spark, f"{root}/_applied_batches/b7")
+    n1 = spark.read.parquet(root + "/chunks").count()
+
+    if not fs_exists(spark, f"{root}/_applied_batches/b7"):
+        append_to_chunk_index(batch, root)
+    assert spark.read.parquet(root + "/chunks").count() == n1
