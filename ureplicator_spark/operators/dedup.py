@@ -320,8 +320,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Iterative min-label propagation: each node takes the min label in
     its neighborhood until fixpoint — O(cluster diameter) rounds, and
-    near-dup clusters are shallow in practice (dozens of hops at
-    worst). Each round is one join + one agg keyed on doc id; the
+    near-dup clusters are shallow in practice (LSH-thresholded pair
+    sets are cliquish; measured 2 rounds at sf0.1 — a pointer-jumping
+    O(log d) variant was measured SLOWER here, its extra label
+    self-join costing more than the rounds it saves on shallow
+    graphs). Each round is one join + one agg keyed on doc id; the
     driver only checks a scalar convergence count per round. Input:
     (doc_a, doc_b) undirected pairs. Output: (doc_id, cluster_id,
     is_keeper) for every doc that appears in ≥1 pair.
@@ -330,11 +333,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        # checkpoint BEFORE deriving labels: both the per-round joins
+        # and the initial label table must read the materialized edge
+        # set — deriving labels from the pre-checkpoint lineage made
+        # round 0 re-execute the entire upstream (LSH) pipeline a
+        # second time (measured: ~2.5 s of the loop at sf0.1)
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
-    edges = edges.localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
