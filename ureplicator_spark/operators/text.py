@@ -729,11 +729,11 @@ def source_unigram_kl(documents: DataFrame) -> DataFrame:
     )
 
 
-def shard_assignments(
-    documents: DataFrame, budget: int = 20_000, token_offset: int = 0
+def doc_token_offsets(
+    documents: DataFrame, token_offset: int = 0
 ) -> DataFrame:
-    """(doc_id, n_tokens, shard_id): each document's contiguous
-    token-budget shard, walking the corpus in doc_id order with the
+    """(doc_id, n_tokens, start, end): each document's half-open
+    global token interval under doc_id-ordered concatenation, with the
     running total starting at ``token_offset`` (nonzero when a
     streaming feed continues the cumsum across micro-batches).
 
@@ -744,10 +744,12 @@ def shard_assignments(
     bucket's starting offset; (3) a per-bucket window (partitioned,
     bounded width) finishes the local cumsum. At 100 TB the bucket
     table is ~10^7 rows for 10^10 docs — window-able on one executor;
-    beyond that, recurse the same two-phase split on buckets."""
+    beyond that, recurse the same two-phase split on buckets. Shared
+    scan for both whole-doc shard layout (``shard_assignments``) and
+    boundary-splitting sequence packing (operators/packing.py)."""
     n_tok = (
         F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
-    ).alias("n_tokens")
+    ).cast("long").alias("n_tokens")
     t = documents.select("doc_id", n_tok).withColumn(
         "bucket", (F.col("doc_id") / F.lit(4096)).cast("long")
     )
@@ -762,12 +764,27 @@ def shard_assignments(
     w_d = Window.partitionBy("bucket").orderBy("doc_id")
     return (
         t.join(F.broadcast(offsets), "bucket")
-        .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(w_d))
-        .withColumn(
-            # integral div, not floor(double/) — exact past 2^53 tokens
-            "shard_id", F.expr(f"(cum - n_tokens) div {int(budget)}")
+        .withColumn("end", F.col("offset") + F.sum("n_tokens").over(w_d))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("end") - F.col("n_tokens")).alias("start"),
+            "end",
         )
-        .select("doc_id", "n_tokens", "shard_id")
+    )
+
+
+def shard_assignments(
+    documents: DataFrame, budget: int = 20_000, token_offset: int = 0
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id): each document's contiguous
+    token-budget shard — whole docs, cut when the running total
+    crosses ``budget``. Prefix-sum topology on ``doc_token_offsets``."""
+    return doc_token_offsets(documents, token_offset).select(
+        "doc_id",
+        "n_tokens",
+        # integral div, not floor(double/) — exact past 2^53 tokens
+        F.expr(f"start div {int(budget)}").alias("shard_id"),
     )
 
 
