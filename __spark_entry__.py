@@ -39,6 +39,13 @@ _CHANGED_SINCE_LAST_CHECK = [
     # reference in tests/test_cdc_chunking.py).
     "bpe_learn_merges", "bpe_segment_stats", "cdc_chunk_dedup",
     "cdc_incremental_dedup", "table_profile_approx",
+    # new in r8: training-sequence packing (oracle-gated — the oracle
+    # runs the global-window strawman, the engine the two-phase scan)
+    # and the shard-export balance gauge (portable md5 assignment).
+    "sequence_packing", "training_shard_stats",
+    # r8 refactor: shard_assignments now rides the shared
+    # doc_token_offsets scan (same results, new lineage).
+    "token_shard_packing",
     # r8 SCHEMA change: synopsis-only now (the exact COUNT(DISTINCT)
     # gauge columns moved to a test-only twin), so it must re-enter
     # the window.
@@ -51,6 +58,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     # doc_bigram_perplexity dropped forced model-table broadcasts.
     "bm25_index_search", "dedup_containment", "lang_ngram_classifier",
     "doc_bigram_perplexity",
+    # r8 implementation change in duplicate_clusters (labels now derive
+    # from the checkpointed edge set — same fixpoint, lineage fix):
+    # every query through the CC pass re-enters the window.
+    "fuzzy_dedup_clusters", "dedup_keep_best", "dedup_cluster_stats",
+    "dedup_token_savings", "curation_pipeline",
     # r8 ORACLE change: _BM25_CONTRIB literals now cast to DOUBLE so
     # DuckDB runs Spark's IEEE chain — every oracle embedding it
     # re-enters the window (similarity_hybrid_rrf /

@@ -109,7 +109,7 @@ EXTENDED_QUERIES = [
     # fixture SF, like the CC label-prop loop) and content-defined
     # chunk dedup over binary payloads.
     "table_profile_approx", "bpe_learn_merges", "bpe_segment_stats",
-    "cdc_chunk_dedup",
+    "cdc_chunk_dedup", "sequence_packing", "training_shard_stats",
 ]
 
 

@@ -1426,7 +1426,13 @@ def q_stateful_no_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one parquet dir, one availableNow batch: the detector's pandas fold
     # sorts by ts_sec per key, so batching is order-independent
+    import atexit
+    import shutil
+
     src = tempfile.mkdtemp(prefix="np_updates_")
+    ck = tempfile.mkdtemp(prefix="np_ck_")
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
+    atexit.register(shutil.rmtree, ck, ignore_errors=True)
     tick1.unionByName(tick2).coalesce(1).write.mode("overwrite").parquet(src)
     static = spark.read.parquet(src)
     stream = spark.readStream.schema(static.schema).parquet(src)
@@ -1436,7 +1442,7 @@ def q_stateful_no_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="np_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
@@ -1923,6 +1929,8 @@ def q_similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(new · n_centroids) and never touches existing lists' files, and
     the search reads only probed cent_id directories (DPP,
     plan-asserted in test_plans.py)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ureplicator_spark.sources.ivf_index import (
@@ -1934,6 +1942,9 @@ def q_similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="ureplicator_ivf_inc_")
+    # the returned frame reads the index lazily, so cleanup is deferred
+    # to process exit (the lexical standing-index discipline)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     build_ivf_index(emb.filter(F.col("vec_id") < 400), root)
     append_to_ivf_index(spark, root, emb.filter(F.col("vec_id") >= 400))
     return search_ivf_index(
@@ -6869,3 +6880,80 @@ def q_cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concatenate-and-chunk loader shape)
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 256
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM t
+),
+x AS (
+  SELECT doc_id, n, s, s + n AS e,
+         unnest(generate_series(s // {_PACK_CAP}, (s + n - 1) // {_PACK_CAP}))
+           AS seq_id
+  FROM o
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s < seq_id*{_PACK_CAP} OR e > (seq_id+1)*{_PACK_CAP}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fragments,
+       CAST(SUM(LEAST(e, (seq_id+1)*{_PACK_CAP})
+                - GREATEST(s, seq_id*{_PACK_CAP})) AS BIGINT) AS seq_tokens
+FROM x GROUP BY seq_id ORDER BY seq_id
+"""
+
+
+@register("sequence_packing", _PACK_SQL)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into fixed token-capacity training sequences
+    (GPT-style concatenate-and-chunk) and report per-sequence fill
+    stats. The oracle's single global window IS the scale strawman the
+    implementation avoids: operators/packing.py runs the cumulative
+    sum as a two-phase distributed scan (per-block totals -> driver
+    prefix over n_blocks scalars -> block-local windows), so no stage
+    ever funnels the corpus through one task."""
+    from ureplicator_spark.operators.packing import pack_sequences
+    from ureplicator_spark.sources.parquet import load_table
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), capacity=_PACK_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Balanced training-shard export
+# ---------------------------------------------------------------------------
+
+_SHARD_SQL = """
+SELECT CAST((('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 16) AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@register("training_shard_stats", _SHARD_SQL)
+def q_training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment balance gauge for the training export: per
+    deterministic md5 shard, doc/token/char mass. The assignment is
+    the export's one shuffle key (sources/shards.py — each shard is
+    one task's write at export time), and because it is portable md5
+    arithmetic the oracle reproduces membership exactly, hash-gating
+    the export layout itself."""
+    from ureplicator_spark.sources.parquet import load_table
+    from ureplicator_spark.sources.shards import shard_stats
+
+    return shard_stats(load_table(spark, sf_dir, "documents"))
