@@ -100,3 +100,22 @@ def test_cdc_dedup_counts_duplicate_chunks(spark):
     for r in out.values():
         assert r["n_media"] >= 2
         assert r["dedupable_bytes"] == (r["n_occur"] - 1) * r["chunk_bytes"]
+
+
+def test_cdc_short_payloads_are_single_whole_chunks(spark):
+    """Payloads shorter than the 16-byte Gear window (including
+    1-byte) must come back as exactly one whole-payload chunk — the
+    vectorized scan's shift loop only has n terms there (regression:
+    it used to broadcast-error on n < 16)."""
+    import hashlib
+
+    cases = [(1, b"x"), (2, b"ab"), (3, _pseudo_bytes(15, "short")),
+             (4, _pseudo_bytes(16, "edge")), (5, _pseudo_bytes(17, "over"))]
+    df = spark.createDataFrame(cases, "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in cdc_chunk_payloads(df).collect()}
+    for mid, payload in cases:
+        r = rows[mid]
+        assert (r["chunk_idx"], r["start"], r["length"]) == (0, 0, len(payload))
+        assert r["chunk_hash"] == hashlib.md5(payload).hexdigest()
+        # and the per-byte reference agrees
+        assert _ref_chunks(payload) == [(0, len(payload))]

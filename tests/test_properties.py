@@ -690,3 +690,45 @@ def test_lexical_index_append_equals_single_build(spark, tmp_path_factory, texts
 
     assert got == want
     assert got_df == want_df
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=600), min_size=2, max_size=8
+    ),
+    split=st.integers(min_value=0, max_value=8),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_index_append_equals_single_build(
+    spark, tmp_path_factory, payloads, split
+):
+    """The incremental-index invariant for the CDC chunk index,
+    randomized: building on any prefix and appending the rest must
+    yield the identical chunk-identity set to one build over
+    everything — including empty prefixes/appends, empty payloads
+    and payloads below min_size (single whole-payload chunks)."""
+    from ureplicator_spark.sources.chunk_index import (
+        append_to_chunk_index,
+        build_chunk_index,
+        read_chunk_index,
+    )
+
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    split = min(split, len(payloads))
+
+    r_full = str(tmp_path_factory.mktemp("ci_full"))
+    build_chunk_index(media, r_full)
+    want = {tuple(r) for r in read_chunk_index(spark, r_full).collect()}
+
+    r_inc = str(tmp_path_factory.mktemp("ci_inc"))
+    build_chunk_index(media.filter(F.col("media_id") < split), r_inc)
+    append_to_chunk_index(media.filter(F.col("media_id") >= split), r_inc)
+    got = {tuple(r) for r in read_chunk_index(spark, r_inc).collect()}
+    assert got == want

@@ -343,7 +343,9 @@ def cdc_chunk_payloads(
                     continue
                 g = gear[buf]
                 h = np.zeros(n, dtype=np.uint32)
-                for t in range(16):
+                # payloads shorter than the 16-byte window still hash
+                # correctly: only the first n shifts contribute
+                for t in range(min(16, n)):
                     h[t:] += g[: n - t] << t
                 h &= 0xFFFF
                 cand = np.flatnonzero((h & mask) == 0)  # cut AFTER these

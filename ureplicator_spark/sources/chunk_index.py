@@ -30,6 +30,20 @@ from ureplicator_spark.operators.multimodal import cdc_chunk_payloads
 
 N_BUCKETS = 64
 
+# explicit read schema: an index built from an empty corpus slice has
+# no parquet footers to infer from (only _SUCCESS), and the probe must
+# still work against it (returning zero pairs, not a schema error)
+CHUNK_INDEX_SCHEMA = (
+    "media_id long, chunk_idx int, start int, length int,"
+    " chunk_hash string, bucket int"
+)
+
+
+def read_chunk_index(spark: SparkSession, root: str) -> DataFrame:
+    """The persisted chunk-identity rows, schema-pinned so empty
+    indexes read as empty frames."""
+    return spark.read.schema(CHUNK_INDEX_SCHEMA).parquet(root + "/chunks")
+
 
 def _bucketed_chunks(media: DataFrame, **chunk_kw) -> DataFrame:
     return cdc_chunk_payloads(media, **chunk_kw).withColumn(
@@ -80,7 +94,7 @@ def incremental_payload_dedup(
     # (see caching.py) — the minhash_index.incremental_dedup pattern.
     new_chunks = pin(_bucketed_chunks(new_media, **chunk_kw))
     buckets = [r["bucket"] for r in new_chunks.select("bucket").distinct().collect()]
-    idx = spark.read.parquet(root + "/chunks").filter(F.col("bucket").isin(buckets))
+    idx = read_chunk_index(spark, root).filter(F.col("bucket").isin(buckets))
     new_tot = new_chunks.groupBy("media_id").agg(F.sum("length").alias("new_bytes"))
     shared = (
         new_chunks.alias("n")
