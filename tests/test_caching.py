@@ -80,3 +80,53 @@ def test_pin_without_scope_degrades_to_plain_persist(spark):
     assert _pinned_count(spark) == baseline + 1
     df.unpersist(True)
     assert _pinned_count(spark) == baseline
+
+
+def test_release_checkpoint_frees_blocks(spark):
+    from ureplicator_spark.caching import release_checkpoint
+
+    baseline = _pinned_count(spark)
+    df = spark.range(80).selectExpr("id", "id * 2 AS y").localCheckpoint()
+    assert _pinned_count(spark) == baseline + 1
+    # DataFrame.unpersist is the documented no-op for checkpoints
+    df.unpersist(True)
+    assert _pinned_count(spark) == baseline + 1
+    release_checkpoint(df, blocking=True)
+    assert _pinned_count(spark) == baseline
+    # releasing a plain (non-checkpoint) frame is a harmless no-op
+    release_checkpoint(spark.range(5))
+
+
+def test_adopt_checkpoint_released_on_scope_exit(spark):
+    from ureplicator_spark.caching import adopt_checkpoint
+
+    baseline = _pinned_count(spark)
+    with pin_scope(blocking=True):
+        df = adopt_checkpoint(spark.range(90).localCheckpoint())
+        assert df.count() == 90
+        assert _pinned_count(spark) == baseline + 1
+    assert _pinned_count(spark) == baseline
+
+
+def test_iterative_operators_leave_no_pinned_rdds(spark, sf_dir):
+    """The bench no-leak contract at operator grain: the CC label-prop
+    loop and the BPE merge loop release every per-round localCheckpoint
+    (regression: each leaked round pinned one RDD for the session —
+    bench_detail 2026-08-15 read 26 after-pass pins)."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark.operators.bpe import learn_bpe_merges
+    from ureplicator_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    baseline = _pinned_count(spark)
+    with pin_scope(blocking=True):
+        pairs = lsh_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+        duplicate_clusters(pairs).count()
+    assert _pinned_count(spark) == baseline
+    with pin_scope(blocking=True):
+        assert learn_bpe_merges(docs, num_merges=4).count() > 0
+    assert _pinned_count(spark) == baseline

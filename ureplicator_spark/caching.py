@@ -50,6 +50,45 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_checkpoint(df: DataFrame, blocking: bool = False) -> None:
+    """Release a ``localCheckpoint``-backed frame's storage blocks.
+
+    ``DataFrame.unpersist()`` is a NO-OP for checkpoints — the cache
+    manager never owned those blocks; they belong to the underlying
+    checkpointed RDD (reachable as the analyzed plan's LogicalRDD).
+    Safe ONLY once nothing will read the frame again: the checkpoint
+    truncated its lineage, so released blocks are unrecoverable. A
+    never-materialized lazy checkpoint releases as a harmless no-op.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
+    except Exception:
+        pass  # not checkpoint-backed / session stopped — nothing to do
+
+
+class _CheckpointHandle:
+    """Adapter so a checkpoint-backed frame can sit in a pin scope's
+    release list (the scope calls ``.unpersist`` on exit)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        release_checkpoint(self._df, blocking)
+
+
+def adopt_checkpoint(df: DataFrame) -> DataFrame:
+    """Register an already-materialized ``localCheckpoint`` frame with
+    the innermost active scope so its blocks are released on scope
+    exit — the checkpoint analog of :func:`pin` (which persists; a
+    checkpoint is already stored). No-op without an active scope: the
+    blocks then live until process exit, the pre-registry behavior."""
+    stack = getattr(_local, "stack", None)
+    if stack:
+        stack[-1].append(_CheckpointHandle(df))
+    return df
+
+
 @contextmanager
 def pin_scope(blocking: bool = False):
     """Release every frame ``pin()``-ed on this thread inside the

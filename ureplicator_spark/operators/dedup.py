@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ureplicator_spark.caching import pin
+from ureplicator_spark.caching import adopt_checkpoint, pin, release_checkpoint
 
 
 N_MINHASH = 8
@@ -343,6 +343,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -365,10 +366,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint()
         )
+        # the new round's checkpoint is materialized, so the previous
+        # round's blocks are dead — release them NOW (DataFrame
+        # .unpersist is a no-op for checkpoints; unreleased rounds
+        # accumulated one pinned RDD each, caching.py)
+        if prev is not None:
+            release_checkpoint(prev)
+        prev = updated
         changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
         labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break
+    if prev is not None:
+        # the returned frame reads only the LAST round's checkpoint;
+        # the edge set is dead. The final checkpoint is adopted by the
+        # caller's pin scope (released on scope exit, like every other
+        # shared operator cache).
+        release_checkpoint(edges)
+        adopt_checkpoint(prev)
     return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ureplicator_spark.caching import release_checkpoint
+
 
 def write_archive(records: DataFrame, root: str, mode: str = "append") -> None:
     """Append records partitioned by (topic, dt). ``dt`` derives from
@@ -151,7 +153,7 @@ def compact_archive(
                 .partitionBy("topic", "dt")
                 .parquet(root)
             )
-            part.unpersist()
+            release_checkpoint(part)  # .unpersist is a no-op for checkpoints
             done.append((tval, dval, n_before, n_target))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
@@ -256,7 +258,7 @@ def upsert_archive(
         merged.write.mode("overwrite").partitionBy("topic", "dt").parquet(root)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    merged.unpersist()
+    release_checkpoint(merged)  # .unpersist is a no-op for checkpoints
     replaced = n_existing - n_survivors
     return {
         "partitions": len(pairs),
@@ -320,7 +322,7 @@ def delete_from_archive(
         survivors.write.mode("overwrite").partitionBy("topic", "dt").parquet(root)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    survivors.unpersist()
+    release_checkpoint(survivors)  # .unpersist is a no-op for checkpoints
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

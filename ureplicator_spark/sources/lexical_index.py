@@ -45,6 +45,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.caching import release_checkpoint
 from ureplicator_spark.functions import md5_long
 from ureplicator_spark.streaming.ivm import _commit_version, _require_view, read_view
 
@@ -216,7 +217,7 @@ def _rewrite_postings_without(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    survivors.unpersist()
+    release_checkpoint(survivors)  # DataFrame.unpersist is a no-op for checkpoints
 
     emptied = [b for b in buckets if b not in kept_buckets]
     for b in emptied:
@@ -345,7 +346,7 @@ def delete_from_lexical_index(
         "stats_seq long, corpus_seq long",
     )
     _commit_version(spark, intent + "/meta", meta, -1)
-    doomed.unpersist()
+    release_checkpoint(doomed)  # DataFrame.unpersist is a no-op for checkpoints
 
     buckets_rewritten, removed = _rewrite_postings_without(spark, root, ids)
     deltas = _require_view(spark, intent + "/deltas", "delete-intent deltas")
