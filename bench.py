@@ -146,6 +146,13 @@ def main() -> None:
     from ureplicator_spark.queries import QUERIES
     from ureplicator_spark.session import get_spark
 
+    # A ~250-query session under the 24g test default accumulates
+    # enough heap litter that LATE sweeps degrade — measured
+    # 2026-08-15: cdc_chunk_dedup timed reps 12-21 s at 24g vs
+    # [5.1, 5.1, 4.4] at 48g (1.3 s standalone), extended_min_total
+    # 111.7 -> 99.3 s. The bench sizes its one driver like a real
+    # deployment would; tests keep the lean default.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark("ureplicator-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
