@@ -82,7 +82,13 @@ def adopt_checkpoint(df: DataFrame) -> DataFrame:
     the innermost active scope so its blocks are released on scope
     exit — the checkpoint analog of :func:`pin` (which persists; a
     checkpoint is already stored). No-op without an active scope: the
-    blocks then live until process exit, the pre-registry behavior."""
+    blocks then live until process exit, the pre-registry behavior.
+
+    Sharper contract than ``pin``: a released PERSIST silently
+    recomputes on re-execution, but a released checkpoint's lineage
+    is truncated — executing the frame after its scope exits raises
+    (missing checkpoint block) instead of recomputing. Same rule as
+    every scope-owned cache: finish all actions inside the scope."""
     stack = getattr(_local, "stack", None)
     if stack:
         stack[-1].append(_CheckpointHandle(df))
