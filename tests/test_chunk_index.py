@@ -69,6 +69,17 @@ def test_probe_matches_oblivious_recompute(spark, sf_dir, tmp_root):
     by_media: dict[int, list] = {}
     for r in rows:
         by_media.setdefault(r["media_id"], []).append(r)
+    # HALF_UP like Spark's F.round — Python round() is banker's
+    # rounding and diverges on exact ties at the 7th decimal
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(num: int, den: int) -> float:
+        return float(
+            (Decimal(num) / Decimal(den)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     new_ids = {r["media_id"] for r in batch.select("media_id").collect()}
     expect = {}
     for nid in new_ids:
@@ -81,7 +92,7 @@ def test_probe_matches_oblivious_recompute(spark, sf_dir, tmp_root):
             shared = [c for c in nch if c["chunk_hash"] in corpus_hashes]
             if shared:
                 sb = sum(c["length"] for c in shared)
-                expect[(nid, cid)] = (len(shared), sb, round(sb / tot, 6))
+                expect[(nid, cid)] = (len(shared), sb, _round6(sb, tot))
     assert got == expect
 
 

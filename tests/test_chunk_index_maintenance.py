@@ -101,21 +101,62 @@ def test_maintained_index_answers_probe_like_batch_build(
     assert got == want and want
 
 
-def test_replay_marker_makes_duplicate_batch_a_noop(spark, sf_dir, tmp_path):
-    """Restart-from-checkpoint re-delivery: a batch id with a marker
-    must not append again."""
-    from ureplicator_spark.fsutil import fs_exists, mkdirs
-    from ureplicator_spark.sources.chunk_index import append_to_chunk_index
+def test_marker_guard_is_exercised_by_the_maintainer(spark, sf_dir, tmp_path):
+    """Drive the PRODUCT's replay guard: pre-create exactly the marker
+    the maintainer will derive for its first batch and assert the
+    maintainer skips the append (a re-delivered batch after a crash
+    between append and checkpoint commit)."""
+    from ureplicator_spark.fsutil import batch_marker, mkdirs
 
     media = _media(spark, sf_dir)
     root = str(tmp_path / "idx")
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
     build_chunk_index(media.filter("media_id < 100"), root)
-    batch = media.filter("media_id >= 100").limit(20)
+    n0 = spark.read.parquet(root + "/chunks").count()
 
-    append_to_chunk_index(batch, root)
-    mkdirs(spark, f"{root}/_applied_batches/b7")
+    media.filter("media_id >= 100").filter("media_id < 150").coalesce(
+        1
+    ).write.parquet(src)
+    mkdirs(spark, batch_marker(root, ckpt, 0))  # "already applied"
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    maintain_chunk_index(stream, root, ckpt).awaitTermination(120)
+    assert spark.read.parquet(root + "/chunks").count() == n0
+
+
+def test_fresh_checkpoint_does_not_collide_with_old_markers(
+    spark, sf_dir, tmp_path
+):
+    """Batch ids restart at 0 under a NEW checkpoint dir; markers are
+    namespaced by checkpoint identity, so new arrivals must still
+    apply even when an earlier run (different checkpoint) left a
+    batch-0 marker on the same index root."""
+    media = _media(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    src1 = str(tmp_path / "arr1")
+    src2 = str(tmp_path / "arr2")
+    build_chunk_index(media.filter("media_id < 100"), root)
+
+    media.filter("media_id >= 100").filter("media_id < 150").coalesce(
+        1
+    ).write.parquet(src1)
+    s1 = spark.read.parquet(src1)
+    maintain_chunk_index(
+        spark.readStream.schema(s1.schema).parquet(src1),
+        root,
+        str(tmp_path / "ckpt1"),
+    ).awaitTermination(120)
     n1 = spark.read.parquet(root + "/chunks").count()
 
-    if not fs_exists(spark, f"{root}/_applied_batches/b7"):
-        append_to_chunk_index(batch, root)
-    assert spark.read.parquet(root + "/chunks").count() == n1
+    # second feed, FRESH checkpoint, batch ids restart at 0
+    media.filter("media_id >= 150").filter("media_id < 200").coalesce(
+        1
+    ).write.parquet(src2)
+    s2 = spark.read.parquet(src2)
+    maintain_chunk_index(
+        spark.readStream.schema(s2.schema).parquet(src2),
+        root,
+        str(tmp_path / "ckpt2"),
+    ).awaitTermination(120)
+    assert spark.read.parquet(root + "/chunks").count() > n1

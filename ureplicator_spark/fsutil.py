@@ -58,3 +58,21 @@ def mkdirs(spark: SparkSession, path: str) -> bool:
     completed apply (mirrors streaming/ivm.py's version-dir commit)."""
     fs, p, _ = _fs(spark, path)
     return fs.mkdirs(p)
+
+
+def batch_marker(root: str, checkpoint_dir: str, batch_id: int) -> str:
+    """Replay-marker path for a streaming maintainer's micro-batch,
+    namespaced by the CHECKPOINT identity: Structured Streaming batch
+    ids restart at 0 whenever a query runs against a fresh checkpoint
+    directory, so markers keyed by batch id alone would make a
+    maintainer restarted with a new checkpoint (lost/relocated — a
+    routine ops event) silently no-op genuinely new batches whose ids
+    collide with a previous run's. Hashing the checkpoint path into
+    the marker name scopes the replay guard to the checkpoint whose
+    batch ids it actually describes; a restart over the SAME
+    checkpoint (the supported resume path) keeps its namespace and
+    stays apply-once."""
+    import hashlib
+
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    return f"{root}/_applied_batches/{ns}_b{batch_id}"

@@ -61,20 +61,34 @@ def shard_stats(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
 def export_training_shards(
     documents: DataFrame, root: str, n_shards: int = N_SHARDS
 ) -> None:
-    """One-pass export: repartition by shard id (each shard lands as
-    one task's write — shard count is the write parallelism knob),
-    write ``<root>/data/shard=<s>/``, then commit the manifest
-    (per-shard doc/token/char counts) LAST so a manifest's presence
-    certifies a complete export (the archive.py commit-order
-    discipline)."""
-    sharded = assign_shards(documents, n_shards)
+    """Export with a trustworthy completeness certificate: the
+    manifest is INVALIDATED before the data overwrite begins and
+    committed LAST (the archive.py commit-order discipline), so a
+    crash anywhere mid-export leaves no manifest and the loader
+    refuses the torn directory — including the re-export-over-
+    existing-root case, where a stale manifest would otherwise
+    certify half-rewritten data.
+
+    The data job is the one corpus pass (repartition by shard id;
+    each shard lands as one task's write — shard count is the write
+    parallelism knob). The manifest is then computed FROM THE WRITTEN
+    FILES, not from the input frame: it certifies what actually
+    landed, stays correct even when ``documents`` is a view over
+    moving data, and costs a shard-pruned read of the export rather
+    than a second pass over the upstream lineage."""
+    from ureplicator_spark.fsutil import delete_recursive
+
+    spark = documents.sparkSession
+    delete_recursive(spark, root + "/_manifest")
     (
-        sharded.repartition("shard")
+        assign_shards(documents, n_shards)
+        .repartition("shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(root + "/data")
     )
-    shard_stats(documents, n_shards).write.mode("overwrite").parquet(
+    landed = spark.read.parquet(root + "/data")
+    shard_stats(landed, n_shards).write.mode("overwrite").parquet(
         root + "/_manifest"
     )
 

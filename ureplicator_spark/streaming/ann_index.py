@@ -13,7 +13,9 @@ re-shingled) and the ref-counted IVM views (`streaming/ivm.py` —
 O(delta) per batch).
 
 Replay contract (same family as ivm.py's version-dir commit): a
-marker directory ``<root>/_applied_batches/b<batch_id>`` is created
+marker directory (``fsutil.batch_marker`` — namespaced by checkpoint
+identity so a fresh checkpoint's restarted batch ids never collide
+with a previous run's markers) is created
 AFTER the batch's rows land, so a replayed micro-batch (restart from
 checkpoint re-delivers the last uncommitted batch) finds its marker
 and no-ops instead of appending duplicates. A crash BETWEEN append and
@@ -33,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ureplicator_spark.fsutil import fs_exists, mkdirs
+from ureplicator_spark.fsutil import batch_marker, fs_exists, mkdirs
 from ureplicator_spark.sources.ivf_index import append_to_ivf_index
 
 
@@ -49,7 +51,7 @@ def _maintainer(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        marker = f"{root}/_applied_batches/b{batch_id}"
+        marker = batch_marker(root, checkpoint_dir, batch_id)
         if fs_exists(spark, marker):
             return  # replayed batch: already applied, no-op
         append_fn(spark, root, batch_df.select("vec_id", "embedding"))

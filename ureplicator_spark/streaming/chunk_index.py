@@ -14,7 +14,9 @@ rewritten, the same incremental discipline as the IVF/MinHash/lexical
 index maintainers and the ref-counted IVM views (O(delta) per batch).
 
 Replay contract (the ann_index.py marker pattern): a marker directory
-``<root>/_applied_batches/b<batch_id>`` is created AFTER the batch's
+(``fsutil.batch_marker`` — namespaced by checkpoint identity so a
+fresh checkpoint's restarted batch ids never collide with an earlier
+run's markers) is created AFTER the batch's
 rows land, so a replayed micro-batch (restart from checkpoint
 re-delivers the last uncommitted batch) finds its marker and no-ops
 instead of appending duplicate chunk identities. A crash BETWEEN
@@ -35,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ureplicator_spark.fsutil import fs_exists, mkdirs
+from ureplicator_spark.fsutil import batch_marker, fs_exists, mkdirs
 from ureplicator_spark.sources.chunk_index import append_to_chunk_index
 
 
@@ -56,7 +58,7 @@ def maintain_chunk_index(
             if batch_df.isEmpty():
                 return
             spark = batch_df.sparkSession
-            marker = f"{root}/_applied_batches/b{batch_id}"
+            marker = batch_marker(root, checkpoint_dir, batch_id)
             if fs_exists(spark, marker):
                 return  # replayed batch: already applied, no-op
             append_to_chunk_index(
