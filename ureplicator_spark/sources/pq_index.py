@@ -151,6 +151,14 @@ def build_ivfpq_index(
     packed.repartition("cent_id").write.mode("overwrite").partitionBy(
         "cent_id"
     ).parquet(root + "/codes")
+    # deterministic release (the codes write was the last reader):
+    # leaving it to the async ContextCleaner pinned a corpus-sized
+    # residual table until some later GC — and made any concurrent
+    # persistent-RDD gauge (bench, cache-hygiene tests) see the
+    # population deflate mid-measurement
+    from ureplicator_spark.caching import release_checkpoint
+
+    release_checkpoint(resid)
 
     # persist the build geometry: the search must window residuals with
     # the SAME m/dim split (and quantization scale) the codes used — a
