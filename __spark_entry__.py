@@ -42,7 +42,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     # new in r8: training-sequence packing (oracle-gated — the oracle
     # runs the global-window strawman, the engine the two-phase scan)
     # and the shard-export balance gauge (portable md5 assignment).
-    "sequence_packing", "training_shard_stats",
+    "sequence_packing", "training_shard_stats", "embedding_source_drift",
     # r8 refactor: shard_assignments now rides the shared
     # doc_token_offsets scan (same results, new lineage).
     "token_shard_packing",

@@ -110,6 +110,7 @@ EXTENDED_QUERIES = [
     # chunk dedup over binary payloads.
     "table_profile_approx", "bpe_learn_merges", "bpe_segment_stats",
     "cdc_chunk_dedup", "sequence_packing", "training_shard_stats",
+    "embedding_source_drift",
 ]
 
 

@@ -1388,3 +1388,59 @@ def hybrid_rrf_retrieval(
         .select("q_id", "rank", "c_id", "rrf", "v_rank", "l_rank")
         .orderBy("q_id", "rank")
     )
+
+
+def embedding_source_drift(
+    embeddings: DataFrame, documents: DataFrame, qscale: int = 1000
+) -> DataFrame:
+    """Per-source embedding drift: the L2 distance between each
+    source's mean embedding and the corpus mean, plus the worst
+    single-dimension deviation — the monitoring gauge that catches a
+    broken encoder, a mis-normalized ingest batch, or genuine domain
+    shift BEFORE it skews ANN search and SemDeDup clustering (both of
+    which assume one embedding geometry).
+
+    Engine-exact without any order-dependent float sum: components
+    quantize to integers (the kmeans qscale discipline), and the
+    mean difference is cross-multiplied into an exact integer
+    numerator, num_i = s_i·N − g_i·n (source dim-sum s_i over n
+    vectors vs corpus dim-sum g_i over N), so
+    drift = sqrt(Σ num_i²) / (n·N·qscale) with Σ num_i² accumulated
+    in DECIMAL(38,0) — exact in any aggregation order, identical in
+    any engine; the only float ops are one final divide+sqrt+round
+    chain on deterministic operands. Bounds: |q| ≤ qscale·max|x|, so
+    num_i ≤ qscale·max|x|·n·N and Σ num_i² needs 38 digits up to
+    ~10^19 corpora per source at qscale 1000 — beyond that raise the
+    aggregation to DECIMAL(38,0) pairs or drop qscale.
+
+    Scale shape: one (source, dim) aggregation + one dim-keyed global
+    aggregation (both map-side combined, dim·|sources| rows out), a
+    broadcast join on dim, and a |sources|-row rollup — the corpus is
+    read once and never reshuffled at row grain."""
+    comp = _components(embeddings).select(
+        "vec_id", "i", F.round(F.col("x") * qscale).cast("long").alias("q")
+    )
+    src = documents.select(F.col("doc_id").alias("vec_id"), "source")
+    per = (
+        comp.join(src, "vec_id")
+        .groupBy("source", "i")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+    )
+    glob = comp.groupBy("i").agg(F.sum("q").alias("gs"), F.count("*").alias("gn"))
+    num = F.col("s") * F.col("gn") - F.col("gs") * F.col("n")
+    dec = num.cast("decimal(38,0)")
+    scale = (F.max("n") * F.max("gn") * F.lit(int(qscale))).cast("double")
+    return (
+        per.join(F.broadcast(glob), "i")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.round(
+                F.sqrt(F.sum(dec * dec).cast("double")) / scale, 6
+            ).alias("centroid_drift"),
+            F.round(F.max(F.abs(num)).cast("double") / scale, 6).alias(
+                "max_dim_drift"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -6957,3 +6957,60 @@ def q_training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.shards import shard_stats
 
     return shard_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitoring
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL = _with(
+    _COMP_CTE,
+    """
+q AS (
+  SELECT vec_id, i, CAST(round(x * 1000) AS BIGINT) AS q FROM comp
+)""".strip(),
+    """
+per AS (
+  SELECT d.source, q.i, CAST(SUM(q.q) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q JOIN documents d ON q.vec_id = d.doc_id
+  GROUP BY 1, 2
+)""".strip(),
+    """
+g AS (
+  SELECT i, CAST(SUM(q) AS BIGINT) AS gs, CAST(COUNT(*) AS BIGINT) AS gn
+  FROM q GROUP BY 1
+)""".strip(),
+    """
+t AS (
+  SELECT source, n, gn, (s * gn - gs * n) AS num
+  FROM per JOIN g USING (i)
+)""".strip(),
+    """
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_vecs,
+       CAST(ROUND(sqrt(CAST(SUM(CAST(num AS DECIMAL(38,0))
+                                * CAST(num AS DECIMAL(38,0))) AS DOUBLE))
+                  / (MAX(n) * MAX(gn) * 1000), 6) AS DOUBLE) AS centroid_drift,
+       CAST(ROUND(CAST(MAX(ABS(num)) AS DOUBLE)
+                  / (MAX(n) * MAX(gn) * 1000), 6) AS DOUBLE) AS max_dim_drift
+FROM t GROUP BY source ORDER BY source
+""".strip(),
+)
+
+
+@register("embedding_source_drift", _DRIFT_SQL)
+def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-centroid drift vs the corpus centroid —
+    the gauge that catches a broken encoder or mis-normalized ingest
+    batch before it skews ANN/SemDeDup geometry. Hash-gated exactly:
+    the distance numerators are cross-multiplied integers summed in
+    DECIMAL(38,0) (order-free), so both engines run the identical
+    final divide+sqrt+round chain (operators/similarity.py)."""
+    from ureplicator_spark.operators.similarity import embedding_source_drift
+    from ureplicator_spark.sources.parquet import load_table
+
+    return embedding_source_drift(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "documents"),
+    )
