@@ -29,48 +29,33 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
-    # new in r8 (never driver-checked): in-engine BPE tokenizer
-    # training + its compression gauge (rows-only — the merge loop is
-    # iterative, hash-gated vs a Python reference in tests/test_bpe.py)
-    # and the single-pass HLL profile twin (rows-only —
-    # approx_count_distinct is engine-specific).
-    # and content-defined chunk dedup over binary payloads (rows-only —
-    # the Gear rolling-boundary walk is pinned per-byte vs a Python
-    # reference in tests/test_cdc_chunking.py).
+    # r9 implementation change: the whole LSH-dedup family now probes
+    # the STANDING persisted MinHash/shingle index (built once per
+    # corpus snapshot, like the lexical/IVF indexes; bench reports
+    # minhash_build_sec) instead of re-deriving shingles→signatures→
+    # bands per invocation. Same signatures, banding and rounding —
+    # provably equal outputs; from-scratch operators + index lifecycle
+    # stay hash-gated in pytest (test_minhash_index_standing_probes).
+    "dedup_minhash_lsh_pairs", "dedup_threshold_sweep",
+    "dedup_signal_agreement", "dedup_containment",
+    "dedup_jaccard_prefix_join", "fuzzy_dedup_clusters",
+    "dedup_keep_best", "dedup_cluster_stats", "dedup_token_savings",
+    # r9: table_profile_approx is now oracle-gated (portable md5 HLL
+    # registers instead of native approx_count_distinct — closes the
+    # one indefensible rows-only entry from r8).
+    "table_profile_approx",
+    # r9 numeric-safety change (r8 advisor, medium): the drift
+    # cross-multiply now happens in DECIMAL(38,0) on BOTH engines —
+    # BIGINT would overflow under ANSI once qscale-weighted dim-sums ×
+    # corpus count exceed 2^63.
+    "embedding_source_drift",
+    # never driver-attested (rows-only r8 set — iterative/stateful
+    # shapes, pinned vs Python/NumPy references in pytest): keep them
+    # in the window so any driver improvement picks them up.
     "bpe_learn_merges", "bpe_segment_stats", "cdc_chunk_dedup",
-    "cdc_incremental_dedup", "table_profile_approx",
-    # new in r8: training-sequence packing (oracle-gated — the oracle
-    # runs the global-window strawman, the engine the two-phase scan)
-    # and the shard-export balance gauge (portable md5 assignment).
-    "sequence_packing", "training_shard_stats", "embedding_source_drift",
-    # r8 refactor: shard_assignments now rides the shared
-    # doc_token_offsets scan (same results, new lineage).
-    "token_shard_packing",
-    # r8 SCHEMA change: synopsis-only now (the exact COUNT(DISTINCT)
-    # gauge columns moved to a test-only twin), so it must re-enter
-    # the window.
-    "kmv_source_overlap",
-    # r8 implementation changes: bm25_index_search searches the
-    # standing index (build amortized out, like ivf_build_sec);
-    # dedup_containment switched to asymmetric prefix-filter
-    # candidates + array verification; lang_ngram_classifier
-    # aggregates the train split straight to (lang, gram);
-    # doc_bigram_perplexity dropped forced model-table broadcasts.
-    "bm25_index_search", "dedup_containment", "lang_ngram_classifier",
-    "doc_bigram_perplexity",
-    # r8 implementation change in duplicate_clusters (labels now derive
-    # from the checkpointed edge set — same fixpoint, lineage fix):
-    # every query through the CC pass re-enters the window.
-    "fuzzy_dedup_clusters", "dedup_keep_best", "dedup_cluster_stats",
-    "dedup_token_savings", "curation_pipeline",
-    # r8 ORACLE change: _BM25_CONTRIB literals now cast to DOUBLE so
-    # DuckDB runs Spark's IEEE chain — every oracle embedding it
-    # re-enters the window (similarity_hybrid_rrf /
-    # retrieval_arm_overlap also lost a forced broadcast in the
-    # shared lexical arm).
-    "text_bm25_search", "similarity_hybrid_rrf", "retrieval_arm_overlap",
-    # Everything below is already driver-attested (r01-r07, cumulative
-    # 156/156 green) and fills the remaining window slots naturally in
+    "cdc_incremental_dedup",
+    # Everything below is already driver-attested (r01-r08, cumulative
+    # 159/164 green) and fills the remaining window slots naturally in
     # registry order.
 ]
 

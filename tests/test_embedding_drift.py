@@ -79,3 +79,24 @@ def test_detects_a_shifted_batch(spark, sf_dir):
     }
     broken = out.pop("BROKEN_ENCODER")
     assert broken > 3 * max(out.values())
+
+
+def test_no_bigint_overflow_on_large_magnitudes(spark):
+    """Regression (r8 advisor): the cross-multiply s·N − g·n must run
+    in DECIMAL(38,0) — with qscale-weighted dim-sums around 10^17 the
+    BIGINT product exceeds 2^63 and ANSI mode (this Spark's default)
+    threw ARITHMETIC_OVERFLOW before the fix. Values are still exact,
+    so the two identical sources must both report zero drift."""
+    # q = round(5e12·1000) = 5e15 per component; s = 50·q = 2.5e17;
+    # s·gn = 2.5e17·100 = 2.5e19 > 2^63 ≈ 9.2e18 → overflows BIGINT.
+    n = 100
+    rows = [(i, [5.0e12, -5.0e12]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2)) for i in range(n)], "doc_id long, source string"
+    )
+    got = {
+        r["source"]: (r["n_vecs"], r["centroid_drift"], r["max_dim_drift"])
+        for r in embedding_source_drift(emb, docs).collect()
+    }
+    assert got == {"s0": (50, 0.0, 0.0), "s1": (50, 0.0, 0.0)}

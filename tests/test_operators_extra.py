@@ -719,6 +719,56 @@ def test_minhash_index_incremental_dedup(spark, sf_dir, tmp_path):
     assert again.count() >= pairs.count()
 
 
+def test_minhash_index_standing_probes(spark, sf_dir, tmp_path):
+    """The standing-index probes (r9) equal their from-scratch twins
+    over the same corpus — LSH pairs from persisted signatures, and
+    containment/PPJoin from the persisted rarest-first shingle arrays
+    — and an append invalidates the snapshot-scoped shingle_arrays
+    section (loud failure) until refresh restores parity."""
+    import pytest
+
+    from ureplicator_spark.operators.dedup import (
+        containment_from_docarr,
+        containment_pairs,
+        jaccard_prefix_join,
+        lsh_candidate_pairs,
+        prefix_join_from_docarr,
+    )
+    from ureplicator_spark.sources.minhash_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        index_lsh_pairs,
+        index_shingle_arrays,
+        refresh_shingle_arrays,
+    )
+
+    root = str(tmp_path / "mh")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 4000)
+    build_minhash_index(corpus, root, shingle_arrays=True)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(index_lsh_pairs(spark, root)) == rows(lsh_candidate_pairs(corpus))
+    arr = index_shingle_arrays(spark, root)
+    assert rows(containment_from_docarr(arr)) == rows(containment_pairs(corpus))
+    assert rows(prefix_join_from_docarr(arr)) == rows(jaccard_prefix_join(corpus))
+
+    # append: signatures stay current, shingle_arrays goes stale → gone
+    batch = docs.filter(F.col("doc_id") >= 4000)
+    append_to_minhash_index(batch, root)
+    full = corpus.unionByName(batch)
+    assert rows(index_lsh_pairs(spark, root)) == rows(lsh_candidate_pairs(full))
+    with pytest.raises(FileNotFoundError, match="invalidated"):
+        index_shingle_arrays(spark, root)
+
+    # refresh from the full corpus restores prefix-join parity
+    refresh_shingle_arrays(full, root)
+    arr2 = index_shingle_arrays(spark, root)
+    assert rows(prefix_join_from_docarr(arr2)) == rows(jaccard_prefix_join(full))
+
+
 def test_rate_spikes_flags_bursts_not_dips(spark):
     """A planted 10x burst window is flagged; steady windows and 2σ
     DIPS are not (the test is one-sided above the mean)."""

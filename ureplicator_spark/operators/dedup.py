@@ -132,31 +132,15 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataF
     )
 
 
-def lsh_candidate_pairs(
-    documents: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
+def banded_signatures(
+    wide: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
 ) -> DataFrame:
-    """Band the signatures and self-join buckets → candidate pairs with
-    estimated Jaccard = matching-minhash fraction.
-
-    The join key is (band, band_hash) so only same-bucket docs meet —
-    the LSH property that makes near-dedup feasible at 100 TB. The
-    Jaccard estimate compares wide signature rows directly (no per-seed
-    join): one broadcast-or-shuffle join per pair side, K column
-    compares per pair.
-    """
+    """(doc_id, band, band_hash) banding rows from a wide signature
+    table — the md5-of-concatenated-minhashes bucketing shared by the
+    in-query LSH pass, the persisted index builder
+    (sources/minhash_index.py) and the streaming maintainer. A zero-
+    shuffle projection (one n_bands-element explode per row)."""
     rows_per_band = n_hashes // n_bands
-    # The signature table feeds three branches (banding + both pair
-    # sides); Catalyst plans no ReusedExchange across them, so without
-    # this the shingling/K-hash pipeline — the expensive part — runs
-    # three times per query. persist() shares one InMemoryRelation
-    # across the branches (computed on first touch) — the "build the
-    # signature index once" step every real LSH deployment has. NOT
-    # localCheckpoint: under AQE its toRdd conversion materializes the
-    # shuffle AT PLAN-CONSTRUCTION time (a 2.5 s job before the query
-    # is even submitted), whereas cache stays lazy and dedups by
-    # canonicalized plan across repeated calls.
-    wide = pin(minhash_wide(documents, n_hashes))
-
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -172,10 +156,53 @@ def lsh_candidate_pairs(
         )
         for b in range(n_bands)
     ]
-    banded = wide.select(
+    return wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_hash").alias("band_hash"))
+    ).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_hash").alias("band_hash"),
+    )
 
+
+def lsh_candidate_pairs(
+    documents: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs with
+    estimated Jaccard = matching-minhash fraction.
+
+    The join key is (band, band_hash) so only same-bucket docs meet —
+    the LSH property that makes near-dedup feasible at 100 TB. The
+    Jaccard estimate compares wide signature rows directly (no per-seed
+    join): one broadcast-or-shuffle join per pair side, K column
+    compares per pair.
+    """
+    # The signature table feeds three branches (banding + both pair
+    # sides); Catalyst plans no ReusedExchange across them, so without
+    # this the shingling/K-hash pipeline — the expensive part — runs
+    # three times per query. persist() shares one InMemoryRelation
+    # across the branches (computed on first touch) — the "build the
+    # signature index once" step every real LSH deployment has. NOT
+    # localCheckpoint: under AQE its toRdd conversion materializes the
+    # shuffle AT PLAN-CONSTRUCTION time (a 2.5 s job before the query
+    # is even submitted), whereas cache stays lazy and dedups by
+    # canonicalized plan across repeated calls.
+    wide = pin(minhash_wide(documents, n_hashes))
+    return pairs_from_signatures(
+        wide, banded_signatures(wide, n_bands, n_hashes), n_hashes
+    )
+
+
+def pairs_from_signatures(
+    wide: DataFrame, banded: DataFrame, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """Candidate pairs + estimated Jaccard from ALREADY-BUILT signature
+    tables — the probe half of the LSH pass, split out so the standing
+    persisted index (sources/minhash_index.py) serves the same pair set
+    without re-shingling the corpus: a registry/bench invocation pays
+    only the band self-join + K column compares (O(bucket-local pairs)),
+    while the shingle→K-hash build is the one-off amortized index
+    build."""
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -481,13 +508,26 @@ def containment_pairs(
     verification the PPJoin sibling measured 5.9 s → sub-second.
     Completeness is property-tested against an oblivious brute force
     (tests/test_properties.py)."""
+    return containment_from_docarr(pin(shingle_docarr(documents)), threshold)
+
+
+def shingle_docarr(documents: DataFrame) -> DataFrame:
+    """(doc_id, toks, s): per-doc DISTINCT shingle array in one global
+    rarest-first order (global count asc, token asc — the (gc, token)
+    struct IS the shared total order) plus the set size — the shared
+    input of both prefix-filter joins (containment + PPJoin). ONE
+    doc-keyed aggregation yields ordering, size, prefix slice and
+    verification array at once (the pre-r7 shape paid three doc-keyed
+    shuffles; fusion measured 5.9 s → ~3.5 s warm at sf0.1).
+
+    Persisted by ``sources/minhash_index.build_minhash_index`` as the
+    ``shingle_arrays`` section so registry/bench probes skip the
+    shingle→count→sort build entirely; the order is a CORPUS-SNAPSHOT
+    property (counts move under appends), so the index invalidates the
+    section on append and `refresh_shingle_arrays` rebuilds it."""
     tok = pin(shingles(documents).select("doc_id", F.col("shingle").alias("token")))
     gcnt = tok.groupBy("token").agg(F.count("*").alias("gc"))
-
-    # One doc-keyed aggregation: rarest-first ordered array (the
-    # (global count, token) struct IS the shared total order), set
-    # size, prefix slice, and verification array all derive from it.
-    docarr = pin(
+    return (
         tok.join(gcnt, "token")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("gc", "token"))).alias("arr"))
@@ -497,6 +537,19 @@ def containment_pairs(
             F.size("arr").cast("long").alias("s"),
         )
     )
+
+
+def containment_from_docarr(
+    docarr: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Containment pairs from an ALREADY-BUILT (doc_id, toks, s) array
+    table (see :func:`containment_pairs` for the filter math) — the
+    probe half, split out so the standing persisted index serves it
+    without re-shingling. The B-side token view is the array explode
+    (identical to the distinct shingle view by construction), and the
+    verification arrays are docarr columns — nothing per-doc is
+    recomputed, closing the r8 gap where the whole corpus re-built
+    distinct-shingle arrays per invocation."""
     # allowed-missing bound floor((1-t)·s): the +1e-9 guards the IEEE
     # product from rounding DOWN past an exact integer (which would
     # shorten the prefix and break completeness); rounding UP only
@@ -509,7 +562,9 @@ def containment_pairs(
         F.col("s").alias("n_inner"),
         F.explode(F.slice("toks", F.lit(1), p_len)).alias("token"),
     )
-    b_side = tok.select(F.col("doc_id").alias("outer_doc"), "token")
+    b_side = docarr.select(
+        F.col("doc_id").alias("outer_doc"), F.explode("toks").alias("token")
+    )
     # Candidates are NOT deduplicated here: a pair recurs once per
     # shared prefix token (~2% duplication measured at sf0.1 — 136 k
     # raw vs 133 k distinct), so verifying duplicates costs a handful
@@ -671,6 +726,18 @@ def lexical_semantic_agreement(
     pairs = lsh_candidate_pairs(documents).filter(
         F.col("est_jaccard") >= jaccard_threshold
     )
+    return semantic_agreement_from_pairs(pairs, embeddings, cosine_threshold)
+
+
+def semantic_agreement_from_pairs(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.5,
+) -> DataFrame:
+    """The cosine-scoring half of :func:`lexical_semantic_agreement`,
+    split out so the standing MinHash index's pair set (already signed,
+    already banded) feeds it directly — the probe pays one zip_with
+    fold per candidate pair and never re-shingles the corpus."""
     emb = embeddings.select(
         "vec_id",
         F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("e"),
@@ -758,41 +825,29 @@ def jaccard_prefix_join(documents: DataFrame) -> DataFrame:
     verification shuffles candidate pairs and the doc-keyed array
     table — corpus-keyed shuffles, never a cross join. Verified
     complete against an oblivious brute-force reference in tests."""
-    # persist: the distinct shingle-set view feeds the global-count
-    # aggregate AND the per-doc array build — same shared-scan
-    # discipline as lsh_candidate_pairs' signature table. pin(): the
-    # caller's pin_scope releases it after the last action
-    # (see caching.py).
-    tok = pin(shingles(documents).select("doc_id", F.col("shingle").alias("token")))
-    gcnt = tok.groupBy("token").agg(F.count("*").alias("gc"))
+    # pin(): the caller's pin_scope releases the shared array table
+    # after the last action (see caching.py); shingle_docarr pins the
+    # distinct shingle-set view internally (it feeds the global-count
+    # aggregate AND the per-doc array build).
+    return prefix_join_from_docarr(pin(shingle_docarr(documents)))
 
-    # ONE doc-keyed aggregation yields everything per-doc at once: the
-    # rarest-first ordering (sort_array over (gc, token) structs — the
-    # filter only needs ONE total order shared by every doc, and the
-    # (global count, token) tuple IS that order; a dense global
-    # vocabulary rank would need a single-partition window over the
-    # whole vocab), the set size, the prefix (a slice of the ordered
-    # array), and the verification token array. The previous shape
-    # paid three separate doc-keyed shuffles for these (a row_number
-    # window + a sizes agg + a collect_list agg); measured at sf0.1
-    # this fusion cut the operator 5.9 s -> ~3.5 s warm.
-    docarr = pin(
-        tok.join(gcnt, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("gc", "token"))).alias("arr")
-        )
-        .select(
-            "doc_id",
-            F.expr("transform(arr, x -> x.token)").alias("toks"),
-            F.size("arr").alias("s"),
-        )
-    )
+
+def prefix_join_from_docarr(docarr: DataFrame) -> DataFrame:
+    """PPJoin from an ALREADY-BUILT rarest-first (doc_id, toks, s)
+    array table (see :func:`jaccard_prefix_join` for the filter math) —
+    the probe half, split out so the standing persisted index serves it
+    without re-shingling. NOTE the completeness proof requires every
+    doc's array sorted by ONE shared total order, so mixing arrays from
+    different corpus snapshots (whose global counts differ) is invalid
+    — the index enforces this by invalidating its shingle_arrays
+    section on append."""
     sets = docarr.select("doc_id", "toks")
     prefix = docarr.select(
         "doc_id",
         "s",
-        F.posexplode(F.expr("slice(toks, 1, s div 2 + 1)")).alias("p", "token"),
+        F.posexplode(
+            F.expr("slice(toks, 1, CAST(s div 2 + 1 AS INT))")
+        ).alias("p", "token"),
     ).select("doc_id", "token", "s", (F.col("p") + 1).alias("ord"))
 
     pa = prefix.select(

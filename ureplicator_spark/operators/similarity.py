@@ -1405,13 +1405,21 @@ def embedding_source_drift(
     mean difference is cross-multiplied into an exact integer
     numerator, num_i = s_i·N − g_i·n (source dim-sum s_i over n
     vectors vs corpus dim-sum g_i over N), so
-    drift = sqrt(Σ num_i²) / (n·N·qscale) with Σ num_i² accumulated
-    in DECIMAL(38,0) — exact in any aggregation order, identical in
-    any engine; the only float ops are one final divide+sqrt+round
-    chain on deterministic operands. Bounds: |q| ≤ qscale·max|x|, so
-    num_i ≤ qscale·max|x|·n·N and Σ num_i² needs 38 digits up to
-    ~10^19 corpora per source at qscale 1000 — beyond that raise the
-    aggregation to DECIMAL(38,0) pairs or drop qscale.
+    drift = sqrt(Σ num_i²) / (n·N·qscale) with the CROSS-MULTIPLY AND
+    the square-sum both in DECIMAL(38,0) — exact in any aggregation
+    order, identical in any engine; the only float ops are one final
+    divide+sqrt+round chain on deterministic operands. The dim-sums
+    s_i, g_i and counts n, N are cast to DECIMAL(38,0) BEFORE the
+    cross-multiply (r8 advisor: the products exceed 2^63 long before
+    they exceed 38 digits — under ANSI the BIGINT multiply would
+    throw ARITHMETIC_OVERFLOW, without ANSI it would silently wrap);
+    the scale denominator n·N·qscale is computed in DOUBLE for the
+    same reason (it only divides, so float is fine there). Honest
+    headroom: |num_i| ≤ 2·qscale·max|x|·n·N, and Σ num_i² over d dims
+    must stay under 10^38, so with qscale=1000, |x|≤1, d=64 the exact
+    path holds up to n·N ≈ 10^15 (e.g. a 10^9-vector corpus with
+    10^6-vector sources) — beyond that, drop qscale or pre-scale the
+    numerator.
 
     Scale shape: one (source, dim) aggregation + one dim-keyed global
     aggregation (both map-side combined, dim·|sources| rows out), a
@@ -1427,9 +1435,12 @@ def embedding_source_drift(
         .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
     )
     glob = comp.groupBy("i").agg(F.sum("q").alias("gs"), F.count("*").alias("gn"))
-    num = F.col("s") * F.col("gn") - F.col("gs") * F.col("n")
-    dec = num.cast("decimal(38,0)")
-    scale = (F.max("n") * F.max("gn") * F.lit(int(qscale))).cast("double")
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec38("s") * dec38("gn") - dec38("gs") * dec38("n")
+    dec = num
+    scale = (
+        F.max("n").cast("double") * F.max("gn").cast("double") * float(qscale)
+    )
     return (
         per.join(F.broadcast(glob), "i")
         .groupBy("source")

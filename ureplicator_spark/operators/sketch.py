@@ -132,6 +132,97 @@ def hll_distinct_tokens(documents: DataFrame, m: int = HLL_M) -> DataFrame:
     return hll_gauge(tok, "source", "token", m)
 
 
+def hll_profile(df: DataFrame, cols: list[str], m: int = HLL_M) -> DataFrame:
+    """Single-scan table profile with PORTABLE approx distinct counts:
+    per column — null count, 6-dp min/max (numeric columns), and the
+    md5-HLL distinct estimate (same register math as :func:`hll_gauge`,
+    so a SQL oracle reproduces the sketch register-for-register —
+    unlike native ``approx_count_distinct``, whose xxhash sketch is
+    engine-private).
+
+    Canonical hash input per type (verified byte-identical between
+    Spark and DuckDB on every lineitem column): integers and strings
+    cast/pass through directly; floating columns canonicalize through
+    DECIMAL(28,6) (both engines print full scale, so the estimate
+    counts values distinct at 6-dp precision); timestamps format as
+    ``yyyy-MM-dd HH:mm:ss``. NULL cells hash to NULL and are excluded
+    from the registers (COUNT DISTINCT semantics) but still feed the
+    null counter.
+
+    Scale shape — ONE corpus scan: a map-side |cols|-element struct
+    explode (no string cast wider than the cell, no Expand), then a
+    (col, register) aggregation whose map-side partial MAX bounds the
+    shuffle at |cols| × (m+1) rows per input partition, then a |cols|-
+    row fold. Contrast `table_profile`'s union-of-N exact branches
+    (N jobs, one COUNT DISTINCT shuffle each): at 100 TB this is the
+    profile you run first."""
+    dtypes = dict(df.dtypes)
+    structs = []
+    for c in cols:
+        t = dtypes[c]
+        num_like = t in ("tinyint", "smallint", "int", "bigint", "float", "double") or t.startswith(
+            "decimal"
+        )
+        if t in ("float", "double") or t.startswith("decimal"):
+            canon = F.col(c).cast("decimal(28,6)").cast("string")
+        elif t.startswith("timestamp") or t == "date":
+            canon = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+        else:
+            canon = F.col(c).cast("string")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                md5_long(canon).alias("h"),
+                F.when(F.col(c).isNull(), 1).otherwise(0).alias("isn"),
+                (
+                    F.col(c).cast("double") if num_like else F.lit(None).cast("double")
+                ).alias("num"),
+            )
+        )
+    melted = df.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
+    n_rem_bits = 60 - (m.bit_length() - 1)
+    v = F.expr(f"h div {m}")
+    rho = F.when(
+        v > 0, F.lit(n_rem_bits + 1) - F.length(F.bin(v))
+    ).otherwise(F.lit(n_rem_bits + 1))
+    regs = (
+        melted.select(
+            "col_name", (F.col("h") % m).alias("j"), rho.alias("rho"), "isn", "num"
+        )
+        .groupBy("col_name", "j")
+        .agg(
+            F.max("rho").alias("mj"),
+            F.sum("isn").alias("nn"),
+            F.min("num").alias("mn"),
+            F.max("num").alias("mx"),
+        )
+    )
+    # NULL cells land in the j IS NULL register group: counted for
+    # n_nulls, excluded from the estimate by the isNotNull guards.
+    alpha = 0.7213 / (1 + 1.079 / m)
+    per = regs.groupBy("col_name").agg(
+        F.sum(F.when(F.col("j").isNotNull(), 1).otherwise(0)).alias("v_nonempty"),
+        F.sum(
+            F.when(F.col("j").isNotNull(), F.pow(F.lit(2.0), -F.col("mj")))
+        ).alias("s_present"),
+        F.sum("nn").cast("long").alias("n_nulls"),
+        F.round(F.min("mn"), 6).alias("min_num"),
+        F.round(F.max("mx"), 6).alias("max_num"),
+    )
+    raw = F.lit(alpha * m * m) / ((m - F.col("v_nonempty")) + F.col("s_present"))
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_nonempty") < m),
+        m * F.log(m / (m - F.col("v_nonempty"))),
+    ).otherwise(raw)
+    return per.select(
+        "col_name",
+        "n_nulls",
+        F.round(est, 4).alias("n_distinct_est"),
+        "min_num",
+        "max_num",
+    ).orderBy("col_name")
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005)
 # ---------------------------------------------------------------------------

@@ -11,6 +11,8 @@ Layout:
 
     <root>/signatures/              (doc_id, m0..m{K-1}) wide rows
     <root>/bands/band=<b>/          (doc_id, band_hash) banded rows
+    <root>/shingle_arrays/          (doc_id, toks, s) rarest-first
+                                    distinct-shingle arrays (optional)
 
 The band table is partitioned by band id so an incremental probe scans
 the band directories with partition pruning; the join key is
@@ -18,6 +20,15 @@ the band directories with partition pruning; the join key is
 pass — never all-pairs. Appending a deduped batch's signatures keeps
 the index current (`append_to_minhash_index`), the same
 snapshot-then-append discipline as `ivf_index.py`.
+
+The optional ``shingle_arrays`` section serves the prefix-filter
+family (containment + PPJoin) the same way: the shingle→global-count→
+sort build runs once per corpus snapshot instead of per query. Unlike
+signatures, the rarest-first ORDER is a whole-corpus property (global
+shingle counts move under appends, and PPJoin's completeness proof
+requires one total order shared by every doc), so appends INVALIDATE
+the section — `index_shingle_arrays` then fails loudly until
+`refresh_shingle_arrays` rebuilds it from the full corpus.
 
 Hash portability: signatures come from `operators/dedup.minhash_wide`
 (shuffle-free array fold), so index contents equal what the oracle
@@ -30,33 +41,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ureplicator_spark.caching import pin
-from ureplicator_spark.operators.dedup import N_BANDS, N_MINHASH, minhash_wide
+from ureplicator_spark.fsutil import delete_recursive, fs_exists
+from ureplicator_spark.operators.dedup import (
+    N_BANDS,
+    N_MINHASH,
+    banded_signatures,
+    minhash_wide,
+    pairs_from_signatures,
+    shingle_docarr,
+)
 
-
-def _banded(wide: DataFrame, n_bands: int, n_hashes: int) -> DataFrame:
-    rows_per_band = n_hashes // n_bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(n_bands)
-    ]
-    return wide.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select(
-        "doc_id",
-        F.col("bs.band").alias("band"),
-        F.col("bs.band_hash").alias("band_hash"),
-    )
+_banded = banded_signatures  # shared with operators/dedup (one banding impl)
 
 
 def build_minhash_index(
@@ -65,16 +60,32 @@ def build_minhash_index(
     n_bands: int = N_BANDS,
     n_hashes: int = N_MINHASH,
     mode: str = "overwrite",
+    shingle_arrays: bool = False,
 ) -> None:
     """One corpus pass: persist wide signatures + band-partitioned
     banding rows. The signature build itself is shuffle-free (array
-    fold); the only exchange is the band-partitioned write."""
+    fold); the only exchange is the band-partitioned write. With
+    ``shingle_arrays=True`` also persists the rarest-first distinct-
+    shingle array table that the containment/PPJoin probes read
+    (snapshot builds only — appends never write this section, they
+    invalidate it)."""
     wide = minhash_wide(documents, n_hashes).persist()
     wide.write.mode(mode).parquet(root + "/signatures")
     _banded(wide, n_bands, n_hashes).write.mode(mode).partitionBy("band").parquet(
         root + "/bands"
     )
     wide.unpersist()
+    if shingle_arrays and mode != "append":
+        refresh_shingle_arrays(documents, root)
+
+
+def refresh_shingle_arrays(documents: DataFrame, root: str) -> None:
+    """(Re)build the ``shingle_arrays`` section from the FULL corpus —
+    the post-append step that restores the one-total-order invariant
+    the prefix-filter probes require."""
+    shingle_docarr(documents).write.mode("overwrite").parquet(
+        root + "/shingle_arrays"
+    )
 
 
 def append_to_minhash_index(
@@ -84,8 +95,46 @@ def append_to_minhash_index(
     n_hashes: int = N_MINHASH,
 ) -> None:
     """Add a (deduped) batch's signatures to the index — the daily
-    post-ingest step. Append-only: no rewrite of existing rows."""
+    post-ingest step. Append-only for signatures/bands; the
+    shingle_arrays section (if present) is DELETED, not appended:
+    batch-local global counts would order the new arrays differently
+    from the old ones, silently breaking PPJoin completeness — a loud
+    missing-section error on the next probe is the honest failure."""
+    spark = documents.sparkSession
     build_minhash_index(documents, root, n_bands, n_hashes, mode="append")
+    if fs_exists(spark, root + "/shingle_arrays"):
+        delete_recursive(spark, root + "/shingle_arrays")
+
+
+def index_lsh_pairs(
+    spark: SparkSession,
+    root: str,
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """Corpus near-dup candidate pairs + estimated Jaccard served from
+    the PERSISTED index — byte-identical to
+    ``operators/dedup.lsh_candidate_pairs`` over the same corpus (same
+    signatures, same banding, same rounding) but the shingle→K-hash
+    build is amortized into the index: a probe pays only the
+    band-partitioned self-join and K column compares per candidate."""
+    return pairs_from_signatures(
+        spark.read.parquet(root + "/signatures"),
+        spark.read.parquet(root + "/bands"),
+        n_hashes,
+    )
+
+
+def index_shingle_arrays(spark: SparkSession, root: str) -> DataFrame:
+    """The persisted rarest-first (doc_id, toks, s) array table for the
+    containment/PPJoin probes. Fails loudly when the section is absent
+    or was invalidated by an append (see module docstring)."""
+    path = root + "/shingle_arrays"
+    if not fs_exists(spark, path):
+        raise FileNotFoundError(
+            f"{path}: shingle_arrays section missing or invalidated by an "
+            "append — rebuild with refresh_shingle_arrays(full_corpus, root)"
+        )
+    return spark.read.parquet(path)
 
 
 def incremental_dedup(
