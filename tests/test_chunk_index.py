@@ -127,3 +127,54 @@ def test_probe_scan_is_bucket_pruned(spark, sf_dir, tmp_root):
         plan = plan_string(probe)
     m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
     assert m, f"no bucket partition filter in plan:\n{plan}"
+
+
+def test_compaction_preserves_probe_and_shrinks_files(spark, sf_dir, tmp_root):
+    """append×N → compact → identical index rows + identical probe
+    output, with strictly fewer data files per compacted bucket (the
+    small-file rewrite the append-only store needs at scale)."""
+    import os
+
+    from ureplicator_spark.sources.chunk_index import (
+        compact_chunk_index,
+        read_chunk_index,
+    )
+
+    media = _media(spark, sf_dir)
+    root = tmp_root + "/c"
+    build_chunk_index(media.filter("media_id % 4 = 0"), root)
+    for k in (1, 2, 3):
+        append_to_chunk_index(media.filter(f"media_id % 4 = {k}"), root)
+
+    def files_per_bucket():
+        out = {}
+        base = root + "/chunks"
+        for b in os.listdir(base):
+            if b.startswith("bucket="):
+                out[b] = len(
+                    [f for f in os.listdir(f"{base}/{b}") if not f.startswith(("_", "."))]
+                )
+        return out
+
+    probe = media.filter("media_id < 50")
+    before_rows = {tuple(r) for r in read_chunk_index(spark, root).collect()}
+    with pin_scope():
+        before_pairs = {
+            tuple(r) for r in incremental_payload_dedup(spark, root, probe).collect()
+        }
+    before_files = files_per_bucket()
+
+    done = compact_chunk_index(spark, root, target_bytes=128 * 1024 * 1024)
+    assert done, "multi-append buckets should exceed the 1-file target"
+
+    after_files = files_per_bucket()
+    for bucket, n_before, n_after in done:
+        assert after_files[f"bucket={bucket}"] == n_after < n_before
+    assert {tuple(r) for r in read_chunk_index(spark, root).collect()} == before_rows
+    with pin_scope():
+        assert {
+            tuple(r) for r in incremental_payload_dedup(spark, root, probe).collect()
+        } == before_pairs
+
+    # idempotent: a second pass finds nothing to shrink
+    assert compact_chunk_index(spark, root, target_bytes=128 * 1024 * 1024) == []

@@ -160,3 +160,47 @@ def test_fresh_checkpoint_does_not_collide_with_old_markers(
         str(tmp_path / "ckpt2"),
     ).awaitTermination(120)
     assert spark.read.parquet(root + "/chunks").count() > n1
+
+
+def test_marker_namespace_is_spelling_invariant(tmp_path):
+    """Trailing-slash / relative / absolute spellings of the SAME
+    checkpoint dir must share one replay namespace (r8 advisor: raw
+    string hashing split the guard per spelling)."""
+    import os
+
+    from ureplicator_spark.fsutil import batch_marker
+
+    ckpt = str(tmp_path / "ckpt")
+    canon = batch_marker("/idx", ckpt, 3)
+    assert batch_marker("/idx", ckpt + "/", 3) == canon
+    assert batch_marker("/idx", ckpt + "//", 3) == canon
+    rel = os.path.relpath(ckpt)
+    assert batch_marker("/idx", rel, 3) == canon
+    # scheme-ful URIs keep their authority (no os.path mangling)
+    hdfs = batch_marker("/idx", "hdfs://nn:8020/ck", 3)
+    assert hdfs == batch_marker("/idx", "hdfs://nn:8020/ck/", 3)
+    assert hdfs != canon
+
+
+def test_legacy_unnamespaced_marker_still_guards(spark, sf_dir, tmp_path):
+    """An index written BEFORE the checkpoint-namespaced markers keeps
+    replay protection: the legacy `_applied_batches/b<id>` marker must
+    make the maintainer skip the batch (r8 advisor: upgrade would
+    otherwise re-apply replayed batches as duplicates)."""
+    from ureplicator_spark.fsutil import mkdirs
+
+    media = _media(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    build_chunk_index(media.filter("media_id < 100"), root)
+    n0 = spark.read.parquet(root + "/chunks").count()
+
+    media.filter("media_id >= 100").filter("media_id < 150").coalesce(
+        1
+    ).write.parquet(src)
+    mkdirs(spark, root + "/_applied_batches/b0")  # pre-upgrade marker
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    maintain_chunk_index(stream, root, ckpt).awaitTermination(120)
+    assert spark.read.parquet(root + "/chunks").count() == n0

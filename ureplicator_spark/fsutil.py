@@ -60,6 +60,22 @@ def mkdirs(spark: SparkSession, path: str) -> bool:
     return fs.mkdirs(p)
 
 
+def _canon_checkpoint(path: str) -> str:
+    """One canonical spelling per checkpoint directory, so trailing
+    slashes or relative-vs-absolute spellings of the SAME path cannot
+    split the replay namespace (r8 advisor: two spellings would each
+    get their own marker set, silently halving the guard). Scheme-ful
+    URIs (hdfs://, s3a://) only lose trailing slashes — os.path
+    normalization would mangle the authority; local paths also
+    resolve to absolute."""
+    import os
+
+    p = path.rstrip("/") or "/"
+    if "://" not in p:
+        p = os.path.abspath(p)
+    return p
+
+
 def batch_marker(root: str, checkpoint_dir: str, batch_id: int) -> str:
     """Replay-marker path for a streaming maintainer's micro-batch,
     namespaced by the CHECKPOINT identity: Structured Streaming batch
@@ -67,12 +83,30 @@ def batch_marker(root: str, checkpoint_dir: str, batch_id: int) -> str:
     directory, so markers keyed by batch id alone would make a
     maintainer restarted with a new checkpoint (lost/relocated — a
     routine ops event) silently no-op genuinely new batches whose ids
-    collide with a previous run's. Hashing the checkpoint path into
-    the marker name scopes the replay guard to the checkpoint whose
-    batch ids it actually describes; a restart over the SAME
-    checkpoint (the supported resume path) keeps its namespace and
-    stays apply-once."""
+    collide with a previous run's. Hashing the CANONICALIZED
+    checkpoint path into the marker name scopes the replay guard to
+    the checkpoint whose batch ids it actually describes; a restart
+    over the SAME checkpoint (the supported resume path) keeps its
+    namespace and stays apply-once."""
     import hashlib
 
-    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    ns = hashlib.md5(_canon_checkpoint(checkpoint_dir).encode()).hexdigest()[:8]
     return f"{root}/_applied_batches/{ns}_b{batch_id}"
+
+
+def batch_already_applied(
+    spark: SparkSession, root: str, checkpoint_dir: str, batch_id: int
+) -> bool:
+    """True when this (checkpoint, batch) was already applied to the
+    index at ``root`` — the check side of the replay guard. Besides
+    the canonical namespaced marker, the pre-r8 UN-namespaced layout
+    (``_applied_batches/b<id>``) is honored as a fallback so an index
+    written before the namespacing upgrade keeps its replay
+    protection across the transition (r8 advisor: those markers would
+    otherwise be orphaned and a restart would re-apply their batches
+    as duplicates). The fallback is deliberately transition-scoped:
+    new markers are always written namespaced, so legacy markers age
+    out as their batches fall off the checkpoint's replay horizon."""
+    if fs_exists(spark, batch_marker(root, checkpoint_dir, batch_id)):
+        return True
+    return fs_exists(spark, f"{root}/_applied_batches/b{batch_id}")

@@ -70,6 +70,85 @@ def append_to_chunk_index(media: DataFrame, root: str, **chunk_kw) -> None:
     build_chunk_index(media, root, mode="append", **chunk_kw)
 
 
+def compact_chunk_index(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> list[tuple[int, int, int]]:
+    """Small-file compaction for the chunk store: rewrite each
+    ``chunks/bucket=<b>`` partition whose file count exceeds its
+    size-justified target into ``ceil(bytes/target_bytes)`` files.
+
+    The index is append-only — every daily `append_to_chunk_index`
+    (and every micro-batch of the streaming maintainer) lands one
+    file per task per bucket, so at 100 TB the bucket directories
+    accumulate thousands of KB-sized files whose open/footer cost
+    dominates every probe scan. Same classic log-compaction pass as
+    `archive.compact_archive` (its reference analog is the offset-log
+    compactor, streaming/offsets.py): the work list is driver-side
+    directory metadata only; each oversized bucket rewrites
+    independently via a pruned scan → repartition → dynamic partition
+    overwrite of just that bucket directory, so compaction never
+    touches buckets it is not shrinking and can run next to probes of
+    other buckets. Rows are preserved exactly — identities are
+    content-addressed and may legitimately repeat across media, so no
+    dedup happens here.
+
+    Returns [(bucket, n_files_before, n_files_after), ...]."""
+    from ureplicator_spark.caching import release_checkpoint
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    chunks = root + "/chunks"
+    fs = Path(chunks).getFileSystem(conf)
+    if not fs.exists(Path(chunks)):
+        return []
+
+    work: list[tuple[int, int, int]] = []
+    for bdir in fs.listStatus(Path(chunks)):
+        if not bdir.isDirectory():
+            continue
+        bname = bdir.getPath().getName()
+        if not bname.startswith("bucket="):
+            continue
+        files = [
+            st
+            for st in fs.listStatus(bdir.getPath())
+            if not st.isDirectory()
+            and not st.getPath().getName().startswith(("_", "."))
+        ]
+        total = sum(st.getLen() for st in files)
+        n_target = max(1, -(-total // target_bytes))
+        if len(files) > n_target:
+            work.append((int(bname.split("=", 1)[1]), len(files), n_target))
+
+    if not work:
+        return []
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done: list[tuple[int, int, int]] = []
+    try:
+        for bucket, n_before, n_target in work:
+            part = (
+                read_chunk_index(spark, root)
+                .filter(F.col("bucket") == bucket)
+                # eager localCheckpoint: materialize the bucket into
+                # executor storage BEFORE the overwrite (Spark refuses
+                # to overwrite a path its input plan still reads, and
+                # the rewrite becomes crash-safe)
+                .repartition(n_target)
+                .localCheckpoint()
+            )
+            part.write.mode("overwrite").partitionBy("bucket").parquet(chunks)
+            release_checkpoint(part)
+            done.append((bucket, n_before, n_target))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return done
+
+
 def incremental_payload_dedup(
     spark: SparkSession,
     root: str,

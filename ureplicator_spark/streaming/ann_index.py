@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ureplicator_spark.fsutil import batch_marker, fs_exists, mkdirs
+from ureplicator_spark.fsutil import (
+    batch_already_applied,
+    batch_marker,
+    mkdirs,
+)
 from ureplicator_spark.sources.ivf_index import append_to_ivf_index
 
 
@@ -51,11 +55,10 @@ def _maintainer(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        marker = batch_marker(root, checkpoint_dir, batch_id)
-        if fs_exists(spark, marker):
+        if batch_already_applied(spark, root, checkpoint_dir, batch_id):
             return  # replayed batch: already applied, no-op
         append_fn(spark, root, batch_df.select("vec_id", "embedding"))
-        mkdirs(spark, marker)
+        mkdirs(spark, batch_marker(root, checkpoint_dir, batch_id))
 
     writer = (
         embeddings_stream.writeStream.foreachBatch(_apply)

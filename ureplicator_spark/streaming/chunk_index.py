@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ureplicator_spark.fsutil import batch_marker, fs_exists, mkdirs
+from ureplicator_spark.fsutil import (
+    batch_already_applied,
+    batch_marker,
+    mkdirs,
+)
 from ureplicator_spark.sources.chunk_index import append_to_chunk_index
 
 
@@ -58,13 +62,12 @@ def maintain_chunk_index(
             if batch_df.isEmpty():
                 return
             spark = batch_df.sparkSession
-            marker = batch_marker(root, checkpoint_dir, batch_id)
-            if fs_exists(spark, marker):
+            if batch_already_applied(spark, root, checkpoint_dir, batch_id):
                 return  # replayed batch: already applied, no-op
             append_to_chunk_index(
                 batch_df.select("media_id", "payload"), root, **chunk_kw
             )
-            mkdirs(spark, marker)
+            mkdirs(spark, batch_marker(root, checkpoint_dir, batch_id))
         finally:
             batch_df.unpersist()
 

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ureplicator_spark.fsutil import batch_marker, fs_exists, mkdirs
+from ureplicator_spark.fsutil import (
+    batch_already_applied,
+    batch_marker,
+    mkdirs,
+)
 from ureplicator_spark.sources.lexical_index import (
     N_TOKEN_BUCKETS,
     append_to_lexical_index,
@@ -53,11 +57,10 @@ def maintain_lexical_index(
             if batch_df.isEmpty():
                 return
             spark = batch_df.sparkSession
-            marker = batch_marker(root, checkpoint_dir, batch_id)
-            if fs_exists(spark, marker):
+            if batch_already_applied(spark, root, checkpoint_dir, batch_id):
                 return  # replayed batch: postings + stats already applied
             append_to_lexical_index(spark, root, batch_df, n_buckets)
-            mkdirs(spark, marker)
+            mkdirs(spark, batch_marker(root, checkpoint_dir, batch_id))
         finally:
             batch_df.unpersist()
 
