@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -340,3 +341,35 @@ def test_route_creation_over_rest(server, spark, sf_dir, tmp_path):
     eng.routes.jobs["@sjc1@dca1@3"].query.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 120
     _call(server, "DELETE", f"/routes/{quoted}")
+
+
+def test_failed_route_start_rolls_back_reservation(server, spark, sf_dir, tmp_path):
+    """A POST /routes whose streaming start blows up (nonexistent
+    source path, straight from the untrusted body) must NOT leave a
+    dead route registered: the name is rolled back (r8 advisor), so a
+    corrected retry succeeds instead of 409ing forever."""
+    body = {
+        "src_cluster": "sjc1",
+        "dst_cluster": "dca1",
+        "route_id": 9,
+        "source_path": str(tmp_path / "nonexistent"),
+        "checkpoint_dir": str(tmp_path / "ckpt9"),
+        "out_path": str(tmp_path / "out9"),
+        "available_now": True,
+    }
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _call(server, "POST", "/routes", body)
+    assert ei.value.code == 500
+
+    eng = server._httpd.RequestHandlerClass.engine
+    assert "@sjc1@dca1@9" not in eng.routes.jobs
+
+    # corrected retry: same name now starts cleanly
+    src = str(tmp_path / "records9")
+    FX.records(spark, sf_dir).limit(30).coalesce(1).write.parquet(src)
+    body["source_path"] = src
+    code, created = _call(server, "POST", "/routes", body)
+    assert code == 201 and created["route"] == "@sjc1@dca1@9"
+    eng.routes.jobs["@sjc1@dca1@9"].query.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out9")).count() == 30
+    _call(server, "DELETE", "/routes/" + urllib.parse.quote("@sjc1@dca1@9"))

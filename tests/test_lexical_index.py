@@ -186,8 +186,10 @@ def test_torn_delete_is_repaired_exactly_once(spark, docs, tmp_path):
     want_df = {r.token: r.df for r in read_view(spark, clean + "/stats").collect()}
     want_corpus = tuple(read_view(spark, clean + "/corpus").collect()[0])
 
-    def _simulate_crash(root, apply_stats):
-        """Run the delete's steps manually up to the crash point."""
+    def _simulate_crash(root, apply_stats, legacy=False):
+        """Run the delete's steps manually up to the crash point.
+        ``legacy=True`` writes the pre-tag intent layout (no identity
+        tag), exercising the sequence-based fallback repair path."""
         from ureplicator_spark.operators.text import tokens as _tokens  # noqa: F401
 
         postings = spark.read.parquet(root + "/postings")
@@ -202,16 +204,23 @@ def test_torn_delete_is_repaired_exactly_once(spark, docs, tmp_path):
         c_seq = _last_seq(spark, root + "/corpus")
         intent = root + "/_delete_intent"
         _commit_version(spark, intent + "/deltas", df_delta, -1)
-        meta = spark.createDataFrame(
-            [(doomed_ids, n_del, dl_sum, s_seq, c_seq)],
-            "doc_ids array<long>, n_del long, dl_sum long, "
-            "stats_seq long, corpus_seq long",
-        )
+        if legacy:
+            meta = spark.createDataFrame(
+                [(doomed_ids, n_del, dl_sum, s_seq, c_seq)],
+                "doc_ids array<long>, n_del long, dl_sum long, "
+                "stats_seq long, corpus_seq long",
+            )
+        else:
+            meta = spark.createDataFrame(
+                [(doomed_ids, n_del, dl_sum, s_seq, c_seq, "ttag0001")],
+                "doc_ids array<long>, n_del long, dl_sum long, "
+                "stats_seq long, corpus_seq long, tag string",
+            )
         _commit_version(spark, intent + "/meta", meta, -1)
         _rewrite_postings_without(spark, root, doomed_ids)
         if apply_stats:  # crash AFTER stats landed, before intent cleanup
             deltas = read_view(spark, intent + "/deltas")
-            _apply_delete_stats(spark, root, deltas, n_del, dl_sum, s_seq, c_seq)
+            _apply_delete_stats(spark, root, deltas, n_del, dl_sum, "ttag0001")
 
     for crash_after_stats in (False, True):
         root = str(tmp_path / f"torn_{crash_after_stats}")
@@ -229,3 +238,85 @@ def test_torn_delete_is_repaired_exactly_once(spark, docs, tmp_path):
         assert tuple(read_view(spark, root + "/corpus").collect()[0]) == want_corpus
         # intent cleared; a second repair is a no-op
         assert repair_lexical_index(spark, root) is False
+
+    # legacy intent (pre-tag layout): the sequence-based fallback
+    # still heals a crash-before-stats delete
+    root = str(tmp_path / "torn_legacy")
+    build_lexical_index(spark, docs, root)
+    _simulate_crash(root, apply_stats=False, legacy=True)
+    assert repair_lexical_index(spark, root) is True
+    got_df = {r.token: r.df for r in read_view(spark, root + "/stats").collect()}
+    assert got_df == want_df
+    assert tuple(read_view(spark, root + "/corpus").collect()[0]) == want_corpus
+
+
+def test_concurrent_append_does_not_swallow_delete_decrement(
+    spark, docs, tmp_path
+):
+    """Regression (r8 advisor): a maintainer append committing BETWEEN
+    a delete's intent and its stats apply advanced the view sequence
+    past the recorded pre-delete value, which the old check read as
+    'my decrement landed' — silently skipping it and leaving BM25
+    stats permanently overstated. The decrement is now keyed by the
+    delete's own identity tag, so the repair must fold it in even
+    though the sequence moved on."""
+    from ureplicator_spark.sources.lexical_index import (
+        _commit_version,
+        _rewrite_postings_without,
+        repair_lexical_index,
+    )
+    from ureplicator_spark.streaming.ivm import _last_seq, read_view
+
+    base = docs.filter(F.col("doc_id") < SPLIT)
+    extra = docs.filter(
+        (F.col("doc_id") >= SPLIT) & (F.col("doc_id") < SPLIT + 50)
+    )
+    doomed_ids = [
+        r.doc_id for r in base.filter(F.col("doc_id") < 50).collect()
+    ]
+
+    # clean reference: delete then append on a twin index
+    from ureplicator_spark.sources.lexical_index import (
+        delete_from_lexical_index,
+    )
+
+    clean = str(tmp_path / "clean")
+    build_lexical_index(spark, base, clean)
+    delete_from_lexical_index(spark, clean, doomed_ids)
+    append_to_lexical_index(spark, clean, extra)
+    want_df = {r.token: r.df for r in read_view(spark, clean + "/stats").collect()}
+    want_corpus = tuple(read_view(spark, clean + "/corpus").collect()[0])
+
+    # torn order: intent + postings rewrite, CONCURRENT append, repair
+    root = str(tmp_path / "interleaved")
+    build_lexical_index(spark, base, root)
+    postings = spark.read.parquet(root + "/postings")
+    doomed = postings.filter(F.col("doc_id").isin(doomed_ids))
+    df_delta = doomed.groupBy("token").agg(F.countDistinct("doc_id").alias("ddf"))
+    dls = doomed.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    n_del, dl_sum = dls.count(), int(dls.agg(F.sum("dl")).collect()[0][0])
+    intent = root + "/_delete_intent"
+    _commit_version(spark, intent + "/deltas", df_delta, -1)
+    meta = spark.createDataFrame(
+        [(
+            doomed_ids, n_del, dl_sum,
+            _last_seq(spark, root + "/stats"),
+            _last_seq(spark, root + "/corpus"),
+            "racetag1",
+        )],
+        "doc_ids array<long>, n_del long, dl_sum long, "
+        "stats_seq long, corpus_seq long, tag string",
+    )
+    _commit_version(spark, intent + "/meta", meta, -1)
+    _rewrite_postings_without(spark, root, doomed_ids)
+    append_to_lexical_index(spark, root, extra)  # sequences advance
+    assert repair_lexical_index(spark, root) is True
+
+    got_df = {r.token: r.df for r in read_view(spark, root + "/stats").collect()}
+    assert got_df == want_df
+    assert tuple(read_view(spark, root + "/corpus").collect()[0]) == want_corpus
+    # exactly-once: a re-run (intent already cleared) changes nothing
+    assert repair_lexical_index(spark, root) is False
+    assert {
+        r.token: r.df for r in read_view(spark, root + "/stats").collect()
+    } == want_df

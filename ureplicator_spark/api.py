@@ -147,7 +147,16 @@ class Engine:
         steerable by ``PUT /ratelimiter`` / ``POST /blacklist`` /
         ``PUT /topics`` with no restart — identical posture to routes
         started via ``start_dynamic`` directly. Raises ``ValueError``
-        on a duplicate route name (the reference 409s)."""
+        on a duplicate route name (the reference 409s).
+
+        Concurrency/failure posture (r8 advisor): the name is RESERVED
+        under the engine mutex, but the streaming-query start runs
+        OUTSIDE it — a query start takes seconds and the src/
+        checkpoint/out paths come straight from the untrusted REST
+        body, so holding the lock would stall every other
+        control-plane call behind one slow or doomed create. If the
+        start fails, the reservation is rolled back so the name does
+        not 409 forever for a route that never ran."""
         from ureplicator_spark.streaming.dynamic import ControlDoc
 
         with self._mutex:
@@ -176,8 +185,17 @@ class Engine:
                 control.set_rate(self._rate)
             if self._blacklist:
                 control.set_blacklist(sorted(self._blacklist))
+            # reserve the name while holding the lock; start outside it
             self.routes.add(job)
+        try:
             job.start_dynamic(out_path, control, available_now=available_now)
+        except BaseException:
+            with self._mutex:
+                # drop the dead reservation (remove() also stops the
+                # query defensively if the start half-succeeded)
+                self.routes.remove(route.name)
+            raise
+        with self._mutex:
             # push current topology into the new route's doc (same
             # propagation every control-plane mutation does)
             self._push_topics()

@@ -225,17 +225,49 @@ def _rewrite_postings_without(
     return len(buckets), len(emptied)
 
 
+def _delete_marker(root: str, tag: str, view: str) -> str:
+    return f"{root}/_delete_applied/{tag}_{view}"
+
+
 def _apply_delete_stats(
     spark: SparkSession, root: str, deltas: DataFrame, n_del: int, dl_sum: int,
-    stats_seq_before: int, corpus_seq_before: int,
+    tag: str,
 ) -> None:
-    """Fold the recorded negative deltas into whichever stats views
-    have NOT yet advanced past their recorded pre-delete sequence —
-    each view commit is individually atomic (ivm version-dir), so
-    'already advanced' is exactly 'this view's decrement landed'."""
-    from ureplicator_spark.streaming.ivm import _last_seq
+    """Fold the recorded negative deltas into each stats view EXACTLY
+    ONCE, keyed by the delete's own identity tag — not by sequence
+    position (r8 advisor: 'seq advanced past the recorded pre-delete
+    value' also matches a CONCURRENT maintainer append committing
+    between the intent and the apply, which silently swallowed the
+    decrement and left BM25 stats permanently overstated).
 
-    if _last_seq(spark, root + "/stats") <= stats_seq_before:
+    'This delete already applied to this view' is evidenced two ways:
+
+    * the committed version NAME carries ``_d<tag>`` — written
+      atomically with the decrement data itself (the parquet
+      ``_SUCCESS`` gates both), so no crash can commit the decrement
+      without its identity;
+    * a durable marker dir (``_delete_applied/<tag>_<view>``) written
+      right after the commit returns — it outlives version pruning
+      (only the two newest versions are kept), covering repairs that
+      run after later maintainer commits pruned the tagged version.
+
+    Folding into the CURRENT view is order-independent w.r.t.
+    concurrent appends (the decrement is an absolute delta), so
+    interleaved maintainer commits no longer lose it. Residual window:
+    a crash between the tagged commit and its marker, followed by TWO
+    OR MORE maintainer commits before repair, would prune the only
+    evidence and repair would decrement twice — quiesce maintainers
+    while running ``repair_lexical_index`` (they should be stopped
+    during a crash repair anyway)."""
+    from ureplicator_spark.fsutil import fs_exists, mkdirs
+    from ureplicator_spark.streaming.ivm import committed_tag_present
+
+    def applied(view: str) -> bool:
+        return fs_exists(spark, _delete_marker(root, tag, view)) or (
+            committed_tag_present(spark, f"{root}/{view}", tag)
+        )
+
+    if not applied("stats"):
         cur_df = _require_view(spark, root + "/stats", "lexical-index stats")
         merged_df = (
             cur_df.join(deltas, "token", "left")
@@ -245,14 +277,16 @@ def _apply_delete_stats(
             )
             .filter(F.col("df") > 0)
         )
-        _commit_version(spark, root + "/stats", merged_df, -1)
-    if _last_seq(spark, root + "/corpus") <= corpus_seq_before:
+        _commit_version(spark, root + "/stats", merged_df, -1, tag=tag)
+        mkdirs(spark, _delete_marker(root, tag, "stats"))
+    if not applied("corpus"):
         cur_c = _require_view(spark, root + "/corpus", "lexical-index corpus")
         merged_c = cur_c.select(
             (F.col("n_docs") - n_del).cast("long").alias("n_docs"),
             (F.col("total_dl") - dl_sum).cast("long").alias("total_dl"),
         )
-        _commit_version(spark, root + "/corpus", merged_c, -1)
+        _commit_version(spark, root + "/corpus", merged_c, -1, tag=tag)
+        mkdirs(spark, _delete_marker(root, tag, "corpus"))
 
 
 def repair_lexical_index(spark: SparkSession, root: str) -> bool:
@@ -276,12 +310,47 @@ def repair_lexical_index(spark: SparkSession, root: str) -> bool:
         return False
     meta = meta_df.collect()[0]
     _rewrite_postings_without(spark, root, [int(i) for i in meta.doc_ids])
-    _apply_delete_stats(
-        spark, root, deltas, int(meta.n_del), int(meta.dl_sum),
-        int(meta.stats_seq), int(meta.corpus_seq),
-    )
+    if "tag" in meta_df.columns:
+        tag = str(meta.tag)
+        _apply_delete_stats(
+            spark, root, deltas, int(meta.n_del), int(meta.dl_sum), tag
+        )
+        _clear_delete_markers(spark, root, tag)
+    else:
+        # legacy intent written before deletes carried an identity
+        # tag: fall back to the recorded-sequence check (only correct
+        # with maintainers quiesced — the pre-upgrade contract)
+        from ureplicator_spark.streaming.ivm import _last_seq
+
+        if _last_seq(spark, root + "/stats") <= int(meta.stats_seq):
+            cur_df = _require_view(spark, root + "/stats", "lexical-index stats")
+            merged_df = (
+                cur_df.join(deltas, "token", "left")
+                .select(
+                    "token",
+                    (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
+                )
+                .filter(F.col("df") > 0)
+            )
+            _commit_version(spark, root + "/stats", merged_df, -1)
+        if _last_seq(spark, root + "/corpus") <= int(meta.corpus_seq):
+            cur_c = _require_view(spark, root + "/corpus", "lexical-index corpus")
+            merged_c = cur_c.select(
+                (F.col("n_docs") - int(meta.n_del)).cast("long").alias("n_docs"),
+                (F.col("total_dl") - int(meta.dl_sum)).cast("long").alias("total_dl"),
+            )
+            _commit_version(spark, root + "/corpus", merged_c, -1)
     delete_recursive(spark, intent)
     return True
+
+
+def _clear_delete_markers(spark: SparkSession, root: str, tag: str) -> None:
+    """Drop a completed delete's applied-markers — only meaningful
+    while its intent exists, so they go right before the intent."""
+    from ureplicator_spark.fsutil import delete_recursive as _rm
+
+    for view in ("stats", "corpus"):
+        _rm(spark, _delete_marker(root, tag, view))
 
 
 def delete_from_lexical_index(
@@ -332,27 +401,31 @@ def delete_from_lexical_index(
     dl_sum = int(dls.agg(F.sum("dl")).collect()[0][0])
     stats_seq = _last_seq(spark, root + "/stats")
     corpus_seq = _last_seq(spark, root + "/corpus")
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
 
     # Commit the intent FIRST: deltas (vocabulary of the doomed docs)
-    # + a 1-row meta carrying ids, scalar deltas and the pre-delete
-    # view sequences. Written via the same versioned commit as the
-    # views, so "committed intent" is a _SUCCESS check.
+    # + a 1-row meta carrying ids, scalar deltas, the delete's own
+    # identity tag (the exactly-once key for the stats decrements) and
+    # the pre-delete view sequences (observability + legacy repair).
+    # Written via the same versioned commit as the views, so
+    # "committed intent" is a _SUCCESS check.
     intent = root + "/_delete_intent"
     delete_recursive(spark, intent)
     _commit_version(spark, intent + "/deltas", df_delta, -1)
     meta = spark.createDataFrame(
-        [(ids, n_del, dl_sum, stats_seq, corpus_seq)],
+        [(ids, n_del, dl_sum, stats_seq, corpus_seq, tag)],
         "doc_ids array<long>, n_del long, dl_sum long, "
-        "stats_seq long, corpus_seq long",
+        "stats_seq long, corpus_seq long, tag string",
     )
     _commit_version(spark, intent + "/meta", meta, -1)
     release_checkpoint(doomed)  # DataFrame.unpersist is a no-op for checkpoints
 
     buckets_rewritten, removed = _rewrite_postings_without(spark, root, ids)
     deltas = _require_view(spark, intent + "/deltas", "delete-intent deltas")
-    _apply_delete_stats(
-        spark, root, deltas, n_del, dl_sum, stats_seq, corpus_seq
-    )
+    _apply_delete_stats(spark, root, deltas, n_del, dl_sum, tag)
+    _clear_delete_markers(spark, root, tag)
     delete_recursive(spark, intent)
     return {
         "deleted_docs": n_del,

@@ -51,10 +51,15 @@ from ureplicator_spark.fsutil import (
 
 def _parse_version(name: str) -> tuple[int, int] | None:
     """``v<seq>_b<hwm>`` → (seq, hwm); ``v<seq>`` → (seq, -1);
-    anything else → None."""
+    anything else → None. Either form may carry a ``_d<tag>`` suffix —
+    the commit-atomic identity tag an unmanaged applier (the lexical
+    index's RTBF delete) uses to prove ITS decrement committed even
+    when concurrent maintainer commits advance the sequence."""
     if not name.startswith("v"):
         return None
     body = name[1:]
+    if "_d" in body:
+        body = body.split("_d", 1)[0]
     if "_b" in body:
         seq_s, hwm_s = body.split("_b", 1)
         if seq_s.isdigit() and hwm_s.isdigit():
@@ -116,21 +121,43 @@ def _require_view(spark: SparkSession, view_path: str, what: str) -> DataFrame:
 
 
 def _commit_version(
-    spark: SparkSession, view_path: str, merged: DataFrame, batch_id: int
+    spark: SparkSession,
+    view_path: str,
+    merged: DataFrame,
+    batch_id: int,
+    tag: str | None = None,
 ) -> None:
     """Write one new view version; the parquet ``_SUCCESS`` marker IS
     the atomic commit+replay record. ``batch_id`` < 0 means an
     unmanaged apply: the sequence advances, the high-water mark is
-    inherited. Prunes versions older than the immediately previous one
-    (kept so a concurrent reader of the prior version is not yanked
-    mid-scan) — always safe, because the newest version's name carries
-    the full replay state."""
+    inherited. ``tag`` stamps the version NAME with the applier's
+    identity (``_d<tag>``) — committed atomically with the data, so
+    "did MY apply land" is answerable even after concurrent commits
+    advance the sequence. Prunes versions older than the immediately
+    previous one (kept so a concurrent reader of the prior version is
+    not yanked mid-scan) — always safe, because the newest version's
+    name carries the full replay state."""
     seq = _last_seq(spark, view_path) + 1
     hwm = batch_id if batch_id >= 0 else _last_applied(spark, view_path)
     name = f"v{seq}_b{hwm}" if hwm >= 0 else f"v{seq}"
+    if tag:
+        name += f"_d{tag}"
     merged.write.mode("overwrite").parquet(f"{view_path}/{name}")
     for _seq, _hwm, dirname in _committed_versions(spark, view_path)[:-2]:
         delete_recursive(spark, f"{view_path}/{dirname}")
+
+
+def committed_tag_present(spark: SparkSession, view_path: str, tag: str) -> bool:
+    """True when a committed version carries ``_d<tag>`` — the
+    commit-atomic evidence that a tagged apply landed. Only the two
+    newest versions survive pruning, so callers needing durable
+    evidence must ALSO write their own marker once the commit returns
+    (see lexical_index._apply_delete_stats)."""
+    suffix = f"_d{tag}"
+    return any(
+        dirname.endswith(suffix)
+        for _s, _h, dirname in _committed_versions(spark, view_path)
+    )
 
 
 def _sum_result_type(
