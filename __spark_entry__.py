@@ -49,6 +49,12 @@ _CHANGED_SINCE_LAST_CHECK = [
     # BIGINT would overflow under ANSI once qscale-weighted dim-sums ×
     # corpus count exceed 2^63.
     "embedding_source_drift",
+    # r9 implementation changes: the classifier serves the STANDING
+    # trained model (train-once-classify-many; per-doc profiles now a
+    # shuffle-free array fold, classification a map-literal projection)
+    # and the KMV overlap reads the persisted per-source synopsis
+    # section (mergeable-sketch index discipline).
+    "lang_ngram_classifier", "kmv_source_overlap",
     # never driver-attested (rows-only r8 set — iterative/stateful
     # shapes, pinned vs Python/NumPy references in pytest): keep them
     # in the window so any driver improvement picks them up.

@@ -213,6 +213,14 @@ def main() -> None:
     ensure_standing_minhash_index(spark, SF_DIR)
     minhash_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Standing trained language model (train-once-classify-many):
+    # same amortized accounting (r9).
+    from ureplicator_spark.queries import ensure_standing_lang_model
+
+    t0 = time.perf_counter()
+    ensure_standing_lang_model(spark, SF_DIR)
+    langmodel_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -329,6 +337,7 @@ def main() -> None:
         "ivfpq_build_sec": ivfpq_build_sec,
         "lex_build_sec": lex_build_sec,
         "minhash_build_sec": minhash_build_sec,
+        "langmodel_build_sec": langmodel_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended

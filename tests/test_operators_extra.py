@@ -734,11 +734,16 @@ def test_minhash_index_standing_probes(spark, sf_dir, tmp_path):
         lsh_candidate_pairs,
         prefix_join_from_docarr,
     )
+    from ureplicator_spark.operators.sketch import kmv_source_overlap
     from ureplicator_spark.sources.minhash_index import (
         append_to_minhash_index,
         build_minhash_index,
+        index_kmv_synopses,
         index_lsh_pairs,
+        index_pairs,
         index_shingle_arrays,
+        refresh_kmv_synopses,
+        refresh_pairs,
         refresh_shingle_arrays,
     )
 
@@ -750,23 +755,46 @@ def test_minhash_index_standing_probes(spark, sf_dir, tmp_path):
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
-    assert rows(index_lsh_pairs(spark, root)) == rows(lsh_candidate_pairs(corpus))
+    want_pairs = rows(lsh_candidate_pairs(corpus))
+    assert rows(index_lsh_pairs(spark, root)) == want_pairs
+    assert rows(index_pairs(spark, root)) == want_pairs  # materialized twin
+    # persisted KMV synopses reproduce the from-scratch estimator
+    from ureplicator_spark.operators.sketch import KMV_K, kmv_pairwise_estimates
+
+    est_idx = kmv_pairwise_estimates(
+        index_kmv_synopses(spark, root), "source", KMV_K
+    ).orderBy("src_a", "src_b")
+    assert rows(est_idx) == rows(kmv_source_overlap(corpus))
     arr = index_shingle_arrays(spark, root)
     assert rows(containment_from_docarr(arr)) == rows(containment_pairs(corpus))
     assert rows(prefix_join_from_docarr(arr)) == rows(jaccard_prefix_join(corpus))
 
-    # append: signatures stay current, shingle_arrays goes stale → gone
+    # append: signatures stay current; the snapshot-scoped sections
+    # (shingle_arrays, pairs) go stale → gone, loudly
     batch = docs.filter(F.col("doc_id") >= 4000)
     append_to_minhash_index(batch, root)
     full = corpus.unionByName(batch)
     assert rows(index_lsh_pairs(spark, root)) == rows(lsh_candidate_pairs(full))
     with pytest.raises(FileNotFoundError, match="invalidated"):
         index_shingle_arrays(spark, root)
+    with pytest.raises(FileNotFoundError, match="invalidated"):
+        index_pairs(spark, root)
+    with pytest.raises(FileNotFoundError, match="invalidated"):
+        index_kmv_synopses(spark, root)
 
-    # refresh from the full corpus restores prefix-join parity
+    # refresh restores parity: pairs from the appended signature
+    # sections alone, arrays from the full corpus, synopses from the
+    # refreshed arrays
+    refresh_pairs(spark, root)
+    assert rows(index_pairs(spark, root)) == rows(lsh_candidate_pairs(full))
     refresh_shingle_arrays(full, root)
     arr2 = index_shingle_arrays(spark, root)
     assert rows(prefix_join_from_docarr(arr2)) == rows(jaccard_prefix_join(full))
+    refresh_kmv_synopses(full, root)
+    est_full = kmv_pairwise_estimates(
+        index_kmv_synopses(spark, root), "source", KMV_K
+    ).orderBy("src_a", "src_b")
+    assert rows(est_full) == rows(kmv_source_overlap(full))
 
 
 def test_rate_spikes_flags_bursts_not_dips(spark):

@@ -641,9 +641,21 @@ def kmv_source_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     engine reproduces the rounded estimates."""
     from ureplicator_spark.operators.dedup import shingles
 
-    sh = shingles(documents)
+    return kmv_overlap_from_shingles(shingles(documents), documents, k)
+
+
+def kmv_overlap_from_shingles(
+    shingle_view: DataFrame, documents: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """The estimator half of :func:`kmv_source_overlap` over an
+    ALREADY-BUILT distinct (doc_id, shingle) view — split out so the
+    standing MinHash index's persisted shingle arrays feed it
+    (exploding a persisted array column is a map-only projection;
+    re-tokenizing the corpus is the cost amortized into the index
+    build). Output equal by construction: the distinct per-doc shingle
+    view is the same set either way."""
     src = documents.select("doc_id", "source")
-    keyed = sh.join(src, "doc_id").select("source", "shingle")
+    keyed = shingle_view.join(src, "doc_id").select("source", "shingle")
     regs = kmv_registers(keyed, "source", "shingle", k)
     return kmv_pairwise_estimates(regs, "source", k).orderBy("src_a", "src_b")
 

@@ -807,6 +807,190 @@ def token_shard_packing(documents: DataFrame, budget: int = 20_000) -> DataFrame
     )
 
 
+def lang_trigram_profiles(documents: DataFrame, profile_len: int = 64) -> DataFrame:
+    """The Cavnar–Trenkle language MODEL: per language, the
+    ``profile_len`` most frequent char trigrams of the labeled 80%
+    train split (doc_id % 10 < 8), ranked (count desc, gram asc) —
+    (plang, g, rl). Integer counts/ranks only, so the learned model is
+    engine-exact. One vocabulary-sized shuffle (the train branch
+    aggregates straight to (lang, g), so map-side combine collapses
+    each partition to ~|langs|·|trigram vocab| rows) + an L-partition
+    ranking window. L×profile_len rows out — a broadcast-sized model
+    table, trained once per corpus snapshot in production
+    (`queries.ensure_standing_lang_model`)."""
+    from ureplicator_spark.functions import fan_out
+
+    tri = (
+        fan_out(documents)
+        .filter(F.col("doc_id") % 10 < 8)
+        .select("doc_id", "lang", F.lower(F.col("text")).alias("t"))
+        .filter(F.length("t") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+            ).alias("g"),
+        )
+    )
+    train = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+    return (
+        train.withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= profile_len)
+        .select(F.col("lang").alias("plang"), "g", "rl")
+    )
+
+
+def doc_trigram_profiles(
+    documents: DataFrame, doc_profile_len: int = 32
+) -> DataFrame:
+    """Per-document ranked trigram profile, SHUFFLE-FREE: one row per
+    held-out doc (doc_id % 10 >= 8) with ``prof`` = the doc's top
+    ``doc_profile_len`` (count desc, gram asc) trigrams as an ordered
+    array of (nc, g) structs.
+
+    The r8 shape exploded every test doc to its trigram stream (a
+    char-level row blowup), counted at (doc, gram) grain through a
+    corpus-wide shuffle, and ranked with a per-doc window (a second
+    sort) — at sf0.1 those two exchanges were most of the query. The
+    profile is a pure per-document function, so it now computes inside
+    one projection (the ``minhash_wide`` discipline): sort the doc's
+    trigram array, find run STARTS by index comparison (O(n)
+    element_at probes — no quadratic array_append accumulator), turn
+    each run into (negated count, gram) so ascending struct order IS
+    (count desc, gram asc), sort, slice. Zero exchanges; counts and
+    ranks identical to the grouped formulation by construction (run
+    length of a sorted array == the gram's occurrence count).
+
+    Built as ONE expression with ``transform(array(x), v -> ...)``
+    let-bindings for the sorted array and the run-start positions:
+    stacked projections would invite CollapseProject to inline the
+    expensive intermediates into every use site (measured: the
+    collapsed plan re-evaluated the sort per run lookup — minutes, not
+    ms, at sf0.001), whereas a lambda variable is bound to its value
+    exactly once per row by construction."""
+    from ureplicator_spark.functions import fan_out
+
+    prof = f"""
+    slice(
+      sort_array(
+        element_at(transform(
+          array(array_sort(transform(sequence(1, length(t) - 2),
+                                     i -> substring(t, i, 3)))),
+          sg -> element_at(transform(
+            array(filter(sequence(1, size(sg)),
+                         p -> p = 1 OR element_at(sg, p) != element_at(sg, p - 1))),
+            st -> transform(sequence(1, size(st)), k -> named_struct(
+              'nc', -(CAST(coalesce(try_element_at(st, k + 1), size(sg) + 1)
+                           AS BIGINT)
+                      - element_at(st, k)),
+              'g', element_at(sg, element_at(st, k))))
+          ), 1)
+        ), 1)
+      ),
+    1, {doc_profile_len}) AS prof
+    """
+    return (
+        fan_out(documents)
+        .filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "lang", F.lower(F.col("text")).alias("t"))
+        .filter(F.length("t") >= 3)
+        .selectExpr("doc_id", "lang", prof)
+    )
+
+
+def classify_with_profiles(
+    docprof: DataFrame,
+    model: DataFrame | list,
+    profile_len: int = 64,
+) -> DataFrame:
+    """Confusion matrix from per-doc profiles + a trained language
+    model (a DataFrame to collect, or the already-collected
+    ``(plang, g, rl)`` rows — the standing-model path).
+
+    The Cavnar–Trenkle distance is ``dist(doc, L) = base(doc) −
+    adj(doc, L)`` with ``adj = Σ_matched (profile_len − |rd − rl|)``;
+    ``base`` is a per-doc constant, so argmin dist ≡ argmax adj, every
+    matched language beats every unmatched one (each matched gram
+    credits ≥ 1), and an all-unmatched doc falls to the
+    lexicographically first language — which is exactly what the
+    (−adj, lang) struct-min over a dense per-language score array
+    yields when every adj is 0.
+
+    The model is a FIXED small table (L × profile_len), i.e. a
+    classifier artifact, not data — so it enters the plan as
+    per-language map LITERALS (gram → rank) and the entire
+    classification computes per document inside one projection: an
+    ``aggregate`` fold over the profile per language, then a
+    struct-min over the L scores. No explode, no join, no doc-keyed
+    shuffle — the only exchange is the L²-bounded confusion rollup.
+    (The r8 shape paid a broadcast join + three doc-keyed exchanges —
+    ~1.8 s of stage constants at sf0.1 for 1 000 test docs; this
+    projection form measures sub-second. At 100 TB the difference is
+    one full corpus shuffle.)
+
+    docprof is pinned: the per-language folds each reference ``prof``,
+    and Catalyst inlines the (expensive) profile expression into every
+    use site — materializing one bounded-width row per test doc makes
+    it evaluate once, at any corpus scale."""
+    from ureplicator_spark.caching import pin
+
+    rows = model if isinstance(model, list) else [
+        (r["plang"], r["g"], r["rl"]) for r in model.collect()
+    ]
+    by_lang: dict[str, list] = {}
+    for plang, g, rl in rows:
+        by_lang.setdefault(plang, []).append((g, rl))
+
+    docprof = pin(docprof)
+    # per-doc profile with ranks, bound once via the array let-trick
+    # (see doc_trigram_profiles) so the fold below can't re-inline it
+    ranked = "transform(sequence(1, size(prof)), i -> named_struct('rd', i, 'g', element_at(prof, i).g))"
+    # One selectExpr STRING for the whole score array: Column-by-Column
+    # construction of ~L×profile_len map literals costs one Py4J
+    # round-trip per node (measured 0.7 s of DRIVER time per query at
+    # L=5) — a SQL string ships the tree in one call and parses
+    # JVM-side (the simhash discipline). Grams are arbitrary document
+    # text, so they enter as base64 (no quoting/escaping pitfalls);
+    # the map literals are foldable and constant-fold to one map each.
+    import base64
+
+    def _b64(s: str) -> str:
+        return base64.b64encode(s.encode("utf-8")).decode("ascii")
+
+    # The maps live in their own projection layer, NOT inline in the
+    # fold lambdas: ConstantFolding does not reach inside lambda
+    # bodies, so an inline map literal would be re-built per array
+    # element; as projected columns they fold to Literal nodes at plan
+    # time and the lambda reads a ready value.
+    langs = sorted(by_lang)
+    map_cols = []
+    for i, plang in enumerate(langs):
+        kv = ", ".join(
+            f"CAST(unbase64('{_b64(g)}') AS STRING), {int(rl)}"
+            for g, rl in by_lang[plang]
+        )
+        map_cols.append(f"map({kv}) AS m{i}")
+
+    def _lang_score(i: int, plang: str) -> str:
+        return (
+            "named_struct('na', -aggregate(rp, CAST(0 AS BIGINT), (acc, e) -> "
+            f"acc + coalesce({profile_len} - abs(e.rd - "
+            f"try_element_at(m{i}, e.g)), 0)), "
+            f"'plang', CAST(unbase64('{_b64(plang)}') AS STRING))"
+        )
+
+    score_arr = ", ".join(_lang_score(i, plang) for i, plang in enumerate(langs))
+    best = docprof.selectExpr(
+        "doc_id", "lang", f"{ranked} AS rp", *map_cols
+    ).selectExpr("lang", f"array_min(array({score_arr})).plang AS lang_pred")
+    return (
+        best.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 def ngram_profile_confusion(
     documents: DataFrame,
     profile_len: int = 64,
@@ -825,97 +1009,20 @@ def ngram_profile_confusion(
     arithmetic — counts, ranks, |rank differences| — so any engine
     reproduces the exact prediction (no float log-likelihoods).
 
-    Scale shape: language profiles are L x profile_len rows —
-    broadcast. Per-doc ranking windows partition on doc_id (massive
-    cardinality, bounded per-doc width — no skew pivot) and run ONLY
-    over the 20% test split: the ``doc_id % 10`` split predicates sit
-    below the trigram aggregation (they reference only a grouping
-    key, so Catalyst pushes them under the groupBy and the explode,
-    next to the scan), which makes the train and test branches read
-    DISJOINT document slices — no shared intermediate, hence no
-    persist: total extraction work is exactly one pass over the
-    corpus, split 80/20 across the two branches. The distance pass is
-    the test-doc profile (N x doc_profile_len rows) joined against
-    the broadcast profiles, aggregated per (doc, lang) — one
-    doc-keyed shuffle; the missing-gram penalty folds into
-    ``base - matched_credit`` so unmatched grams never materialize
-    rows."""
-    from ureplicator_spark.functions import fan_out
-
-    # fan_out: trigram extraction is per-row CPU over a possibly
-    # single-row-group scan — the same widening every shingling path
-    # uses (see SCALE.md scan-parallelism note)
-    tri = (
-        fan_out(documents)
-        .select("doc_id", "lang", F.lower(F.col("text")).alias("t"))
-        .filter(F.length("t") >= 3)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
-            ).alias("g"),
-        )
-    )
-    # Split BEFORE any aggregation, and aggregate each branch to the
-    # granularity it actually needs. The r7 shape funneled BOTH splits
-    # through one (doc_id, lang, g) count — for the 80% train split
-    # that intermediate is the expensive part: (doc, gram) keys barely
-    # combine map-side (per-doc gram sets are mostly unique), so ~80%
-    # of the exploded trigram stream shuffled once at doc grain and
-    # then AGAIN to (lang, g). Aggregating the train branch straight
-    # to (lang, g) lets the map-side partial combine collapse each
-    # partition to ~|langs|·|trigram vocab| rows — the shuffle shrinks
-    # from corpus-sized to vocabulary-sized (sum of per-doc counts ==
-    # direct count, so the profiles are bit-identical). Only the 20%
-    # test split still pays a doc-grain aggregation, which its per-doc
-    # ranking window needs anyway.
-    test_tri = tri.filter(F.col("doc_id") % 10 >= 8)
-    train_tri = tri.filter(F.col("doc_id") % 10 < 8)
-    cnt = test_tri.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("c"))
-
-    wd = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
-    doc_prof = cnt.withColumn("rd", F.row_number().over(wd)).filter(
-        F.col("rd") <= doc_profile_len
-    )
-    train = train_tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
-    wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
-    lang_prof = (
-        train.withColumn("rl", F.row_number().over(wl))
-        .filter(F.col("rl") <= profile_len)
-        .select(F.col("lang").alias("plang"), "g", "rl")
-    )
-
-    test_prof = doc_prof
-    base = test_prof.groupBy("doc_id", "lang").agg(
-        (F.count("*") * profile_len).alias("base")
-    )
-    adj = (
-        test_prof.join(F.broadcast(lang_prof), "g")
-        .groupBy("doc_id", "plang")
-        .agg(F.sum(F.lit(profile_len) - F.abs(F.col("rd") - F.col("rl"))).alias("adj"))
-    )
-    langs = lang_prof.select("plang").distinct()
-    dist = (
-        base.crossJoin(F.broadcast(langs))
-        .join(adj, ["doc_id", "plang"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            "plang",
-            (F.col("base") - F.coalesce("adj", F.lit(0))).alias("dist"),
-        )
-    )
-    best = (
-        dist.groupBy("doc_id", "lang")
-        .agg(F.min(F.struct("dist", "plang")).alias("m"))
-        .select("doc_id", "lang", F.col("m.plang").alias("lang_pred"))
-    )
-    return (
-        best.groupBy("lang", "lang_pred")
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("lang", "lang_pred")
-    )
+    Scale shape (r9): the language model is L x profile_len rows —
+    broadcast (`lang_trigram_profiles`, one vocabulary-sized shuffle).
+    Per-doc test profiles are SHUFFLE-FREE (`doc_trigram_profiles`:
+    the ranked profile is a pure per-document function, computed as a
+    sorted-array run-length fold inside one projection — the r8 shape
+    paid a corpus-wide (doc, gram) shuffle plus a per-doc ranking
+    window for the same rows). The distance pass joins profile rows
+    (N x doc_profile_len) against the broadcast model and aggregates
+    per (doc, lang) — the only doc-keyed exchange; the missing-gram
+    penalty folds into ``base - matched_credit`` so unmatched grams
+    never materialize rows."""
+    model = lang_trigram_profiles(documents, profile_len)
+    docprof = doc_trigram_profiles(documents, doc_profile_len)
+    return classify_with_profiles(docprof, model, profile_len)
 
 
 def collocation_pmi(

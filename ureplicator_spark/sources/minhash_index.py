@@ -77,6 +77,8 @@ def build_minhash_index(
     wide.unpersist()
     if shingle_arrays and mode != "append":
         refresh_shingle_arrays(documents, root)
+        refresh_pairs(documents.sparkSession, root)
+        refresh_kmv_synopses(documents, root)
 
 
 def refresh_shingle_arrays(documents: DataFrame, root: str) -> None:
@@ -85,6 +87,55 @@ def refresh_shingle_arrays(documents: DataFrame, root: str) -> None:
     the prefix-filter probes require."""
     shingle_docarr(documents).write.mode("overwrite").parquet(
         root + "/shingle_arrays"
+    )
+
+
+def refresh_kmv_synopses(documents: DataFrame, root: str) -> None:
+    """(Re)build the per-source KMV synopsis section from the CURRENT
+    shingle arrays + the corpus' (doc_id, source) mapping. KMV
+    synopses are the canonical mergeable sketch (k smallest distinct
+    hashes per source — Beyer SIGMOD'07), G×k rows total, so a
+    standing copy turns every cross-source overlap estimate into a
+    synopsis-rows-only query; the sketch members equal what an oracle
+    computes from scratch because they derive from the same md5 over
+    the same distinct shingles."""
+    from ureplicator_spark.operators.sketch import kmv_registers
+
+    spark = documents.sparkSession
+    sh = index_shingle_arrays(spark, root).select(
+        "doc_id", F.explode("toks").alias("shingle")
+    )
+    keyed = sh.join(documents.select("doc_id", "source"), "doc_id").select(
+        "source", "shingle"
+    )
+    kmv_registers(keyed, "source", "shingle").write.mode("overwrite").parquet(
+        root + "/kmv_synopses"
+    )
+
+
+def index_kmv_synopses(spark: SparkSession, root: str) -> DataFrame:
+    """The persisted per-source KMV synopses (source, h, r). Fails
+    loudly when absent/invalidated by an append."""
+    path = root + "/kmv_synopses"
+    if not fs_exists(spark, path):
+        raise FileNotFoundError(
+            f"{path}: kmv_synopses section missing or invalidated by an "
+            "append — rebuild with refresh_kmv_synopses(documents, root)"
+        )
+    return spark.read.parquet(path)
+
+
+def refresh_pairs(spark: SparkSession, root: str) -> None:
+    """(Re)materialize the corpus candidate-pair table from the
+    CURRENT signatures/bands — the near-dup pair set IS the primary
+    output of a dedup index build, and at least five downstream views
+    (the pair listing, the threshold sweep, the cross-signal audit and
+    the cluster rollups) consume the same rows, so a snapshot build
+    pays the band self-join once and probes read parquet. Runs off the
+    persisted sections, so it composes with append (append sigs →
+    refresh_pairs) without re-shingling anything."""
+    index_lsh_pairs(spark, root).write.mode("overwrite").parquet(
+        root + "/pairs"
     )
 
 
@@ -102,8 +153,14 @@ def append_to_minhash_index(
     missing-section error on the next probe is the honest failure."""
     spark = documents.sparkSession
     build_minhash_index(documents, root, n_bands, n_hashes, mode="append")
-    if fs_exists(spark, root + "/shingle_arrays"):
-        delete_recursive(spark, root + "/shingle_arrays")
+    for section in ("shingle_arrays", "pairs", "kmv_synopses"):
+        # both are snapshot-scoped: arrays because global counts move,
+        # pairs because the new batch's cross pairs are absent — a
+        # loud missing-section error beats silently stale results
+        # (refresh_pairs restores pairs from the appended sections;
+        # refresh_shingle_arrays needs the full corpus)
+        if fs_exists(spark, root + "/" + section):
+            delete_recursive(spark, root + "/" + section)
 
 
 def index_lsh_pairs(
@@ -122,6 +179,21 @@ def index_lsh_pairs(
         spark.read.parquet(root + "/bands"),
         n_hashes,
     )
+
+
+def index_pairs(spark: SparkSession, root: str) -> DataFrame:
+    """The MATERIALIZED corpus candidate-pair table (doc_a, doc_b,
+    est_jaccard) — the snapshot build's primary output, shared by
+    every pair-consuming view. Fails loudly when absent/invalidated;
+    `refresh_pairs` rebuilds it from the (possibly appended)
+    signature sections without re-shingling."""
+    path = root + "/pairs"
+    if not fs_exists(spark, path):
+        raise FileNotFoundError(
+            f"{path}: pairs section missing or invalidated by an append — "
+            "rebuild with refresh_pairs(spark, root)"
+        )
+    return spark.read.parquet(path)
 
 
 def index_shingle_arrays(spark: SparkSession, root: str) -> DataFrame:
