@@ -779,22 +779,25 @@ def test_minhash_index_standing_probes(spark, sf_dir, tmp_path):
         index_shingle_arrays(spark, root)
     with pytest.raises(FileNotFoundError, match="invalidated"):
         index_pairs(spark, root)
-    with pytest.raises(FileNotFoundError, match="invalidated"):
-        index_kmv_synopses(spark, root)
+    # ...but the KMV section is MERGEABLE: the append folded the
+    # batch's synopsis in, exactly equal to a full-corpus rebuild
+    # (the Beyer merge property)
+    est_merged = kmv_pairwise_estimates(
+        index_kmv_synopses(spark, root), "source", KMV_K
+    ).orderBy("src_a", "src_b")
+    assert rows(est_merged) == rows(kmv_source_overlap(full))
 
-    # refresh restores parity: pairs from the appended signature
-    # sections alone, arrays from the full corpus, synopses from the
-    # refreshed arrays
+    # refresh restores parity for the snapshot-scoped sections: pairs
+    # from the appended signature sections alone, arrays from the
+    # full corpus (and refresh_kmv equals the merged state)
     refresh_pairs(spark, root)
     assert rows(index_pairs(spark, root)) == rows(lsh_candidate_pairs(full))
     refresh_shingle_arrays(full, root)
     arr2 = index_shingle_arrays(spark, root)
     assert rows(prefix_join_from_docarr(arr2)) == rows(jaccard_prefix_join(full))
+    merged_rows = rows(index_kmv_synopses(spark, root))
     refresh_kmv_synopses(full, root)
-    est_full = kmv_pairwise_estimates(
-        index_kmv_synopses(spark, root), "source", KMV_K
-    ).orderBy("src_a", "src_b")
-    assert rows(est_full) == rows(kmv_source_overlap(full))
+    assert rows(index_kmv_synopses(spark, root)) == merged_rows
 
 
 def test_rate_spikes_flags_bursts_not_dips(spark):

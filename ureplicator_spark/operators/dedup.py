@@ -550,6 +550,11 @@ def containment_from_docarr(
     verification arrays are docarr columns — nothing per-doc is
     recomputed, closing the r8 gap where the whole corpus re-built
     distinct-shingle arrays per invocation."""
+    # pin: the array table feeds four branches (prefix, B-side explode,
+    # both verification sides); without it a parquet-backed docarr is
+    # re-scanned and re-decoded per branch (idempotent when the caller
+    # already pinned — persist() at the same level is a no-op)
+    docarr = pin(docarr)
     # allowed-missing bound floor((1-t)·s): the +1e-9 guards the IEEE
     # product from rounding DOWN past an exact integer (which would
     # shorten the prefix and break completeness); rounding UP only
@@ -573,7 +578,10 @@ def containment_from_docarr(
     # barrier also blocked AQE's runtime broadcast of the candidate
     # side into the verification joins). The tiny verified output is
     # deduplicated at the end instead.
-    cand = (
+    # pin: same verification-join sizing argument as
+    # prefix_join_from_docarr — materialized candidate stats let AQE
+    # keep the array side out of the exchanges
+    cand = pin(
         prefix.join(b_side, "token")
         .filter(F.col("inner_doc") != F.col("outer_doc"))
         .select("inner_doc", "outer_doc", "n_inner")
@@ -841,6 +849,9 @@ def prefix_join_from_docarr(docarr: DataFrame) -> DataFrame:
     different corpus snapshots (whose global counts differ) is invalid
     — the index enforces this by invalidating its shingle_arrays
     section on append."""
+    # pin: three consuming branches (prefix + two verification sides);
+    # see containment_from_docarr
+    docarr = pin(docarr)
     sets = docarr.select("doc_id", "toks")
     prefix = docarr.select(
         "doc_id",
@@ -868,7 +879,13 @@ def prefix_join_from_docarr(docarr: DataFrame) -> DataFrame:
         + F.least(F.col("sa") - F.col("ord_a"), F.col("sb") - F.col("ord_b"))
         + 1
     )
-    cand = (
+    # pin the candidate table (pair ids + sizes — narrow rows): left
+    # lazy, AQE cannot size it and plans the two verification joins as
+    # full sort-merge exchanges that drag the token ARRAYS through the
+    # shuffle (measured 3.9 s end-to-end vs 1.7 s with cand
+    # materialized at sf0.1 — the runtime stats make the array side
+    # stay put)
+    cand = pin(
         pa.join(pb, "token")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))

@@ -115,14 +115,60 @@ def refresh_kmv_synopses(documents: DataFrame, root: str) -> None:
 
 def index_kmv_synopses(spark: SparkSession, root: str) -> DataFrame:
     """The persisted per-source KMV synopses (source, h, r). Fails
-    loudly when absent/invalidated by an append."""
+    loudly when absent."""
     path = root + "/kmv_synopses"
     if not fs_exists(spark, path):
         raise FileNotFoundError(
-            f"{path}: kmv_synopses section missing or invalidated by an "
-            "append — rebuild with refresh_kmv_synopses(documents, root)"
+            f"{path}: kmv_synopses section missing — build with "
+            "refresh_kmv_synopses(documents, root) or "
+            "merge_kmv_synopses(batch, root)"
         )
     return spark.read.parquet(path)
+
+
+def merge_kmv_synopses(batch_documents: DataFrame, root: str) -> None:
+    """Fold a BATCH into the standing synopses by the KMV merge
+    property (Beyer SIGMOD'07): the k smallest distinct hashes of
+    A ∪ B are all among top-k(A) ∪ top-k(B) — every element of the
+    union's top-k belongs to one side's top-k — so merging the stored
+    synopsis with the batch's synopsis and re-ranking yields EXACTLY
+    the synopsis a full rebuild would (equivalence pinned in
+    tests/test_operators_extra.py). This makes the KMV section the
+    append-MAINTAINABLE kind: per-append cost is O(batch shingles +
+    G·k synopsis rows), never a corpus re-scan — the defining virtue
+    of a mergeable sketch."""
+    from pyspark.sql import Window
+
+    from ureplicator_spark.operators.dedup import shingles
+    from ureplicator_spark.operators.sketch import KMV_K, kmv_registers
+
+    spark = batch_documents.sparkSession
+    keyed = (
+        shingles(batch_documents)
+        .join(batch_documents.select("doc_id", "source"), "doc_id")
+        .select("source", F.col("shingle"))
+    )
+    batch_regs = kmv_registers(keyed, "source", "shingle", KMV_K)
+    merged = (
+        index_kmv_synopses(spark, root)
+        .select("source", "h")
+        .unionByName(batch_regs.select("source", "h"))
+        .groupBy("source", "h")
+        .agg(F.lit(1).alias("_one"))
+        .select("source", "h")
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    topk = (
+        merged.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_K)
+        # G·k rows: checkpoint so the overwrite below never reads the
+        # directory it is replacing
+        .localCheckpoint()
+    )
+    topk.write.mode("overwrite").parquet(root + "/kmv_synopses")
+    from ureplicator_spark.caching import release_checkpoint
+
+    release_checkpoint(topk)
 
 
 def refresh_pairs(spark: SparkSession, root: str) -> None:
@@ -153,14 +199,19 @@ def append_to_minhash_index(
     missing-section error on the next probe is the honest failure."""
     spark = documents.sparkSession
     build_minhash_index(documents, root, n_bands, n_hashes, mode="append")
-    for section in ("shingle_arrays", "pairs", "kmv_synopses"):
-        # both are snapshot-scoped: arrays because global counts move,
-        # pairs because the new batch's cross pairs are absent — a
-        # loud missing-section error beats silently stale results
-        # (refresh_pairs restores pairs from the appended sections;
-        # refresh_shingle_arrays needs the full corpus)
+    for section in ("shingle_arrays", "pairs"):
+        # snapshot-scoped: arrays because the rarest-first global
+        # order moves with counts, pairs because the new batch's cross
+        # pairs are absent — a loud missing-section error beats
+        # silently stale results (refresh_pairs restores pairs from
+        # the appended sections; refresh_shingle_arrays needs the full
+        # corpus)
         if fs_exists(spark, root + "/" + section):
             delete_recursive(spark, root + "/" + section)
+    # the KMV section is MERGEABLE, not snapshot-scoped: fold the
+    # batch's synopsis in (exact, O(batch) — see merge_kmv_synopses)
+    if fs_exists(spark, root + "/kmv_synopses"):
+        merge_kmv_synopses(documents, root)
 
 
 def index_lsh_pairs(
