@@ -280,16 +280,25 @@ def cms_topk_gauge(
     SUM). The gauge side computes exact counts (the thing the sketch
     replaces); production keeps only the build + broadcast-join
     probes."""
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (md5_long(F.col(key_col), salt=f"cms{r}") % w).alias("b"),
-            )
-            for r in range(d)
-        ]
-    )
-    hashed = keyed.select(F.explode(probes).alias("p")).select("p.r", "p.b")
+    # Explode LITERAL row ids and hash AFTER the explode: Generate
+    # re-evaluates its generator child per output row, so exploding an
+    # array of computed (r, md5 % w) structs hashed every key d×d
+    # times instead of d (the hll_profile melt lesson — measured ~4×
+    # on this query's hash stage at sf0.1). Literal structs re-evaluate
+    # for free; the per-row md5 runs once per (key, r).
+    rows_lit = F.array(*[F.lit(r) for r in range(d)])
+
+    def _probed(df):
+        r = F.col("r")
+        salt = F.concat(F.lit("cms"), r.cast("string"), F.lit(":"), F.col(key_col))
+        b = (
+            F.conv(F.substring(F.md5(salt), 1, 15), 16, 10).cast("long") % w
+        ).alias("b")
+        return df.select(*df.columns, F.explode(rows_lit).alias("r")).select(
+            *df.columns, "r", b
+        )
+
+    hashed = _probed(keyed).select("r", "b")
     counters = hashed.groupBy("r", "b").agg(F.count("*").alias("cnt"))
 
     exact = keyed.groupBy(key_col).agg(F.count("*").alias("true_count"))
@@ -299,9 +308,7 @@ def cms_topk_gauge(
         .filter(F.col("rn") <= top_n)
         .drop("rn")
     )
-    top_probed = top.select(
-        key_col, "true_count", F.explode(probes).alias("p")
-    ).select(key_col, "true_count", "p.r", "p.b")
+    top_probed = _probed(top).select(key_col, "true_count", "r", "b")
     est = (
         top_probed.join(F.broadcast(counters), ["r", "b"])
         .groupBy(key_col, "true_count")

@@ -5829,10 +5829,13 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     gauged against exact counts for the exact top-20 tokens — pure
     integer counters reproduced exactly by the oracle; d*w state
     regardless of corpus size."""
+    from ureplicator_spark.functions import fan_out
     from ureplicator_spark.operators.sketch import cms_topk_gauge
     from ureplicator_spark.sources.parquet import load_table
 
-    tok = load_table(spark, sf_dir, "documents").select(
+    # fan_out: d salted md5s per token is per-row CPU over a
+    # few-split scan (no-op once the scan is wide)
+    tok = fan_out(load_table(spark, sf_dir, "documents")).select(
         F.explode(F.split("text", " ")).alias("token")
     )
     return cms_topk_gauge(tok, "token")
