@@ -55,6 +55,12 @@ _CHANGED_SINCE_LAST_CHECK = [
     # and the KMV overlap reads the persisted per-source synopsis
     # section (mergeable-sketch index discipline).
     "lang_ngram_classifier", "kmv_source_overlap",
+    # r9: SemDeDup consumes the STANDING Lloyd cluster map (clustering
+    # as its own pipeline stage, per the paper); CMS/Bloom/banding
+    # fixed the Generate per-output-row re-evaluation (d×d / k×k /
+    # n_bands× redundant hashing) — same values, new lineage.
+    "dedup_semantic_pairs", "dedup_semantic_summary",
+    "cms_token_counts", "bloom_decontamination",
     # never driver-attested (rows-only r8 set — iterative/stateful
     # shapes, pinned vs Python/NumPy references in pytest): keep them
     # in the window so any driver improvement picks them up.

@@ -221,6 +221,14 @@ def main() -> None:
     ensure_standing_lang_model(spark, SF_DIR)
     langmodel_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Standing SemDeDup cluster map (Lloyd assignment as its own
+    # pipeline stage, per Abbas'23): same amortized accounting (r9).
+    from ureplicator_spark.queries import ensure_standing_kmeans
+
+    t0 = time.perf_counter()
+    ensure_standing_kmeans(spark, SF_DIR)
+    kmeans_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -338,6 +346,7 @@ def main() -> None:
         "lex_build_sec": lex_build_sec,
         "minhash_build_sec": minhash_build_sec,
         "langmodel_build_sec": langmodel_build_sec,
+        "kmeans_build_sec": kmeans_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended

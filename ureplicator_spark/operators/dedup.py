@@ -139,30 +139,31 @@ def banded_signatures(
     table — the md5-of-concatenated-minhashes bucketing shared by the
     in-query LSH pass, the persisted index builder
     (sources/minhash_index.py) and the streaming maintainer. A zero-
-    shuffle projection (one n_bands-element explode per row)."""
+    shuffle projection: band ids explode as LITERALS and the band hash
+    computes AFTER the explode behind a CASE — Generate re-evaluates
+    its generator child per output row, so exploding an array of
+    computed md5 structs would hash every signature n_bands× over."""
     rows_per_band = n_hashes // n_bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
+
+    def _band_hash(b: int):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
         )
-        for b in range(n_bands)
-    ]
+
+    bh = F.when(F.col("band") == 0, _band_hash(0))
+    for b in range(1, n_bands):
+        bh = bh.when(F.col("band") == b, _band_hash(b))
     return wide.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select(
         "doc_id",
-        F.col("bs.band").alias("band"),
-        F.col("bs.band_hash").alias("band_hash"),
-    )
+        *[F.col(f"m{s}") for s in range(n_hashes)],
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
+    ).select("doc_id", "band", bh.alias("band_hash"))
 
 
 def lsh_candidate_pairs(

@@ -695,6 +695,7 @@ def semantic_dedup_summary(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.95,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """The actionable output of SemDeDup: per cluster, how many vectors
     survive the greedy min-id keeper policy — a vector is DROPPED when
@@ -708,10 +709,18 @@ def semantic_dedup_summary(
     and the cluster sizes (passed through, so the broadcast-centroid
     pass runs once); the drop set is a DISTINCT over the
     threshold-filtered pair list (N²/k-bounded), and everything after
-    is cluster-cardinality-sized."""
-    assign = pin(
-        kmeans_assignments(embeddings, k=k, iters=iters).select(
-            "vec_id", "cluster_id"
+    is cluster-cardinality-sized. ``assignments`` (vec_id, cluster_id)
+    lets callers supply a precomputed/standing Lloyd assignment — the
+    cluster map is a corpus-snapshot artifact every SemDeDup
+    deployment materializes once (Abbas'23 runs clustering as its own
+    stage)."""
+    assign = (
+        assignments
+        if assignments is not None
+        else pin(
+            kmeans_assignments(embeddings, k=k, iters=iters).select(
+                "vec_id", "cluster_id"
+            )
         )
     )
     pairs = semantic_dedup_pairs(

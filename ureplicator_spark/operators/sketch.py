@@ -362,9 +362,21 @@ def bloom_contamination(
     bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
     corpus = sh.filter(F.col("doc_id") >= 10).select("doc_id", "shingle")
 
-    def bits(col):
-        return F.array(
-            *[(md5_long(col, salt=f"bloom{j}") % m).alias(f"b{j}") for j in range(k)]
+    # Explode LITERAL hash ids and compute each salted bit AFTER the
+    # explode (Generate re-evaluates its generator child per output
+    # row, so exploding an array of k computed md5s hashed every
+    # shingle k×k times — the cms/hll melt lesson).
+    js = F.array(*[F.lit(j) for j in range(k)])
+
+    def probe(df, *keep):
+        salt = F.concat(
+            F.lit("bloom"), F.col("j").cast("string"), F.lit(":"), F.col("shingle")
+        )
+        bit = (
+            F.conv(F.substring(F.md5(salt), 1, 15), 16, 10).cast("long") % m
+        ).alias("bit")
+        return df.select(*keep, "shingle", F.explode(js).alias("j")).select(
+            *keep, "shingle", "j", bit
         )
 
     # no explicit broadcast hints here: bitset is <= m DISTINCT rows and
@@ -373,10 +385,8 @@ def bloom_contamination(
     # hint on a distinct() is exactly what the 100 TB broadcast guard
     # rejects (it cannot prove the reduction bounded), and hinting is
     # unnecessary when the bound holds by construction.
-    bitset = bench.select(F.explode(bits(F.col("shingle"))).alias("bit")).distinct()
-    probed = corpus.select(
-        "doc_id", "shingle", F.posexplode(bits(F.col("shingle"))).alias("j", "bit")
-    )
+    bitset = probe(bench).select("bit").distinct()
+    probed = probe(corpus, "doc_id")
     matched = (
         probed.join(bitset, "bit")
         .groupBy("doc_id", "shingle")
