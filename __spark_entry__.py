@@ -29,6 +29,12 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
+    # r9 NEW queries: winnowing local fingerprints (Schleimer SIGMOD'03
+    # — partial-overlap detection whole-doc digests cannot do) and the
+    # train/val/test near-dup leakage audit over the standing LSH pair
+    # table.
+    "winnowing_fingerprints", "winnowing_overlap_pairs",
+    "split_leakage_check",
     # r9 implementation change: the whole LSH-dedup family now probes
     # the STANDING persisted MinHash/shingle index (built once per
     # corpus snapshot, like the lexical/IVF indexes; bench reports

@@ -111,6 +111,10 @@ EXTENDED_QUERIES = [
     "table_profile_approx", "bpe_learn_merges", "bpe_segment_stats",
     "cdc_chunk_dedup", "sequence_packing", "training_shard_stats",
     "embedding_source_drift",
+    # round-9 additions: winnowing local fingerprints + the cross-split
+    # near-dup leakage audit (rides the standing LSH pair table).
+    "winnowing_fingerprints", "winnowing_overlap_pairs",
+    "split_leakage_check",
 ]
 
 

@@ -1714,3 +1714,118 @@ def test_kmv_overlap_exact_when_union_fits_synopsis(spark):
     assert r.union_est == 7.0
     assert r.inter_est == 1.0
     assert r.jaccard_est == round(1 / 7, 6)
+
+
+def _winnow_ref(text: str, k: int = 8, w: int = 4):
+    """Oblivious Python winnowing (Schleimer SIGMOD'03): min per window,
+    rightmost tie-break, distinct (pos, hash) fingerprints."""
+    import hashlib
+    import re
+
+    s = re.sub(r"[^a-z0-9]", "", text.lower())
+    n = len(s) - k + 1
+    if n < w:
+        return None
+    hs = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+    sel = set()
+    for j in range(n - w + 1):
+        bh, bp = None, None
+        for i in range(j, j + w):
+            if bh is None or hs[i] <= bh:
+                bh, bp = hs[i], i + 1  # 1-based, matching the engine
+        sel.add((bp, bh))
+    return n, sel
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Engine fingerprints (positions AND hashes) equal the oblivious
+    reference; short docs are excluded; density within the paper's
+    bounds (every window selects ⇒ 1/w ≤ density ≤ 1)."""
+    from ureplicator_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaa"),  # degenerate: all grams equal
+        (3, "tiny"),  # below k+w-1 after normalization → excluded
+        (4, "punct-and CASE Should:not;matter 123 mixed!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kgrams"], {(p["p"], p["h"]) for p in r["fingerprints"]})
+        for r in winnow_fingerprints(docs).collect()
+    }
+    assert 3 not in got
+    for doc_id, text in rows:
+        ref = _winnow_ref(text)
+        if ref is None:
+            continue
+        assert got[doc_id] == ref, doc_id
+        n, sel = ref
+        density = len(sel) / (n - 4 + 1)
+        assert 1 / 4 <= density <= 1.0
+
+
+def test_winnowing_guarantee_shared_substring_is_detected(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    ≥ k + w - 1 = 11 (normalized) ALWAYS share a fingerprint hash —
+    the property that makes local fingerprints a partial-overlap
+    detector. Also: disjoint-alphabet docs share nothing."""
+    from ureplicator_spark.operators.text import winnowing_overlap_pairs
+
+    shared = "zqxjvzqkwpfmbtrl"  # 16 rare chars ≥ guarantee threshold
+    docs = spark.createDataFrame(
+        [
+            (1, "left context words here " + shared + " and a long unique tail one"),
+            (2, "completely different opening " + shared + " other unique ending two"),
+            (3, "disjoint document with none of that content anywhere inside it"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert any(k == (1, 2) for k in pairs), pairs
+    assert all(3 not in k for k in pairs), pairs
+
+
+def test_split_leakage_classifies_pairs_by_split(spark):
+    """Leakage matrix equals a hand computation: pair splits derived
+    with the same md5 bucketing, canonical (least, greatest) ordering,
+    exact sum_matches, sub-threshold pairs dropped."""
+    import hashlib
+
+    from ureplicator_spark.operators.text import split_leakage
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(40)], "doc_id long, text string"
+    )
+    pair_rows = [
+        (0, 1, 1.0),
+        (2, 3, 0.875),
+        (4, 5, 0.5),
+        (6, 7, 0.25),  # below threshold → excluded
+        (8, 9, 0.75),
+    ]
+    pairs = spark.createDataFrame(
+        pair_rows, "doc_a long, doc_b long, est_jaccard double"
+    )
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["sum_matches"], r["max_jaccard"])
+        for r in split_leakage(docs, pairs).collect()
+    }
+    expect: dict = {}
+    for a, b, j in pair_rows:
+        if j < 0.5:
+            continue
+        key = tuple(sorted((split_of(a), split_of(b))))
+        n, s, m = expect.get(key, (0, 0, 0.0))
+        expect[key] = (n + 1, s + int(j * 8), max(m, j))
+    assert got == expect, (got, expect)

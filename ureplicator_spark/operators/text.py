@@ -133,6 +133,144 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+WINNOW_K = 8  # char-k-gram width
+WINNOW_W = 4  # window width → guarantee threshold t = K + W - 1 = 11
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowed LOCAL fingerprints per document (Schleimer, Wilkerson &
+    Aiken, SIGMOD'03 — the MOSS algorithm): normalize (lowercase, strip
+    non-alphanumerics), hash every char k-gram, slide a w-wide window
+    over the hash sequence and keep each window's minimum (rightmost on
+    ties). The guarantee: any shared substring of length ≥ k + w - 1
+    between two documents yields at least one SHARED fingerprint —
+    partial-overlap detection that whole-document digests
+    (:func:`fingerprint`) structurally cannot provide, at expected
+    density 2/(w+1) of the k-gram count.
+
+    Returns (doc_id, n_kgrams, fingerprints: array<struct<h,p>>) where
+    (h, p) are the distinct selected (hash, 1-based position) pairs.
+    Docs shorter than one full window (len < k + w - 1 after
+    normalization) are excluded — the guarantee is vacuous for them.
+
+    Scale shape: map-only per-doc array folds, zero shuffles — md5 runs
+    once per k-gram (the `hashes` array is referenced twice in the next
+    projection, so CollapseProject cannot inline the transform into the
+    O(n·w) window fold and re-hash per comparison), selection is an
+    O(n·w) integer fold over the materialized array, w is a small
+    constant. Hashes are md5-derived 60-bit longs so any engine
+    reproduces the fingerprint sets exactly.
+    """
+    from ureplicator_spark.functions import fan_out
+
+    max_long = (1 << 63) - 1
+    norm = (
+        fan_out(documents)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("s"),
+        )
+        .filter(F.length("s") >= k + w - 1)
+    )
+    hashes = (
+        f"transform(sequence(1, length(s) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(s, i, {k})), 1, 15), 16, 10) AS BIGINT))"
+    )
+    hashed = norm.selectExpr("doc_id", f"{hashes} AS hashes")
+    selected = (
+        f"transform(sequence(1, size(hashes) - {w - 1}), j -> "
+        f"aggregate(sequence(j, j + {w - 1}), "
+        f"named_struct('h', CAST({max_long} AS BIGINT), 'p', 0), "
+        f"(acc, i) -> IF(element_at(hashes, i) <= acc.h, "
+        f"named_struct('h', element_at(hashes, i), 'p', CAST(i AS INT)), acc)))"
+    )
+    return hashed.selectExpr(
+        "doc_id",
+        "size(hashes) AS n_kgrams",
+        f"array_distinct({selected}) AS fingerprints",
+    )
+
+
+def winnowing_stats(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Per-document winnowing fingerprint report: k-gram/window counts,
+    selected-fingerprint counts and density (expected ≈ 2/(w+1), the
+    paper's bound — a built-in self-check that selection is winnowing
+    and not plain min-hashing)."""
+    fp = winnow_fingerprints(documents, k, w)
+    return fp.select(
+        "doc_id",
+        "n_kgrams",
+        (F.col("n_kgrams") - (w - 1)).alias("n_windows"),
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.size(F.expr("array_distinct(transform(fingerprints, x -> x.h))")).alias(
+            "n_distinct_hashes"
+        ),
+        F.round(
+            F.size("fingerprints") / (F.col("n_kgrams") - (w - 1)), 6
+        ).alias("density"),
+    )
+
+
+def winnowing_overlap_pairs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = 50,
+    min_shared: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints — MOSS-style local
+    overlap detection. Catches PARTIAL plagiarism/quotation (a shared
+    run of ≥ k+w-1 chars) that Jaccard-style whole-set measures dilute
+    away on long documents.
+
+    Scale shape: the join is keyed by fingerprint hash — bucket-sized
+    work like the LSH band join, never all-pairs. Fingerprints shared
+    by more than ``max_df`` docs are dropped first (boilerplate
+    stop-fingerprints, same discipline as the stop-shingle cap): the
+    cap bounds any bucket's pair fan-out at C(max_df, 2) and removes
+    exactly the fingerprints that carry no pair-level signal. The
+    per-doc fingerprint frame is pinned before the explode (Generate
+    re-evaluates its generator child per output row — the md5+fold
+    chain must not re-run per fingerprint). The doc-frequency cap is a
+    window count over the h-partitioning the join itself needs, so
+    cap + join share one exchange."""
+    from ureplicator_spark.caching import pin
+
+    fp = winnow_fingerprints(documents, k, w)
+    per_doc = pin(
+        fp.selectExpr(
+            "doc_id", "array_distinct(transform(fingerprints, x -> x.h)) AS fps"
+        )
+    )
+    capped = (
+        per_doc.select("doc_id", F.explode("fps").alias("h"))
+        .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("df") <= max_df)
+        .select("doc_id", "h")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n_shared"), "doc_a", "doc_b")),
+    ).filter(F.col("rank") <= top_n)
+
+
 def chunk_documents(documents: DataFrame, size: int = 32, stride: int = 24) -> DataFrame:
     """Fixed-size token chunks with overlap (training-sample windowing):
     chunk i covers tokens [i*stride, i*stride + size). All JVM-side —
@@ -186,6 +324,66 @@ def split_assign(
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("split")
+    )
+
+
+def split_leakage(
+    documents: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Cross-split contamination matrix: near-duplicate pairs (est
+    Jaccard ≥ threshold) classified by the train/val/test membership of
+    BOTH sides. Rows where split_a ≠ split_b are evaluation leakage —
+    an eval doc whose near-twin sits in train inflates every benchmark
+    it touches, the leakage :func:`split_assign`'s content-independent
+    bucketing cannot prevent (the split is by doc_id, the duplication
+    is by content). The same-split rows complete the matrix so the
+    cross-split rate has its denominator.
+
+    ``sum_matches`` is exact integer math: est_jaccard = matches/K with
+    K a power of two, so SUM(est·K) is order-free and engine-exact
+    where SUM(double) would not be.
+
+    Scale shape: pairs is delta-sized (the LSH family's output, served
+    from the standing index); the two membership joins are keyed by
+    doc_id and the final rollup is at most |splits|² rows. Declared
+    declaratively so AQE broadcasts the pair side when it is small.
+    """
+    from ureplicator_spark.functions import md5_long
+    from ureplicator_spark.operators.dedup import N_MINHASH
+
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    splits = documents.select("doc_id", split.alias("split"))
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    return (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "est_jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("est_jaccard") * N_MINHASH).cast("long").alias("sum_matches"),
+            F.max("est_jaccard").alias("max_jaccard"),
+        )
+        .orderBy("split_a", "split_b")
     )
 
 

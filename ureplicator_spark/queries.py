@@ -7236,3 +7236,134 @@ def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         load_table(spark, sf_dir, "documents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline (r9): winnowing local fingerprints + split-leakage audit
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 8, 4
+
+_WINNOW_SEL_CTES = f"""
+norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s FROM documents
+),
+eligible AS (
+  SELECT doc_id, s, len(s) - {_WINNOW_K} + 1 AS n_kgrams
+  FROM norm WHERE len(s) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+grams AS (
+  SELECT doc_id, n_kgrams, i AS pos,
+         ('0x' || substr(md5(substr(s, CAST(i AS INT), {_WINNOW_K})), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, s, n_kgrams, unnest(range(1, n_kgrams + 1)) AS i FROM eligible)
+),
+sel AS (
+  SELECT DISTINCT doc_id, pos, h FROM (
+    SELECT g2.doc_id, g2.pos, g2.h,
+           ROW_NUMBER() OVER (PARTITION BY g1.doc_id, g1.pos
+                              ORDER BY g2.h ASC, g2.pos DESC) AS rn
+    FROM grams g1
+    JOIN grams g2 ON g2.doc_id = g1.doc_id
+                 AND g2.pos BETWEEN g1.pos AND g1.pos + {_WINNOW_W - 1}
+    WHERE g1.pos <= g1.n_kgrams - {_WINNOW_W - 1}
+  ) t WHERE rn = 1
+)
+""".strip()
+
+_WINNOW_STATS_SQL = _with(
+    _WINNOW_SEL_CTES,
+    f"""
+SELECT e.doc_id, e.n_kgrams, e.n_kgrams - {_WINNOW_W - 1} AS n_windows,
+       fp.n_fp AS n_fingerprints, fp.n_h AS n_distinct_hashes,
+       ROUND(fp.n_fp * 1.0 / (e.n_kgrams - {_WINNOW_W - 1}), 6) AS density
+FROM eligible e
+JOIN (SELECT doc_id, COUNT(*) AS n_fp, COUNT(DISTINCT h) AS n_h
+      FROM sel GROUP BY doc_id) fp USING (doc_id)
+""".strip(),
+)
+
+
+@register("winnowing_fingerprints", _WINNOW_STATS_SQL)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowed fingerprint report (Schleimer SIGMOD'03): the
+    local-fingerprint counterpart of the whole-doc digests, with the
+    2/(w+1) density bound observable per row. Map-only array folds —
+    zero shuffles; md5 runs once per k-gram."""
+    from ureplicator_spark.operators import text as TX
+    from ureplicator_spark.sources.parquet import load_table
+
+    return TX.winnowing_stats(load_table(spark, sf_dir, "documents"))
+
+
+_WINNOW_PAIRS_SQL = _with(
+    _WINNOW_SEL_CTES,
+    "fps AS (SELECT DISTINCT doc_id, h FROM sel)",
+    "keepable AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 50)",
+    """
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN keepable k ON k.h = a.h
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+)
+""".strip(),
+    """
+SELECT doc_a, doc_b, n_shared, rank FROM (
+  SELECT doc_a, doc_b, n_shared,
+         ROW_NUMBER() OVER (ORDER BY n_shared DESC, doc_a, doc_b) AS rank
+  FROM pairs) t WHERE rank <= 20
+""".strip(),
+)
+
+
+@register("winnowing_overlap_pairs", _WINNOW_PAIRS_SQL)
+def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style shared-fingerprint pairs: any shared substring of
+    ≥ k+w-1 chars is guaranteed to surface at least one shared
+    fingerprint (the winnowing guarantee) — partial-overlap detection
+    Jaccard-style whole-set measures dilute away. Fingerprint-bucket
+    join with a doc-frequency cap; never all-pairs."""
+    from ureplicator_spark.operators import text as TX
+    from ureplicator_spark.sources.parquet import load_table
+
+    return TX.winnowing_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SPLIT_LEAKAGE_SQL = (
+    "WITH pairs AS (" + _LSH_PAIRS_SQL + """),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(p.est_jaccard * 8) AS BIGINT) AS sum_matches,
+       MAX(p.est_jaccard) AS max_jaccard
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.doc_a
+JOIN splits sb ON sb.doc_id = p.doc_b
+WHERE p.est_jaccard >= 0.5
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+@register("split_leakage_check", _SPLIT_LEAKAGE_SQL)
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination matrix: near-dup pairs (standing
+    LSH index) classified by the split membership of both sides.
+    Cross-split rows are evaluation leakage — duplication is by
+    content, the split is by doc_id, so only this audit sees it.
+    sum_matches is exact integer math (est_jaccard·K with K a power of
+    two), order-free on both engines."""
+    from ureplicator_spark.operators.text import split_leakage
+    from ureplicator_spark.sources.parquet import load_table
+
+    return split_leakage(
+        load_table(spark, sf_dir, "documents"),
+        _standing_lsh_pairs(spark, sf_dir),
+    )
