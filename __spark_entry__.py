@@ -35,6 +35,10 @@ _CHANGED_SINCE_LAST_CHECK = [
     # table.
     "winnowing_fingerprints", "winnowing_overlap_pairs",
     "split_leakage_check",
+    # r9 NEW: exact embedding covariance (PCA/whitening/OPQ training
+    # statistic; DECIMAL-exact, hash-gated) + its rows-only driver-eigh
+    # component table (NumPy-pinned in pytest).
+    "embedding_covariance", "embedding_pca_components",
     # r9 implementation change: the whole LSH-dedup family now probes
     # the STANDING persisted MinHash/shingle index (built once per
     # corpus snapshot, like the lexical/IVF indexes; bench reports

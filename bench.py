@@ -114,7 +114,8 @@ EXTENDED_QUERIES = [
     # round-9 additions: winnowing local fingerprints + the cross-split
     # near-dup leakage audit (rides the standing LSH pair table).
     "winnowing_fingerprints", "winnowing_overlap_pairs",
-    "split_leakage_check",
+    "split_leakage_check", "embedding_covariance",
+    "embedding_pca_components",
 ]
 
 

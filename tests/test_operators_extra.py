@@ -1829,3 +1829,105 @@ def test_split_leakage_classifies_pairs_by_split(spark):
         n, s, m = expect.get(key, (0, 0, 0.0))
         expect[key] = (n + 1, s + int(j * 8), max(m, j))
     assert got == expect, (got, expect)
+
+
+def _quantized_embedding_matrix(spark, sf_dir):
+    """Oblivious (vec_id-sorted) int64 matrix with the engine's HALF_UP
+    quantization — NumPy's round is half-even, Spark/DuckDB's is not."""
+    import numpy as np
+
+    from ureplicator_spark.sources.parquet import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return (np.sign(X) * np.floor(np.abs(X * 1000) + 0.5)).astype(np.int64)
+
+
+def test_embedding_covariance_matches_numpy_exact(spark, sf_dir):
+    """Operator covariance equals the oblivious NumPy computation cell
+    for cell — same integers, same DECIMAL-exact numerator, same final
+    divide+round — regardless of Arrow batch boundaries."""
+    import numpy as np
+
+    from ureplicator_spark.operators.similarity import embedding_covariance
+    from ureplicator_spark.sources.parquet import load_table
+
+    Q = _quantized_embedding_matrix(spark, sf_dir)
+    n = Q.shape[0]
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    got = {
+        (r["i"], r["j"]): (r["n"], r["cov"])
+        for r in embedding_covariance(
+            load_table(spark, sf_dir, "embeddings")
+        ).collect()
+    }
+    assert len(got) == 64 * 65 // 2
+    for i in range(64):
+        for j in range(i, 64):
+            num = int(n) * int(G[i, j]) - int(s[i]) * int(s[j])
+            ref = round(num / (float(n) * float(n) * 1e6), 6) + 0.0
+            assert got[(i + 1, j + 1)] == (n, ref), (i, j)
+
+
+def test_pca_components_match_oblivious_numpy(spark, sf_dir):
+    """PCA component table equals an end-to-end NumPy reference (exact
+    covariance → eigh → same sign/rounding conventions); explained
+    ratios are a proper distribution over the full spectrum."""
+    import numpy as np
+
+    from ureplicator_spark.operators.similarity import pca_components
+    from ureplicator_spark.sources.parquet import load_table
+
+    Q = _quantized_embedding_matrix(spark, sf_dir)
+    n = Q.shape[0]
+    G, s = Q.T @ Q, Q.sum(axis=0)
+    C = np.zeros((64, 64))
+    for i in range(64):
+        for j in range(i, 64):
+            num = int(n) * int(G[i, j]) - int(s[i]) * int(s[j])
+            C[i, j] = C[j, i] = round(num / (float(n) * float(n) * 1e6), 6) + 0.0
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:8]
+    total = float(vals.sum())
+    expect = []
+    for rank, idx in enumerate(order, 1):
+        v = vecs[:, idx]
+        m = int(np.argmax(np.abs(v)))
+        if v[m] < 0:
+            v = -v
+        expect.append(
+            (rank, round(float(vals[idx]), 6), round(float(vals[idx] / total), 6),
+             m + 1, round(float(v[m]), 6))
+        )
+    got = [
+        (r["component"], r["eigenvalue"], r["explained_ratio"], r["top_dim"],
+         r["top_weight"])
+        for r in pca_components(
+            load_table(spark, sf_dir, "embeddings")
+        ).orderBy("component").collect()
+    ]
+    assert got == expect
+    assert all(g[1] >= 0 or abs(g[1]) < 1e-9 for g in got)  # PSD spectrum
+    assert 0 < sum(g[2] for g in got) <= 1.0 + 1e-9
+
+
+def test_pca_projection_integer_exact(spark, sf_dir):
+    """pca_project equals the NumPy integer dot for every vector and
+    component — the zip_with/aggregate fold introduces no float drift."""
+    import numpy as np
+
+    from ureplicator_spark.operators.similarity import pca_project
+    from ureplicator_spark.sources.parquet import load_table
+
+    rng = np.random.RandomState(7)
+    W = rng.uniform(-1, 1, size=(3, 64))
+    Q = _quantized_embedding_matrix(spark, sf_dir)
+    Wq = (np.sign(W) * np.floor(np.abs(W * 1000) + 0.5)).astype(np.int64)
+    ref = (Q @ Wq.T).astype(np.float64) / 1e6  # vec-id-sorted rows
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = pca_project(emb, W).orderBy("vec_id").collect()
+    assert len(got) == Q.shape[0]
+    for row, expect in zip(got, ref):
+        for c in range(3):
+            assert row[f"pc{c + 1}"] == expect[c], (row["vec_id"], c)

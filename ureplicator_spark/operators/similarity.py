@@ -1464,3 +1464,169 @@ def embedding_source_drift(
         )
         .orderBy("source")
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame, qscale: int = 1000, dim: int = 64
+) -> DataFrame:
+    """Exact population covariance matrix of the embedding column —
+    the statistics stage PCA / whitening / OPQ rotation training all
+    start from (Jégou TPAMI'11 trains its rotations on exactly this).
+
+    Engine-exact by the drift/kmeans discipline: components quantize
+    JVM-side (``round(x·qscale)`` — Python never rounds, so the oracle
+    reproduces every integer), each Arrow batch contributes its integer
+    Gram matrix Q^T·Q via ONE numpy int64 matmul (the legitimately
+    vectorized mapInPandas path — dense linear algebra that would cost
+    N·d² exploded rows relationally), and the covariance numerator
+    N·S_ij − S_i·S_j is cross-multiplied in DECIMAL(38,0) (BIGINT
+    overflows long before 38 digits once dim-sums × corpus count
+    grow). The only float ops are the final divide+round on
+    deterministic operands. Headroom: |S_ij| ≤ N·(qscale·max|x|)², so
+    with qscale=1000, |x|≤1 the int64 batch sums hold to N ≈ 9·10^3
+    per batch × any batch count (per-batch Gram entries are summed in
+    Spark's 128-bit-checked long agg, overflow-raising under ANSI),
+    and the DECIMAL numerator to N ≈ 10^12 vectors.
+
+    Scale shape: ONE corpus scan; every Arrow batch reduces to
+    d(d+1)/2 rows map-side, so the single shuffle carries
+    O(partitions·d²) rows regardless of corpus size. Output is the
+    upper triangle (i ≤ j), d(d+1)/2 rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qv = embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {qscale}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    iu, ju = np.triu_indices(dim)
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            G = Q.T @ Q
+            s = Q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "sp": G[iu, ju],
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "nv": np.full(len(iu), Q.shape[0], dtype=np.int64),
+                }
+            )
+
+    parts = qv.mapInPandas(
+        gram, "i int, j int, sp long, si long, sj long, nv long"
+    )
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sp").alias("sp"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("nv").alias("n"),
+    )
+    num = dec38("sp") * dec38("n") - dec38("si") * dec38("sj")
+    denom = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * float(qscale * qscale)
+    )
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        # + 0.0 canonicalizes IEEE negative zero (round of a tiny
+        # negative numerator) so both engines emit the same +0.0
+        (F.round(num.cast("double") / denom, 6) + F.lit(0.0)).alias("cov"),
+    ).orderBy("i", "j")
+
+
+def pca_components(
+    embeddings: DataFrame, r: int = 8, qscale: int = 1000, dim: int = 64
+) -> DataFrame:
+    """Top-r principal components of the embedding column: the
+    dimensionality-reduction stage in front of brute/IVF ANN (project
+    to r ≪ d, search cheap, re-rank exact — the standard recipe when
+    d·N no longer fits the distance budget).
+
+    The d×d covariance is driver-sized METADATA (4096 scalars — the
+    same disposition as the greedy packer's per-partition workloads):
+    collect the exact upper triangle from
+    :func:`embedding_covariance`, mirror it, `numpy.linalg.eigh` on
+    the driver, return the component table. Sign convention: each
+    eigenvector's largest-|weight| entry is made positive, so the
+    output is unique and reproducible. Eigendecomposition is genuinely
+    non-SQL-expressible — the registry entry is rows-only (the BPE/CDC
+    disposition); the covariance input IS hash-gated, and the
+    components are pinned against an oblivious NumPy reference in
+    pytest.
+    """
+    import numpy as np
+
+    rows = embedding_covariance(embeddings, qscale, dim).collect()
+    C = np.zeros((dim, dim))
+    for row in rows:
+        C[row["i"] - 1, row["j"] - 1] = row["cov"]
+        C[row["j"] - 1, row["i"] - 1] = row["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:r]
+    total = float(vals.sum())
+    out = []
+    for rank, idx in enumerate(order, 1):
+        v = vecs[:, idx]
+        m = int(np.argmax(np.abs(v)))
+        if v[m] < 0:
+            v = -v
+        out.append(
+            (
+                rank,
+                round(float(vals[idx]), 6),
+                round(float(vals[idx] / total), 6) if total else 0.0,
+                m + 1,
+                round(float(v[m]), 6),
+            )
+        )
+    return embeddings.sparkSession.createDataFrame(
+        out,
+        "component int, eigenvalue double, explained_ratio double, "
+        "top_dim int, top_weight double",
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    components: "np.ndarray",
+    qscale: int = 1000,
+) -> DataFrame:
+    """Project every embedding onto the given components (rows = PCs),
+    integer-exact: both the vector and the weights quantize to ints,
+    the dot product is a pure-Catalyst zip_with+aggregate fold over
+    longs, and the only float op is the final descale — so the
+    projection is bit-reproducible on any engine/partitioning given
+    the same component matrix. Map-only; the weight matrix ships as a
+    plan literal (r·d ints — bounded), never a shuffle."""
+    import numpy as np
+
+    W = np.asarray(components, dtype=np.float64) * qscale
+    # HALF_UP like the engine's round(), not NumPy's half-even
+    wq = (np.sign(W) * np.floor(np.abs(W) + 0.5)).astype(np.int64)
+    qv = F.expr(
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {qscale}) AS BIGINT))"
+    )
+    cols = [F.col("vec_id")]
+    for c, row in enumerate(wq, 1):
+        lits = ", ".join(str(int(x)) + "L" for x in row)
+        cols.append(
+            F.expr(
+                f"CAST(aggregate(zip_with(qv, array({lits}), (a, b) -> a * b), "
+                f"0L, (acc, x) -> acc + x) AS DOUBLE) / {float(qscale * qscale)}"
+            ).alias(f"pc{c}")
+        )
+    return embeddings.select("vec_id", qv.alias("qv")).select(*cols)

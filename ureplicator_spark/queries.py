@@ -7367,3 +7367,59 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         _standing_lsh_pairs(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline (r9): exact embedding covariance + PCA components
+# ---------------------------------------------------------------------------
+
+_COV_SQL = _with(
+    _KMEANS_COMPQ_CTE,
+    "sums AS (SELECT i, SUM(q) AS s FROM compq GROUP BY i)",
+    "cnt AS (SELECT COUNT(*) AS n FROM embeddings)",
+    """
+prods AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS sp
+  FROM compq a JOIN compq b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+""".strip(),
+    """
+SELECT p.i, p.j, CAST(c.n AS BIGINT) AS n,
+       ROUND(CAST(CAST(p.sp AS DECIMAL(38,0)) * CAST(c.n AS DECIMAL(38,0))
+                  - CAST(si.s AS DECIMAL(38,0)) * CAST(sj.s AS DECIMAL(38,0)) AS DOUBLE)
+             / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE) * 1000000), 6) + 0.0 AS cov
+FROM prods p
+JOIN sums si ON si.i = p.i
+JOIN sums sj ON sj.i = p.j
+CROSS JOIN cnt c
+ORDER BY p.i, p.j
+""".strip(),
+)
+
+
+@register("embedding_covariance", _COV_SQL)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance of the embedding column (the PCA /
+    whitening / OPQ training statistic): integer Gram matrices per
+    Arrow batch (one numpy matmul each), DECIMAL(38,0) cross-multiply —
+    order-free, engine-exact; one corpus scan, O(partitions·d²) shuffle
+    rows."""
+    from ureplicator_spark.operators.similarity import embedding_covariance
+    from ureplicator_spark.sources.parquet import load_table
+
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_pca_components", None)
+def q_embedding_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components from the exact covariance (driver
+    eigh over d² collected scalars — metadata-sized, the greedy-packer
+    disposition). Rows-only: eigendecomposition is genuinely
+    non-SQL-expressible; the covariance input is hash-gated
+    (`embedding_covariance`) and the components are pinned vs an
+    oblivious NumPy reference in tests/test_operators_extra.py."""
+    from ureplicator_spark.operators.similarity import pca_components
+    from ureplicator_spark.sources.parquet import load_table
+
+    return pca_components(load_table(spark, sf_dir, "embeddings"))
