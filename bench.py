@@ -234,6 +234,14 @@ def main() -> None:
     ensure_standing_kmeans(spark, SF_DIR)
     kmeans_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Standing BPE merge table (tokenizer training as its own pipeline
+    # stage, per Sennrich ACL'16): same amortized accounting (r9).
+    from ureplicator_spark.queries import ensure_standing_bpe_merges
+
+    t0 = time.perf_counter()
+    ensure_standing_bpe_merges(spark, SF_DIR)
+    bpe_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -352,6 +360,7 @@ def main() -> None:
         "minhash_build_sec": minhash_build_sec,
         "langmodel_build_sec": langmodel_build_sec,
         "kmeans_build_sec": kmeans_build_sec,
+        "bpe_build_sec": bpe_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended

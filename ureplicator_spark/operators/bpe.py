@@ -170,19 +170,26 @@ def segment_with_merges(words: DataFrame, merges: list[tuple[str, str]]) -> Data
     return out.withColumn("n_syms", F.size("syms"))
 
 
-def bpe_segment_stats(documents: DataFrame, num_merges: int = 12) -> DataFrame:
+def bpe_segment_stats(
+    documents: DataFrame,
+    num_merges: int = 12,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     """Per-language tokenization quality under the learned vocab:
     token-frequency-weighted average symbols per word, before (chars +
     end marker) and after the ``num_merges`` learned merges — the
     compression gauge a tokenizer-training run reports per epoch.
 
-    Shape: merges are learned once (driver holds k tiny rules), the
-    distinct-word table is segmented with k narrow folds, and the
-    per-(lang, word) counts join it on ``word`` — the skew-free
-    vocabulary-sized join, never a corpus rewrite.
+    Shape: merges are learned once (driver holds k tiny rules) — or
+    passed in pre-learned (the standing-model path: train once per
+    corpus snapshot, apply everywhere) — the distinct-word table is
+    segmented with k narrow folds, and the per-(lang, word) counts
+    join it on ``word`` — the skew-free vocabulary-sized join, never
+    a corpus rewrite.
     """
-    merge_rows = learn_bpe_merges(documents, num_merges).collect()
-    merges = [(r["left"], r["right"]) for r in merge_rows]
+    if merges is None:
+        merge_rows = learn_bpe_merges(documents, num_merges).collect()
+        merges = [(r["left"], r["right"]) for r in merge_rows]
 
     lang_words = (
         fan_out(documents)
