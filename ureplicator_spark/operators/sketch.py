@@ -280,6 +280,14 @@ def cms_topk_gauge(
     SUM). The gauge side computes exact counts (the thing the sketch
     replaces); production keeps only the build + broadcast-join
     probes."""
+    from ureplicator_spark.caching import pin
+
+    # The sketch build and the exact gauge are the only two consumers
+    # of the (typically explode-derived) key scan; pinned, the corpus
+    # tokenization runs once and the second consumer reads the cache
+    # instead of re-splitting every document.
+    keyed = pin(keyed)
+
     # Explode LITERAL row ids and hash AFTER the explode: Generate
     # re-evaluates its generator child per output row, so exploding an
     # array of computed (r, md5 % w) structs hashed every key d×d
