@@ -39,6 +39,12 @@ _CHANGED_SINCE_LAST_CHECK = [
     # statistic; DECIMAL-exact, hash-gated) + its rows-only driver-eigh
     # component table (NumPy-pinned in pytest).
     "embedding_covariance", "embedding_pca_components",
+    # r9 implementation change: occurrence-grain gram consumers now
+    # stream k-grams per output row instead of materializing the
+    # joined-string array (functions.stream_word_kgrams, ~4× on the
+    # gram stage); same values, new lineage.
+    "boilerplate_shingles", "text_repetition_stats", "ngram_top",
+    "boilerplate_spans", "quality_gate_summary", "curation_pipeline",
     # r9 implementation change: the whole LSH-dedup family now probes
     # the STANDING persisted MinHash/shingle index (built once per
     # corpus snapshot, like the lexical/IVF indexes; bench reports

@@ -237,3 +237,29 @@ def word_kgrams(toks_col: str = "toks", k: int = 3) -> Column:
         f"transform(sequence(1, size({toks_col}) - {k - 1}),"
         f" i -> array_join(slice({toks_col}, i, {k}), ' '))"
     )
+
+
+def stream_word_kgrams(df, k: int, gram_alias: str, *keep_cols: str):
+    """Row-stream the word k-grams of a ``toks`` array column WITHOUT
+    ever materializing the joined-string gram array: explode the
+    integer index sequence, then join each gram once per OUTPUT row.
+    Same values as ``explode(word_kgrams(...))``, measured ~4× faster
+    at sf0.1 — building the per-doc array of gram STRINGS was the
+    cost, not the explode. Only for occurrence-grain consumers
+    (boilerplate counts, repetition shares, n-gram reports);
+    per-doc-DISTINCT consumers must materialize the array for
+    ``array_distinct`` (operators/dedup.shingles — the same rewrite
+    measured flat there, the array has to exist anyway).
+
+    Caller contract is word_kgrams': pre-filter ``size(toks) >= k``.
+    """
+    return df.select(
+        *keep_cols,
+        "toks",
+        F.posexplode(F.expr(f"sequence(1, size(toks) - {k - 1})")).alias(
+            "__p", "__i"
+        ),
+    ).select(
+        *keep_cols,
+        F.expr(f"array_join(slice(toks, __i, {k}), ' ')").alias(gram_alias),
+    )

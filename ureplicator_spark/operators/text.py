@@ -398,18 +398,18 @@ def boilerplate_shingles(
     shuffling a quarter of it. 60-bit collisions merge two shingles'
     counts; harmless for a recurrence detector until distinct shingles
     approach 2^30 per job, at which point widen to the md5 pair."""
-    from ureplicator_spark.functions import fan_out, md5_long
+    from ureplicator_spark.functions import fan_out, md5_long, stream_word_kgrams
 
-    sh = (
+    # Occurrence counting needs NO per-doc dedup, so the k-gram STRING
+    # array never has to exist (stream_word_kgrams rationale).
+    sh = stream_word_kgrams(
         fan_out(documents)
         .select("doc_id", F.split("text", " +").alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select(
-            "doc_id",
-            F.explode(word_kgrams("toks", k)).alias("shingle"),
-        )
-        .select("doc_id", md5_long("shingle").alias("shingle_hash"))
-    )
+        .filter(F.size("toks") >= k),
+        k,
+        "shingle",
+        "doc_id",
+    ).select("doc_id", md5_long("shingle").alias("shingle_hash"))
     return (
         sh.groupBy("shingle_hash")
         .agg(
@@ -496,11 +496,11 @@ def repetition_stats(documents: DataFrame, include_3gram: bool = True) -> DataFr
     )
 
     def gram_share(k: int, out: str) -> DataFrame:
+        from ureplicator_spark.functions import stream_word_kgrams
+
         grams = (
-            toks.filter(F.size("toks") >= k)
-            .select(
-                "doc_id",
-                F.explode(word_kgrams("toks", k)).alias("gram"),
+            stream_word_kgrams(
+                toks.filter(F.size("toks") >= k), k, "gram", "doc_id"
             )
             .groupBy("doc_id", "gram")
             .count()
@@ -598,12 +598,16 @@ def ngram_top(documents: DataFrame, k: int = 2, top_n: int = 10) -> DataFrame:
     than the corpus), not over raw tokens."""
     from pyspark.sql import Window
 
+    from ureplicator_spark.functions import stream_word_kgrams
+
     grams = (
-        documents.select("lang", F.split("text", " +").alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select(
+        stream_word_kgrams(
+            documents.select("lang", F.split("text", " +").alias("toks")).filter(
+                F.size("toks") >= k
+            ),
+            k,
+            "gram",
             "lang",
-            F.explode(word_kgrams("toks", k)).alias("gram"),
         )
         .groupBy("lang", "gram")
         .count()
@@ -744,10 +748,19 @@ def boilerplate_spans(
         documents.select("doc_id", F.split("text", " +").alias("toks"))
         .filter(F.size("toks") >= k)
     )
+    # stream_word_kgrams shape, kept inline because the 1-based token
+    # offset IS the exploded index — no gram-string array materialized
     grams = toked.select(
         "doc_id",
-        F.posexplode(word_kgrams("toks", k)).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+        "toks",
+        F.posexplode(F.expr(f"sequence(1, size(toks) - {k - 1})")).alias(
+            "p0", "i"
+        ),
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("pos"),
+        F.expr(f"array_join(slice(toks, i, {k}), ' ')").alias("gram"),
+    )
     bp = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
