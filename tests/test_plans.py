@@ -589,3 +589,42 @@ def test_prefix_join_verification_has_no_token_level_pair_join(spark, sf_dir):
     df = QUERIES["dedup_jaccard_prefix_join"][0](spark, sf_dir)
     plan = plan_string(df)
     assert "array_intersect" in plan
+
+
+def test_winnowing_stats_is_map_only(spark, sf_dir):
+    """winnowing_fingerprints' scale contract: a pure map pipeline —
+    zero data-moving exchanges (per-doc array folds), with the
+    short-doc filter reaching the scan."""
+    from ureplicator_spark.operators.text import winnowing_stats
+
+    out = winnowing_stats(load_table(spark, sf_dir, "documents"))
+    assert_max_shuffles(out, 0)
+
+
+def test_winnowing_pairs_never_all_pairs(spark, sf_dir):
+    """winnowing_overlap_pairs joins on the fingerprint hash (bucket
+    join) — no cartesian/nested-loop product anywhere, and the
+    doc-frequency cap shares the join's h-exchange (≤ 2 data-moving
+    exchanges: h, then the pair rollup)."""
+    from ureplicator_spark.plans.inspect import plan_string
+
+    df = QUERIES["winnowing_overlap_pairs"][0](spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_shuffles(df) <= 3  # h-exchange, pair rollup, top-k
+
+
+def test_embedding_covariance_shuffles_only_gram_rows(spark, sf_dir):
+    """embedding_covariance's scale contract: the corpus is scanned
+    once and reduced to d(d+1)/2 rows per Arrow batch BEFORE the only
+    data-moving exchanges (the (i,j) rollup + output ordering) — the
+    shuffle carries O(partitions·d²) rows regardless of corpus size,
+    and no per-vector row survives past the mapInPandas stage."""
+    from ureplicator_spark.operators.similarity import embedding_covariance
+    from ureplicator_spark.plans.inspect import plan_string
+
+    out = embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+    assert_max_shuffles(out, 2)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan
