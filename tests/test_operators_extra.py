@@ -1931,3 +1931,40 @@ def test_pca_projection_integer_exact(spark, sf_dir):
     for row, expect in zip(got, ref):
         for c in range(3):
             assert row[f"pc{c + 1}"] == expect[c], (row["vec_id"], c)
+
+
+def test_embedding_covariance_invariant_to_partitioning(spark, sf_dir):
+    """The mapInPandas Gram path must give the SAME matrix for any
+    Arrow batch boundaries — 1 partition vs many, tiny batches vs one:
+    the integer partial sums are associative and the final combine is
+    DECIMAL-exact, so partitioning can never leak into the result."""
+    from ureplicator_spark.operators.similarity import embedding_covariance
+    from ureplicator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {
+        (r["i"], r["j"]): (r["n"], r["cov"])
+        for r in embedding_covariance(emb).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r["i"], r["j"]): (r["n"], r["cov"])
+            for r in embedding_covariance(emb.repartition(parts)).collect()
+        }
+        assert got == base, parts
+
+
+def test_winnowing_threshold_length_edge(spark):
+    """A doc whose normalized length is EXACTLY k + w - 1 forms one
+    window and yields exactly one fingerprint; one char shorter is
+    excluded entirely."""
+    from ureplicator_spark.operators.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijk"), (2, "abcdefghij")],  # 11 and 10 chars
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_kgrams"] == 4  # 11 - 8 + 1
+    assert len(rows[1]["fingerprints"]) == 1  # a single window selects once
