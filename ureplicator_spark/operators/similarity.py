@@ -1455,12 +1455,29 @@ def embedding_source_drift(
         .groupBy("source")
         .agg(
             F.max("n").alias("n_vecs"),
-            F.round(
-                F.sqrt(F.sum(dec * dec).cast("double")) / scale, 6
+            # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): Spark's
+            # round(double) goes through BigDecimal.valueOf (rounds the
+            # SHORTEST DECIMAL REPR of the double) while DuckDB rounds
+            # via float multiply — on a value landing within an ulp of
+            # a .5·10⁻⁶ boundary the two disagree by one last digit
+            # (caught by the full sf0.1 parity sweep: src18's
+            # max_dim_drift, 0.031387 vs 0.031386). The floor chain is
+            # mul/add/floor/div — IEEE primitives with identical
+            # results on every engine; drift values are nonnegative so
+            # floor(x+0.5) IS half-up.
+            (
+                F.floor(
+                    F.sqrt(F.sum(dec * dec).cast("double")) / scale * 1e6
+                    + F.lit(0.5)
+                ).cast("double")
+                / 1e6
             ).alias("centroid_drift"),
-            F.round(F.max(F.abs(num)).cast("double") / scale, 6).alias(
-                "max_dim_drift"
-            ),
+            (
+                F.floor(
+                    F.max(F.abs(num)).cast("double") / scale * 1e6 + F.lit(0.5)
+                ).cast("double")
+                / 1e6
+            ).alias("max_dim_drift"),
         )
         .orderBy("source")
     )

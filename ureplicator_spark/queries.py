@@ -7254,12 +7254,16 @@ t AS (
     """
 SELECT source,
        CAST(MAX(n) AS BIGINT) AS n_vecs,
-       CAST(ROUND(sqrt(CAST(SUM(num * num) AS DOUBLE))
-                  / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(gn) AS DOUBLE) * 1000),
-                  6) AS DOUBLE) AS centroid_drift,
-       CAST(ROUND(CAST(MAX(ABS(num)) AS DOUBLE)
-                  / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(gn) AS DOUBLE) * 1000),
-                  6) AS DOUBLE) AS max_dim_drift
+       -- floor(x·1e6 + 0.5)/1e6, op-for-op the Spark chain: ROUND of a
+       -- double is implementation-defined across engines at .5·10⁻⁶
+       -- boundaries (BigDecimal-of-shortest-repr vs float multiply);
+       -- the floor chain is pure IEEE and engine-exact
+       CAST(FLOOR(sqrt(CAST(SUM(num * num) AS DOUBLE))
+                  / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(gn) AS DOUBLE) * 1000)
+                  * 1000000 + 0.5) AS DOUBLE) / 1000000 AS centroid_drift,
+       CAST(FLOOR(CAST(MAX(ABS(num)) AS DOUBLE)
+                  / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(gn) AS DOUBLE) * 1000)
+                  * 1000000 + 0.5) AS DOUBLE) / 1000000 AS max_dim_drift
 FROM t GROUP BY source ORDER BY source
 """.strip(),
 )
