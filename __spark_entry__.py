@@ -39,6 +39,13 @@ _CHANGED_SINCE_LAST_CHECK = [
     # statistic; DECIMAL-exact, hash-gated) + its rows-only driver-eigh
     # component table (NumPy-pinned in pytest).
     "embedding_covariance", "embedding_pca_components",
+    # r9 NEW: per-source document-length PSI (the standard numeric
+    # drift score; add-one-smoothed bit-length buckets, floor-chain
+    # rounding), hash-gated.
+    "source_length_psi",
+    # r9 fix: drift-monitor rounding now uses the engine-exact floor
+    # chain (round-of-double diverged by one digit at sf0.1).
+    # (embedding_source_drift already leads this list.)
     # r9 implementation change: occurrence-grain gram consumers now
     # stream k-grams per output row instead of materializing the
     # joined-string array (functions.stream_word_kgrams, ~4× on the

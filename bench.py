@@ -115,7 +115,7 @@ EXTENDED_QUERIES = [
     # near-dup leakage audit (rides the standing LSH pair table).
     "winnowing_fingerprints", "winnowing_overlap_pairs",
     "split_leakage_check", "embedding_covariance",
-    "embedding_pca_components",
+    "embedding_pca_components", "source_length_psi",
 ]
 
 

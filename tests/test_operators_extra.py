@@ -1968,3 +1968,46 @@ def test_winnowing_threshold_length_edge(spark):
     assert set(rows) == {1}
     assert rows[1]["n_kgrams"] == 4  # 11 - 8 + 1
     assert len(rows[1]["fingerprints"]) == 1  # a single window selects once
+
+
+def test_source_length_psi_hand_computed(spark):
+    """PSI equals the hand formula on a tiny corpus with a MISSING
+    bucket (smoothing must price it, not crash), identical sources
+    score ~0, and a shifted source scores strictly higher."""
+    import math
+
+    from ureplicator_spark.operators.text import source_length_psi
+
+    # srcA: lengths 3,3,7 (buckets 2,2,3); srcB: 3,7,15 (2,3,4) —
+    # srcA misses bucket 4 entirely
+    rows = [
+        (1, "a", "srcA", 3), (2, "a", "srcA", 3), (3, "a", "srcA", 7),
+        (4, "a", "srcB", 3), (5, "a", "srcB", 7), (6, "a", "srcB", 15),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in source_length_psi(docs).collect()}
+
+    corpus = {2: 3, 3: 2, 4: 1}  # bucket -> corpus count; T=6, B=3
+    for source, counts in (
+        ("srcA", {2: 2, 3: 1, 4: 0}),
+        ("srcB", {2: 1, 3: 1, 4: 1}),
+    ):
+        ts = sum(counts.values())
+        psi = 0.0
+        for b, nc in corpus.items():
+            p = (counts[b] + 1) / (ts + 3)
+            q = (nc + 1) / (6 + 3)
+            psi += (p - q) * math.log(p / q)
+        expect = math.floor(psi * 1e6 + 0.5) / 1e6
+        assert got[source]["psi"] == expect, source
+        assert got[source]["n_buckets"] == 3
+
+    # identical length distributions → psi == 0 for both sources
+    same = spark.createDataFrame(
+        [(i, "a", "s" + str(i % 2), 10 + (i // 2) % 3) for i in range(12)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    for r in source_length_psi(same).collect():
+        assert r["psi"] == 0.0 and r["band"] == "stable", r

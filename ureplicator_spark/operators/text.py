@@ -940,6 +940,71 @@ def source_unigram_kl(documents: DataFrame) -> DataFrame:
     )
 
 
+def source_length_psi(documents: DataFrame) -> DataFrame:
+    """Population stability index of the document-length distribution,
+    per source vs the pooled corpus — the standard numeric drift score
+    of production ML monitoring (scorecard heritage: PSI < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 major shift). Complements
+    :func:`source_unigram_kl`'s token-mix divergence with a
+    shape-of-documents view: a source that starts truncating or
+    concatenating documents moves PSI before it moves the vocabulary.
+
+    Buckets are :func:`length_buckets`' integer-exact bit-length bins;
+    Laplace add-one smoothing keeps every corpus bucket defined for
+    every source — a source MISSING a bucket is exactly the shift PSI
+    must price, not a division crash. All counts are exact integers;
+    each term is (p−q)·ln(p/q) with the final sum rounded by the
+    floor(x·1e6+0.5)/1e6 chain (the drift-monitor lesson: ROUND of a
+    double is implementation-defined at boundaries).
+
+    Scale shape: ONE (source, bucket) aggregation over the corpus
+    (map-side combined, |sources|·B rows out); the corpus distribution
+    and totals roll up from that table, join back broadcast, and the
+    per-source sum is B-bounded (B ≤ 64 for any length that fits a
+    long). The corpus is never rescanned."""
+    bucket = F.length(F.bin("n_chars")).cast("int")
+    sb = (
+        documents.select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("ns"))
+    )
+    cb = sb.groupBy("b").agg(F.sum("ns").alias("nc"))
+    src_tot = sb.groupBy("source").agg(F.sum("ns").alias("ts"))
+    tot = cb.agg(
+        F.sum("nc").alias("t"), F.count("*").cast("int").alias("nb")
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(cb))
+        .join(sb, ["source", "b"], "left")
+        .na.fill({"ns": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.col("ns") + 1) / (F.col("ts") + F.col("nb"))
+    q = (F.col("nc") + 1) / (F.col("t") + F.col("nb"))
+    term = (p - q) * F.log(p / q)
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("ts").alias("n_docs"),
+            F.count("*").cast("int").alias("n_buckets"),
+            (F.floor(F.sum(term) * 1e6 + F.lit(0.5)).cast("double") / 1e6).alias(
+                "psi"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_buckets",
+            "psi",
+            F.when(F.col("psi") < 0.1, "stable")
+            .when(F.col("psi") < 0.25, "moderate_shift")
+            .otherwise("major_shift")
+            .alias("band"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_token_offsets(
     documents: DataFrame, token_offset: int = 0
 ) -> DataFrame:

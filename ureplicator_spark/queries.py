@@ -7471,3 +7471,61 @@ def q_embedding_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ureplicator_spark.sources.parquet import load_table
 
     return pca_components(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline (r9): per-source length-distribution PSI
+# ---------------------------------------------------------------------------
+
+def _psi_sql() -> str:
+    # DuckDB has no bin(); the bit-length bucket is floor(log2(n))+1,
+    # computed exactly with an integer loop-free formula:
+    # length(bin(n)) in Spark == 64 - leading zeros == bit_length(n).
+    # DuckDB: bit_length of the minimal binary string via
+    # CAST(floor(log2(n)) ...) risks float edges, so use the exact
+    # string form: length(printf('%b', n)).
+    return """
+WITH sb AS (
+  SELECT source, CAST(length(printf('%b', n_chars)) AS INT) AS b, COUNT(*) AS ns
+  FROM documents GROUP BY source, 2
+),
+cb AS (SELECT b, SUM(ns) AS nc FROM sb GROUP BY b),
+st AS (SELECT source, SUM(ns) AS ts FROM sb GROUP BY source),
+tot AS (SELECT SUM(nc) AS t, CAST(COUNT(*) AS INT) AS nb FROM cb),
+grid AS (
+  SELECT st.source, cb.b, st.ts, cb.nc, COALESCE(sb.ns, 0) AS ns, tot.t, tot.nb
+  FROM st CROSS JOIN cb
+  LEFT JOIN sb ON sb.source = st.source AND sb.b = cb.b
+  CROSS JOIN tot
+),
+terms AS (
+  SELECT source, ts,
+         ((ns + 1) * 1.0 / (ts + nb) - (nc + 1) * 1.0 / (t + nb))
+         * ln(((ns + 1) * 1.0 / (ts + nb)) / ((nc + 1) * 1.0 / (t + nb))) AS term
+  FROM grid
+),
+agg AS (
+  SELECT source, CAST(MAX(ts) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS INT) AS n_buckets,
+         CAST(FLOOR(SUM(term) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS psi
+  FROM terms GROUP BY source
+)
+SELECT source, n_docs, n_buckets, psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate_shift'
+            ELSE 'major_shift' END AS band
+FROM agg ORDER BY source
+""".strip()
+
+
+@register("source_length_psi", _psi_sql())
+def q_source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI of the document-length distribution vs the
+    pooled corpus (add-one-smoothed bit-length buckets) — the standard
+    numeric drift score; catches truncation/concatenation artifacts
+    before they move the vocabulary. One corpus aggregation, B-bounded
+    math, floor-chain rounding (engine-exact)."""
+    from ureplicator_spark.operators.text import source_length_psi
+    from ureplicator_spark.sources.parquet import load_table
+
+    return source_length_psi(load_table(spark, sf_dir, "documents"))
