@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ureplicator_spark.caching import pin
-from ureplicator_spark.functions import md5_long, word_kgrams
+from ureplicator_spark.functions import md5_long
 
 # language → characteristic stopwords (tiny demo profiles; extend freely)
 LANG_PROFILES: dict[str, list[str]] = {
