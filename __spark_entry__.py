@@ -29,68 +29,29 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
-    # r9 NEW queries: winnowing local fingerprints (Schleimer SIGMOD'03
-    # — partial-overlap detection whole-doc digests cannot do) and the
-    # train/val/test near-dup leakage audit over the standing LSH pair
-    # table.
-    "winnowing_fingerprints", "winnowing_overlap_pairs",
-    "split_leakage_check",
-    # r9 NEW: exact embedding covariance (PCA/whitening/OPQ training
-    # statistic; DECIMAL-exact, hash-gated) + its rows-only driver-eigh
-    # component table (NumPy-pinned in pytest).
-    "embedding_covariance", "embedding_pca_components",
-    # r9 NEW: per-source document-length PSI (the standard numeric
-    # drift score; add-one-smoothed bit-length buckets, floor-chain
-    # rounding), hash-gated.
+    # r10 PRODUCTION-SHAPE change (r9 verdict task #3): these two rows
+    # are now the sketch build + estimate/probe only — the exact-count
+    # gauge pairing moved to tests/test_gauge_parity.py (it doubled
+    # each query with the very shuffle the sketch exists to avoid).
+    # New output schema ⇒ re-gate.
+    "approx_distinct_orders", "cms_token_counts",
+    # r10 rounding-discipline fixes (r9 advisor): covariance now uses
+    # the sign-aware floor chain (cov can be negative), winnowing
+    # density the plain floor chain, and the PSI term sum folds in
+    # canonical bucket order on both engines (SUM(double) is
+    # partition-order-dependent).
+    "embedding_covariance", "winnowing_fingerprints",
     "source_length_psi",
-    # r9 fix: drift-monitor rounding now uses the engine-exact floor
-    # chain (round-of-double diverged by one digit at sf0.1).
-    # (embedding_source_drift already leads this list.)
-    # r9 implementation change: occurrence-grain gram consumers now
-    # stream k-grams per output row instead of materializing the
-    # joined-string array (functions.stream_word_kgrams, ~4× on the
-    # gram stage); same values, new lineage.
-    "boilerplate_shingles", "text_repetition_stats", "ngram_top",
-    "boilerplate_spans", "quality_gate_summary", "curation_pipeline",
-    # r9 implementation change: the whole LSH-dedup family now probes
-    # the STANDING persisted MinHash/shingle index (built once per
-    # corpus snapshot, like the lexical/IVF indexes; bench reports
-    # minhash_build_sec) instead of re-deriving shingles→signatures→
-    # bands per invocation. Same signatures, banding and rounding —
-    # provably equal outputs; from-scratch operators + index lifecycle
-    # stay hash-gated in pytest (test_minhash_index_standing_probes).
-    "dedup_minhash_lsh_pairs", "dedup_threshold_sweep",
-    "dedup_signal_agreement", "dedup_containment",
-    "dedup_jaccard_prefix_join", "fuzzy_dedup_clusters",
-    "dedup_keep_best", "dedup_cluster_stats", "dedup_token_savings",
-    # r9: table_profile_approx is now oracle-gated (portable md5 HLL
-    # registers instead of native approx_count_distinct — closes the
-    # one indefensible rows-only entry from r8).
-    "table_profile_approx",
-    # r9 numeric-safety change (r8 advisor, medium): the drift
-    # cross-multiply now happens in DECIMAL(38,0) on BOTH engines —
-    # BIGINT would overflow under ANSI once qscale-weighted dim-sums ×
-    # corpus count exceed 2^63.
-    "embedding_source_drift",
-    # r9 implementation changes: the classifier serves the STANDING
-    # trained model (train-once-classify-many; per-doc profiles now a
-    # shuffle-free array fold, classification a map-literal projection)
-    # and the KMV overlap reads the persisted per-source synopsis
-    # section (mergeable-sketch index discipline).
-    "lang_ngram_classifier", "kmv_source_overlap",
-    # r9: SemDeDup consumes the STANDING Lloyd cluster map (clustering
-    # as its own pipeline stage, per the paper); CMS/Bloom/banding
-    # fixed the Generate per-output-row re-evaluation (d×d / k×k /
-    # n_bands× redundant hashing) — same values, new lineage.
-    "dedup_semantic_pairs", "dedup_semantic_summary",
-    "cms_token_counts", "bloom_decontamination",
-    # never driver-attested (rows-only r8 set — iterative/stateful
+    # r10: PCA eigenvalue sort is now a stable argsort (deterministic
+    # under degenerate spectra); rows-only as before.
+    "embedding_pca_components",
+    # never driver-attested (rows-only set — iterative/stateful
     # shapes, pinned vs Python/NumPy references in pytest): keep them
     # in the window so any driver improvement picks them up.
     "bpe_learn_merges", "bpe_segment_stats", "cdc_chunk_dedup",
     "cdc_incremental_dedup",
-    # Everything below is already driver-attested (r01-r08, cumulative
-    # 159/164 green) and fills the remaining window slots naturally in
+    # Everything below is already driver-attested (r01-r09, cumulative
+    # 165/170 green) and fills the remaining window slots naturally in
     # registry order.
 ]
 

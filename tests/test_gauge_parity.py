@@ -1,0 +1,73 @@
+"""Sketch-vs-exact GAUGE parity.
+
+The bench/driver rows for `approx_distinct_orders` and
+`cms_token_counts` are the PRODUCTION shapes (register/counter build +
+estimate/probe only — the work a 100 TB pipeline actually runs). The
+exact-count pairing — the verification that the portable sketches
+track the truth they exist to replace — doubles each query with the
+very shuffle the sketch avoids, so it lives here: the full gauge
+output (estimate, exact, error) is hash-compared against the DuckDB
+oracle, same discipline as the driver gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle_harness import compare
+from ureplicator_spark.queries import (
+    _CMS_GAUGE_SQL,
+    _HLL_ORDERS_GAUGE_SQL,
+    _cms_tokens,
+    _hll_orders_keyed,
+)
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_hll_orders_gauge_matches_oracle(spark, sf):
+    from ureplicator_spark.operators.sketch import hll_gauge
+
+    out = hll_gauge(_hll_orders_keyed(spark, sf), "flag", "k")
+    assert compare(out, _HLL_ORDERS_GAUGE_SQL, sf) == []
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_cms_gauge_matches_oracle(spark, sf):
+    from ureplicator_spark.operators.sketch import cms_topk_gauge
+
+    tok = _cms_tokens(spark, sf).select("token")
+    out = cms_topk_gauge(tok, "token")
+    assert compare(out, _CMS_GAUGE_SQL, sf) == []
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_production_estimates_agree_with_gauge(spark, sf):
+    """The production rows must serve the same numbers the gauges
+    certify: hll_estimate's per-flag estimate == hll_gauge's, and
+    cms_estimate's probe answers == cms_topk_gauge's wherever the
+    probe sets overlap."""
+    from ureplicator_spark.operators.sketch import (
+        cms_estimate,
+        cms_topk_gauge,
+        hll_estimate,
+        hll_gauge,
+    )
+
+    keyed = _hll_orders_keyed(spark, sf)
+    prod = {r["flag"]: r["est_distinct"] for r in hll_estimate(keyed, "flag", "k").collect()}
+    gauge = {r["flag"]: r["est_distinct"] for r in hll_gauge(keyed, "flag", "k").collect()}
+    assert prod == gauge and prod
+
+    tok = _cms_tokens(spark, sf).select("token")
+    top = cms_topk_gauge(tok, "token")
+    gauge_est = {r["token"]: r["est_count"] for r in top.collect()}
+    probes = spark.createDataFrame(
+        [(t,) for t in gauge_est], "token string"
+    )
+    prod_est = {
+        r["token"]: r["est_count"]
+        for r in cms_estimate(tok, probes, "token").collect()
+    }
+    assert prod_est == gauge_est and prod_est

@@ -1498,12 +1498,18 @@ def embedding_covariance(
     N·d² exploded rows relationally), and the covariance numerator
     N·S_ij − S_i·S_j is cross-multiplied in DECIMAL(38,0) (BIGINT
     overflows long before 38 digits once dim-sums × corpus count
-    grow). The only float ops are the final divide+round on
-    deterministic operands. Headroom: |S_ij| ≤ N·(qscale·max|x|)², so
-    with qscale=1000, |x|≤1 the int64 batch sums hold to N ≈ 9·10^3
-    per batch × any batch count (per-batch Gram entries are summed in
-    Spark's 128-bit-checked long agg, overflow-raising under ANSI),
-    and the DECIMAL numerator to N ≈ 10^12 vectors.
+    grow). The only float ops are the final divide + floor-chain round
+    on deterministic operands (sign-aware floor(|x|·1e6+0.5) — ROUND
+    of a double is implementation-defined at .5e-6 boundaries, the
+    drift-monitor lesson, and cov can be negative so the chain carries
+    the sign explicitly). Headroom: each Gram entry satisfies
+    |Σ q_i q_j| ≤ N_batch·(qscale·max|x|)², so with qscale=1000 and
+    |x|≤1 the int64 per-batch matmul holds to N_batch ≈ 9·10^12 rows
+    (2^63 / 10^6) — and ``gram`` asserts the derived bound from the
+    batch's actual max|q| so an out-of-range embedding raises instead
+    of silently wrapping int64. Across batches the entries are summed
+    in Spark's 128-bit-checked long agg (overflow-raising under ANSI),
+    and the DECIMAL(38,0) numerator holds to N ≈ 10^12 vectors.
 
     Scale shape: ONE corpus scan; every Arrow batch reduces to
     d(d+1)/2 rows map-side, so the single shuffle carries
@@ -1526,6 +1532,13 @@ def embedding_covariance(
             if not len(pdf):
                 continue
             Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            m = int(np.abs(Q).max()) if Q.size else 0
+            # int64 matmul wraps silently on overflow — raise instead.
+            if m and Q.shape[0] > (2**63 - 1) // (m * m):
+                raise OverflowError(
+                    f"gram batch would overflow int64: {Q.shape[0]} rows "
+                    f"with max|q|={m} (bound {(2**63 - 1) // (m * m)})"
+                )
             G = Q.T @ Q
             s = Q.sum(axis=0)
             yield pd.DataFrame(
@@ -1555,13 +1568,21 @@ def embedding_covariance(
         * F.col("n").cast("double")
         * float(qscale * qscale)
     )
+    x = num.cast("double") / denom
     return agg.select(
         "i",
         "j",
         "n",
-        # + 0.0 canonicalizes IEEE negative zero (round of a tiny
-        # negative numerator) so both engines emit the same +0.0
-        (F.round(num.cast("double") / denom, 6) + F.lit(0.0)).alias("cov"),
+        # sign-aware floor chain (drift-monitor lesson): round(double)
+        # is implementation-defined within an ulp of a .5e-6 boundary
+        # and cov = num/n² is a small-denominator rational that CAN
+        # land there; signum/abs/floor are IEEE-identical on both
+        # engines. + 0.0 canonicalizes the -0.0 a tiny negative cov
+        # produces.
+        (
+            F.signum(x) * F.floor(F.abs(x) * 1e6 + F.lit(0.5)).cast("double") / 1e6
+            + F.lit(0.0)
+        ).alias("cov"),
     ).orderBy("i", "j")
 
 
@@ -1578,8 +1599,14 @@ def pca_components(
     collect the exact upper triangle from
     :func:`embedding_covariance`, mirror it, `numpy.linalg.eigh` on
     the driver, return the component table. Sign convention: each
-    eigenvector's largest-|weight| entry is made positive, so the
-    output is unique and reproducible. Eigendecomposition is genuinely
+    eigenvector's largest-|weight| entry is made positive, and the
+    descending eigenvalue sort is a STABLE argsort (ties keep eigh's
+    ascending-index order), so the output is unique and reproducible
+    for SIMPLE spectra — with (near-)degenerate eigenvalues the
+    eigenvectors are only defined up to rotation within the eigenspace
+    and eigh's basis choice is LAPACK-build-dependent, so the pytest
+    pin assumes the simple spectrum real covariance data generically
+    has. Eigendecomposition is genuinely
     non-SQL-expressible — the registry entry is rows-only (the BPE/CDC
     disposition); the covariance input IS hash-gated, and the
     components are pinned against an oblivious NumPy reference in
@@ -1593,7 +1620,10 @@ def pca_components(
         C[row["i"] - 1, row["j"] - 1] = row["cov"]
         C[row["j"] - 1, row["i"] - 1] = row["cov"]
     vals, vecs = np.linalg.eigh(C)
-    order = np.argsort(vals)[::-1][:r]
+    # stable descending sort: ties (degenerate eigenvalues) keep
+    # eigh's ascending-index order instead of the platform-dependent
+    # order plain argsort[::-1] gives
+    order = np.argsort(-vals, kind="stable")[:r]
     total = float(vals.sum())
     out = []
     for rank, idx in enumerate(order, 1):

@@ -121,6 +121,27 @@ def hll_gauge(
     )
 
 
+def hll_estimate(
+    keyed: DataFrame, group_col: str, key_col: str, m: int = HLL_M
+) -> DataFrame:
+    """PRODUCTION shape of the per-group distinct estimate: register
+    build + fold + estimate only — ``(group, v_nonempty,
+    est_distinct)``. :func:`hll_gauge` pairs this with the exact
+    COUNT(DISTINCT) the sketch exists to replace; that comparison is a
+    verification gauge that doubles the work (the exact side shuffles
+    the whole key set), so it lives in pytest while THIS is the shape
+    a 100 TB pipeline actually runs: one corpus scan, one (group,
+    bucket) shuffle with map-side partial MAX, #groups × m rows of
+    state, group-cardinality-sized everything after."""
+    regs = _registers(keyed, [group_col], key_col, m)
+    per_g, est = _estimate(regs, [group_col], m)
+    return per_g.select(
+        group_col,
+        "v_nonempty",
+        F.round(est, 4).alias("est_distinct"),
+    ).orderBy(group_col)
+
+
 def hll_distinct_tokens(documents: DataFrame, m: int = HLL_M) -> DataFrame:
     """Per-source approximate distinct-token count (the fixture
     vocabulary is small, so this exercises the linear-counting
@@ -328,6 +349,56 @@ def cms_topk_gauge(
         "est_count",
         (F.col("est_count") - F.col("true_count")).alias("overestimate"),
     ).orderBy(F.col("true_count").desc(), key_col)
+
+
+def cms_estimate(
+    keyed: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """PRODUCTION shape of the Count-Min sketch: build the d×w counter
+    table from ``keyed`` and answer point queries for the keys in
+    ``probes`` — ``(key, est_count)``. :func:`cms_topk_gauge` pairs
+    the sketch with exact per-key counts (the corpus-sized table the
+    sketch exists to replace); that gauge lives in pytest, while this
+    is the query a pipeline runs: frequency estimates for a bounded
+    probe set against constant sketch state.
+
+    Scale shape: counter build is ONE shuffle on (row, bucket) after a
+    d-way literal explode — d·w rows of state regardless of corpus
+    size, merged associatively (map-side partial SUM). The counter
+    table is broadcast to the probe side (4096 rows by construction),
+    so probing is map-only per probe key. Pure integer arithmetic end
+    to end — any engine reproduces the answer counter-for-counter."""
+    rows_lit = F.array(*[F.lit(r) for r in range(d)])
+
+    def _probed(df):
+        # literal explode first, hash after: Generate re-evaluates its
+        # generator child per output row (the cms_topk_gauge lesson)
+        salt = F.concat(
+            F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col(key_col)
+        )
+        b = (
+            F.conv(F.substring(F.md5(salt), 1, 15), 16, 10).cast("long") % w
+        ).alias("b")
+        return df.select(*df.columns, F.explode(rows_lit).alias("r")).select(
+            *df.columns, "r", b
+        )
+
+    counters = (
+        _probed(keyed).select("r", "b").groupBy("r", "b").agg(
+            F.count("*").alias("cnt")
+        )
+    )
+    return (
+        _probed(probes.select(key_col).distinct())
+        .join(F.broadcast(counters), ["r", "b"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+        .orderBy(key_col)
+    )
 
 
 # ---------------------------------------------------------------------------

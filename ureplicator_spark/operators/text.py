@@ -209,8 +209,16 @@ def winnowing_stats(
         F.size(F.expr("array_distinct(transform(fingerprints, x -> x.h))")).alias(
             "n_distinct_hashes"
         ),
-        F.round(
-            F.size("fingerprints") / (F.col("n_kgrams") - (w - 1)), 6
+        # floor chain, not round(double): n_fp/n_windows is an
+        # arbitrary rational that can land within an ulp of a .5e-6
+        # boundary where the engines' ROUNDs disagree (drift-monitor
+        # lesson). Density is nonnegative so the plain chain suffices.
+        (
+            F.floor(
+                F.size("fingerprints") / (F.col("n_kgrams") - (w - 1)) * 1e6
+                + F.lit(0.5)
+            ).cast("double")
+            / 1e6
         ).alias("density"),
     )
 
@@ -982,12 +990,24 @@ def source_length_psi(documents: DataFrame) -> DataFrame:
     p = (F.col("ns") + 1) / (F.col("ts") + F.col("nb"))
     q = (F.col("nc") + 1) / (F.col("t") + F.col("nb"))
     term = (p - q) * F.log(p / q)
+    # SUM(double) is partition-order-dependent — unlike the drift /
+    # covariance chains (whose pre-round operands are exact), the
+    # float addition order here could flip the last digit across
+    # partitionings or vs the oracle near a .5e-6 boundary. Fold the
+    # per-bucket terms in canonical bucket order instead (B ≤ 64
+    # structs per source — array-fold-sized), so the sum is the same
+    # IEEE sequence on every engine and partitioning.
+    ordered_sum = F.aggregate(
+        F.sort_array(F.collect_list(F.struct(F.col("b").alias("b"), term.alias("t")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["t"],
+    )
     return (
         grid.groupBy("source")
         .agg(
             F.max("ts").alias("n_docs"),
             F.count("*").cast("int").alias("n_buckets"),
-            (F.floor(F.sum(term) * 1e6 + F.lit(0.5)).cast("double") / 1e6).alias(
+            (F.floor(ordered_sum * 1e6 + F.lit(0.5)).cast("double") / 1e6).alias(
                 "psi"
             ),
         )
