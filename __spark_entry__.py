@@ -42,6 +42,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     # partition-order-dependent).
     "embedding_covariance", "winnowing_fingerprints",
     "source_length_psi",
+    # r10 lineage change: the winnowing family now probes the standing
+    # index's persisted winnow_fingerprints section (per-doc local
+    # state — appendable like signatures); from-scratch twins stay
+    # pinned in test_minhash_index_standing_probes.
+    "winnowing_overlap_pairs",
     # r10: PCA eigenvalue sort is now a stable argsort (deterministic
     # under degenerate spectra); rows-only as before.
     "embedding_pca_components",

@@ -768,6 +768,21 @@ def test_minhash_index_standing_probes(spark, sf_dir, tmp_path):
     arr = index_shingle_arrays(spark, root)
     assert rows(containment_from_docarr(arr)) == rows(containment_pairs(corpus))
     assert rows(prefix_join_from_docarr(arr)) == rows(jaccard_prefix_join(corpus))
+    # persisted winnow fingerprints serve the stats + overlap probes
+    # exactly as the from-scratch derivation does
+    from ureplicator_spark.operators.text import (
+        winnowing_overlap_pairs,
+        winnowing_overlap_pairs_from_fp,
+        winnowing_stats,
+        winnowing_stats_from_fp,
+    )
+    from ureplicator_spark.sources.minhash_index import index_winnow_fingerprints
+
+    fp_idx = index_winnow_fingerprints(spark, root)
+    assert rows(winnowing_stats_from_fp(fp_idx)) == rows(winnowing_stats(corpus))
+    assert rows(winnowing_overlap_pairs_from_fp(fp_idx)) == rows(
+        winnowing_overlap_pairs(corpus)
+    )
 
     # append: signatures stay current; the snapshot-scoped sections
     # (shingle_arrays, pairs) go stale → gone, loudly
@@ -779,6 +794,13 @@ def test_minhash_index_standing_probes(spark, sf_dir, tmp_path):
         index_shingle_arrays(spark, root)
     with pytest.raises(FileNotFoundError, match="invalidated"):
         index_pairs(spark, root)
+    # ...and the winnow section is APPENDABLE (per-doc local state):
+    # the appended section equals a full-corpus rebuild
+    fp_app = index_winnow_fingerprints(spark, root)
+    assert rows(winnowing_stats_from_fp(fp_app)) == rows(winnowing_stats(full))
+    assert rows(winnowing_overlap_pairs_from_fp(fp_app)) == rows(
+        winnowing_overlap_pairs(full)
+    )
     # ...but the KMV section is MERGEABLE: the append folded the
     # batch's synopsis in, exactly equal to a full-corpus rebuild
     # (the Beyer merge property)

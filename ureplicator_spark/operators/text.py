@@ -200,7 +200,15 @@ def winnowing_stats(
     selected-fingerprint counts and density (expected ≈ 2/(w+1), the
     paper's bound — a built-in self-check that selection is winnowing
     and not plain min-hashing)."""
-    fp = winnow_fingerprints(documents, k, w)
+    return winnowing_stats_from_fp(winnow_fingerprints(documents, k, w), w)
+
+
+def winnowing_stats_from_fp(fp: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """:func:`winnowing_stats` from an ALREADY-BUILT (doc_id, n_kgrams,
+    fingerprints) frame — the probe half, split out so the standing
+    persisted ``winnow_fingerprints`` index section serves it without
+    re-hashing the corpus (fingerprints are PER-DOC local state, so
+    the section appends exactly like signatures)."""
     return fp.select(
         "doc_id",
         "n_kgrams",
@@ -247,9 +255,22 @@ def winnowing_overlap_pairs(
     chain must not re-run per fingerprint). The doc-frequency cap is a
     window count over the h-partitioning the join itself needs, so
     cap + join share one exchange."""
+    return winnowing_overlap_pairs_from_fp(
+        winnow_fingerprints(documents, k, w), max_df, min_shared, top_n
+    )
+
+
+def winnowing_overlap_pairs_from_fp(
+    fp: DataFrame,
+    max_df: int = 50,
+    min_shared: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """:func:`winnowing_overlap_pairs` from an ALREADY-BUILT (doc_id,
+    n_kgrams, fingerprints) frame — the probe half for the standing
+    persisted section (see winnowing_stats_from_fp)."""
     from ureplicator_spark.caching import pin
 
-    fp = winnow_fingerprints(documents, k, w)
     per_doc = pin(
         fp.selectExpr(
             "doc_id", "array_distinct(transform(fingerprints, x -> x.h)) AS fps"

@@ -6729,6 +6729,14 @@ def _standing_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _standing_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ureplicator_spark.sources.minhash_index import index_winnow_fingerprints
+
+    return index_winnow_fingerprints(
+        spark, ensure_standing_minhash_index(spark, sf_dir)
+    )
+
+
 # Standing SemDeDup cluster map, one per sf_dir per process — the
 # Lloyd assignment is a corpus-snapshot artifact SemDeDup deployments
 # materialize as their own pipeline stage (Abbas'23: cluster once,
@@ -7400,12 +7408,14 @@ JOIN (SELECT doc_id, COUNT(*) AS n_fp, COUNT(DISTINCT h) AS n_h
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc winnowed fingerprint report (Schleimer SIGMOD'03): the
     local-fingerprint counterpart of the whole-doc digests, with the
-    2/(w+1) density bound observable per row. Map-only array folds —
-    zero shuffles; md5 runs once per k-gram."""
-    from ureplicator_spark.operators import text as TX
-    from ureplicator_spark.sources.parquet import load_table
+    2/(w+1) density bound observable per row. Served from the standing
+    index's persisted ``winnow_fingerprints`` section (r10) — the
+    fingerprint table is a corpus-snapshot artifact like signatures/
+    shingles, so probes are a projection, not an md5+fold re-derive;
+    the from-scratch twin stays hash-gated in tests."""
+    from ureplicator_spark.operators.text import winnowing_stats_from_fp
 
-    return TX.winnowing_stats(load_table(spark, sf_dir, "documents"))
+    return winnowing_stats_from_fp(_standing_winnow_fingerprints(spark, sf_dir))
 
 
 _WINNOW_PAIRS_SQL = _with(
@@ -7435,11 +7445,15 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ k+w-1 chars is guaranteed to surface at least one shared
     fingerprint (the winnowing guarantee) — partial-overlap detection
     Jaccard-style whole-set measures dilute away. Fingerprint-bucket
-    join with a doc-frequency cap; never all-pairs."""
-    from ureplicator_spark.operators import text as TX
-    from ureplicator_spark.sources.parquet import load_table
+    join with a doc-frequency cap; never all-pairs. Probes the
+    standing index's persisted ``winnow_fingerprints`` section (r10)
+    instead of re-deriving fingerprints per invocation — at 100 TB the
+    fingerprint table is a corpus-snapshot artifact."""
+    from ureplicator_spark.operators.text import winnowing_overlap_pairs_from_fp
 
-    return TX.winnowing_overlap_pairs(load_table(spark, sf_dir, "documents"))
+    return winnowing_overlap_pairs_from_fp(
+        _standing_winnow_fingerprints(spark, sf_dir)
+    )
 
 
 _SPLIT_LEAKAGE_SQL = (

@@ -94,6 +94,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # Arrow for the few pandas-UDF paths (multimodal decode).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # STATIC conf (must be set before the JVM's first codegen; a
+        # runtime set raises CANNOT_MODIFY_STATIC_CONFIG): the
+        # generated-class cache defaults to 100 entries, so a
+        # ~250-query session evicts every query's codegen between
+        # visits and each revisit recompiles all its stages — the r9
+        # "in-bench 1.3-1.5× session drift". Measured: interleaving 40
+        # other queries between table_profile_approx reps costs
+        # [8.8, 4.0, 3.3] s at the default vs [2.8, 2.8, 2.9] s at
+        # 5000. A long-lived multi-tenant cluster wants the same
+        # headroom; a few thousand compiled stages is tens of MB of
+        # class metadata.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -79,6 +79,7 @@ def build_minhash_index(
         refresh_shingle_arrays(documents, root)
         refresh_pairs(documents.sparkSession, root)
         refresh_kmv_synopses(documents, root)
+        refresh_winnow_fingerprints(documents, root)
 
 
 def refresh_shingle_arrays(documents: DataFrame, root: str) -> None:
@@ -88,6 +89,46 @@ def refresh_shingle_arrays(documents: DataFrame, root: str) -> None:
     shingle_docarr(documents).write.mode("overwrite").parquet(
         root + "/shingle_arrays"
     )
+
+
+def refresh_winnow_fingerprints(documents: DataFrame, root: str) -> None:
+    """(Re)build the ``winnow_fingerprints`` section: each document's
+    winnowed local fingerprints (Schleimer SIGMOD'03 — the MOSS
+    overlap-detection primitive), persisted once per corpus snapshot
+    so the per-doc stats and the shared-fingerprint pair probes skip
+    the md5+window-fold chain entirely. Unlike shingle_arrays, the
+    fingerprints are PER-DOC local state (no global order, no corpus
+    statistic), so appends extend the section exactly like signatures
+    — append ≡ rebuild, pinned in tests."""
+    from ureplicator_spark.operators.text import winnow_fingerprints
+
+    winnow_fingerprints(documents).write.mode("overwrite").parquet(
+        root + "/winnow_fingerprints"
+    )
+
+
+def append_winnow_fingerprints(batch_documents: DataFrame, root: str) -> None:
+    """Fold a batch's fingerprints into the standing section — per-doc
+    local state, so appending the batch's rows IS the full rebuild
+    over old ∪ batch (no invalidation, no corpus re-scan)."""
+    from ureplicator_spark.operators.text import winnow_fingerprints
+
+    winnow_fingerprints(batch_documents).write.mode("append").parquet(
+        root + "/winnow_fingerprints"
+    )
+
+
+def index_winnow_fingerprints(spark: SparkSession, root: str) -> DataFrame:
+    """The persisted (doc_id, n_kgrams, fingerprints) winnowing table.
+    Fails loudly when absent."""
+    path = root + "/winnow_fingerprints"
+    if not fs_exists(spark, path):
+        raise FileNotFoundError(
+            f"{path}: winnow_fingerprints section missing — build with "
+            "refresh_winnow_fingerprints(documents, root) or "
+            "append_winnow_fingerprints(batch, root)"
+        )
+    return spark.read.parquet(path)
 
 
 def refresh_kmv_synopses(documents: DataFrame, root: str) -> None:
@@ -212,6 +253,10 @@ def append_to_minhash_index(
     # batch's synopsis in (exact, O(batch) — see merge_kmv_synopses)
     if fs_exists(spark, root + "/kmv_synopses"):
         merge_kmv_synopses(documents, root)
+    # winnowing fingerprints are PER-DOC local state: appending the
+    # batch's rows equals a full rebuild over old ∪ batch
+    if fs_exists(spark, root + "/winnow_fingerprints"):
+        append_winnow_fingerprints(documents, root)
 
 
 def index_lsh_pairs(
