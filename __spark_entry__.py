@@ -29,6 +29,11 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
+    # r10 NEW queries: perceptual image near-dup (64-bit dHash via the
+    # Arrow decode path + 8-band Hamming pigeonhole join over
+    # originals ∪ resize-stub variants) — the image-dedup capability
+    # CDC's exact-bytes chunking cannot provide.
+    "media_dhash", "media_dhash_near_pairs",
     # r10 PRODUCTION-SHAPE change (r9 verdict task #3): these two rows
     # are now the sketch build + estimate/probe only — the exact-count
     # gauge pairing moved to tests/test_gauge_parity.py (it doubled

@@ -116,6 +116,9 @@ EXTENDED_QUERIES = [
     "winnowing_fingerprints", "winnowing_overlap_pairs",
     "split_leakage_check", "embedding_covariance",
     "embedding_pca_components", "source_length_psi",
+    # round-10 additions: perceptual image near-dup (dHash + Hamming
+    # banding over originals ∪ resize-stub variants).
+    "media_dhash", "media_dhash_near_pairs",
 ]
 
 

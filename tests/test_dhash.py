@@ -1,0 +1,103 @@
+"""Perceptual dHash pins: oblivious-Python hash parity, banding
+completeness (pigeonhole property), and the resize-invariance story
+the operator exists for."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ureplicator_spark.sources.parquet import load_table
+
+
+def _py_dhash(payload: bytes, w: int = 8, h: int = 8) -> int:
+    """Oblivious reference: textbook dHash over a nearest-neighbor
+    h x (w+1) sample of the byte stream, bits packed row-major into a
+    signed 64-bit int (two's complement)."""
+    n = len(payload)
+    cells = h * (w + 1)
+    grid = [payload[(i * n) // cells] for i in range(cells)]
+    val = 0
+    for k in range(w * h):
+        r, c = divmod(k, w)
+        bit = grid[r * (w + 1) + c] < grid[r * (w + 1) + c + 1]
+        if not bit:
+            continue
+        val += -(1 << 63) if k == 63 else (1 << k)
+    return val
+
+
+def test_dhash_matches_oblivious_python(spark, sf_dir):
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    got = {
+        r.media_id: r.dhash
+        for r in image_dhash(documents_as_media(docs)).collect()
+    }
+    want = {
+        r.doc_id: _py_dhash(r.text.encode("utf-8"))
+        for r in docs.select("doc_id", "text").collect()
+        if len(r.text.encode("utf-8")) > 0
+    }
+    assert got == want and len(got) > 50
+
+
+def test_dhash_banding_complete(spark, sf_dir):
+    """Pigeonhole completeness: the banded join returns EVERY pair at
+    Hamming <= max_hamming — compared against an oblivious all-pairs
+    scan over the same hash set."""
+    from ureplicator_spark.operators.multimodal import (
+        dhash_near_pairs,
+        documents_as_media,
+        image_dhash,
+        media_with_resized_variants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = media_with_resized_variants(documents_as_media(docs))
+    hashes = image_dhash(media)
+    hs = {r.media_id: r.dhash for r in hashes.collect()}
+    ids = sorted(hs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                want.add((a, b, d))
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in dhash_near_pairs(hashes).collect()
+    }
+    assert got == want and want  # nonempty: resized variants pair up
+
+
+def test_dhash_resize_variant_recall(spark, sf_dir):
+    """The story the hash exists for: a resized payload shares no byte
+    runs with its original, yet most originals land within 7 dHash
+    bits of their own variant."""
+    from ureplicator_spark.operators.multimodal import (
+        dhash_near_pairs,
+        documents_as_media,
+        image_dhash,
+        media_with_resized_variants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    media = media_with_resized_variants(documents_as_media(docs))
+    pairs = dhash_near_pairs(image_dhash(media))
+    self_pairs = pairs.filter(
+        F.col("media_b") - F.col("media_a") == 10_000_000
+    ).count()
+    assert self_pairs >= 0.8 * n_docs
+
+
+def test_dhash_pigeonhole_guard():
+    from ureplicator_spark.operators.multimodal import dhash_near_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_pairs(None, max_hamming=8, n_bands=8)
