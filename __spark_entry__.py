@@ -34,6 +34,9 @@ _CHANGED_SINCE_LAST_CHECK = [
     # originals ∪ resize-stub variants) — the image-dedup capability
     # CDC's exact-bytes chunking cannot provide.
     "media_dhash", "media_dhash_near_pairs",
+    # r10 NEW: acoustic energy-delta fingerprint (Haitsma-Kalker'02
+    # construction, stub PCM domain) + volume-halved near-pairs.
+    "media_audio_fingerprint", "media_audio_near_pairs",
     # r10 PRODUCTION-SHAPE change (r9 verdict task #3): these two rows
     # are now the sketch build + estimate/probe only — the exact-count
     # gauge pairing moved to tests/test_gauge_parity.py (it doubled

@@ -117,8 +117,10 @@ EXTENDED_QUERIES = [
     "split_leakage_check", "embedding_covariance",
     "embedding_pca_components", "source_length_psi",
     # round-10 additions: perceptual image near-dup (dHash + Hamming
-    # banding over originals ∪ resize-stub variants).
+    # banding over originals ∪ resize-stub variants) and the acoustic
+    # energy-delta fingerprint twin (originals ∪ volume-halved).
     "media_dhash", "media_dhash_near_pairs",
+    "media_audio_fingerprint", "media_audio_near_pairs",
 ]
 
 

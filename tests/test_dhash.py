@@ -123,3 +123,98 @@ def test_dhash_pigeonhole_guard():
 
     with pytest.raises(ValueError, match="pigeonhole"):
         dhash_near_pairs(None, max_hamming=8, n_bands=8)
+
+
+# ---------------------------------------------------------------------------
+# Acoustic fingerprint (energy-delta hash) pins
+# ---------------------------------------------------------------------------
+
+
+def _py_audio_fp(payload: bytes, w: int = 65) -> int:
+    """Oblivious reference: integer window energies over the
+    ceil-boundary windows, mean-energy cross-multiply bits,
+    two's-complement packing."""
+    n = len(payload)
+    cs = [0]
+    for b in payload:
+        cs.append(cs[-1] + (b - 128) ** 2)
+    bounds = [(i * n + w - 1) // w for i in range(w + 1)]
+    e = [cs[bounds[i + 1]] - cs[bounds[i]] for i in range(w)]
+    sz = [bounds[i + 1] - bounds[i] for i in range(w)]
+    val = 0
+    for k in range(w - 1):
+        if e[k] * sz[k + 1] < e[k + 1] * sz[k]:
+            val += -(1 << 63) if k == 63 else (1 << k)
+    return val
+
+
+def test_audio_fp_matches_oblivious_python(spark, sf_dir):
+    from ureplicator_spark.operators.multimodal import (
+        audio_fingerprint,
+        documents_as_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    got = {
+        r.media_id: r.dhash
+        for r in audio_fingerprint(documents_as_media(docs)).collect()
+    }
+    want = {
+        r.doc_id: _py_audio_fp(r.text.encode("utf-8"))
+        for r in docs.select("doc_id", "text").collect()
+        if len(r.text.encode("utf-8")) > 0
+    }
+    assert got == want and len(got) > 50
+
+
+def test_audio_fp_fused_variants_equal_pipeline(spark, sf_dir):
+    """Fused hasher == materializing pcm_gain -> audio_fingerprint."""
+    from ureplicator_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_with_variants,
+        documents_as_media,
+        pcm_gain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = documents_as_media(docs)
+    orig = {r.media_id: r.dhash for r in audio_fingerprint(media).collect()}
+    gained = {
+        r.media_id + 10_000_000: r.dhash
+        for r in audio_fingerprint(pcm_gain(media)).collect()
+    }
+    got = {
+        r.media_id: r.dhash
+        for r in audio_fingerprint_with_variants(media).collect()
+    }
+    assert got == {**orig, **gained} and len(got) == 2 * docs.count()
+
+
+def test_audio_fp_gain_recall_and_banding(spark, sf_dir):
+    """Volume halving rewrites every byte, yet every original pairs
+    with its own variant within 7 bits; and the banded join equals the
+    oblivious all-pairs scan (pigeonhole completeness)."""
+    from ureplicator_spark.operators.multimodal import (
+        audio_fingerprint_with_variants,
+        dhash_near_pairs,
+        documents_as_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hashes = audio_fingerprint_with_variants(documents_as_media(docs))
+    hs = {r.media_id: r.dhash for r in hashes.collect()}
+    ids = sorted(hs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                want.add((a, b, d))
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in dhash_near_pairs(hashes).collect()
+    }
+    assert got == want
+    n = docs.count()
+    self_pairs = sum(1 for a, b, _ in got if b - a == 10_000_000)
+    assert self_pairs == n

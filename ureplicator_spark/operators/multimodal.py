@@ -619,3 +619,151 @@ def image_dhash_with_variants(
     return fan_out(media.select("media_id", "payload")).mapInPandas(
         hash_batches, schema=DHASH_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Acoustic fingerprinting (energy-delta hash — Haitsma & Kalker,
+# "A Highly Robust Audio Fingerprinting System", ISMIR 2002: bits are
+# signs of energy differences between adjacent bands/frames; here the
+# stub domain is time-only — 65 windows over 8-bit PCM, 64 delta bits)
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_WINDOWS = 65  # 64 adjacent-window energy comparisons
+
+
+def _audio_fp_from_samples(arr, n_windows: int, powers) -> int:
+    """64-bit energy-delta fingerprint from a uint8 sample array:
+    integer window energies via one cumsum (window w spans samples
+    p in [ceil(w*n/W), ceil((w+1)*n/W)) — the (p*W)//n assignment's
+    boundary form), bit k = MEAN energy(k) < MEAN energy(k+1) via the
+    integer cross-multiply e_k·sz_{k+1} < e_{k+1}·sz_k (window sizes
+    differ by ±1 when W ∤ n; comparing raw SUMS leaks that size
+    pattern into the bits and correlates hashes of same-length inputs
+    — measured: 22 k spurious pairs at sf0.1, 0 true ones), then
+    two's-complement packing. Headroom: e ≤ n·127² and sz ≤ n/W+1, so
+    the cross-product stays far under 2^63 for any payload that fits
+    memory."""
+    import numpy as np
+
+    n = arr.shape[0]
+    sq = (arr.astype(np.int64) - 128) ** 2
+    cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(sq)])
+    bounds = (np.arange(n_windows + 1, dtype=np.int64) * n + (n_windows - 1)) // n_windows
+    e = cs[bounds[1:]] - cs[bounds[:-1]]
+    sz = bounds[1:] - bounds[:-1]
+    bits = e[:-1] * sz[1:] < e[1:] * sz[:-1]
+    val = int(bits[:-1].astype(np.int64) @ powers)
+    if bits[-1]:
+        val -= 1 << (n_windows - 2)
+    return val
+
+
+def audio_fingerprint(media: DataFrame, n_windows: int = AUDIO_FP_WINDOWS) -> DataFrame:
+    """64-bit acoustic fingerprint per payload (unsigned 8-bit PCM, the
+    pcm_window_energy decode convention): split the sample stream into
+    ``n_windows`` equal windows, bit k = energy(window k) < energy(
+    window k+1). Energy ordering survives resampling/amplitude-
+    preserving edits that destroy every exact byte (CDC finds nothing
+    after decimation; this lands within a few bits) — the audio
+    counterpart of :func:`image_dhash`. Integer-exact end to end
+    (int64 window energies, strict comparisons, two's-complement
+    packing) ⇒ oracle-portable. Map-only, zero shuffles."""
+    import numpy as np
+
+    powers = np.int64(1) << np.arange(n_windows - 2, dtype=np.int64)
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                ids.append(int(mid))
+                fps.append(_audio_fp_from_samples(arr, n_windows, powers))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        fp_batches, schema=DHASH_SCHEMA
+    )
+
+
+def pcm_gain(media: DataFrame, shift: int = 1) -> DataFrame:
+    """Volume change for unsigned 8-bit PCM: halve the deviation from
+    the 128 midpoint per ``shift`` (byte' = 64 + byte//2 for shift=1 —
+    a pure nonnegative byte op, identical floor semantics in any
+    engine). The re-mastered-volume edit that defeats every
+    byte-exact signal while preserving the energy ENVELOPE the
+    fingerprint hashes. Payload-in, payload-out."""
+
+    def gain_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out_cols = ["media_id", "payload", "n_bytes"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, 0))
+                    continue
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                out = ((buf >> shift) + (128 - (128 >> shift))).astype(np.uint8)
+                rows.append((mid, out.tobytes(), len(out)))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("n_bytes", T.LongType(), False),
+        ]
+    )
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        gain_batches, schema
+    )
+
+
+def audio_fingerprint_with_variants(
+    media: DataFrame,
+    n_windows: int = AUDIO_FP_WINDOWS,
+    id_offset: int = 10_000_000,
+) -> DataFrame:
+    """Fused original + ``pcm_gain``-variant fingerprints in ONE Arrow
+    round-trip (bit-identical to materializing the gained payload and
+    re-fingerprinting — pinned in tests), the
+    image_dhash_with_variants discipline: per-item media transforms
+    fuse so payloads cross the JVM/Python boundary once."""
+    import numpy as np
+
+    powers = np.int64(1) << np.arange(n_windows - 2, dtype=np.int64)
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                ids.append(int(mid))
+                fps.append(_audio_fp_from_samples(arr, n_windows, powers))
+                # pcm_gain's exact byte map, applied in-process
+                gained = (arr >> 1) + np.uint8(64)
+                ids.append(int(mid) + id_offset)
+                fps.append(_audio_fp_from_samples(gained, n_windows, powers))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        fp_batches, schema=DHASH_SCHEMA
+    )

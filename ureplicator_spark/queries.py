@@ -7733,3 +7733,135 @@ def q_media_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return dhash_near_pairs(image_dhash_with_variants(media))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline (r10): acoustic fingerprint (energy-delta hash) + near-pairs
+# ---------------------------------------------------------------------------
+
+# Window w of an n-sample stream spans p in [ceil(w*n/65), ceil((w+1)*n/65));
+# bit k compares MEAN energies of windows k and k+1 via the integer
+# cross-multiply e_k*sz_{k+1} < e_{k+1}*sz_k (raw sums leak the ±1
+# window-size pattern of n mod 65 and correlate same-length docs —
+# measured 22k spurious pairs at sf0.1). The variant stream is
+# pcm_gain's byte map s//2 + 64 (volume halved), applied to the same
+# ascii-codepoint samples the Spark side reads as utf-8 payload bytes
+# (the corpus is pure ASCII).
+_AUDIO_SAMP_CTE = """
+g AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+samp AS (
+  SELECT media_id, n, p, ascii(substr(text, CAST(p + 1 AS INT), 1)) AS s
+  FROM (SELECT media_id, text, n, unnest(range(0, n)) AS p FROM g)
+)
+""".strip()
+
+_AUDIO_HASH_TAIL = """
+eo AS (
+  SELECT media_id, MAX(n) AS n, (p * 65) // n AS w, SUM(sq) AS e
+  FROM allsamp GROUP BY media_id, (p * 65) // n
+),
+grid AS (
+  SELECT m.media_id, ws.w, COALESCE(e.e, 0) AS e,
+         ((ws.w + 1) * m.n + 64) // 65 - (ws.w * m.n + 64) // 65 AS sz
+  FROM (SELECT media_id, MAX(n) AS n FROM eo GROUP BY media_id) m
+  CROSS JOIN (SELECT unnest(range(0, 65)) AS w) ws
+  LEFT JOIN eo e ON e.media_id = m.media_id AND e.w = ws.w
+),
+bits AS (
+  SELECT a.media_id, a.w AS k,
+         CASE WHEN a.e * b.sz < b.e * a.sz THEN 1 ELSE 0 END AS b
+  FROM grid a JOIN grid b ON b.media_id = a.media_id AND b.w = a.w + 1
+  WHERE a.w < 64
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN k < 63 THEN CAST(b AS BIGINT) << k ELSE 0 END) AS BIGINT)
+         + CASE WHEN MAX(CASE WHEN k = 63 THEN b ELSE 0 END) = 1
+                THEN -9223372036854775808 ELSE 0 END AS dhash
+  FROM bits GROUP BY media_id
+)
+""".strip()
+
+_AUDIO_FP_SQL = _with(
+    _AUDIO_SAMP_CTE,
+    "allsamp AS (SELECT media_id, n, p, CAST((s - 128) * (s - 128) AS BIGINT) AS sq FROM samp)",
+    _AUDIO_HASH_TAIL,
+    "SELECT media_id, dhash AS fingerprint FROM hashes ORDER BY media_id",
+)
+
+_AUDIO_PAIRS_SQL = _with(
+    _AUDIO_SAMP_CTE,
+    """
+allsamp AS (
+  SELECT media_id, n, p, CAST((s - 128) * (s - 128) AS BIGINT) AS sq FROM samp
+  UNION ALL
+  SELECT media_id + 10000000, n, p,
+         CAST((s // 2 - 64) * (s // 2 - 64) AS BIGINT) AS sq FROM samp
+)
+""".strip(),
+    _AUDIO_HASH_TAIL,
+    """
+banded AS (
+  SELECT media_id, dhash, band, (dhash >> CAST(band * 8 AS INT)) & 255 AS bv
+  FROM (SELECT media_id, dhash, unnest(range(0, 8)) AS band FROM hashes)
+)
+""".strip(),
+    """
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.dhash AS ha, b.dhash AS hb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+)
+""".strip(),
+    """
+SELECT media_a, media_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 7
+ORDER BY media_a, media_b
+""".strip(),
+)
+
+
+@register("media_audio_fingerprint", _AUDIO_FP_SQL)
+def q_media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit acoustic fingerprint per media payload (energy-delta
+    bits over 65 windows of unsigned 8-bit PCM — Haitsma & Kalker
+    ISMIR'02's sign-of-energy-difference construction, time-only in
+    the stub domain). Mean-energy cross-multiply keeps the bits
+    integer-exact AND window-size-unbiased; one cumsum per payload in
+    a single mapInPandas stage — map-only, zero shuffles."""
+    from ureplicator_spark.operators.multimodal import (
+        audio_fingerprint,
+        documents_as_media,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    return (
+        audio_fingerprint(documents_as_media(load_table(spark, sf_dir, "documents")))
+        .select("media_id", F.col("dhash").alias("fingerprint"))
+        .orderBy("media_id")
+    )
+
+
+@register("media_audio_near_pairs", _AUDIO_PAIRS_SQL)
+def q_media_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-duplicate pairs: fingerprints over originals ∪
+    their pcm_gain (volume-halved) variants, banded 8×8-bit Hamming
+    join (pigeonhole ≤ 7). The gained payload shares not one exact
+    byte with its original, yet EVERY original pairs with its own
+    variant within 7 bits on the fixtures (500/500 at sf0.001,
+    5000/5000 at sf0.1) — the re-mastered-audio dedup story. Hashing
+    runs FUSED (one Arrow round-trip emits both hashes — bit-identical
+    to the pcm_gain→audio_fingerprint pipeline, pinned in tests)."""
+    from ureplicator_spark.operators.multimodal import (
+        audio_fingerprint_with_variants,
+        dhash_near_pairs,
+        documents_as_media,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return dhash_near_pairs(audio_fingerprint_with_variants(media))
