@@ -37,6 +37,9 @@ _CHANGED_SINCE_LAST_CHECK = [
     # r10 NEW: acoustic energy-delta fingerprint (Haitsma-Kalker'02
     # construction, stub PCM domain) + volume-halved near-pairs.
     "media_audio_fingerprint", "media_audio_near_pairs",
+    # r10 NEW: the daily-ingest media-dedup lifecycle — re-encoded batch
+    # probes the standing fingerprint index; gated end-to-end.
+    "media_incremental_dedup",
     # r10 PRODUCTION-SHAPE change (r9 verdict task #3): these two rows
     # are now the sketch build + estimate/probe only — the exact-count
     # gauge pairing moved to tests/test_gauge_parity.py (it doubled

@@ -218,3 +218,67 @@ def test_audio_fp_gain_recall_and_banding(spark, sf_dir):
     n = docs.count()
     self_pairs = sum(1 for a, b, _ in got if b - a == 10_000_000)
     assert self_pairs == n
+
+
+# ---------------------------------------------------------------------------
+# Standing media-fingerprint index lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_media_index_lifecycle(spark, sf_dir, tmp_path):
+    """Probe ≡ from-scratch cross pairs; append ≡ rebuild; loud
+    failure on a missing section."""
+    from ureplicator_spark.operators.multimodal import (
+        dhash_near_pairs,
+        documents_as_media,
+        image_dhash,
+        resize,
+    )
+    from ureplicator_spark.sources.media_index import (
+        append_to_media_index,
+        build_media_index,
+        incremental_media_dedup,
+        index_fingerprints,
+    )
+
+    root = str(tmp_path / "media")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = documents_as_media(docs)
+    build_media_index(corpus, root)
+
+    # batch: resized re-encodes of every 5th item under fresh ids
+    batch = resize(
+        documents_as_media(docs.filter(F.col("doc_id") % 5 == 0))
+    ).select((F.col("media_id") + 10_000_000).alias("media_id"), "payload")
+
+    got = {
+        (r.new_media, r.corpus_media, r.hamming)
+        for r in incremental_media_dedup(spark, root, batch).collect()
+    }
+    # oblivious twin: near-pairs over corpus ∪ batch, cross pairs only
+    all_hashes = image_dhash(corpus).unionByName(image_dhash(batch))
+    want = {
+        (r.media_b, r.media_a, r.hamming)
+        for r in dhash_near_pairs(all_hashes).collect()
+        if r.media_b >= 10_000_000 and r.media_a < 10_000_000
+    }
+    assert got == want and got  # most re-encodes must be flagged
+    n_batch = batch.count()
+    assert len({a for a, _, _ in got}) >= 0.8 * n_batch
+
+    # append the batch: the index now equals a rebuild over old ∪ batch
+    append_to_media_index(batch, root)
+    idx = {
+        r.media_id: r.dhash for r in index_fingerprints(spark, root).collect()
+    }
+    rebuilt = {r.media_id: r.dhash for r in all_hashes.collect()}
+    assert idx == rebuilt
+
+    # re-probing the same batch never matches itself under the same id
+    again = incremental_media_dedup(spark, root, batch)
+    assert again.filter(F.col("new_media") == F.col("corpus_media")).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="section missing"):
+        index_fingerprints(spark, str(tmp_path / "nope"))

@@ -7865,3 +7865,90 @@ def q_media_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return dhash_near_pairs(audio_fingerprint_with_variants(media))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline (r10): incremental media dedup against the standing
+# fingerprint index (the daily-ingest lifecycle, gated end-to-end)
+# ---------------------------------------------------------------------------
+
+_MEDIA_STANDING: dict[str, str] = {}
+
+
+def ensure_standing_media_index(spark: SparkSession, sf_dir: str) -> str:
+    """Get-or-build the persisted perceptual-fingerprint index over
+    ``sf_dir``'s full media corpus (every document payload). Hashes
+    are per-item local state, so the standing rows equal what the
+    from-scratch operators compute — which is what the oracle
+    recomputes."""
+    root = _MEDIA_STANDING.get(sf_dir)
+    if root is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from ureplicator_spark.operators.multimodal import documents_as_media
+        from ureplicator_spark.sources.media_index import build_media_index
+        from ureplicator_spark.sources.parquet import load_table
+
+        root = tempfile.mkdtemp(prefix="ureplicator_media_standing_")
+        build_media_index(
+            documents_as_media(load_table(spark, sf_dir, "documents")), root
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _MEDIA_STANDING[sf_dir] = root
+    return root
+
+
+_MEDIA_INCR_SQL = _with(
+    _DHASH_HASHES_ORIG_CTE.replace(
+        "cells AS (SELECT media_id, text, n, FALSE AS resized FROM g)",
+        "cells AS (SELECT media_id, text, n, FALSE AS resized FROM g\n"
+        "           UNION ALL\n"
+        "           SELECT media_id + 10000000, text, n, TRUE FROM g\n"
+        "           WHERE media_id % 5 = 0)",
+    ),
+    """
+banded AS (
+  SELECT media_id, dhash, band, (dhash >> CAST(band * 8 AS INT)) & 255 AS bv
+  FROM (SELECT media_id, dhash, unnest(range(0, 8)) AS band FROM hashes)
+)
+""".strip(),
+    """
+cand AS (
+  SELECT DISTINCT a.media_id AS new_media, b.media_id AS corpus_media,
+         a.dhash AS ha, b.dhash AS hb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.media_id >= 10000000 AND b.media_id < 10000000
+)
+""".strip(),
+    """
+SELECT new_media, corpus_media, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 7
+ORDER BY new_media, corpus_media
+""".strip(),
+)
+
+
+@register("media_incremental_dedup", _MEDIA_INCR_SQL)
+def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest media-dedup lifecycle: a batch of RE-ENCODED
+    copies (resize-stub variants of every 5th corpus item, fresh ids)
+    probes the STANDING fingerprint index — the batch is hashed (it is
+    small), the corpus is 16 bytes/item of persisted hashes, and the
+    banded pigeonhole join flags each re-encode against its corpus
+    original within 7 bits, never re-hashing (or re-reading!) the
+    corpus payloads. Oracle-gated end-to-end: fingerprints are
+    per-item recomputable, so DuckDB rebuilds both sides from the
+    documents table; append ≡ rebuild and probe ≡ from-scratch cross
+    pairs are pinned in tests/test_dhash.py."""
+    from ureplicator_spark.operators.multimodal import documents_as_media, resize
+    from ureplicator_spark.sources.media_index import incremental_media_dedup
+    from ureplicator_spark.sources.parquet import load_table
+
+    root = ensure_standing_media_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    batch = resize(documents_as_media(docs)).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"), "payload"
+    )
+    return incremental_media_dedup(spark, root, batch)
