@@ -40,6 +40,9 @@ _CHANGED_SINCE_LAST_CHECK = [
     # r10 NEW: the daily-ingest media-dedup lifecycle — re-encoded batch
     # probes the standing fingerprint index; gated end-to-end.
     "media_incremental_dedup",
+    # r10 NEW: perceptual duplicate clusters (CC over dhash pairs) —
+    # pairs → clusters → keep-one retention, the text-family shape.
+    "media_dedup_clusters",
     # r10 PRODUCTION-SHAPE change (r9 verdict task #3): these two rows
     # are now the sketch build + estimate/probe only — the exact-count
     # gauge pairing moved to tests/test_gauge_parity.py (it doubled

@@ -121,7 +121,7 @@ EXTENDED_QUERIES = [
     # energy-delta fingerprint twin (originals ∪ volume-halved).
     "media_dhash", "media_dhash_near_pairs",
     "media_audio_fingerprint", "media_audio_near_pairs",
-    "media_incremental_dedup",
+    "media_incremental_dedup", "media_dedup_clusters",
 ]
 
 

@@ -7952,3 +7952,72 @@ def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("media_id") + 10_000_000).alias("media_id"), "payload"
     )
     return incremental_media_dedup(spark, root, batch)
+
+
+_MEDIA_CLUSTERS_SQL = "WITH RECURSIVE " + _with(
+    _DHASH_HASHES_ORIG_CTE.replace(
+        "cells AS (SELECT media_id, text, n, FALSE AS resized FROM g)",
+        "cells AS (SELECT media_id, text, n, FALSE AS resized FROM g\n"
+        "           UNION ALL\n"
+        "           SELECT media_id + 10000000, text, n, TRUE FROM g)",
+    ),
+    """
+banded AS (
+  SELECT media_id, dhash, band, (dhash >> CAST(band * 8 AS INT)) & 255 AS bv
+  FROM (SELECT media_id, dhash, unnest(range(0, 8)) AS band FROM hashes)
+)
+""".strip(),
+    """
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.dhash AS ha, b.dhash AS hb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+)
+""".strip(),
+    "mpairs AS (SELECT media_a, media_b FROM cand WHERE bit_count(xor(ha, hb)) <= 7)",
+    """
+edges AS (
+  SELECT media_a AS src, media_b AS dst FROM mpairs
+  UNION SELECT media_b, media_a FROM mpairs
+),
+reach AS (
+  SELECT src, src AS node FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node
+)
+""".strip(),
+    """
+SELECT src AS media_id, MIN(node) AS cluster_id, (src = MIN(node)) AS is_keeper
+FROM reach GROUP BY src ORDER BY media_id
+""".strip(),
+)[5:]  # _with emits "WITH "; the recursive reach CTE needs "WITH RECURSIVE "
+
+
+@register("media_dedup_clusters", _MEDIA_CLUSTERS_SQL)
+def q_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual duplicate CLUSTERS: connected components over the
+    dHash near-pairs (originals ∪ resize re-encodes), min-id label
+    propagation — the step that turns pairwise fingerprint output into
+    keep-one-per-cluster retention, exactly as the text family does
+    (fuzzy_dedup_clusters). Keepers are the min media_id per
+    component, i.e. the ORIGINAL of each re-encode family by id
+    construction. O(cluster diameter) label-prop rounds over
+    pair-sized edges; the corpus itself never enters the loop."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters
+    from ureplicator_spark.operators.multimodal import (
+        dhash_near_pairs,
+        documents_as_media,
+        image_dhash_with_variants,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    pairs = dhash_near_pairs(image_dhash_with_variants(media)).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    return (
+        duplicate_clusters(pairs)
+        .select(F.col("doc_id").alias("media_id"), "cluster_id", "is_keeper")
+        .orderBy("media_id")
+    )
