@@ -732,3 +732,56 @@ def test_chunk_index_append_equals_single_build(
     append_to_chunk_index(media.filter(F.col("media_id") >= split), r_inc)
     got = {tuple(r) for r in read_chunk_index(spark, r_inc).collect()}
     assert got == want
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=1, max_size=300), min_size=2, max_size=12
+    ),
+    max_hamming=st.integers(0, 7),
+)
+@SETTINGS
+def test_dhash_banding_complete_random_payloads(spark, payloads, max_hamming):
+    """Pigeonhole completeness of the Hamming band join on ARBITRARY
+    binary payloads (the fixture-based test only sees ASCII text):
+    banded pairs == oblivious all-pairs scan at every threshold the
+    8-band split supports."""
+    from ureplicator_spark.operators.multimodal import dhash_near_pairs, image_dhash
+
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    hs = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    ids = sorted(hs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                want.add((a, b, d))
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in dhash_near_pairs(image_dhash(media), max_hamming=max_hamming).collect()
+    }
+    assert got == want
+
+
+@given(payloads=st.lists(st.binary(min_size=1, max_size=300), min_size=1, max_size=10))
+@SETTINGS
+def test_audio_fp_matches_python_on_random_payloads(spark, payloads):
+    """The acoustic fingerprint equals the oblivious Python reference
+    on arbitrary bytes — including payloads shorter than one window
+    per sample (empty windows) and all-identical bytes (zero
+    energies, all bits 0)."""
+    from test_dhash import _py_audio_fp
+
+    from ureplicator_spark.operators.multimodal import audio_fingerprint
+
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.dhash for r in audio_fingerprint(media).collect()}
+    want = {i: _py_audio_fp(p) for i, p in enumerate(payloads)}
+    assert got == want
