@@ -55,6 +55,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     # register; affects every _registers/hll_profile consumer.
     "approx_distinct_tokens", "approx_distinct_users_rolling",
     "table_profile_approx",
+    # r10 amortization: the PQ family (code table, ADC search, recall
+    # gauge) now serves the STANDING trained model (train once per
+    # snapshot, pq_build_sec in bench); from-scratch twins pinned in
+    # tests/test_gauge_parity.py.
+    "embedding_pq_codes", "similarity_pq_adc", "similarity_pq_recall",
     # r10 rounding-discipline fixes (r9 advisor): covariance now uses
     # the sign-aware floor chain (cov can be negative), winnowing
     # density the plain floor chain, and the PSI term sum folds in

@@ -248,6 +248,15 @@ def main() -> None:
     ensure_standing_bpe_merges(spark, SF_DIR)
     bpe_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Standing PQ model (codes + codebook; PQ training as its own
+    # pipeline stage, per Jégou TPAMI'11): same amortized accounting
+    # (r10).
+    from ureplicator_spark.queries import ensure_standing_pq
+
+    t0 = time.perf_counter()
+    ensure_standing_pq(spark, SF_DIR)
+    pq_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -367,6 +376,7 @@ def main() -> None:
         "langmodel_build_sec": langmodel_build_sec,
         "kmeans_build_sec": kmeans_build_sec,
         "bpe_build_sec": bpe_build_sec,
+        "pq_build_sec": pq_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended

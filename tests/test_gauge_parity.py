@@ -71,3 +71,34 @@ def test_production_estimates_agree_with_gauge(spark, sf):
         for r in cms_estimate(tok, probes, "token").collect()
     }
     assert prod_est == gauge_est and prod_est
+
+
+def test_standing_pq_model_equals_from_scratch(spark, tmp_path):
+    """The persisted PQ model serves the code table, ADC search and
+    recall gauge EXACTLY as the from-scratch training path does
+    (integer-exact Lloyd, fixed init ⇒ deterministic model)."""
+    import ureplicator_spark.queries as Q
+    from ureplicator_spark.operators.similarity import (
+        pq_adc_recall,
+        pq_adc_search,
+        pq_train_codes,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    assert rows(Q.QUERIES["embedding_pq_codes"][0](spark, sf)) == rows(
+        pq_train_codes(emb)
+    )
+    assert rows(Q.QUERIES["similarity_pq_adc"][0](spark, sf)) == rows(
+        pq_adc_search(emb).orderBy("q_id", "rank")
+    ) or rows(Q.QUERIES["similarity_pq_adc"][0](spark, sf).orderBy("q_id", "rank")) == rows(
+        pq_adc_search(emb).orderBy("q_id", "rank")
+    )
+    assert rows(Q.QUERIES["similarity_pq_recall"][0](spark, sf)) == rows(
+        pq_adc_recall(emb)
+    )

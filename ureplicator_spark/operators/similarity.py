@@ -936,6 +936,22 @@ def _pq_lloyd(comp, k: int, iters: int):
     return best, cents
 
 
+def pq_train_model(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    qscale: int = 1000,
+):
+    """Train the PQ model once: returns (codes, codebook) — codes =
+    (vec_id, sub, code, dist) per subvector, codebook = (sub, code, i,
+    c). The pair the standing persisted model stores; training is a
+    corpus-snapshot pipeline stage (Jégou TPAMI'11), probes read it."""
+    comp = _pq_components(embeddings, m, dim, qscale)
+    return _pq_lloyd(comp, k, iters)
+
+
 def pq_train_codes(
     embeddings: DataFrame,
     m: int = 4,
@@ -959,8 +975,7 @@ def pq_train_codes(
 
     Returns (vec_id, subspace, code, sqerr) — the PQ code table that
     ``pq_adc_search`` consumes."""
-    comp = _pq_components(embeddings, m, dim, qscale)
-    best, _cents = _pq_lloyd(comp, k, iters)
+    best, _cents = pq_train_model(embeddings, m, k, iters, dim, qscale)
     return best.select(
         "vec_id",
         F.col("sub").alias("subspace"),
@@ -994,7 +1009,29 @@ def pq_adc_search(
     # one shared training path (_pq_lloyd) keeps the codes this search
     # scans identical to the codes pq_train_codes publishes
     best, cents = _pq_lloyd(comp, k, iters)
-    codes = best.select("vec_id", "sub", "code")
+    return pq_adc_search_from(
+        best.select("vec_id", "sub", "code"), cents, embeddings,
+        n_queries=n_queries, top_k=top_k, m=m, dim=dim, qscale=qscale,
+    )
+
+
+def pq_adc_search_from(
+    codes: DataFrame,
+    cents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """ADC search from an ALREADY-TRAINED (codes, codebook) pair — the
+    probe half, split out so the standing persisted PQ model serves it
+    without re-running Lloyd per query (training is a corpus-snapshot
+    stage, Jégou TPAMI'11; the kmeans/BPE/langmodel amortization
+    discipline). ``codes`` = (vec_id, sub, code); ``cents`` =
+    (sub, code, i, c)."""
+    comp = _pq_components(embeddings, m, dim, qscale)
     lut = (
         comp.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cents), ["sub", "i"])
@@ -1035,9 +1072,30 @@ def pq_adc_recall(
     evaluation, deliberately O(Q·N)); the ADC side is the production
     search shape. One row per query, ordered."""
     comp = _pq_components(embeddings, m, dim, qscale)
-    adc = pq_adc_search(
-        embeddings, n_queries=n_queries, top_k=top_k,
-        m=m, k=k, iters=iters, dim=dim, qscale=qscale,
+    best, cents = _pq_lloyd(comp, k, iters)
+    return pq_adc_recall_from(
+        best.select("vec_id", "sub", "code"), cents, embeddings,
+        n_queries=n_queries, top_k=top_k, m=m, dim=dim, qscale=qscale,
+    )
+
+
+def pq_adc_recall_from(
+    codes: DataFrame,
+    cents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """:func:`pq_adc_recall` from an already-trained (codes, codebook)
+    pair — the ADC side reads the standing model; the exact brute side
+    (the gauge) recomputes by design."""
+    comp = _pq_components(embeddings, m, dim, qscale)
+    adc = pq_adc_search_from(
+        codes, cents, embeddings,
+        n_queries=n_queries, top_k=top_k, m=m, dim=dim, qscale=qscale,
     ).select("q_id", "c_id")
     qc = comp.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "i", F.col("q").alias("qq")
