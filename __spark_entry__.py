@@ -60,6 +60,9 @@ _CHANGED_SINCE_LAST_CHECK = [
     # snapshot, pq_build_sec in bench); from-scratch twins pinned in
     # tests/test_gauge_parity.py.
     "embedding_pq_codes", "similarity_pq_adc", "similarity_pq_recall",
+    # r10 amortization: embedding_kmeans summarizes the standing Lloyd
+    # map (dist column now persisted alongside the SemDeDup columns).
+    "embedding_kmeans",
     # r10 rounding-discipline fixes (r9 advisor): covariance now uses
     # the sign-aware floor chain (cov can be negative), winnowing
     # density the plain floor chain, and the PSI term sum folds in

@@ -102,3 +102,19 @@ def test_standing_pq_model_equals_from_scratch(spark, tmp_path):
     assert rows(Q.QUERIES["similarity_pq_recall"][0](spark, sf)) == rows(
         pq_adc_recall(emb)
     )
+
+
+def test_standing_kmeans_rollup_equals_from_scratch(spark):
+    """embedding_kmeans served from the standing Lloyd map equals the
+    from-scratch clustering rollup."""
+    import ureplicator_spark.queries as Q
+    from ureplicator_spark.operators.similarity import kmeans_clusters
+    from ureplicator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in Q.QUERIES["embedding_kmeans"][0](spark, sf).collect()]
+    want = [
+        tuple(r)
+        for r in kmeans_clusters(load_table(spark, sf, "embeddings")).collect()
+    ]
+    assert got == want and got

@@ -769,9 +769,19 @@ def kmeans_clusters(
     Determinism note: round(CAST(x AS DOUBLE)·qscale) is computed
     identically in Spark and DuckDB (exact float→double widening, one
     correctly-rounded multiply, half-up round)."""
-    best = kmeans_assignments(embeddings, k=k, iters=iters, qscale=qscale)
+    return kmeans_clusters_from(
+        kmeans_assignments(embeddings, k=k, iters=iters, qscale=qscale)
+    )
+
+
+def kmeans_clusters_from(assignments: DataFrame) -> DataFrame:
+    """Cluster summary from an ALREADY-COMPUTED (vec_id, cluster_id,
+    dist) assignment table — the probe half, split out so the standing
+    persisted Lloyd map serves it without re-clustering (training is a
+    corpus-snapshot stage; the SemDeDup consumers read the same
+    map)."""
     return (
-        best.groupBy("cluster_id")
+        assignments.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_vecs"),
             F.sum(F.col("dist").cast("decimal(38,0)")).cast("long").alias("inertia"),

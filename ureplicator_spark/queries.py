@@ -4083,11 +4083,13 @@ FROM a2 GROUP BY cluster_id ORDER BY cluster_id
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd k-means (k=8, 2 assignment passes) — the
     corpus-clustering step behind IVF index builds and data-mixture
-    balancing, deterministic enough for a bit-exact oracle."""
-    from ureplicator_spark.operators.similarity import kmeans_clusters
-    from ureplicator_spark.sources.parquet import load_table
+    balancing, deterministic enough for a bit-exact oracle. Summarizes
+    the STANDING Lloyd map (r10) — the same persisted assignment table
+    the SemDeDup family consumes; training reported as
+    ``kmeans_build_sec``, from-scratch twin pinned in tests."""
+    from ureplicator_spark.operators.similarity import kmeans_clusters_from
 
-    return kmeans_clusters(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_clusters_from(_standing_kmeans_assignments(spark, sf_dir))
 
 
 # scored within-cluster pair chain, shared by the pairs query and the
@@ -6820,8 +6822,11 @@ def ensure_standing_kmeans(spark: SparkSession, sf_dir: str) -> str:
         from ureplicator_spark.sources.parquet import load_table
 
         root = tempfile.mkdtemp(prefix="ureplicator_kmeans_standing_")
+        # keep dist: the cluster-summary rollup (embedding_kmeans)
+        # needs per-vector inertia terms; SemDeDup consumers project
+        # the two columns they use
         kmeans_assignments(load_table(spark, sf_dir, "embeddings")).select(
-            "vec_id", "cluster_id"
+            "vec_id", "cluster_id", "dist"
         ).write.mode("overwrite").parquet(root + "/assignments")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _KMEANS_STANDING[sf_dir] = root
