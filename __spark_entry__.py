@@ -63,6 +63,10 @@ _CHANGED_SINCE_LAST_CHECK = [
     # r10 amortization: embedding_kmeans summarizes the standing Lloyd
     # map (dist column now persisted alongside the SemDeDup columns).
     "embedding_kmeans",
+    # r10 amortization: the three recall gauges read the standing eval
+    # ground-truth tables (offline eval sets cache exact neighbors once
+    # per snapshot); from-scratch twins pinned.
+    "similarity_ann_recall", "similarity_multiprobe_recall",
     # r10 rounding-discipline fixes (r9 advisor): covariance now uses
     # the sign-aware floor chain (cov can be negative), winnowing
     # density the plain floor chain, and the PSI term sum folds in

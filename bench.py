@@ -257,6 +257,15 @@ def main() -> None:
     ensure_standing_pq(spark, SF_DIR)
     pq_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Standing eval ground truth (exact neighbors of the bounded eval
+    # query set — cached once per snapshot, ann-benchmarks style; the
+    # recall gauges read it): same amortized accounting (r10).
+    from ureplicator_spark.queries import ensure_standing_eval_truth
+
+    t0 = time.perf_counter()
+    ensure_standing_eval_truth(spark, SF_DIR)
+    evaltruth_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -377,6 +386,7 @@ def main() -> None:
         "kmeans_build_sec": kmeans_build_sec,
         "bpe_build_sec": bpe_build_sec,
         "pq_build_sec": pq_build_sec,
+        "evaltruth_build_sec": evaltruth_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended

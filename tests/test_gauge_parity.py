@@ -118,3 +118,31 @@ def test_standing_kmeans_rollup_equals_from_scratch(spark):
         for r in kmeans_clusters(load_table(spark, sf, "embeddings")).collect()
     ]
     assert got == want and got
+
+
+def test_standing_eval_truth_gauges_equal_from_scratch(spark):
+    """The three recall gauges served from the standing ground-truth
+    tables equal their from-scratch twins."""
+    import ureplicator_spark.queries as Q
+    from ureplicator_spark.operators.similarity import (
+        ann_recall,
+        multiprobe_recall_comparison,
+        pq_adc_recall,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    assert rows(Q.QUERIES["similarity_ann_recall"][0](spark, sf)) == rows(
+        ann_recall(emb)
+    )
+    assert rows(Q.QUERIES["similarity_multiprobe_recall"][0](spark, sf)) == rows(
+        multiprobe_recall_comparison(emb)
+    )
+    assert rows(Q.QUERIES["similarity_pq_recall"][0](spark, sf)) == rows(
+        pq_adc_recall(emb)
+    )

@@ -791,7 +791,11 @@ def kmeans_clusters_from(assignments: DataFrame) -> DataFrame:
 
 
 def ann_recall(
-    embeddings: DataFrame, n_queries: int = 10, k: int = 3, n_planes: int = N_PLANES
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_planes: int = N_PLANES,
+    bf: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of bucket-local LSH ANN against the brute-force ground
     truth — the quality gauge every ANN deployment tracks next to its
@@ -800,9 +804,13 @@ def ann_recall(
     Scale shape: the exact side is brute force over the corpus (this
     is an OFFLINE evaluation run on a sample of queries — n_queries
     stays bounded, so O(Q·N) is a deliberate, sized cost, not a scale
-    bug); the ANN side is the same bucket-local join the production
-    path uses. Output is one row per query, ordered."""
-    bf = cosine_knn(embeddings, n_queries, k).select("q_id", "c_id")
+    bug) unless a STANDING ground-truth table is supplied via ``bf``
+    ((q_id, c_id) — offline eval sets cache exact neighbors once per
+    corpus snapshot, ann-benchmarks style); the ANN side is the same
+    bucket-local join the production path uses. Output is one row per
+    query, ordered."""
+    if bf is None:
+        bf = cosine_knn(embeddings, n_queries, k).select("q_id", "c_id")
 
     buckets = lsh_buckets(embeddings, n_planes)
     comp = _components(embeddings)
@@ -1089,9 +1097,7 @@ def pq_adc_recall(
     )
 
 
-def pq_adc_recall_from(
-    codes: DataFrame,
-    cents: DataFrame,
+def exact_l2_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
     top_k: int = 5,
@@ -1099,14 +1105,13 @@ def pq_adc_recall_from(
     dim: int = 64,
     qscale: int = 1000,
 ) -> DataFrame:
-    """:func:`pq_adc_recall` from an already-trained (codes, codebook)
-    pair — the ADC side reads the standing model; the exact brute side
-    (the gauge) recomputes by design."""
+    """Exact integer-L2 top-k ground truth for the bounded eval query
+    set (vec_id < n_queries) — the offline-evaluation artifact ANN
+    deployments compute once per corpus snapshot and reuse across
+    every recall gauge (ann-benchmarks practice: ground truth is
+    cached, not recomputed per run). Deliberately O(Q·N); returns
+    (q_id, c_id)."""
     comp = _pq_components(embeddings, m, dim, qscale)
-    adc = pq_adc_search_from(
-        codes, cents, embeddings,
-        n_queries=n_queries, top_k=top_k, m=m, dim=dim, qscale=qscale,
-    ).select("q_id", "c_id")
     qc = comp.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), "i", F.col("q").alias("qq")
     )
@@ -1117,11 +1122,38 @@ def pq_adc_recall_from(
         .agg(F.sum((F.col("qq") - F.col("q")) * (F.col("qq") - F.col("q"))).alias("d"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("c_id"))
-    exact = (
+    return (
         exd.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)
-        .select("q_id", "c_id", F.lit(1).alias("in_exact"))
+        .select("q_id", "c_id")
     )
+
+
+def pq_adc_recall_from(
+    codes: DataFrame,
+    cents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    qscale: int = 1000,
+    exact: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`pq_adc_recall` from an already-trained (codes, codebook)
+    pair — the ADC side reads the standing model; the exact brute side
+    recomputes unless a standing ground-truth table (``exact`` =
+    (q_id, c_id) from :func:`exact_l2_topk`) is supplied."""
+    adc = pq_adc_search_from(
+        codes, cents, embeddings,
+        n_queries=n_queries, top_k=top_k, m=m, dim=dim, qscale=qscale,
+    ).select("q_id", "c_id")
+    if exact is None:
+        exact = exact_l2_topk(
+            embeddings, n_queries=n_queries, top_k=top_k,
+            m=m, dim=dim, qscale=qscale,
+        )
+    exact = exact.select("q_id", "c_id", F.lit(1).alias("in_exact"))
     return (
         adc.join(exact, ["q_id", "c_id"], "left")
         .groupBy("q_id")
@@ -1217,7 +1249,10 @@ def lsh_ann_multiprobe(
 
 
 def multiprobe_recall_comparison(
-    embeddings: DataFrame, n_queries: int = 10, k: int = 3
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    bf: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of single-probe vs multi-probe LSH against brute-force
     truth, per query — the tuning table that justifies (or rejects)
@@ -1235,10 +1270,14 @@ def multiprobe_recall_comparison(
     co-occupants minus self; same score: cosine rounded to 6; same
     tie-break: c_id). One brute-force truth pass, one bucket/component
     /norm pipeline, instead of the naive composition's two of each —
-    measured ~2x on the fixture with identical output."""
+    measured ~2x on the fixture with identical output. ``bf`` supplies
+    a standing ground-truth table ((q_id, c_id)) and skips the brute
+    pass entirely — the ann_recall discipline."""
     spark = embeddings.sparkSession
     n_planes = N_PLANES
-    bf = pin(cosine_knn(embeddings, n_queries, k).select("q_id", "c_id"))
+    if bf is None:
+        bf = cosine_knn(embeddings, n_queries, k).select("q_id", "c_id")
+    bf = pin(bf)
 
     buckets = lsh_buckets(embeddings, n_planes)
     comp = _components(embeddings)
