@@ -266,6 +266,15 @@ def main() -> None:
     ensure_standing_eval_truth(spark, SF_DIR)
     evaltruth_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Standing perceptual-fingerprint index (16 bytes/item dHash +
+    # acoustic sections; the incremental re-encode dedup probes it):
+    # same amortized accounting (r10).
+    from ureplicator_spark.queries import ensure_standing_media_index
+
+    t0 = time.perf_counter()
+    ensure_standing_media_index(spark, SF_DIR)
+    media_index_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -387,6 +396,7 @@ def main() -> None:
         "bpe_build_sec": bpe_build_sec,
         "pq_build_sec": pq_build_sec,
         "evaltruth_build_sec": evaltruth_build_sec,
+        "media_index_build_sec": media_index_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended
