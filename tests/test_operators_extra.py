@@ -1865,6 +1865,15 @@ def _quantized_embedding_matrix(spark, sf_dir):
     return (np.sign(X) * np.floor(np.abs(X * 1000) + 0.5)).astype(np.int64)
 
 
+def _floor6_signed(x: float) -> float:
+    """The shipped sign-aware floor chain (half away from zero in
+    binary FP — NOT Python round()'s half-even on decimal values):
+    sign(x)*floor(|x|*1e6 + 0.5)/1e6 + 0.0, op-for-op."""
+    import math
+
+    return math.copysign(1.0, x) * math.floor(abs(x) * 1e6 + 0.5) / 1e6 + 0.0 if x else 0.0
+
+
 def test_embedding_covariance_matches_numpy_exact(spark, sf_dir):
     """Operator covariance equals the oblivious NumPy computation cell
     for cell — same integers, same DECIMAL-exact numerator, same final
@@ -1888,7 +1897,7 @@ def test_embedding_covariance_matches_numpy_exact(spark, sf_dir):
     for i in range(64):
         for j in range(i, 64):
             num = int(n) * int(G[i, j]) - int(s[i]) * int(s[j])
-            ref = round(num / (float(n) * float(n) * 1e6), 6) + 0.0
+            ref = _floor6_signed(num / (float(n) * float(n) * 1e6))
             assert got[(i + 1, j + 1)] == (n, ref), (i, j)
 
 
@@ -1908,9 +1917,11 @@ def test_pca_components_match_oblivious_numpy(spark, sf_dir):
     for i in range(64):
         for j in range(i, 64):
             num = int(n) * int(G[i, j]) - int(s[i]) * int(s[j])
-            C[i, j] = C[j, i] = round(num / (float(n) * float(n) * 1e6), 6) + 0.0
+            C[i, j] = C[j, i] = _floor6_signed(num / (float(n) * float(n) * 1e6))
     vals, vecs = np.linalg.eigh(C)
-    order = np.argsort(vals)[::-1][:8]
+    # stable descending sort — the shipped tie-break for degenerate
+    # spectra (plain argsort[::-1] disagrees exactly there)
+    order = np.argsort(-vals, kind="stable")[:8]
     total = float(vals.sum())
     expect = []
     for rank, idx in enumerate(order, 1):

@@ -425,6 +425,24 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def _dhash_from_samples(arr, w: int, h: int, powers) -> int:
+    """The single dHash kernel both the standalone hasher and the
+    fused-variants hasher call (one implementation or they drift):
+    nearest-neighbor h x (w+1) grid sample, horizontal comparisons,
+    row-major two's-complement packing into a signed 64-bit int."""
+    import numpy as np
+
+    n = arr.shape[0]
+    cells = h * (w + 1)
+    idx = (np.arange(cells, dtype=np.int64) * n) // cells
+    g = arr[idx].reshape(h, w + 1).astype(np.int16)
+    bits = (g[:, :w] < g[:, 1:]).reshape(-1)
+    val = int(bits[:-1].astype(np.int64) @ powers)
+    if bits[-1]:
+        val -= 1 << (w * h - 1)
+    return val
+
+
 def image_dhash(media: DataFrame, w: int = DHASH_W, h: int = DHASH_H) -> DataFrame:
     """64-bit perceptual difference hash per payload — the image
     near-dup primitive CDC's exact-bytes chunking cannot provide (a
@@ -449,8 +467,6 @@ def image_dhash(media: DataFrame, w: int = DHASH_W, h: int = DHASH_H) -> DataFra
     """
     import numpy as np
 
-    grid_w = w + 1
-    cells = h * grid_w
     powers = np.int64(1) << np.arange(w * h - 1, dtype=np.int64)
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,15 +477,8 @@ def image_dhash(media: DataFrame, w: int = DHASH_W, h: int = DHASH_H) -> DataFra
                 if p is None or len(p) == 0:
                     continue
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
-                n = arr.shape[0]
-                idx = (np.arange(cells, dtype=np.int64) * n) // cells
-                g = arr[idx].reshape(h, grid_w).astype(np.int16)
-                bits = (g[:, :w] < g[:, 1:]).reshape(-1)
-                val = int(bits[:-1].astype(np.int64) @ powers)
-                if bits[-1]:
-                    val -= 1 << (w * h - 1)
                 ids.append(int(mid))
-                hashes.append(val)
+                hashes.append(_dhash_from_samples(arr, w, h, powers))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -579,21 +588,9 @@ def image_dhash_with_variants(
     shuffles."""
     import numpy as np
 
-    grid_w = w + 1
-    cells = h * grid_w
     out_len = target_w * target_h
     powers = np.int64(1) << np.arange(w * h - 1, dtype=np.int64)
     base = np.arange(out_len, dtype=np.int64)
-
-    def _dhash(arr: "np.ndarray") -> int:
-        n = arr.shape[0]
-        idx = (np.arange(cells, dtype=np.int64) * n) // cells
-        g = arr[idx].reshape(h, grid_w).astype(np.int16)
-        bits = (g[:, :w] < g[:, 1:]).reshape(-1)
-        val = int(bits[:-1].astype(np.int64) @ powers)
-        if bits[-1]:
-            val -= 1 << (w * h - 1)
-        return val
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -604,11 +601,11 @@ def image_dhash_with_variants(
                     continue
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
                 ids.append(int(mid))
-                hashes.append(_dhash(arr))
+                hashes.append(_dhash_from_samples(arr, w, h, powers))
                 # the resize() stub's exact byte map, applied in-process
                 resized = arr[(base * arr.shape[0]) // out_len]
                 ids.append(int(mid) + id_offset)
-                hashes.append(_dhash(resized))
+                hashes.append(_dhash_from_samples(resized, w, h, powers))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -640,9 +637,11 @@ def _audio_fp_from_samples(arr, n_windows: int, powers) -> int:
     differ by ±1 when W ∤ n; comparing raw SUMS leaks that size
     pattern into the bits and correlates hashes of same-length inputs
     — measured: 22 k spurious pairs at sf0.1, 0 true ones), then
-    two's-complement packing. Headroom: e ≤ n·127² and sz ≤ n/W+1, so
-    the cross-product stays far under 2^63 for any payload that fits
-    memory."""
+    two's-complement packing. Headroom: e ≤ ceil(n/W)·128² and
+    sz ≤ ceil(n/W), so the cross-product grows ~n²·128²/W² and int64
+    holds to n ≈ 1.5·10⁹ samples (~1.5 GB of PCM8) — guarded below so
+    a larger payload raises instead of silently wrapping (the gram()
+    discipline; the oracle computes the same product exactly)."""
     import numpy as np
 
     n = arr.shape[0]
@@ -651,6 +650,13 @@ def _audio_fp_from_samples(arr, n_windows: int, powers) -> int:
     bounds = (np.arange(n_windows + 1, dtype=np.int64) * n + (n_windows - 1)) // n_windows
     e = cs[bounds[1:]] - cs[bounds[:-1]]
     sz = bounds[1:] - bounds[:-1]
+    # int64 multiplication wraps silently on overflow — raise instead
+    wmax = (n + n_windows - 1) // n_windows
+    if wmax and wmax * 128 * 128 > (2**63 - 1) // wmax:
+        raise OverflowError(
+            f"audio fingerprint cross-multiply would overflow int64: "
+            f"{n} samples over {n_windows} windows (window size {wmax})"
+        )
     bits = e[:-1] * sz[1:] < e[1:] * sz[:-1]
     val = int(bits[:-1].astype(np.int64) @ powers)
     if bits[-1]:

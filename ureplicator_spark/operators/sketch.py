@@ -100,7 +100,8 @@ def hll_gauge(
     surface.
 
     Scale shape: one shuffle on (group, bucket) with map-side partial
-    MAX — sketch state is #groups x m rows regardless of corpus size;
+    MIN (the rank derives per register — see _registers) — sketch
+    state is #groups x m rows regardless of corpus size;
     everything after is group-cardinality-sized. The exact side (the
     gauge) is the COUNT(DISTINCT) the sketch exists to replace — drop
     it in production and the sketch's only corpus-sized cost is the
@@ -139,7 +140,8 @@ def hll_estimate(
     verification gauge that doubles the work (the exact side shuffles
     the whole key set), so it lives in pytest while THIS is the shape
     a 100 TB pipeline actually runs: one corpus scan, one (group,
-    bucket) shuffle with map-side partial MAX, #groups × m rows of
+    bucket) shuffle with map-side partial MIN (rank derives per
+    register afterwards — see _registers), #groups × m rows of
     state, group-cardinality-sized everything after."""
     regs = _registers(keyed, [group_col], key_col, m)
     per_g, est = _estimate(regs, [group_col], m)
@@ -180,7 +182,7 @@ def hll_profile(df: DataFrame, cols: list[str], m: int = HLL_M) -> DataFrame:
 
     Scale shape — ONE corpus scan: a map-side |cols|-element struct
     explode (no string cast wider than the cell, no Expand), then a
-    (col, register) aggregation whose map-side partial MAX bounds the
+    (col, register) aggregation whose map-side partial MIN/MAX bounds the
     shuffle at |cols| × (m+1) rows per input partition, then a |cols|-
     row fold. Contrast `table_profile`'s union-of-N exact branches
     (N jobs, one COUNT DISTINCT shuffle each): at 100 TB this is the

@@ -4844,9 +4844,20 @@ def ensure_standing_pq(spark: SparkSession, sf_dir: str) -> str:
         from ureplicator_spark.sources.parquet import load_table
 
         root = tempfile.mkdtemp(prefix="ureplicator_pq_standing_")
-        best, cents = pq_train_model(load_table(spark, sf_dir, "embeddings"))
-        best.write.mode("overwrite").parquet(root + "/codes")
-        cents.write.mode("overwrite").parquet(root + "/codebook")
+        from ureplicator_spark.caching import pin_scope
+
+        with pin_scope():
+            from ureplicator_spark.caching import pin
+
+            best, cents = pq_train_model(load_table(spark, sf_dir, "embeddings"))
+            # the codes DAG embeds the codebook's training prefix;
+            # pinning cents lets the second write read the cache
+            # instead of re-running iteration-0 Lloyd (plan-matched by
+            # the CacheManager, the semantic_dedup two-consumer
+            # discipline)
+            cents = pin(cents)
+            best.write.mode("overwrite").parquet(root + "/codes")
+            cents.write.mode("overwrite").parquet(root + "/codebook")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _PQ_STANDING[sf_dir] = root
     return root
@@ -6516,7 +6527,7 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     one full-width pass — the shape a 100 TB profile actually runs
     (no Expand, no per-column jobs; the melt is a map-side struct
     explode and the register shuffle is bounded at |cols| × 513 rows
-    per partition by the map-side partial MAX).
+    per partition by the map-side partial MIN/MAX aggregates).
 
     r9: swapped native ``approx_count_distinct`` (engine-private
     xxhash sketch — the one indefensible rows-only entry in r8) for
