@@ -48,6 +48,24 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def guard_media_id_space(col, id_offset: int):
+    """Fail loudly when an original ``media_id`` would collide with
+    the variant/batch id space (``media_id + id_offset``): downstream
+    classification (e.g. the incremental-dedup oracle's
+    ``media_id >= id_offset`` split) silently corrupts otherwise.
+    Zero-cost per-row integer compare; no extra Spark job."""
+    return (
+        F.when(col < F.lit(id_offset), col)
+        .otherwise(F.raise_error(
+            F.concat(
+                F.lit(f"media_id collides with id_offset={id_offset} variant space: "),
+                col.cast("string"),
+            )
+        ).cast("long"))
+        .alias("media_id")
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter: treat document text as an opaque binary payload —
     exercises the binary-column path with the driver fixtures."""
@@ -561,7 +579,9 @@ def media_with_resized_variants(
     corpus: a resized image shares no exact bytes with its original
     (CDC finds nothing) but lands within a few dHash bits (the
     nearest-neighbor index maps compose almost exactly)."""
-    originals = media.select("media_id", "payload")
+    originals = media.select(
+        guard_media_id_space(F.col("media_id"), id_offset), "payload"
+    )
     resized = resize(media, target_w, target_h).select(
         (F.col("media_id") + id_offset).alias("media_id"), "payload"
     )
@@ -599,6 +619,11 @@ def image_dhash_with_variants(
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None or len(p) == 0:
                     continue
+                if int(mid) >= id_offset:
+                    raise ValueError(
+                        f"media_id {mid} collides with id_offset={id_offset} "
+                        "variant space"
+                    )
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
                 ids.append(int(mid))
                 hashes.append(_dhash_from_samples(arr, w, h, powers))
@@ -756,6 +781,11 @@ def audio_fingerprint_with_variants(
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None or len(p) == 0:
                     continue
+                if int(mid) >= id_offset:
+                    raise ValueError(
+                        f"media_id {mid} collides with id_offset={id_offset} "
+                        "variant space"
+                    )
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
                 ids.append(int(mid))
                 fps.append(_audio_fp_from_samples(arr, n_windows, powers))

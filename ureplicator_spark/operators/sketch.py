@@ -410,11 +410,15 @@ def cms_estimate(
             F.count("*").alias("cnt")
         )
     )
+    # LEFT join + COALESCE 0: a probe key absent from `keyed` hits
+    # empty buckets that have no counter row; an inner join would
+    # either overestimate (MIN over < d counters) or drop the key
+    # entirely, where a Count-Min point query must answer 0.
     return (
         _probed(probes.select(key_col).distinct())
-        .join(F.broadcast(counters), ["r", "b"])
+        .join(F.broadcast(counters), ["r", "b"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count"))
         .orderBy(key_col)
     )
 

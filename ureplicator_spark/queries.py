@@ -5971,8 +5971,8 @@ probed AS (
          ('0x' || substr(md5('cms' || rs.r || ':' || p.token), 1, 15))::BIGINT % 1024 AS b
   FROM probes p CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs
 )
-SELECT p.token, MIN(c.cnt) AS est_count
-FROM probed p JOIN counters c ON c.r = p.r AND c.b = p.b
+SELECT p.token, MIN(COALESCE(c.cnt, 0)) AS est_count
+FROM probed p LEFT JOIN counters c ON c.r = p.r AND c.b = p.b
 GROUP BY p.token ORDER BY p.token
 """
 
@@ -5994,8 +5994,8 @@ probed AS (
   FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs
 ),
 est AS (
-  SELECT p.token, p.true_count, MIN(c.cnt) AS est_count
-  FROM probed p JOIN counters c ON c.r = p.r AND c.b = p.b
+  SELECT p.token, p.true_count, MIN(COALESCE(c.cnt, 0)) AS est_count
+  FROM probed p LEFT JOIN counters c ON c.r = p.r AND c.b = p.b
   GROUP BY p.token, p.true_count
 )
 SELECT token, true_count, est_count, est_count - true_count AS overestimate
@@ -8066,14 +8066,21 @@ def q_media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-item recomputable, so DuckDB rebuilds both sides from the
     documents table; append ≡ rebuild and probe ≡ from-scratch cross
     pairs are pinned in tests/test_dhash.py."""
-    from ureplicator_spark.operators.multimodal import documents_as_media, resize
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        guard_media_id_space,
+        resize,
+    )
     from ureplicator_spark.sources.media_index import incremental_media_dedup
     from ureplicator_spark.sources.parquet import load_table
 
     root = ensure_standing_media_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     batch = resize(documents_as_media(docs)).select(
-        (F.col("media_id") + 10_000_000).alias("media_id"), "payload"
+        (guard_media_id_space(F.col("media_id"), 10_000_000) + 10_000_000).alias(
+            "media_id"
+        ),
+        "payload",
     )
     return incremental_media_dedup(spark, root, batch)
 
