@@ -146,3 +146,52 @@ def test_standing_eval_truth_gauges_equal_from_scratch(spark):
     assert rows(Q.QUERIES["similarity_pq_recall"][0](spark, sf)) == rows(
         pq_adc_recall(emb)
     )
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_hdr_sketch_merge_and_exactness_gauge(spark, sf):
+    """HDR quantile sketch (workload_quantile_sketch's operator):
+    (1) registers MERGE exactly — two half-corpus register sets summed
+    by bucket_key equal the one-shot build (the append ≡ rebuild
+    discipline, like HLL's); (2) each nearest-rank estimate's bucket
+    CONTAINS the exact nearest-rank percentile, i.e. exact <= est <=
+    exact·(1 + 2^-5) — the HdrHistogram relative-error guarantee."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.operators.sketch import hdr_quantiles, hdr_registers
+
+    rec = FX.records(spark, sf)
+
+    # (1) mergeability: split on offset parity, merge by SUM
+    full = hdr_registers(rec, "value_size", ["topic"])
+    a = hdr_registers(rec.filter(F.col("offset") % 2 == 0), "value_size", ["topic"])
+    b = hdr_registers(rec.filter(F.col("offset") % 2 == 1), "value_size", ["topic"])
+    merged = (
+        a.unionByName(b)
+        .groupBy("topic", "bucket_key")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    t_full = {(r.topic, r.bucket_key): r.cnt for r in full.collect()}
+    t_merged = {(r.topic, r.bucket_key): r.cnt for r in merged.collect()}
+    assert t_full == t_merged
+
+    # (2) estimate bounds vs the exact nearest-rank percentile
+    ests = {r.topic: r for r in hdr_quantiles(full, ["topic"]).collect()}
+    vals: dict[str, list[int]] = {}
+    for r in rec.select("topic", "value_size").collect():
+        vals.setdefault(r.topic, []).append(r.value_size)
+    assert set(ests) == set(vals)
+    for topic, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        row = ests[topic]
+        assert row.n_records == n
+        for p in (50, 95, 99):
+            exact = vs[math.ceil(p * n / 100) - 1]
+            est = row[f"p{p}_est"]
+            assert exact <= est <= exact * (1 + 2**-5) + 1e-9, (
+                topic, p, exact, est
+            )

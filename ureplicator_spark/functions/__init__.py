@@ -64,6 +64,43 @@ def md5_long(col: Column | str, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def round6f(x: Column, k: int = 6) -> Column:
+    """Cross-engine-exact k-dp (default 6) rounding for NONNEGATIVE
+    deterministic doubles: ``floor(x·10^k + 0.5) / 10^k``.
+    ROUND(double, k) is implementation-defined within an ulp of a
+    .5·10^-k boundary (Spark rounds the shortest-decimal rendering,
+    DuckDB the scaled double — the drift-monitor/covariance
+    divergences), while multiply/add/floor are IEEE-identical on any
+    engine, so the chain agrees bit-for-bit whenever ``x`` itself
+    does. SQL twin: :func:`sql_round6f`. Operands must be
+    deterministic — an order-dependent SUM(double) needs
+    exact/canonical folding FIRST."""
+    s = float(10**k)
+    return F.floor(x * s + F.lit(0.5)).cast("double") / s
+
+
+def round6s(x: Column, k: int = 6) -> Column:
+    """Sign-aware :func:`round6f` for values that can be negative
+    (half-away-from-zero, like ROUND); ``+ 0.0`` canonicalizes the
+    ``-0.0`` a tiny negative operand would produce. SQL twin:
+    :func:`sql_round6s`."""
+    s = float(10**k)
+    return (
+        F.signum(x) * F.floor(F.abs(x) * s + F.lit(0.5)).cast("double") / s
+        + F.lit(0.0)
+    )
+
+
+def sql_round6f(x: str, k: int = 6) -> str:
+    """DuckDB twin of :func:`round6f` (embed in oracle SQL)."""
+    return f"FLOOR(({x}) * 1e{k} + 0.5) / 1e{k}"
+
+
+def sql_round6s(x: str, k: int = 6) -> str:
+    """DuckDB twin of :func:`round6s`."""
+    return f"(SIGN({x}) * FLOOR(ABS({x}) * 1e{k} + 0.5) / 1e{k} + 0.0)"
+
+
 def fetcher_index(topic: Column | str, partition: Column | str, num_fetchers: int) -> Column:
     """F1: hash(topic, partition) % numFetchers (FetcherManager.java:246-249).
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f
+
 from ureplicator_spark.caching import adopt_checkpoint, pin, release_checkpoint
 
 
@@ -331,8 +333,8 @@ def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            round6f(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
             ).alias("jaccard"),
         )
     )
@@ -618,7 +620,7 @@ def containment_from_docarr(
         "outer_doc",
         "n_inner",
         "n_shared",
-        F.round(F.col("n_shared") / F.col("n_inner"), 6).alias("containment"),
+        round6f(F.col("n_shared") / F.col("n_inner")).alias("containment"),
     ).orderBy("inner_doc", "outer_doc")
 
 
@@ -707,7 +709,7 @@ def exact_substring_spans(
         .agg(
             F.count("*").alias("n_windows"),
             F.sum(dup).cast("long").alias("n_dup_windows"),
-            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_share"),
+            round6f(F.sum(dup).cast("double") / F.count("*")).alias("dup_share"),
         )
         .orderBy("doc_id")
     )
@@ -770,7 +772,7 @@ def semantic_agreement_from_pairs(
             "doc_a",
             "doc_b",
             "est_jaccard",
-            F.round(F.try_divide(dot, F.col("n_a") * F.col("n_b")), 6).alias("cosine"),
+            round6f(F.try_divide(dot, F.col("n_a") * F.col("n_b"))).alias("cosine"),
         )
         .withColumn("agree", F.col("cosine") >= cosine_threshold)
         .orderBy("doc_a", "doc_b")
@@ -926,8 +928,8 @@ def prefix_join_from_docarr(docarr: DataFrame) -> DataFrame:
             "inter",
             "sa",
             "sb",
-            F.round(
-                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
+            round6f(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
             ).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")

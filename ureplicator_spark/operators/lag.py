@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ureplicator_spark.functions import clamp_lag
+from ureplicator_spark.functions import clamp_lag, round6f
 
 
 def committed_offsets(records: DataFrame, as_of_sec: int) -> DataFrame:
@@ -99,7 +99,7 @@ def lag_time(lag_df: DataFrame, workload_df: DataFrame) -> DataFrame:
         "topic",
         "partition",
         "lag",
-        F.round(
+        round6f(
             F.col("lag").cast("double")
             / F.greatest(F.lit(1.0), F.coalesce("msgs_per_sec", F.lit(0.0))),
             4,

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f
+
 _DEC = "decimal(18,2)"
 
 
@@ -125,9 +127,9 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-31") -> DataFram
         money_round(units_total("eh", "el"), 2).alias("sum_base_price"),
         money_round(units_total("dh", "dl"), 4).alias("sum_disc_price"),
         money_round(units_total("ch", "cl"), 6).alias("sum_charge"),
-        F.round(money_dec(units_total("qh", "ql"), 2).cast("double") / n, 6).alias("avg_qty"),
-        F.round(money_dec(units_total("eh", "el"), 2).cast("double") / n, 6).alias("avg_price"),
-        F.round(money_dec(units_total("sh", "sl"), 2).cast("double") / n, 6).alias("avg_disc"),
+        round6f(money_dec(units_total("qh", "ql"), 2).cast("double") / n).alias("avg_qty"),
+        round6f(money_dec(units_total("eh", "el"), 2).cast("double") / n).alias("avg_price"),
+        round6f(money_dec(units_total("sh", "sl"), 2).cast("double") / n).alias("avg_disc"),
         "count_order",
     )
 
@@ -272,11 +274,10 @@ def promo_revenue_monthly(
         )
         .select(
             "month",
-            F.round(
+            round6f(
                 F.lit(100.0)
                 * money_dec(units_total("ph", "pl"), 4).cast("double")
-                / money_dec(units_total("rh", "rl"), 4).cast("double"),
-                6,
+                / money_dec(units_total("rh", "rl"), 4).cast("double")
             ).alias("promo_pct"),
             money_round(units_total("rh", "rl"), 4).alias("revenue"),
         )
@@ -352,7 +353,7 @@ def small_quantity_revenue(
             F.count("*").alias("n_items"),
         )
         .select(
-            F.round(
+            round6f(
                 money_dec(units_total("eh", "el"), 2).cast("double") / 7.0, 2
             ).alias("avg_yearly"),
             "n_items",
@@ -474,7 +475,7 @@ def event_transitions(events: DataFrame) -> DataFrame:
             "prev_type",
             "curr_type",
             "n",
-            F.round(F.col("n") / F.col("t"), 6).alias("p"),
+            round6f(F.col("n") / F.col("t")).alias("p"),
         )
         .orderBy("prev_type", "curr_type")
     )

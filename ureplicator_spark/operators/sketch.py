@@ -847,3 +847,91 @@ def kmv_source_overlap_gauged(documents: DataFrame, k: int = KMV_K) -> DataFrame
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (Tene, HdrHistogram.org — log-bucketed
+# integer histogram with bounded RELATIVE error; the mergeable
+# quantile-sketch family member, r10 verdict task #2)
+# ---------------------------------------------------------------------------
+
+HDR_M_BITS = 5  # sub-bucket precision: relative error <= 2^-5 ~ 3.1%
+
+
+def hdr_bucket_key(v, m: int = HDR_M_BITS):
+    """HDR bucket key for a non-negative integer column ``v``: values
+    below 2^m are EXACT (key = v); above, key = (e << m) | top-m
+    mantissa bits with e = floor(log2 v). Pure integer/string ops —
+    floor-log2 via ``length(bin(v)) - 1``, never a double log whose
+    libm could disagree across engines at power-of-two boundaries.
+    Key is monotone non-decreasing in v, so rank walks stay ordered."""
+    e = (F.length(F.bin(v)) - 1).cast("int")
+    big = (
+        F.call_function("shiftleft", e.cast("long"), F.lit(m))
+        + F.call_function("shiftright", v, e - F.lit(m))
+        - F.lit(1 << m)
+    )
+    return F.when(v < F.lit(1 << m), v).otherwise(big)
+
+
+def hdr_bucket_bounds(key, m: int = HDR_M_BITS):
+    """(lo, hi) integer value bounds of an HDR bucket key. Bucket width
+    is 2^(e-m), so (hi - lo + 1) / lo <= 2^-m — the relative-error
+    guarantee a quantile read inherits."""
+    e = F.call_function("shiftright", key, F.lit(m)).cast("int")
+    rem = key - F.call_function("shiftleft", e.cast("long"), F.lit(m))
+    width = F.call_function("shiftleft", F.lit(1).cast("long"), e - F.lit(m))
+    lo_big = F.call_function("shiftleft", rem + F.lit(1 << m), e - F.lit(m))
+    small = key < F.lit(1 << m)
+    lo = F.when(small, key).otherwise(lo_big)
+    hi = F.when(small, key).otherwise(lo_big + width - 1)
+    return lo, hi
+
+
+def hdr_registers(
+    df: DataFrame, value_col: str, group_cols: list[str], m: int = HDR_M_BITS
+) -> DataFrame:
+    """Per-group HDR registers ``(groups..., bucket_key, cnt)`` — ONE
+    shuffle on (groups, bucket) with map-side partial COUNT; at most
+    ~(64-m)·2^m + 2^m buckets per group however large the corpus, and
+    registers MERGE by plain SUM on bucket_key (append ≡ rebuild is
+    exact, not approximate — pinned in tests/test_gauge_parity.py).
+    This is the 100 TB shape `workload_percentiles`' exact per-group
+    sort cannot take: sketch state is constant-size per group and the
+    merge is associative, so partial registers flow through map-side
+    combine like any SUM."""
+    v = F.col(value_col).cast("long")
+    return (
+        df.groupBy(*group_cols, hdr_bucket_key(v, m).alias("bucket_key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    regs: DataFrame,
+    group_cols: list[str],
+    percentiles: tuple[int, ...] = (50, 95, 99),
+    m: int = HDR_M_BITS,
+) -> DataFrame:
+    """Nearest-rank quantile reads off HDR registers: for integer
+    percentile p, the answer is the hi bound of the first bucket whose
+    cumulative count reaches rank ceil(p·n/100) — compared in exact
+    integer cross-multiplied form (100·cum >= p·n), no doubles
+    anywhere, so any engine reproduces the estimate bit-for-bit. The
+    window runs over REGISTER rows (bounded per group), not data."""
+    word = Window.partitionBy(*group_cols).orderBy("bucket_key")
+    wall = Window.partitionBy(*group_cols)
+    _, hi = hdr_bucket_bounds(F.col("bucket_key"), m)
+    cum = (
+        regs.withColumn("cum", F.sum("cnt").over(word))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("hi", hi)
+    )
+    aggs = [F.max("n").alias("n_records"), F.count("*").alias("n_buckets")]
+    for p in percentiles:
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("hi"))
+            ).alias(f"p{p}_est")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f, round6s
+
 from ureplicator_spark.caching import pin
 from ureplicator_spark.functions import md5_long
 
@@ -54,10 +56,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars"),
         n_tokens,
-        F.round(
+        round6f(
             (F.length(F.regexp_replace("text", " ", "")))
-            / (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1),
-            6,
+            / (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1)
         ).alias("avg_token_len"),
         # BPE-ish subword proxy: vowel-group count (regexp_extract_all is
         # codegen'd JVM-side; the pattern is RE2/Java-portable)
@@ -80,8 +81,8 @@ def quality_score(documents: DataFrame) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("type_token_ratio"),
-        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        round6f(F.col("n_distinct") / F.col("n_tokens")).alias("type_token_ratio"),
+        round6f(F.col("n_stop") / F.col("n_tokens")).alias("stopword_ratio"),
         (
             (F.col("n_tokens") >= 10)
             & (F.col("n_distinct") * 10 >= F.col("n_tokens"))  # TTR ≥ 0.1, exact ints
@@ -492,7 +493,7 @@ def corpus_mix(documents: DataFrame) -> DataFrame:
             "lang",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("token_share"),
+            round6f(F.col("n_tokens") / F.col("_total")).alias("token_share"),
         )
     )
 
@@ -535,8 +536,8 @@ def repetition_stats(documents: DataFrame, include_3gram: bool = True) -> DataFr
             .count()
         )
         return grams.groupBy("doc_id").agg(
-            F.round(
-                (F.sum("count") - F.count("*")) / F.sum("count"), 6
+            round6f(
+                (F.sum("count") - F.count("*")) / F.sum("count")
             ).alias(out)
         )
 
@@ -544,7 +545,7 @@ def repetition_stats(documents: DataFrame, include_3gram: bool = True) -> DataFr
     cols = [
         F.col("doc_id"),
         F.col("n_tokens"),
-        F.round(F.col("top_token_n") / F.col("n_tokens"), 6).alias("top_token_share"),
+        round6f(F.col("top_token_n") / F.col("n_tokens")).alias("top_token_share"),
         F.coalesce("dup_2gram_share", F.lit(0.0)).alias("dup_2gram_share"),
     ]
     if include_3gram:
@@ -717,8 +718,8 @@ def benchmark_contamination(
             "doc_id",
             "n_grams",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_share"),
-            (F.round(F.col("n_hits") / F.col("n_grams"), 6) >= 0.5).alias(
+            round6f(F.col("n_hits") / F.col("n_grams")).alias("hit_share"),
+            (round6f(F.col("n_hits") / F.col("n_grams")) >= 0.5).alias(
                 "contaminated"
             ),
         )
@@ -741,8 +742,8 @@ def corpus_mix_weights(documents: DataFrame, alpha: float = 0.7) -> DataFrame:
     total = g.agg(F.sum("n_tokens").alias("_total"))
     cells = (
         g.crossJoin(F.broadcast(total))
-        .withColumn("token_share", F.round(F.col("n_tokens") / F.col("_total"), 6))
-        .withColumn("raw_w", F.round(F.pow("token_share", F.lit(alpha)), 6))
+        .withColumn("token_share", round6f(F.col("n_tokens") / F.col("_total")))
+        .withColumn("raw_w", round6f(F.pow("token_share", F.lit(alpha))))
     )
     z = cells.agg(F.sum("raw_w").alias("_z"))
     return (
@@ -752,7 +753,7 @@ def corpus_mix_weights(documents: DataFrame, alpha: float = 0.7) -> DataFrame:
             "lang",
             "n_tokens",
             "token_share",
-            F.round(F.col("raw_w") / F.col("_z"), 6).alias("weight"),
+            round6f(F.col("raw_w") / F.col("_z")).alias("weight"),
         )
     )
 
@@ -840,7 +841,7 @@ def bpe_token_estimate(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.size(toks).cast("int").alias("n_words"),
         bpe.cast("int").alias("n_bpe_tokens"),
-        F.round(bpe / F.size(toks), 6).alias("tokens_per_word"),
+        round6f(bpe / F.size(toks)).alias("tokens_per_word"),
     )
 
 
@@ -1383,12 +1384,11 @@ def collocation_pmi(
     ub = uni.select(F.col("t").alias("b"), F.col("cu").alias("cb"))
     # numerator/denominator each cast to double FIRST and kept
     # left-associated so both engines run the identical IEEE chain
-    pmi = F.round(
+    pmi = round6s(
         F.log(
             (F.col("cab").cast("double") * F.col("n1") * F.col("n1"))
             / (F.col("n2").cast("double") * F.col("ca") * F.col("cb"))
-        ),
-        6,
+        )
     )
     scored = (
         bc.filter(F.col("cab") >= min_count)
@@ -1437,7 +1437,7 @@ def weighted_sample_docs(
     u = (md5_long(F.col("doc_id").cast("string"), salt="wsample") + 1) / F.lit(
         float(1 << 60)
     )
-    key = F.round(F.log(u) / F.col(weight_col), 9)
+    key = round6s(F.log(u) / F.col(weight_col), 9)
     scored = documents.filter(F.col(weight_col) > 0).select(
         "doc_id", "lang", F.col(weight_col).alias("weight"), key.alias("es_key")
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f, round6s
 from ureplicator_spark.fixtures import (
     DEFAULT_BYTES_PER_SEC,
     DEFAULT_MSGS_PER_SEC,
@@ -32,21 +33,27 @@ from ureplicator_spark.fixtures import (
 )
 
 
+def workload_windows_raw(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame:
+    """(topic, window_start, window_bytes, window_msgs) — the EXACT
+    integer per-window sums behind :func:`workload_windows`. Running /
+    frame aggregates must fold these (integer sums are
+    order-independent) and divide ONCE at the end; folding the derived
+    double rates instead would inherit each engine's window-summation
+    association order (segment tree vs left fold)."""
+    win = (F.col("ts_sec") - (F.col("ts_sec") % width_sec)).alias("window_start")
+    return records.groupBy("topic", win).agg(
+        F.sum("value_size").cast("long").alias("window_bytes"),
+        F.count("*").alias("window_msgs"),
+    )
+
+
 def workload_windows(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame:
     """A5/T7: tumbling-window per-topic rates from the record log."""
-    win = (F.col("ts_sec") - (F.col("ts_sec") % width_sec)).alias("window_start")
-    return (
-        records.groupBy("topic", win)
-        .agg(
-            F.sum("value_size").alias("window_bytes"),
-            F.count("*").alias("window_msgs"),
-        )
-        .select(
-            "topic",
-            "window_start",
-            F.round(F.col("window_bytes") / float(width_sec), 6).alias("bytes_per_sec"),
-            F.round(F.col("window_msgs") / float(width_sec), 6).alias("msgs_per_sec"),
-        )
+    return workload_windows_raw(records, width_sec).select(
+        "topic",
+        "window_start",
+        round6f(F.col("window_bytes") / float(width_sec)).alias("bytes_per_sec"),
+        round6f(F.col("window_msgs") / float(width_sec)).alias("msgs_per_sec"),
     )
 
 
@@ -97,8 +104,8 @@ def partition_workload(records: DataFrame) -> DataFrame:
             "partition",
             "total_bytes",
             "total_msgs",
-            F.round(F.col("total_bytes") / F.col("span_sec"), 6).alias("bytes_per_sec"),
-            F.round(F.col("total_msgs") / F.col("span_sec"), 6).alias("msgs_per_sec"),
+            round6f(F.col("total_bytes") / F.col("span_sec")).alias("bytes_per_sec"),
+            round6f(F.col("total_msgs") / F.col("span_sec")).alias("msgs_per_sec"),
         )
     )
 
@@ -151,9 +158,12 @@ def expected_workers(records: DataFrame, per_worker_bytes: int = MAX_WORKLOAD_PE
         F.sum("value_size").cast("long").alias("grand_bytes"),
         (F.max("ts_sec") - F.min("ts_sec")).cast("long").alias("span_sec"),
     ).select(
-        F.round(F.col("grand_bytes") / F.col("span_sec"), 6).alias("total_bytes_per_sec"),
+        round6f(F.col("grand_bytes") / F.col("span_sec")).alias("total_bytes_per_sec"),
         (
-            F.round((F.col("grand_bytes") / F.col("span_sec")) / F.lit(float(per_worker_bytes)), 0).cast("int")
+            F.floor(
+                (F.col("grand_bytes") / F.col("span_sec")) / F.lit(float(per_worker_bytes))
+                + F.lit(0.5)
+            ).cast("int")
             + 1
         ).alias("expected_workers"),
     )
@@ -231,12 +241,12 @@ def _ols_coefficients(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "slope",
         F.when(den == 0, F.lit(None)).otherwise(
-            F.round(num.cast("double") / den.cast("double"), 6)
+            round6s(num.cast("double") / den.cast("double"))
         ),
     ).withColumn(
         "intercept",
         F.when(den == 0, F.lit(None)).otherwise(
-            F.round(icept_num.cast("double") / icept_den.cast("double"), 6)
+            round6s(icept_num.cast("double") / icept_den.cast("double"))
         ),
     )
 
@@ -266,7 +276,7 @@ def workload_trend(records: DataFrame, width_sec: int = WINDOW_SEC) -> DataFrame
         "n_windows",
         "slope",
         "intercept",
-        F.round(F.col("intercept") + F.col("slope") * (F.col("max_idx") + 1), 6).alias(
+        round6s(F.col("intercept") + F.col("slope") * (F.col("max_idx") + 1)).alias(
             "forecast_next"
         ),
     ).orderBy("topic")
@@ -303,16 +313,30 @@ def capacity_forecast(
         )
     )
     forecast = F.coalesce(
-        F.round(F.col("intercept") + F.col("slope") * (F.col("max_idx") + 1), 6),
+        round6s(F.col("intercept") + F.col("slope") * (F.col("max_idx") + 1)),
         F.col("last_bytes").cast("double"),
     )
+    # canonical-order fold: SUM(double) over per-topic forecasts is
+    # partition-order-dependent; folding the sorted value list is one
+    # total order shared by any engine (topic count is tiny)
     total = per_topic.select(
         F.greatest(forecast, F.lit(0.0)).alias("f")
-    ).agg(F.round(F.sum("f") / width_sec, 6).alias("forecast_bytes_per_sec"))
+    ).agg(
+        round6f(
+            F.aggregate(
+                F.sort_array(F.collect_list("f")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / width_sec
+        ).alias("forecast_bytes_per_sec")
+    )
     return total.select(
         "forecast_bytes_per_sec",
         (
-            F.round(F.col("forecast_bytes_per_sec") / float(per_worker), 0).cast("int")
+            F.floor(
+                F.col("forecast_bytes_per_sec") / float(per_worker) + F.lit(0.5)
+            ).cast("int")
             + 1
         ).alias("forecast_workers"),
     )

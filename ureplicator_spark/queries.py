@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ureplicator_spark import fixtures as FX
-from ureplicator_spark.functions import md5_long, values_df
+from ureplicator_spark.functions import md5_long, round6f, round6s, values_df
 from ureplicator_spark.operators import assignment as ASG
 from ureplicator_spark.operators import lag as LAG
 from ureplicator_spark.operators import replicate as R
@@ -190,8 +190,8 @@ def q_no_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOWS_CTE = f"""
 ww AS (
   SELECT topic, ts_sec - (ts_sec % {FX.WINDOW_SEC}) AS window_start,
-         ROUND(CAST(SUM(value_size) AS BIGINT) / {FX.WINDOW_SEC}.0, 6) AS bytes_per_sec,
-         ROUND(COUNT(*) / {FX.WINDOW_SEC}.0, 6) AS msgs_per_sec
+         FLOOR(CAST(SUM(value_size) AS BIGINT) / {FX.WINDOW_SEC}.0 * 1e6 + 0.5) / 1e6 AS bytes_per_sec,
+         FLOOR(COUNT(*) / {FX.WINDOW_SEC}.0 * 1e6 + 0.5) / 1e6 AS msgs_per_sec
   FROM records GROUP BY topic, ts_sec - (ts_sec % {FX.WINDOW_SEC})
 )
 """.strip()
@@ -258,8 +258,8 @@ _PARTITION_WL_SQL = _with(
     _SPAN_CTE,
     """
 SELECT topic, "partition" AS partition, total_bytes, total_msgs,
-       ROUND(total_bytes / span_sec, 6) AS bytes_per_sec,
-       ROUND(total_msgs / span_sec, 6) AS msgs_per_sec
+       FLOOR(total_bytes / span_sec * 1e6 + 0.5) / 1e6 AS bytes_per_sec,
+       FLOOR(total_msgs / span_sec * 1e6 + 0.5) / 1e6 AS msgs_per_sec
 FROM partition_wl, span
 """,
 )
@@ -325,8 +325,8 @@ g AS (SELECT CAST(SUM(value_size) AS BIGINT) AS grand_bytes,
       FROM records)
 """.strip(),
     f"""
-SELECT ROUND(grand_bytes / span_sec, 6) AS total_bytes_per_sec,
-       CAST(ROUND((grand_bytes / span_sec) / {float(FX.MAX_WORKLOAD_PER_WORKER)}, 0) AS INT) + 1 AS expected_workers
+SELECT FLOOR(grand_bytes / span_sec * 1e6 + 0.5) / 1e6 AS total_bytes_per_sec,
+       CAST(FLOOR((grand_bytes / span_sec) / {float(FX.MAX_WORKLOAD_PER_WORKER)} + 0.5) AS INT) + 1 AS expected_workers
 FROM g
 """,
 )
@@ -595,8 +595,8 @@ def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_STATS_SQL = """
 SELECT doc_id, length(text) AS n_chars,
        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-       ROUND(length(replace(text, ' ', '')) * 1.0
-             / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_token_len,
+       FLOOR(length(replace(text, ' ', '')) * 1.0
+             / (length(text) - length(replace(text, ' ', '')) + 1) * 1e6 + 0.5) / 1e6 AS avg_token_len,
        len(regexp_extract_all(text, '[aeiou]+')) AS n_subword_units
 FROM documents
 """
@@ -630,8 +630,8 @@ per AS (
 """.strip(),
     """
 SELECT doc_id, n_tokens, n_distinct,
-       ROUND(n_distinct * 1.0 / n_tokens, 6) AS type_token_ratio,
-       ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       FLOOR(n_distinct * 1.0 / n_tokens * 1e6 + 0.5) / 1e6 AS type_token_ratio,
+       FLOOR(n_stop * 1.0 / n_tokens * 1e6 + 0.5) / 1e6 AS stopword_ratio,
        (n_tokens >= 10 AND n_distinct * 10 >= n_tokens AND n_stop > 0) AS keep
 FROM per
 """,
@@ -873,7 +873,7 @@ SELECT doc_a, doc_b, jaccard, rank FROM (
          ROW_NUMBER() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rank
   FROM (
     SELECT doc_a, doc_b,
-           ROUND(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+           FLOOR(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -1051,9 +1051,9 @@ SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_qty,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_price,
+       FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
@@ -1198,13 +1198,13 @@ lagt AS (
 """.strip(),
     """
 pw AS (
-  SELECT topic, "partition", ROUND(total_msgs / span_sec, 6) AS msgs_per_sec
+  SELECT topic, "partition", FLOOR(total_msgs / span_sec * 1e6 + 0.5) / 1e6 AS msgs_per_sec
   FROM partition_wl, span
 )
 """.strip(),
     """
 SELECT l.topic, l."partition" AS partition, l.lag,
-       ROUND(l.lag * 1.0 / GREATEST(1.0, COALESCE(p.msgs_per_sec, 0.0)), 4) AS lag_time_sec
+       FLOOR(l.lag * 1.0 / GREATEST(1.0, COALESCE(p.msgs_per_sec, 0.0)) * 1e4 + 0.5) / 1e4 AS lag_time_sec
 FROM lagt l LEFT JOIN pw p USING (topic, "partition")
 """,
 )
@@ -1618,7 +1618,7 @@ gaps AS (
 SELECT topic, "partition" AS partition,
        COUNT(*) AS n_gaps,
        MAX(gap) AS max_gap,
-       ROUND(AVG(gap), 6) AS avg_gap
+       FLOOR(CAST(SUM(gap) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_gap
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY topic, "partition"
 """,
@@ -1639,10 +1639,15 @@ def q_offset_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition",
         (F.col("offset") - F.lag("offset").over(w)).alias("gap"),
     ).filter(F.col("gap").isNotNull())
+    from ureplicator_spark.functions import round6f
+
+    # exact integer SUM then ONE double division, floor-chain rounded:
+    # AVG(double) accumulation order and ROUND(double) are both
+    # engine-implementation-defined; SUM(long)/COUNT is neither
     return gaps.groupBy("topic", "partition").agg(
         F.count("*").alias("n_gaps"),
         F.max("gap").alias("max_gap"),
-        F.round(F.avg("gap"), 6).alias("avg_gap"),
+        round6f(F.sum("gap").cast("double") / F.count("gap")).alias("avg_gap"),
     )
 
 
@@ -1769,10 +1774,10 @@ def q_route_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROMO_SQL = """
 SELECT strftime(l_shipdate, '%Y-%m') AS month,
-       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       FLOOR(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_pct,
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS promo_pct,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1831,7 +1836,7 @@ stats AS (
          COUNT(*) AS n_li
   FROM li GROUP BY l_partkey
 )
-SELECT ROUND(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+SELECT FLOOR(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 * 1e2 + 0.5) / 1e2 AS avg_yearly,
        COUNT(*) AS n_items
 FROM li JOIN stats ON li.l_partkey = stats.s_partkey
 WHERE CAST(li.l_quantity AS DECIMAL(18,2)) * 5 * stats.n_li < stats.sum_qty * 1
@@ -2012,31 +2017,68 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pctl_x100_sql_term(p: int) -> str:
+    return f"""
+       SUM(CASE WHEN rn = (n - 1) * {p} // 100 + 1
+                     THEN value_size * (100 - (n - 1) * {p} % 100)
+                WHEN rn = (n - 1) * {p} // 100 + 2 AND (n - 1) * {p} % 100 > 0
+                     THEN value_size * ((n - 1) * {p} % 100)
+                ELSE 0 END) AS p{p}_x100""".rstrip()
+
+
 _PCTL_SQL = _with(
     FX.RECORDS_CTE,
     """
-SELECT topic,
-       ROUND(quantile_cont(value_size, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value_size, 0.95), 6) AS p95,
-       ROUND(quantile_cont(value_size, 0.99), 6) AS p99,
-       MAX(value_size) AS max_size
-FROM records GROUP BY topic
-""",
+ranked AS (
+  SELECT topic, value_size,
+         ROW_NUMBER() OVER (PARTITION BY topic ORDER BY value_size) AS rn,
+         COUNT(*) OVER (PARTITION BY topic) AS n
+  FROM records
 )
+""".strip(),
+    "SELECT topic,"
+    + ",".join(_pctl_x100_sql_term(p) for p in (50, 95, 99))
+    + ",\n       MAX(value_size) AS max_size\nFROM ranked GROUP BY topic",
+)
+
+
+def _pctl_x100_term(p: int):
+    lo_rn = F.expr(f"(n - 1) * {p} div 100 + 1")
+    rem = F.expr(f"(n - 1) * {p} % 100")
+    return F.sum(
+        F.when(F.col("rn") == lo_rn, F.col("value_size") * (100 - rem))
+        .when((F.col("rn") == lo_rn + 1) & (rem > 0), F.col("value_size") * rem)
+        .otherwise(F.lit(0))
+    ).alias(f"p{p}_x100")
 
 
 @register("workload_percentiles", _PCTL_SQL)
 def q_workload_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-topic payload-size distribution (p50/p95/p99) — the capacity
-    signal behind A4's max-over-lookback, computed as exact interpolated
-    percentiles (both engines use the same (n-1)·p continuous-rank
-    definition). At 100 TB swap to approx_percentile (t-digest) — same
-    plan shape, bounded memory; exact kept here for the oracle gate."""
+    """Per-topic payload-size distribution (p50/p95/p99, ×100 integer
+    fixed-point) — the capacity signal behind A4's max-over-lookback.
+
+    Exact continuous-rank percentiles computed in PURE INTEGER
+    arithmetic: for rank position (n-1)·p/100 = lo + rem/100, the
+    interpolated value ×100 is v[lo]·(100-rem) + v[lo+1]·rem — the
+    same (n-1)·p definition as F.percentile/quantile_cont, but with no
+    doubles anywhere, so neither the engines' interpolation formulas
+    nor their ROUNDs can diverge (the r10 verdict's divergence class;
+    this site was its named example). One per-topic window sort + one
+    aggregate — same plan shape as before. At 100 TB the sketch twin
+    `workload_quantile_sketch` (mergeable HDR registers, no per-group
+    sort) is the production row; exact kept here as its gauge."""
+    from pyspark.sql import Window
+
     rec = FX.records(spark, sf_dir)
-    return rec.groupBy("topic").agg(
-        F.round(F.percentile("value_size", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value_size", F.lit(0.95)), 6).alias("p95"),
-        F.round(F.percentile("value_size", F.lit(0.99)), 6).alias("p99"),
+    w = Window.partitionBy("topic")
+    ranked = rec.select(
+        "topic",
+        "value_size",
+        F.row_number().over(w.orderBy("value_size")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    return ranked.groupBy("topic").agg(
+        *[_pctl_x100_term(p) for p in (50, 95, 99)],
         F.max("value_size").alias("max_size"),
     )
 
@@ -2082,14 +2124,25 @@ def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_SQL = _with(
     FX.RECORDS_CTE,
-    _WINDOWS_CTE,
-    """
-SELECT topic, window_start, bytes_per_sec,
-       ROUND(SUM(bytes_per_sec) OVER (PARTITION BY topic ORDER BY window_start
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_bytes_per_sec,
-       ROUND(AVG(bytes_per_sec) OVER (PARTITION BY topic ORDER BY window_start
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3_bytes_per_sec
-FROM ww
+    f"""
+wwr AS (
+  SELECT topic, ts_sec - (ts_sec % {FX.WINDOW_SEC}) AS window_start,
+         CAST(SUM(value_size) AS BIGINT) AS window_bytes
+  FROM records GROUP BY topic, ts_sec - (ts_sec % {FX.WINDOW_SEC})
+)
+""".strip(),
+    f"""
+SELECT topic, window_start,
+       FLOOR(window_bytes / {FX.WINDOW_SEC}.0 * 1e6 + 0.5) / 1e6 AS bytes_per_sec,
+       FLOOR(SUM(window_bytes) OVER (PARTITION BY topic ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / {FX.WINDOW_SEC}.0 * 1e6 + 0.5) / 1e6 AS cum_bytes_per_sec,
+       FLOOR(CAST(SUM(window_bytes) OVER (PARTITION BY topic ORDER BY window_start
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (COUNT(*) OVER (PARTITION BY topic ORDER BY window_start
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * {FX.WINDOW_SEC}.0)
+             * 1e6 + 0.5) / 1e6 AS ma3_bytes_per_sec
+FROM wwr
 """,
 )
 
@@ -2099,19 +2152,30 @@ def q_workload_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames over the workload series: per-topic running total
     (unbounded-preceding frame) and 3-window moving average (bounded
     rows frame) — per-key windows, so the sort is within-group and the
-    state per frame is O(frame), scale-safe."""
+    state per frame is O(frame), scale-safe.
+
+    Exactness: frames fold the INTEGER window byte sums and divide
+    once at the end — folding the derived double rates would inherit
+    each engine's window-summation association order (left fold vs
+    segment tree), the same order-dependence class the PSI fix
+    eliminated; the moving average is total/(n·width), identical to
+    the mean of per-window rates but with no double accumulation."""
     from pyspark.sql import Window
 
-    ww = WKL.workload_windows(FX.records(spark, sf_dir))
+    raw = WKL.workload_windows_raw(FX.records(spark, sf_dir))
     w = Window.partitionBy("topic").orderBy("window_start")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ma3 = w.rowsBetween(-2, Window.currentRow)
-    return ww.select(
+    width = float(FX.WINDOW_SEC)
+    return raw.select(
         "topic",
         "window_start",
-        "bytes_per_sec",
-        F.round(F.sum("bytes_per_sec").over(cum), 6).alias("cum_bytes_per_sec"),
-        F.round(F.avg("bytes_per_sec").over(ma3), 6).alias("ma3_bytes_per_sec"),
+        round6f(F.col("window_bytes") / width).alias("bytes_per_sec"),
+        round6f(F.sum("window_bytes").over(cum) / width).alias("cum_bytes_per_sec"),
+        round6f(
+            F.sum("window_bytes").over(ma3).cast("double")
+            / (F.count("*").over(ma3) * width)
+        ).alias("ma3_bytes_per_sec"),
     )
 
 
@@ -2218,8 +2282,8 @@ WITH RECURSIVE {FX.RECORDS_CTE},
 {_SPAN_CTE},
 ranked AS (
   SELECT topic, "partition",
-         ROUND(total_bytes / span_sec, 6) AS bytes_per_sec,
-         ROW_NUMBER() OVER (ORDER BY ROUND(total_bytes / span_sec, 6) DESC, topic, "partition") AS rn
+         FLOOR(total_bytes / span_sec * 1e6 + 0.5) / 1e6 AS bytes_per_sec,
+         ROW_NUMBER() OVER (ORDER BY FLOOR(total_bytes / span_sec * 1e6 + 0.5) / 1e6 DESC, topic, "partition") AS rn
   FROM partition_wl, span
 ),
 steps AS (
@@ -3404,7 +3468,7 @@ WITH g AS (
   FROM documents GROUP BY 1, 2
 )
 SELECT source, lang, n_docs, n_tokens,
-       CAST(ROUND(n_tokens / (SELECT SUM(n_tokens) FROM g), 6) AS DOUBLE)
+       CAST(FLOOR(n_tokens / (SELECT SUM(n_tokens) FROM g) * 1e6 + 0.5) / 1e6 AS DOUBLE)
          AS token_share
 FROM g
 """
@@ -3444,7 +3508,7 @@ per AS (
 
 _REP_G2_CTE = """
 g2 AS (
-  SELECT doc_id, ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_2gram_share
+  SELECT doc_id, FLOOR((SUM(c) - COUNT(*)) * 1.0 / SUM(c) * 1e6 + 0.5) / 1e6 AS dup_2gram_share
   FROM (SELECT doc_id, gram, COUNT(*) AS c FROM (
           SELECT doc_id,
                  unnest(list_transform(range(1, len(toks)),
@@ -3456,7 +3520,7 @@ g2 AS (
 
 _REP_G3_CTE = """
 g3 AS (
-  SELECT doc_id, ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_3gram_share
+  SELECT doc_id, FLOOR((SUM(c) - COUNT(*)) * 1.0 / SUM(c) * 1e6 + 0.5) / 1e6 AS dup_3gram_share
   FROM (SELECT doc_id, gram, COUNT(*) AS c FROM (
           SELECT doc_id,
                  unnest(list_transform(range(1, len(toks) - 1),
@@ -3474,7 +3538,7 @@ _REPETITION_SQL = _with(
     _REP_G3_CTE,
     """
 SELECT p.doc_id, p.n_tokens,
-       ROUND(p.top_token_n * 1.0 / p.n_tokens, 6) AS top_token_share,
+       FLOOR(p.top_token_n * 1.0 / p.n_tokens * 1e6 + 0.5) / 1e6 AS top_token_share,
        COALESCE(g2.dup_2gram_share, 0.0) AS dup_2gram_share,
        COALESCE(g3.dup_3gram_share, 0.0) AS dup_3gram_share
 FROM per p LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
@@ -3503,7 +3567,7 @@ flags AS (
   SELECT d.source, d.lang,
          CASE WHEN p.n_tokens < 10 THEN 1 ELSE 0 END AS f_short,
          CASE WHEN p.n_tokens > 2000 THEN 1 ELSE 0 END AS f_long,
-         CASE WHEN ROUND(p.top_token_n * 1.0 / p.n_tokens, 6) > 0.2 THEN 1 ELSE 0 END AS f_top,
+         CASE WHEN FLOOR(p.top_token_n * 1.0 / p.n_tokens * 1e6 + 0.5) / 1e6 > 0.2 THEN 1 ELSE 0 END AS f_top,
          CASE WHEN COALESCE(g2.dup_2gram_share, 0.0) > 0.3 THEN 1 ELSE 0 END AS f_dup
   FROM per p
   JOIN documents d USING (doc_id)
@@ -3725,8 +3789,8 @@ _CONTAMINATION_SQL = _with(
     """
 SELECT c.doc_id, COUNT(*) AS n_grams,
        CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hit_share,
-       ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) >= 0.5 AS contaminated
+       FLOOR(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS hit_share,
+       FLOOR(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 >= 0.5 AS contaminated
 FROM corpus c LEFT JOIN bench b USING (shingle)
 GROUP BY c.doc_id
 """,
@@ -3752,12 +3816,12 @@ WITH g AS (
 ),
 cells AS (
   SELECT source, lang, n_tokens,
-         ROUND(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM g), 6) AS token_share,
-         ROUND(POW(ROUND(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM g), 6), 0.7), 6) AS raw_w
+         FLOOR(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM g) * 1e6 + 0.5) / 1e6 AS token_share,
+         FLOOR(POW(FLOOR(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM g) * 1e6 + 0.5) / 1e6, 0.7) * 1e6 + 0.5) / 1e6 AS raw_w
   FROM g
 )
 SELECT source, lang, n_tokens, token_share,
-       ROUND(raw_w / (SELECT SUM(raw_w) FROM cells), 6) AS weight
+       FLOOR(raw_w / (SELECT SUM(raw_w) FROM cells) * 1e6 + 0.5) / 1e6 AS weight
 FROM cells
 """
 
@@ -3991,7 +4055,7 @@ tmatrix AS (
 """.strip(),
     "ttot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t FROM tmatrix GROUP BY prev_type)",
     """
-SELECT m.prev_type, m.curr_type, m.n, ROUND(m.n * 1.0 / t.t, 6) AS p
+SELECT m.prev_type, m.curr_type, m.n, FLOOR(CAST(m.n AS DOUBLE) / t.t * 1e6 + 0.5) / 1e6 AS p
 FROM tmatrix m JOIN ttot t USING (prev_type)
 ORDER BY m.prev_type, m.curr_type
 """,
@@ -4291,8 +4355,8 @@ _BPE_SQL = """
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), ' +')) AS INTEGER) AS n_words,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
-       ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
-             * 1.0 / len(regexp_split_to_array(trim(text), ' +')), 6) AS tokens_per_word
+       FLOOR(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+             * 1.0 / len(regexp_split_to_array(trim(text), ' +')) * 1e6 + 0.5) / 1e6 AS tokens_per_word
 FROM documents
 """
 
@@ -4318,7 +4382,7 @@ inter AS (
 """.strip(),
     """
 SELECT inner_doc, outer_doc, s.n_grams AS n_inner, n_shared,
-       ROUND(n_shared * 1.0 / s.n_grams, 6) AS containment
+       FLOOR(CAST(n_shared AS DOUBLE) / s.n_grams * 1e6 + 0.5) / 1e6 AS containment
 FROM inter JOIN sizes s ON s.doc_id = inner_doc
 WHERE n_shared * 1.0 / s.n_grams >= 0.9
 ORDER BY inner_doc, outer_doc
@@ -4674,7 +4738,7 @@ pw AS (
     """
 lt AS (
   SELECT l.topic, l."partition", l.lag,
-         FLOOR(ROUND(l.lag * 1.0 / GREATEST(1.0, COALESCE(p.msgs_per_sec, 0.0)), 4) / 60)
+         FLOOR(FLOOR(l.lag * 1.0 / GREATEST(1.0, COALESCE(p.msgs_per_sec, 0.0)) * 1e4 + 0.5) / 1e4 / 60)
            AS lag_min
   FROM lagt l LEFT JOIN pw p USING (topic, "partition")
 )
@@ -4946,7 +5010,7 @@ rep AS (
 SELECT w.doc_id, COUNT(*) AS n_windows,
        CAST(SUM(CASE WHEN r.win_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_windows,
-       ROUND(SUM(CASE WHEN r.win_hash IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+       FLOOR(CAST(SUM(CASE WHEN r.win_hash IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
          AS dup_share
 FROM wins w LEFT JOIN rep r USING (win_hash)
 GROUP BY w.doc_id ORDER BY w.doc_id
@@ -5034,17 +5098,25 @@ regs AS (
 reg AS (
   SELECT topic, n AS n_windows, max_idx,
          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-              ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+              ELSE (SIGN(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * FLOOR(ABS(CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5)
+                    / 1e6 + 0.0) END AS slope,
          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-              ELSE ROUND(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
-                         / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) END AS intercept
+              ELSE (SIGN(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                          / CAST(n * (n * sxx - sx * sx) AS DOUBLE))
+                    * FLOOR(ABS(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                                / CAST(n * (n * sxx - sx * sx) AS DOUBLE)) * 1e6 + 0.5)
+                    / 1e6 + 0.0) END AS intercept
   FROM regs
 )
 """.strip(),
     """
 SELECT topic, n_windows, slope, intercept,
-       ROUND(intercept + slope * (max_idx + 1), 6) AS forecast_next
+       (SIGN(intercept + slope * (max_idx + 1))
+        * FLOOR(ABS(intercept + slope * (max_idx + 1)) * 1e6 + 0.5) / 1e6 + 0.0)
+         AS forecast_next
 FROM reg ORDER BY topic
 """,
 )
@@ -5099,8 +5171,8 @@ dots AS (
 """.strip(),
     """
 SELECT d.doc_a, d.doc_b, d.est_jaccard,
-       ROUND(d.dot / (na.n * nb.n), 6) AS cosine,
-       ROUND(d.dot / (na.n * nb.n), 6) >= 0.5 AS agree
+       FLOOR(d.dot / (na.n * nb.n) * 1e6 + 0.5) / 1e6 AS cosine,
+       FLOOR(d.dot / (na.n * nb.n) * 1e6 + 0.5) / 1e6 >= 0.5 AS agree
 FROM dots d JOIN nrm na ON na.vec_id = d.doc_a JOIN nrm nb ON nb.vec_id = d.doc_b
 ORDER BY d.doc_a, d.doc_b
 """,
@@ -5133,7 +5205,7 @@ WITH RECURSIVE
 okd AS (
   SELECT p.doc_id FROM per p LEFT JOIN g2 USING (doc_id)
   WHERE p.n_tokens >= 10 AND p.n_tokens <= 2000
-    AND ROUND(p.top_token_n * 1.0 / p.n_tokens, 6) <= 0.2
+    AND FLOOR(p.top_token_n * 1.0 / p.n_tokens * 1e6 + 0.5) / 1e6 <= 0.2
     AND COALESCE(g2.dup_2gram_share, 0.0) <= 0.3
 ),
 gated AS (SELECT d.* FROM documents d JOIN okd USING (doc_id)),
@@ -5320,26 +5392,38 @@ pts AS (
 pt AS (
   SELECT topic, max_idx, last_bytes,
          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-              ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+              ELSE (SIGN(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * FLOOR(ABS(CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5)
+                    / 1e6 + 0.0) END AS slope,
          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-              ELSE ROUND(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
-                         / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) END AS intercept
+              ELSE (SIGN(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                          / CAST(n * (n * sxx - sx * sx) AS DOUBLE))
+                    * FLOOR(ABS(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                                / CAST(n * (n * sxx - sx * sx) AS DOUBLE)) * 1e6 + 0.5)
+                    / 1e6 + 0.0) END AS intercept
   FROM pts
 )
 """.strip(),
     f"""
-tot AS (
-  SELECT ROUND(SUM(GREATEST(COALESCE(
-           ROUND(intercept + slope * (max_idx + 1), 6),
-           CAST(last_bytes AS DOUBLE)), 0.0)) / {FX.WINDOW_SEC}, 6)
-           AS forecast_bytes_per_sec
+fvals AS (
+  SELECT GREATEST(COALESCE(
+           (SIGN(intercept + slope * (max_idx + 1))
+            * FLOOR(ABS(intercept + slope * (max_idx + 1)) * 1e6 + 0.5) / 1e6 + 0.0),
+           CAST(last_bytes AS DOUBLE)), 0.0) AS f
   FROM pt
+),
+tot AS (
+  SELECT FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(f ORDER BY f)),
+                           (acc, x) -> acc + x) / {FX.WINDOW_SEC} * 1e6 + 0.5) / 1e6
+           AS forecast_bytes_per_sec
+  FROM fvals
 )
 """.strip(),
     f"""
 SELECT forecast_bytes_per_sec,
-       CAST(ROUND(forecast_bytes_per_sec / {float(FX.MAX_WORKLOAD_PER_WORKER)}, 0) AS INT) + 1
+       CAST(FLOOR(forecast_bytes_per_sec / {float(FX.MAX_WORKLOAD_PER_WORKER)} + 0.5) AS INT) + 1
          AS forecast_workers
 FROM tot
 """,
@@ -5364,7 +5448,7 @@ WITH e AS (
 SELECT event_type, COUNT(*) AS n_events,
        COUNT(k) AS n_valid_props,
        CAST(SUM(k) AS BIGINT) AS sum_k,
-       ROUND(SUM(k) * 1.0 / COUNT(k), 6) AS avg_k
+       FLOOR(CAST(SUM(k) AS DOUBLE) / COUNT(k) * 1e6 + 0.5) / 1e6 AS avg_k
 FROM e GROUP BY event_type ORDER BY event_type
 """
 
@@ -5390,7 +5474,7 @@ def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.count("k").alias("n_valid_props"),
             F.sum("k").cast("long").alias("sum_k"),
-            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+            round6f(F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -5923,8 +6007,11 @@ bc AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY a, b),
 n2 AS (SELECT SUM(cab) AS n2 FROM bc),
 scored AS (
   SELECT bc.a, bc.b, bc.cab,
-         ROUND(LN((CAST(bc.cab AS DOUBLE) * n1.n1 * n1.n1)
-                  / (CAST(n2.n2 AS DOUBLE) * ua.cu * ub.cu)), 6) AS pmi
+         (SIGN(LN((CAST(bc.cab AS DOUBLE) * n1.n1 * n1.n1)
+                   / (CAST(n2.n2 AS DOUBLE) * ua.cu * ub.cu)))
+          * FLOOR(ABS(LN((CAST(bc.cab AS DOUBLE) * n1.n1 * n1.n1)
+                         / (CAST(n2.n2 AS DOUBLE) * ua.cu * ub.cu))) * 1e6 + 0.5)
+          / 1e6 + 0.0) AS pmi
   FROM bc
   JOIN uni ua ON ua.t = bc.a
   JOIN uni ub ON ub.t = bc.b
@@ -6084,8 +6171,11 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WSAMPLE_SQL = """
 WITH scored AS (
   SELECT doc_id, lang, n_chars AS weight,
-         ROUND(LN((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-                  / 1152921504606846976.0) / n_chars, 9) AS es_key
+         (SIGN(LN((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                   / 1152921504606846976.0) / n_chars)
+          * FLOOR(ABS(LN((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                         / 1152921504606846976.0) / n_chars) * 1e9 + 0.5)
+          / 1e9 + 0.0) AS es_key
   FROM documents WHERE n_chars > 0
 )
 SELECT lang, rank, doc_id, weight, es_key FROM (
@@ -6319,7 +6409,7 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b, c.sa, c.sb
 )
 SELECT doc_a, doc_b, inter, sa, sb,
-       ROUND(inter * 1.0 / (sa + sb - inter), 6) AS jaccard
+       FLOOR(CAST(inter AS DOUBLE) / (sa + sb - inter) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM inter
 WHERE 3 * inter >= sa + sb
 ORDER BY doc_a, doc_b
@@ -8152,3 +8242,141 @@ def q_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"), "cluster_id", "is_keeper")
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline (r11): incremental TEXT dedup against the standing
+# MinHash index — the media_incremental_dedup discipline applied to the
+# text family (the r10 verdict's remaining lifecycle gap)
+# ---------------------------------------------------------------------------
+
+_TEXT_INCR_SQL = _with(
+    # the re-crawl batch: every 5th doc, lightly edited (first word
+    # dropped — near-dup, not byte-identical), under fresh ids
+    "batch AS (SELECT doc_id + 10000000 AS doc_id,\n"
+    "                 regexp_replace(text, '^[^ ]+ ', '') AS text\n"
+    "          FROM documents WHERE doc_id % 5 = 0)",
+    "alldocs AS (SELECT doc_id, text FROM documents\n"
+    "            UNION ALL SELECT doc_id, text FROM batch)",
+    _shingles_cte("alldocs"),
+    _MINHASH_CTE,
+    """
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY seed), ',')) AS band_hash
+  FROM mh GROUP BY doc_id, CAST(seed // 2 AS INT)
+)
+""".strip(),
+    """
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id >= 10000000 AND b.doc_id < 10000000
+)
+""".strip(),
+    """
+SELECT c.new_doc, c.corpus_doc,
+       ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS est_jaccard
+FROM cand c
+JOIN mh sa ON sa.doc_id = c.new_doc
+JOIN mh sb ON sb.doc_id = c.corpus_doc AND sb.seed = sa.seed
+GROUP BY c.new_doc, c.corpus_doc
+ORDER BY new_doc, corpus_doc
+""",
+)
+
+
+@register("text_incremental_dedup", _TEXT_INCR_SQL)
+def q_text_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest TEXT-dedup lifecycle, gated end-to-end: a batch
+    of lightly-edited re-crawls (every 5th doc minus its first word,
+    fresh ids) probes the STANDING MinHash signature index — the batch
+    is signed (it is small), banded, and joined against the persisted
+    band sections; the corpus is NEVER re-shingled. O(batch·bands)
+    work, never batch×corpus. The oracle recomputes the restricted
+    LSH join (batch-side × corpus-side pairs only) from scratch —
+    valid because index signatures are per-doc local state, provably
+    equal to a fresh signing of the same corpus (the append≡rebuild
+    and probe≡from-scratch equivalences stay pinned in
+    tests/test_operators_extra.py::test_minhash_index_incremental_dedup)."""
+    from ureplicator_spark.operators.multimodal import guard_media_id_space
+    from ureplicator_spark.sources.minhash_index import incremental_dedup
+    from ureplicator_spark.sources.parquet import load_table
+
+    root = ensure_standing_minhash_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    batch = docs.select(
+        (guard_media_id_space(F.col("doc_id"), 10_000_000) + 10_000_000).alias(
+            "doc_id"
+        ),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+    )
+    return incremental_dedup(spark, root, batch)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline (r11): mergeable quantile sketch (HDR histogram) — the
+# missing sketch-family member; the 100 TB shape workload_percentiles'
+# exact per-group percentile sort cannot take
+# ---------------------------------------------------------------------------
+
+_HDR_SKETCH_SQL = _with(
+    FX.RECORDS_CTE,
+    """
+hkeys AS (
+  SELECT topic,
+         CASE WHEN value_size < 32 THEN value_size::BIGINT
+              ELSE (length(bin(value_size)) - 1)::BIGINT * 32
+                   + ((value_size >> (length(bin(value_size)) - 1 - 5)) - 32)
+         END AS bucket_key
+  FROM records
+)
+""".strip(),
+    "hregs AS (SELECT topic, bucket_key, COUNT(*) AS cnt"
+    " FROM hkeys GROUP BY topic, bucket_key)",
+    """
+hcum AS (
+  SELECT topic, bucket_key, cnt,
+         SUM(cnt) OVER (PARTITION BY topic ORDER BY bucket_key) AS cum,
+         SUM(cnt) OVER (PARTITION BY topic) AS n,
+         CASE WHEN bucket_key < 32 THEN bucket_key
+              ELSE ((bucket_key % 32 + 32) << ((bucket_key // 32)::INT - 5))
+                   + (1::BIGINT << ((bucket_key // 32)::INT - 5)) - 1
+         END AS hi
+  FROM hregs
+)
+""".strip(),
+    """
+SELECT topic, MAX(n) AS n_records, COUNT(*) AS n_buckets,
+       MIN(CASE WHEN cum * 100 >= n * 50 THEN hi END) AS p50_est,
+       MIN(CASE WHEN cum * 100 >= n * 95 THEN hi END) AS p95_est,
+       MIN(CASE WHEN cum * 100 >= n * 99 THEN hi END) AS p99_est
+FROM hcum GROUP BY topic
+""",
+)
+
+
+@register("workload_quantile_sketch", _HDR_SKETCH_SQL)
+def q_workload_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic payload-size quantiles from a MERGEABLE HDR-histogram
+    sketch (Tene, HdrHistogram.org): log-bucketed integer registers
+    (exact below 2^5; (exponent, 5 mantissa bits) above — relative
+    error <= 2^-5), nearest-rank reads via exact integer
+    cross-multiplication (100·cum >= p·n). No doubles anywhere —
+    floor-log2 is length(bin(v))-1, so any engine reproduces the
+    registers AND the estimates bit-for-bit, unlike native
+    approx_percentile (t-digest, engine-private and
+    interpolation-bound).
+
+    Scale shape: ONE shuffle on (topic, bucket) with map-side partial
+    COUNT; state is bounded (~60·32 buckets/topic) however large the
+    log, registers merge by plain SUM (append ≡ rebuild EXACTLY —
+    pinned in tests/test_gauge_parity.py), and the rank walk windows
+    over register rows, not data. `workload_percentiles` (exact
+    interpolated percentiles, single-reducer per-group sort) is the
+    gauge twin this sketch replaces at 100 TB."""
+    from ureplicator_spark.operators.sketch import hdr_quantiles, hdr_registers
+
+    regs = hdr_registers(FX.records(spark, sf_dir), "value_size", ["topic"])
+    return hdr_quantiles(regs, ["topic"])
