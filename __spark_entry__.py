@@ -29,67 +29,77 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
-    # r10 NEW queries: perceptual image near-dup (64-bit dHash via the
-    # Arrow decode path + 8-band Hamming pigeonhole join over
-    # originals ∪ resize-stub variants) — the image-dedup capability
-    # CDC's exact-bytes chunking cannot provide.
-    "media_dhash", "media_dhash_near_pairs",
-    # r10 NEW: acoustic energy-delta fingerprint (Haitsma-Kalker'02
-    # construction, stub PCM domain) + volume-halved near-pairs.
-    "media_audio_fingerprint", "media_audio_near_pairs",
-    # r10 NEW: the daily-ingest media-dedup lifecycle — re-encoded batch
-    # probes the standing fingerprint index; gated end-to-end.
-    "media_incremental_dedup",
-    # r10 NEW: perceptual duplicate clusters (CC over dhash pairs) —
-    # pairs → clusters → keep-one retention, the text-family shape.
-    "media_dedup_clusters",
-    # r10 PRODUCTION-SHAPE change (r9 verdict task #3): these two rows
-    # are now the sketch build + estimate/probe only — the exact-count
-    # gauge pairing moved to tests/test_gauge_parity.py (it doubled
-    # each query with the very shuffle the sketch exists to avoid).
-    # New output schema ⇒ re-gate.
-    "approx_distinct_orders", "cms_token_counts",
-    # r10 lineage change (same register values, pinned): the HLL rank
-    # is computed after the bucket aggregation (MAX(rho) ≡ rho(MIN v),
-    # monotonicity) so bin()'s per-row string alloc moved to per
-    # register; affects every _registers/hll_profile consumer.
-    "approx_distinct_tokens", "approx_distinct_users_rolling",
-    "table_profile_approx",
-    # r10 amortization: the PQ family (code table, ADC search, recall
-    # gauge) now serves the STANDING trained model (train once per
-    # snapshot, pq_build_sec in bench); from-scratch twins pinned in
+    # --- r11 ---
+    # NEW: mergeable HDR-histogram quantile sketch (integer registers,
+    # nearest-rank reads by integer cross-multiplication) — the
+    # missing sketch-family member; merge/gauge pinned in
     # tests/test_gauge_parity.py.
-    "embedding_pq_codes", "similarity_pq_adc", "similarity_pq_recall",
-    # r10 amortization: embedding_kmeans summarizes the standing Lloyd
-    # map (dist column now persisted alongside the SemDeDup columns).
-    "embedding_kmeans",
-    # r10 amortization: the three recall gauges read the standing eval
-    # ground-truth tables (offline eval sets cache exact neighbors once
-    # per snapshot); from-scratch twins pinned.
-    "similarity_ann_recall", "similarity_multiprobe_recall",
-    # r10 rounding-discipline fixes (r9 advisor): covariance now uses
-    # the sign-aware floor chain (cov can be negative), winnowing
-    # density the plain floor chain, and the PSI term sum folds in
-    # canonical bucket order on both engines (SUM(double) is
-    # partition-order-dependent).
-    "embedding_covariance", "winnowing_fingerprints",
-    "source_length_psi",
-    # r10 lineage change: the winnowing family now probes the standing
-    # index's persisted winnow_fingerprints section (per-doc local
-    # state — appendable like signatures); from-scratch twins stay
-    # pinned in test_minhash_index_standing_probes.
-    "winnowing_overlap_pairs",
-    # r10: PCA eigenvalue sort is now a stable argsort (deterministic
-    # under degenerate spectra); rows-only as before.
-    "embedding_pca_components",
-    # never driver-attested (rows-only set — iterative/stateful
-    # shapes, pinned vs Python/NumPy references in pytest): keep them
-    # in the window so any driver improvement picks them up.
-    "bpe_learn_merges", "bpe_segment_stats", "cdc_chunk_dedup",
-    "cdc_incremental_dedup",
-    # Everything below is already driver-attested (r01-r09, cumulative
-    # 165/170 green) and fills the remaining window slots naturally in
-    # registry order.
+    "workload_quantile_sketch",
+    # NEW: the daily-ingest TEXT dedup lifecycle gated end-to-end (the
+    # media_incremental_dedup discipline): edited re-crawl batch
+    # probes the standing MinHash band sections; oracle recomputes the
+    # restricted LSH join.
+    "text_incremental_dedup",
+    # r11 ROUND-audit REFOLDS (semantic-shape changes; see SCALE.md
+    # round-11 table): percentiles now pure-integer ×100 fixed-point;
+    # running stats fold integer window bytes; the histogram gauge
+    # interpolates explicitly from order stats; the LM/DSIR/KL/BM25/NB
+    # families fold their double terms in canonical order.
+    "workload_percentiles", "workload_running_stats",
+    "histogram_quantiles", "doc_perplexity_proxy",
+    "dsir_importance_weights", "source_unigram_kl",
+    "text_bm25_search", "bm25_index_search", "similarity_hybrid_rrf",
+    "doc_bigram_perplexity", "nb_lang_confusion", "workload_capacity_forecast",
+    "workload_trend", "offset_progression",
+    # r11 norm refold (map-only array fold — also removes the norm
+    # shuffle) + sign-aware cosine chains + quantizer chains: the
+    # whole embedding family re-gates.
+    "similarity_knn_bruteforce", "similarity_lsh_ann", "similarity_multiprobe_ann",
+    "dedup_embedding_cosine", "embedding_quantize_int8",
+    "label_centroids", "embedding_label_outliers",
+    "dedup_semantic_pairs", "dedup_semantic_summary",
+    "similarity_ivf_ann", "similarity_ivf_incremental",
+    "similarity_multiprobe_recall", "similarity_ann_recall",
+    "similarity_filtered_ann", "similarity_pq_adc",
+    "similarity_pq_recall", "embedding_kmeans",
+    # r11 floor-chain conversions with changed oracle SQL (values
+    # identical off rounding boundaries; re-gate per discipline) —
+    # the rest of the registry follows in natural order and the full
+    # 177-query × {sf0.001, sf0.01} local parity suite plus the
+    # PARITY_SF01 sweep gate everything regardless of window size.
+    "workload_windows", "workload_max_lookback", "partition_workload",
+    "expected_workers", "lag_time_estimate", "top_partitions_by_workload",
+    "event_props_stats", "q1_pricing_summary", "promo_revenue_monthly",
+    "part_small_qty_revenue", "event_transitions", "q8_market_share",
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_exact_substring",
+    "dedup_signal_agreement", "dedup_jaccard_prefix_join", "corpus_health",
+    "text_token_stats", "text_quality_score", "corpus_mix",
+    "text_repetition_stats", "benchmark_contamination", "token_count_bpe",
+    "corpus_mix_weights", "token_pmi_collocations", "weighted_sample_docs",
+    "curation_pipeline", "text_tfidf_top_terms", "multimodal_pcm_energy",
+    "kmv_source_overlap", "lag_weighted_assignment", "cms_token_counts",
+    "approx_distinct_orders", "approx_distinct_tokens",
+    "approx_distinct_users_rolling", "table_profile_approx",
+    # r11 media-family change (advisor hardening): the id-space guard
+    # (media_id vs id_offset collision now fails loudly) touched every
+    # media plan; values unchanged, re-gate per discipline.
+    "media_dhash", "media_dhash_near_pairs",
+    "media_audio_fingerprint", "media_audio_near_pairs",
+    "media_incremental_dedup", "media_dedup_clusters",
+    # r11 CONVERTED from rows-only to fully hash-gated: the Gear-CDC
+    # reset-independence that vectorizes the Spark side also makes the
+    # oracle expressible — windowed LAG sum for the rolling hash +
+    # WITH RECURSIVE cut walk (set-oriented: every doc advances one
+    # chunk per iteration). Two of the five permanent no_oracle rows
+    # retired.
+    "cdc_chunk_dedup", "cdc_incremental_dedup",
+    # never driver-attested (rows-only set — the genuinely non-SQL
+    # shapes left: sequential global-argmax merge learning, driver
+    # d×d eigh; pinned vs Python/NumPy references in pytest).
+    "bpe_learn_merges", "bpe_segment_stats",
+    # Everything below is already driver-attested (r01-r10 cumulative)
+    # and fills the remaining window slots naturally in registry
+    # order.
 ]
 
 

@@ -122,6 +122,10 @@ EXTENDED_QUERIES = [
     "media_dhash", "media_dhash_near_pairs",
     "media_audio_fingerprint", "media_audio_near_pairs",
     "media_incremental_dedup", "media_dedup_clusters",
+    # round-11 additions: the mergeable HDR quantile sketch, its exact
+    # gauge twin, and the hash-gated incremental TEXT dedup lifecycle.
+    "workload_quantile_sketch", "workload_percentiles",
+    "text_incremental_dedup",
 ]
 
 

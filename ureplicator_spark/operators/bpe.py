@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f
+
 from ureplicator_spark.functions import fan_out
 
 END_OF_WORD = "</w>"
@@ -206,13 +208,13 @@ def bpe_segment_stats(
         .groupBy("lang")
         .agg(
             F.sum("cnt").alias("n_tokens"),
-            F.round(
+            round6f(
                 F.sum(F.col("cnt") * F.col("n_syms")) / F.sum("cnt"), 4
             ).alias("avg_syms_per_word"),
-            F.round(
+            round6f(
                 F.sum(F.col("cnt") * F.col("n_chars_ew")) / F.sum("cnt"), 4
             ).alias("avg_chars_per_word"),
-            F.round(
+            round6f(
                 F.sum(F.col("cnt") * F.col("n_syms"))
                 / F.sum(F.col("cnt") * F.col("n_chars_ew")),
                 4,

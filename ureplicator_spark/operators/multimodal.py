@@ -239,7 +239,10 @@ def pcm_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
                 ids.extend([mid] * n_win)
                 widx.extend(range(n_win))
                 nsamp.extend([window] * n_win)
-                rms.extend(np.round(np.sqrt(sq / window), 6))
+                # floor chain, not np.round: numpy rounds half-EVEN while
+                # the oracle's ROUND rounds half-away — same divergence
+                # class as ROUND(double) (r11 audit)
+                rms.extend(np.floor(np.sqrt(sq / window) * 1e6 + 0.5) / 1e6)
                 peak.extend(np.abs(frames).max(axis=1))
             yield pd.DataFrame(
                 {

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f, round6s
+
 from ureplicator_spark.caching import pin
 from ureplicator_spark.functions import md5_long
 
@@ -34,8 +36,17 @@ def _components(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 
 def norms(embeddings: DataFrame) -> DataFrame:
-    comp = _components(embeddings)
-    return comp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"))
+    """Per-vector L2 norm as a MAP-ONLY index-order array fold — no
+    explode, no shuffle, and the summation order is the array order on
+    any engine. SUM over the exploded component view was partition-
+    order-dependent (f32×f32 products are exact in double; their sum
+    is not), the r11 ROUND-audit refold class. SQL twin: list_reduce
+    over list_transform, same left fold from 0.0."""
+    sq = F.transform("embedding", lambda v: v.cast("double") * v.cast("double"))
+    return embeddings.select(
+        "vec_id",
+        F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, v: a + v)).alias("norm"),
+    )
 
 
 def cosine_knn(
@@ -65,7 +76,7 @@ def cosine_knn(
         .select(
             "q_id",
             "c_id",
-            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            round6s(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -101,13 +112,12 @@ def cosine_knn_arrays(
         .select(
             "q_id",
             "c_id",
-            F.round(
+            round6s(
                 F.try_divide(
                     dot(F.col("q_emb"), F.col("c_emb")),
                     F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
                     * F.sqrt(dot(F.col("c_emb"), F.col("c_emb"))),
-                ),
-                6,
+                )
             ).alias("cosine"),
         )
     )
@@ -228,7 +238,7 @@ def lsh_ann(embeddings: DataFrame, n_queries: int = 10, n_planes: int = N_PLANES
         .join(nc, "c_id")
         .select(
             "q_id", "c_id", "bucket",
-            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            round6s(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -269,7 +279,7 @@ def embedding_near_dup_pairs(
         .join(nb, "vec_b")
         .select(
             "vec_a", "vec_b", "bucket",
-            F.round(F.try_divide(F.col("dot"), F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
+            round6s(F.try_divide(F.col("dot"), F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
         )
     )
     from ureplicator_spark.functions import top_k_ranked
@@ -321,7 +331,7 @@ def ivf_ann(
         .join(nv, "vec_id")
         .select(
             "vec_id", "cent_id",
-            F.round(F.try_divide(F.col("dot"), F.col("vn") * F.col("cn")), 6).alias("cosine"),
+            round6s(F.try_divide(F.col("dot"), F.col("vn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
@@ -368,7 +378,7 @@ def ivf_ann(
         .join(nc, "c_id")  # O(N) norms — cdot (Q·nprobe·list) is the small side
         .select(
             "q_id", "c_id",
-            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn2")), 6).alias("cosine"),
+            round6s(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn2"))).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -394,15 +404,26 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         .filter(F.col("mx") > 0)
         .select(
             "vec_id",
+            "i",
             "x",
             scale.alias("scale"),
-            F.round(F.col("x") * scale, 0).alias("q"),
+            round6s(F.col("x") * scale, 0).alias("q"),
         )
     )
     err = F.pow(F.col("x") - F.col("q") / F.col("scale"), 2)
+    # mse folds the per-component error terms in index order (AVG over
+    # doubles is partition-order-dependent; 64 bounded terms per vec)
     return qe.groupBy("vec_id").agg(
-        F.round(F.min("scale"), 6).cast("double").alias("scale"),
-        F.round(F.avg(err), 8).cast("double").alias("mse"),
+        round6f(F.min("scale")).cast("double").alias("scale"),
+        round6f(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("i", err.alias("e")))),
+                F.lit(0.0),
+                lambda a, t: a + t["e"],
+            )
+            / F.count("*"),
+            8,
+        ).cast("double").alias("mse"),
         F.max(F.abs("q")).cast("int").alias("max_q"),
     )
 
@@ -417,14 +438,21 @@ def _label_scores(embeddings: DataFrame) -> DataFrame:
     labeled = comp.join(embeddings.select("vec_id", "label"), "vec_id")
     cent = (
         labeled.groupBy("label", "i")
-        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .agg(round6f(F.avg("x"), 6).alias("cx"))
     )
+    # cnorm folds the k×dim centroid squares in index order (bounded)
     cnorm = cent.groupBy("label").agg(
-        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn")
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("i", (F.col("cx") * F.col("cx")).alias("s")))
+                ),
+                F.lit(0.0),
+                lambda a, t: a + t["s"],
+            )
+        ).alias("cn")
     )
-    vnorm = comp.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn")
-    )
+    vnorm = norms(embeddings).select("vec_id", F.col("norm").alias("vn"))
     dot = (
         labeled.join(F.broadcast(cent), ["label", "i"])
         .groupBy("vec_id", "label")
@@ -436,7 +464,7 @@ def _label_scores(embeddings: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(F.try_divide(F.col("dot"), F.col("vn") * F.col("cn")), 6).alias(
+            round6s(F.try_divide(F.col("dot"), F.col("vn") * F.col("cn"))).alias(
                 "centroid_cosine"
             ),
         )
@@ -545,7 +573,7 @@ def lsh_ann_filtered(
         .join(nc, "c_id")
         .select(
             "q_id", "c_id", "label",
-            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias("cosine"),
+            round6s(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -570,7 +598,7 @@ def kmeans_assignments(
     only corpus-wide exchanges are the per-vector argmin and the
     per-(cluster, dim) update aggregates, one pair per iteration."""
     comp = _components(embeddings).select(
-        "vec_id", "i", F.round(F.col("x") * qscale).cast("long").alias("q")
+        "vec_id", "i", round6s(F.col("x") * qscale, 0).cast("long").alias("q")
     )
     cents = comp.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster_id"), "i", F.col("q").alias("c")
@@ -680,8 +708,8 @@ def semantic_dedup_pairs(
             # empty doc, failed encode) has no cosine; under ANSI mode
             # a plain divide would kill the job, try_divide yields
             # NULL and the threshold filter drops the pair.
-            F.round(
-                F.try_divide(F.col("dot"), F.col("na") * F.col("nb")), 6
+            round6s(
+                F.try_divide(F.col("dot"), F.col("na") * F.col("nb"))
             ).alias("cosine"),
             F.col("vec_a").alias("keeper_vec_id"),
         )
@@ -739,8 +767,8 @@ def semantic_dedup_summary(
             "cluster_id",
             "n_vecs",
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-            F.round(
-                1 - F.coalesce("n_dropped", F.lit(0)) / F.col("n_vecs"), 6
+            round6f(
+                1 - F.coalesce("n_dropped", F.lit(0)) / F.col("n_vecs")
             ).alias("keep_rate"),
         )
         .orderBy("cluster_id")
@@ -833,7 +861,7 @@ def ann_recall(
     )
     nc = nr.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("cn"))
     w = Window.partitionBy("q_id").orderBy(
-        F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).desc(), F.col("c_id")
+        round6s(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn"))).desc(), F.col("c_id")
     )
     ann = (
         dots.join(F.broadcast(nq), "q_id")
@@ -869,7 +897,7 @@ def kmeans_centroids(
     :func:`kmeans_clusters`, then one last mean update from the final
     assignment so the persisted centroids reflect every pass."""
     comp = _components(embeddings).select(
-        "vec_id", "i", F.round(F.col("x") * qscale).cast("long").alias("q")
+        "vec_id", "i", round6s(F.col("x") * qscale, 0).cast("long").alias("q")
     )
     cents = comp.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster_id"), "i", F.col("q").alias("c")
@@ -911,7 +939,7 @@ def _pq_components(embeddings: DataFrame, m: int, dim: int, qscale: int) -> Data
         "vec_id",
         F.expr(f"(i - 1) div {subdim}").alias("sub"),
         "i",
-        F.round(F.col("x") * qscale).cast("long").alias("q"),
+        round6s(F.col("x") * qscale, 0).cast("long").alias("q"),
     )
 
 
@@ -1234,7 +1262,7 @@ def lsh_ann_multiprobe(
         .select(
             "q_id",
             "c_id",
-            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias(
+            round6s(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn"))).alias(
                 "cosine"
             ),
         )
@@ -1322,7 +1350,7 @@ def multiprobe_recall_comparison(
             "q_id",
             "c_id",
             "in_home",
-            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")), 6).alias(
+            round6s(F.try_divide(F.col("dot"), F.col("qn") * F.col("cn"))).alias(
                 "cosine"
             ),
         )
@@ -1405,7 +1433,22 @@ def more_like_this_ranks(
         .join(dfreq, "token")
         .crossJoin(F.broadcast(corpus))
         .groupBy("q_id", "c_id")
-        .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))
+        .agg(
+            round6f(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("token"),
+                                bm25_contribution(k1, b).alias("w"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, s: a + s["w"],
+                )
+            ).alias("bm25")
+        )
     )
     wl = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "c_id")
     return (
@@ -1491,7 +1534,7 @@ def hybrid_rrf_retrieval(
         "c_id",
         "v_rank",
         "l_rank",
-        F.round(
+        round6f(
             F.coalesce(1.0 / (F.lit(rrf_k) + F.col("v_rank")), F.lit(0.0))
             + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("l_rank")), F.lit(0.0)),
             9,
@@ -1542,7 +1585,7 @@ def embedding_source_drift(
     broadcast join on dim, and a |sources|-row rollup — the corpus is
     read once and never reshuffled at row grain."""
     comp = _components(embeddings).select(
-        "vec_id", "i", F.round(F.col("x") * qscale).cast("long").alias("q")
+        "vec_id", "i", round6s(F.col("x") * qscale, 0).cast("long").alias("q")
     )
     src = documents.select(F.col("doc_id").alias("vec_id"), "source")
     per = (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ureplicator_spark.functions import md5_long
+from ureplicator_spark.functions import md5_long, round6f, round6s
 
 # 2^9 = 512 registers -> ~4.6% standard error; alpha_m per Flajolet'07
 HLL_P = 9
@@ -113,7 +113,7 @@ def hll_gauge(
         F.count("*").alias("n_rows"),
         F.countDistinct(key_col).alias("true_distinct"),
     )
-    est_r = F.round(est, 4)
+    est_r = round6f(est, 4)
     return (
         per_g.join(exact, group_col)
         .select(
@@ -122,7 +122,7 @@ def hll_gauge(
             "v_nonempty",
             est_r.alias("est_distinct"),
             "true_distinct",
-            F.round((est_r - F.col("true_distinct")) / F.col("true_distinct"), 6).alias(
+            round6s((est_r - F.col("true_distinct")) / F.col("true_distinct")).alias(
                 "rel_error"
             ),
         )
@@ -148,7 +148,7 @@ def hll_estimate(
     return per_g.select(
         group_col,
         "v_nonempty",
-        F.round(est, 4).alias("est_distinct"),
+        round6f(est, 4).alias("est_distinct"),
     ).orderBy(group_col)
 
 
@@ -270,8 +270,8 @@ def hll_profile(df: DataFrame, cols: list[str], m: int = HLL_M) -> DataFrame:
             F.when(F.col("j").isNotNull(), F.pow(F.lit(2.0), -F.col("mj")))
         ).alias("s_present"),
         F.sum("nn").cast("long").alias("n_nulls"),
-        F.round(F.min("mn"), 6).alias("min_num"),
-        F.round(F.max("mx"), 6).alias("max_num"),
+        round6s(F.min("mn")).alias("min_num"),
+        round6s(F.max("mx")).alias("max_num"),
     )
     raw = F.lit(alpha * m * m) / ((m - F.col("v_nonempty")) + F.col("s_present"))
     est = F.when(
@@ -281,7 +281,7 @@ def hll_profile(df: DataFrame, cols: list[str], m: int = HLL_M) -> DataFrame:
     return per.select(
         "col_name",
         "n_nulls",
-        F.round(est, 4).alias("n_distinct_est"),
+        round6f(est, 4).alias("n_distinct_est"),
         "min_num",
         "max_num",
     ).orderBy("col_name")
@@ -558,7 +558,7 @@ def hll_rolling_distinct(
         .groupBy("day")
         .agg(F.countDistinct("k").alias("true_distinct"))
     )
-    est_r = F.round(est, 4)
+    est_r = round6f(est, 4)
     return (
         per_day.join(exact, "day")
         .select(
@@ -566,7 +566,7 @@ def hll_rolling_distinct(
             "v_nonempty",
             est_r.alias("est_distinct"),
             "true_distinct",
-            F.round((est_r - F.col("true_distinct")) / F.col("true_distinct"), 6).alias(
+            round6s((est_r - F.col("true_distinct")) / F.col("true_distinct")).alias(
                 "rel_error"
             ),
         )
@@ -606,17 +606,54 @@ def histogram_quantiles(
     Scale shape: two grouped passes over the fact (min/max/count,
     then bucket counts — b rows per group of state, mergeable); the
     cumulative window runs over b-row groups, never raw rows."""
-    from ureplicator_spark.functions import values_df
+    from ureplicator_spark.functions import round6s, values_df
 
     spark = keyed.sparkSession
     g, v = F.col(group_col), F.col(value_col)
-    stats = keyed.groupBy(group_col).agg(
-        F.min(v).alias("mn"),
-        F.max(v).alias("mx"),
-        F.count("*").alias("n_rows"),
-        F.round(F.percentile(v, F.lit(0.5)), 6).alias("ex50"),
-        F.round(F.percentile(v, F.lit(0.95)), 6).alias("ex95"),
-        F.round(F.percentile(v, F.lit(0.99)), 6).alias("ex99"),
+
+    # exact gauge percentiles via EXPLICIT order-statistic
+    # interpolation — both engines evaluate the identical formula
+    # a + (b - a)·(rem/100) from the same order stats, instead of
+    # relying on F.percentile / quantile_cont whose internal
+    # interpolation formulas need not agree ulp-for-ulp (the
+    # workload_percentiles lesson applied to a double-typed column,
+    # where integer fixed-point is unavailable)
+    wg = Window.partitionBy(group_col)
+    ranked = keyed.select(
+        g,
+        v.alias("val"),
+        F.row_number().over(wg.orderBy(v)).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    )
+
+    def _ex_aggs(p: int) -> list:
+        lo = F.expr(f"(n - 1) * {p} div 100")
+        rem = F.expr(f"(n - 1) * {p} % 100")
+        return [
+            F.max(F.when(F.col("rn") == lo + 1, F.col("val"))).alias(f"a{p}"),
+            F.max(F.when(F.col("rn") == lo + 2, F.col("val"))).alias(f"b{p}"),
+            F.max(rem).alias(f"r{p}"),
+        ]
+
+    def _ex(p: int):
+        interp = (F.col(f"b{p}") - F.col(f"a{p}")) * (
+            F.col(f"r{p}").cast("double") / 100.0
+        )
+        return round6s(F.col(f"a{p}") + F.coalesce(interp, F.lit(0.0))).alias(
+            f"ex{p}"
+        )
+
+    stats = (
+        ranked.groupBy(group_col)
+        .agg(
+            F.min("val").alias("mn"),
+            F.max("val").alias("mx"),
+            F.count("*").alias("n_rows"),
+            *_ex_aggs(50),
+            *_ex_aggs(95),
+            *_ex_aggs(99),
+        )
+        .select(group_col, "mn", "mx", "n_rows", _ex(50), _ex(95), _ex(99))
     )
     idx = F.when(
         F.col("mx") > F.col("mn"),
@@ -657,10 +694,9 @@ def histogram_quantiles(
         .groupBy(group_col, "q", "mn", "mx", "n_rows", "exact_value")
         .agg(F.min("idx").alias("pick"))
     )
-    est = F.round(
+    est = round6s(
         F.col("mn")
-        + (F.col("pick") + 0.5) * (F.col("mx") - F.col("mn")) / b,
-        6,
+        + (F.col("pick") + 0.5) * (F.col("mx") - F.col("mn")) / b
     )
     return picked.select(
         group_col, "q", est.alias("est_value"), "exact_value", "n_rows"
@@ -752,9 +788,9 @@ def kmv_pairwise_estimates(
         "src_a",
         "src_b",
         "n_synopsis",
-        F.round(u, 4).alias("union_est"),
-        F.round(j, 6).alias("jaccard_est"),
-        F.round(j * u, 4).alias("inter_est"),
+        round6f(u, 4).alias("union_est"),
+        round6f(j).alias("jaccard_est"),
+        round6f(j * u, 4).alias("inter_est"),
     )
 
 

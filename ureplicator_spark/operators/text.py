@@ -863,13 +863,33 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
     # grand total rolls up from the vocab-sized model table, not a
     # second pass over the token stream
     total = model.agg(F.sum("c").alias("t"))
-    return (
+    # refold (r11 audit): AVG(-ln(c/t)) folds doubles in partition
+    # order. Decompose exactly — cross_entropy = ln(t) - (Σ ln c)/n
+    # with Σ ln c = Σ_{distinct c} m_c·ln(c) — and fold the per-doc
+    # (c, m_c) terms in canonical c order on both engines; the only
+    # remaining doubles are one ln per distinct count and one final
+    # division, chained to 6 dp.
+    tc = (
         tok.join(F.broadcast(model), "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("cross_entropy"),
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("m"))
+    )
+    per = tc.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("c", "m"))),
+            F.lit(0.0),
+            lambda a, s: a + s["m"] * F.log(s["c"]),
+        ).alias("_slc"),
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            round6f(
+                F.log(F.col("t")) - F.col("_slc") / F.col("n_tokens")
+            ).alias("cross_entropy"),
         )
         .orderBy("doc_id")
     )
@@ -928,7 +948,23 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias("log_weight"),
+            # canonical-order fold by bucket (r11 audit): SUM(double)
+            # over the per-doc bucket terms is partition-order-
+            # dependent; ≤256 bounded terms per doc
+            round6s(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "bucket",
+                                (F.col("cnt") * F.col("log_ratio")).alias("term"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, s: a + s["term"],
+                )
+            ).alias("log_weight"),
         )
         .orderBy("doc_id")
     )
@@ -964,7 +1000,19 @@ def source_unigram_kl(documents: DataFrame) -> DataFrame:
             # st rows are already distinct per (source, token), so a
             # plain count == countDistinct without the Expand+exchange
             F.count("*").alias("n_terms"),
-            F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl_divergence"),
+            # canonical-order fold by token (r11 audit): the KL term
+            # sum over the vocabulary is partition-order-dependent
+            round6s(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("token", (ps * F.log(ps / pc)).alias("term"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, s: a + s["term"],
+                )
+            ).alias("kl_divergence"),
         )
         .orderBy("source")
     )
@@ -1485,7 +1533,22 @@ def bm25_scores(
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))
+        .agg(
+            round6f(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("token"),
+                                bm25_contribution(k1, b).alias("w"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, s: a + s["w"],
+                )
+            ).alias("bm25")
+        )
     )
 
 
@@ -1597,7 +1660,20 @@ def bigram_lm_score(documents: DataFrame, lam: float = 0.75) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(-F.log(p)), 6).alias("cross_entropy"),
+            # canonical-order fold by bigram (r11 audit): AVG(double)
+            # folds in partition order; terms per doc are doc-bounded
+            round6f(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("a", "b", (-F.log(p)).alias("term"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["term"],
+                )
+                / F.count("*")
+            ).alias("cross_entropy"),
         )
         .orderBy("doc_id")
     )
@@ -1654,7 +1730,16 @@ def nb_lang_confusion(documents: DataFrame) -> DataFrame:
         .join(F.broadcast(cl), "plang")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id", "lang", "plang")
-        .agg(F.sum(ll_tok).alias("ll_tok"))
+        .agg(
+            # canonical-order fold by token (r11 audit)
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("token", ll_tok.alias("term")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            ).alias("ll_tok")
+        )
     )
     ll = (
         scored.join(F.broadcast(pri), "plang")
@@ -1663,10 +1748,9 @@ def nb_lang_confusion(documents: DataFrame) -> DataFrame:
             "doc_id",
             "lang",
             "plang",
-            F.round(
+            round6s(
                 F.col("ll_tok")
-                + F.log(F.col("nl").cast("double") / F.col("n")),
-                6,
+                + F.log(F.col("nl").cast("double") / F.col("n"))
             ).alias("ll"),
         )
     )

@@ -905,7 +905,7 @@ comp AS (
 
 _KNN_SQL = _with(
     _COMP_CTE,
-    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    "nrms AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS nrm FROM embeddings)",
     """
 dots AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
@@ -916,9 +916,9 @@ dots AS (
     """
 SELECT q_id, c_id, cosine, rank FROM (
   SELECT d.q_id, d.c_id,
-         ROUND(d.dot / (nq.nrm * nc.nrm), 6) AS cosine,
+         (SIGN(d.dot / (nq.nrm * nc.nrm)) * FLOOR(ABS(d.dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine,
          ROW_NUMBER() OVER (PARTITION BY d.q_id
-                            ORDER BY ROUND(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.c_id) AS rank
+                            ORDER BY (SIGN(d.dot / (nq.nrm * nc.nrm)) * FLOOR(ABS(d.dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rank
   FROM dots d
   JOIN nrms nq ON nq.vec_id = d.q_id
   JOIN nrms nc ON nc.vec_id = d.c_id
@@ -938,7 +938,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETRIEVE_SQL = _with(
     _COMP_CTE,
-    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    "nrms AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS nrm FROM embeddings)",
     """
 dots AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
@@ -950,9 +950,9 @@ dots AS (
 topk AS (
   SELECT q_id, c_id, cosine, rank FROM (
     SELECT d.q_id, d.c_id,
-           ROUND(d.dot / (nq.nrm * nc.nrm), 6) AS cosine,
+           (SIGN(d.dot / (nq.nrm * nc.nrm)) * FLOOR(ABS(d.dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine,
            ROW_NUMBER() OVER (PARTITION BY d.q_id
-                              ORDER BY ROUND(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.c_id) AS rank
+                              ORDER BY (SIGN(d.dot / (nq.nrm * nc.nrm)) * FLOOR(ABS(d.dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rank
     FROM dots d
     JOIN nrms nq ON nq.vec_id = d.q_id
     JOIN nrms nc ON nc.vec_id = d.c_id
@@ -1285,7 +1285,7 @@ buckets AS (
 )
 """.strip()
 
-_NRM_CTE = "nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM comp GROUP BY vec_id)"
+_NRM_CTE = "nrm AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS n FROM embeddings)"
 
 _LSH_ANN_SQL = _with(
     _COMP_CTE,
@@ -1312,9 +1312,9 @@ dots AS (
     """
 SELECT q_id, c_id, bucket, cosine FROM (
   SELECT d.q_id, d.c_id, d.bucket,
-         ROUND(d.dot / (nq.n * nc.n), 6) AS cosine,
+         (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine,
          ROW_NUMBER() OVER (PARTITION BY d.q_id
-                            ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+                            ORDER BY (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rn
   FROM dots d
   JOIN nrm nq ON nq.vec_id = d.q_id
   JOIN nrm nc ON nc.vec_id = d.c_id
@@ -1356,8 +1356,8 @@ dots AS (
     """
 SELECT vec_a, vec_b, bucket, cosine, rank FROM (
   SELECT d.vec_a, d.vec_b, d.bucket,
-         ROUND(d.dot / (na.n * nb.n), 6) AS cosine,
-         ROW_NUMBER() OVER (ORDER BY ROUND(d.dot / (na.n * nb.n), 6) DESC, d.vec_a, d.vec_b) AS rank
+         (SIGN(d.dot / (na.n * nb.n)) * FLOOR(ABS(d.dot / (na.n * nb.n)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine,
+         ROW_NUMBER() OVER (ORDER BY (SIGN(d.dot / (na.n * nb.n)) * FLOOR(ABS(d.dot / (na.n * nb.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.vec_a, d.vec_b) AS rank
   FROM dots d
   JOIN nrm na ON na.vec_id = d.vec_a
   JOIN nrm nb ON nb.vec_id = d.vec_b
@@ -1857,7 +1857,7 @@ def q_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_SQL = _with(
     _COMP_CTE,
-    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    "nrms AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS nrm FROM embeddings)",
     """
 adot AS (
   SELECT c.vec_id, ct.vec_id AS cent_id, SUM(c.x * ct.x) AS dot
@@ -1868,9 +1868,9 @@ adot AS (
     """
 ascore AS (
   SELECT a.vec_id, a.cent_id,
-         ROUND(a.dot / (n1.nrm * n2.nrm), 6) AS cosine,
+         (SIGN(a.dot / (n1.nrm * n2.nrm)) * FLOOR(ABS(a.dot / (n1.nrm * n2.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                            ORDER BY ROUND(a.dot / (n1.nrm * n2.nrm), 6) DESC, a.cent_id) AS rn
+                            ORDER BY (SIGN(a.dot / (n1.nrm * n2.nrm)) * FLOOR(ABS(a.dot / (n1.nrm * n2.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, a.cent_id) AS rn
   FROM adot a
   JOIN nrms n1 ON n1.vec_id = a.vec_id
   JOIN nrms n2 ON n2.vec_id = a.cent_id
@@ -1895,7 +1895,7 @@ cdot AS (
 """.strip(),
     """
 score AS (
-  SELECT s.q_id, s.c_id, ROUND(s.dot / (n1.nrm * n2.nrm), 6) AS cosine
+  SELECT s.q_id, s.c_id, (SIGN(s.dot / (n1.nrm * n2.nrm)) * FLOOR(ABS(s.dot / (n1.nrm * n2.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine
   FROM cdot s
   JOIN nrms n1 ON n1.vec_id = s.q_id
   JOIN nrms n2 ON n2.vec_id = s.c_id
@@ -2401,7 +2401,7 @@ def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_VOTE_SQL = _with(
     _COMP_CTE,
-    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    "nrms AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS nrm FROM embeddings)",
     """
 dots AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
@@ -2414,7 +2414,7 @@ topk AS (
   SELECT q_id, c_id FROM (
     SELECT d.q_id, d.c_id,
            ROW_NUMBER() OVER (PARTITION BY d.q_id
-                              ORDER BY ROUND(d.dot / (n1.nrm * n2.nrm), 6) DESC, d.c_id) AS rn
+                              ORDER BY (SIGN(d.dot / (n1.nrm * n2.nrm)) * FLOOR(ABS(d.dot / (n1.nrm * n2.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rn
     FROM dots d JOIN nrms n1 ON n1.vec_id = d.q_id JOIN nrms n2 ON n2.vec_id = d.c_id
   ) WHERE rn <= 5
 )
@@ -2477,7 +2477,7 @@ df AS (
     """
 scored AS (
   SELECT tf.doc_id, tf.token,
-         ROUND(tf.tf * ln((n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+         FLOOR(tf.tf * ln((n + 1.0) / (df.df + 1.0)) * 1e6 + 0.5) / 1e6 AS tfidf
   FROM tf JOIN df ON tf.token = df.token CROSS JOIN ndocs
 )
 """.strip(),
@@ -2514,8 +2514,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "token",
-            F.round(
-                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            round6f(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
             ).alias("tfidf"),
         )
     )
@@ -2577,7 +2577,7 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROID_SQL = _with(
     _COMP_CTE,
     """
-SELECT label, i, ROUND(AVG(x), 6) AS centroid_x, COUNT(*) AS n_vectors
+SELECT label, i, FLOOR(AVG(x) * 1e6 + 0.5) / 1e6 AS centroid_x, COUNT(*) AS n_vectors
 FROM comp JOIN embeddings USING (vec_id)
 GROUP BY label, i
 """,
@@ -2600,7 +2600,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("label", "i")
         .agg(
-            F.round(F.avg("x"), 6).alias("centroid_x"),
+            round6f(F.avg("x")).alias("centroid_x"),
             F.count("*").alias("n_vectors"),
         )
     )
@@ -2890,10 +2890,9 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.round(
+            round6f(
                 money_dec(units_total("nh", "nl"), 4).cast("double")
-                / money_dec(units_total("vh", "vl"), 4).cast("double"),
-                6,
+                / money_dec(units_total("vh", "vl"), 4).cast("double")
             ).alias("mkt_share"),
         )
     )
@@ -3327,14 +3326,16 @@ _QUANT_SQL = _with(
     _COMP_CTE,
     "mx AS (SELECT vec_id, MAX(ABS(x)) AS mx FROM comp GROUP BY vec_id)",
     """qe AS (
-  SELECT c.vec_id, c.x, 127.0 / m.mx AS scale,
-         ROUND(c.x * (127.0 / m.mx), 0) AS q
+  SELECT c.vec_id, c.i, c.x, 127.0 / m.mx AS scale,
+         (SIGN(c.x * (127.0 / m.mx)) * FLOOR(ABS(c.x * (127.0 / m.mx)) + 0.5) + 0.0) AS q
   FROM comp c JOIN mx m ON c.vec_id = m.vec_id WHERE m.mx > 0
 )""",
     """
 SELECT vec_id,
-       CAST(ROUND(MIN(scale), 6) AS DOUBLE) AS scale,
-       CAST(ROUND(AVG(POWER(x - q / scale, 2)), 8) AS DOUBLE) AS mse,
+       CAST(FLOOR(MIN(scale) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS scale,
+       CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list(POWER(x - q / scale, 2) ORDER BY i)), (a, b) -> a + b)
+            / COUNT(*) * 1e8 + 0.5) / 1e8 AS DOUBLE) AS mse,
        CAST(MAX(ABS(q)) AS INTEGER) AS max_q
 FROM qe GROUP BY vec_id
 """,
@@ -3680,9 +3681,9 @@ labeled AS (
   FROM comp c JOIN embeddings e USING (vec_id)
 )
 """.strip(),
-    "cent AS (SELECT label, i, ROUND(AVG(x), 6) AS cx FROM labeled GROUP BY label, i)",
-    "cnorm AS (SELECT label, sqrt(SUM(cx * cx)) AS cn FROM cent GROUP BY label)",
-    "vnorm AS (SELECT vec_id, sqrt(SUM(x * x)) AS vn FROM comp GROUP BY vec_id)",
+    "cent AS (SELECT label, i, FLOOR(AVG(x) * 1e6 + 0.5) / 1e6 AS cx FROM labeled GROUP BY label, i)",
+    "cnorm AS (SELECT label, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cx * cx ORDER BY i)), (a, b) -> a + b)) AS cn FROM cent GROUP BY label)",
+    "vnorm AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS vn FROM embeddings)",
     """
 dt AS (
   SELECT l.vec_id, l.label, SUM(l.x * c.cx) AS dot
@@ -3693,7 +3694,7 @@ dt AS (
     """
 scored AS (
   SELECT d.vec_id, d.label,
-         ROUND(d.dot / (v.vn * n.cn), 6) AS centroid_cosine
+         (SIGN(d.dot / (v.vn * n.cn)) * FLOOR(ABS(d.dot / (v.vn * n.cn)) * 1e6 + 0.5) / 1e6 + 0.0) AS centroid_cosine
   FROM dt d JOIN vnorm v USING (vec_id) JOIN cnorm n USING (label)
 )
 """.strip(),
@@ -3939,9 +3940,9 @@ fdots AS (
     """
 SELECT q_id, c_id, label, cosine, CAST(rn AS INT) AS rank FROM (
   SELECT d.q_id, d.c_id, d.label,
-         ROUND(d.dot / (nq.n * nc.n), 6) AS cosine,
+         (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine,
          ROW_NUMBER() OVER (PARTITION BY d.q_id
-                            ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+                            ORDER BY (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rn
   FROM fdots d
   JOIN nrm nq ON nq.vec_id = d.q_id
   JOIN nrm nc ON nc.vec_id = d.c_id
@@ -4180,7 +4181,7 @@ semdots AS (
     """
 semscored AS (
   SELECT d.cluster_id, d.vec_a, d.vec_b,
-         ROUND(d.dot / (na.n * nb.n), 6) AS cosine
+         (SIGN(d.dot / (na.n * nb.n)) * FLOOR(ABS(d.dot / (na.n * nb.n)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine
   FROM semdots d
   JOIN nrm na ON na.vec_id = d.vec_a
   JOIN nrm nb ON nb.vec_id = d.vec_b
@@ -4222,7 +4223,7 @@ _SEMANTIC_SUMMARY_SQL = _with(
     """
 SELECT s.cluster_id, s.n_vecs,
        CAST(COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
-       ROUND(1 - COALESCE(dc.n_dropped, 0) * 1.0 / s.n_vecs, 6) AS keep_rate
+       FLOOR((1 - COALESCE(dc.n_dropped, 0) * 1.0 / s.n_vecs) * 1e6 + 0.5) / 1e6 AS keep_rate
 FROM semsizes s
 LEFT JOIN (SELECT cluster_id, COUNT(*) AS n_dropped FROM semdrops GROUP BY cluster_id) dc
   USING (cluster_id)
@@ -4265,7 +4266,7 @@ bf AS (
   SELECT q_id, c_id FROM (
     SELECT d.q_id, d.c_id,
            ROW_NUMBER() OVER (PARTITION BY d.q_id
-                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+                              ORDER BY (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rn
     FROM bfdots d
     JOIN nrm nq ON nq.vec_id = d.q_id
     JOIN nrm nc ON nc.vec_id = d.c_id
@@ -4293,7 +4294,7 @@ ann AS (
   SELECT q_id, c_id FROM (
     SELECT d.q_id, d.c_id,
            ROW_NUMBER() OVER (PARTITION BY d.q_id
-                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+                              ORDER BY (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rn
     FROM anndots d
     JOIN nrm nq ON nq.vec_id = d.q_id
     JOIN nrm nc ON nc.vec_id = d.c_id
@@ -4487,7 +4488,7 @@ flags AS (
 )
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(is_exact_dup) AS BIGINT) AS n_exact_dups,
-       ROUND(SUM(is_exact_dup) * 1.0 / COUNT(*), 6) AS exact_dup_rate
+       FLOOR(SUM(is_exact_dup) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS exact_dup_rate
 FROM flags GROUP BY source ORDER BY source
 """
 
@@ -4524,7 +4525,7 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_exact_dups",
-            F.round(F.col("n_exact_dups") / F.col("n_docs"), 6).alias("exact_dup_rate"),
+            round6f(F.col("n_exact_dups") / F.col("n_docs")).alias("exact_dup_rate"),
         )
         .orderBy("source")
     )
@@ -4539,11 +4540,20 @@ _PERPLEXITY_SQL = _with(
     _TOK_CTE,
     "model AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)",
     "total AS (SELECT COUNT(*) AS t FROM tok)",
+    "tc AS (SELECT doc_id, c, COUNT(*) AS m FROM tok JOIN model USING (token)"
+    " GROUP BY doc_id, c)",
     """
-SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(AVG(-ln(c / CAST(t AS DOUBLE))), 6) AS cross_entropy
-FROM tok JOIN model USING (token) CROSS JOIN total
-GROUP BY doc_id ORDER BY doc_id
+per AS (
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m * ln(c) ORDER BY c)),
+                     (a, b) -> a + b) AS slc
+  FROM tc GROUP BY doc_id
+)
+""".strip(),
+    """
+SELECT doc_id, n_tokens,
+       FLOOR((ln(t) - slc / n_tokens) * 1e6 + 0.5) / 1e6 AS cross_entropy
+FROM per CROSS JOIN total ORDER BY doc_id
 """,
 )
 
@@ -4590,11 +4600,19 @@ dsir_model AS (
 )
 """.strip(),
     """
-SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
-       ROUND(SUM(p.cnt * m.log_ratio), 6) AS log_weight
-FROM dsir_pre p JOIN dsir_model m USING (bucket)
-WHERE p.source <> 'src0'
-GROUP BY p.doc_id ORDER BY p.doc_id
+dsir_agg AS (
+  SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(p.cnt * m.log_ratio ORDER BY p.bucket)), (a, b) -> a + b) AS slw
+  FROM dsir_pre p JOIN dsir_model m USING (bucket)
+  WHERE p.source <> 'src0'
+  GROUP BY p.doc_id
+)
+""".strip(),
+    """
+SELECT doc_id, n_tokens,
+       (SIGN(slw) * FLOOR(ABS(slw) * 1e6 + 0.5) / 1e6 + 0.0) AS log_weight
+FROM dsir_agg ORDER BY doc_id
 """,
 )
 
@@ -4620,11 +4638,20 @@ st AS (SELECT source, token, COUNT(*) AS cs FROM tok2 GROUP BY source, token),
 stot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ts FROM st GROUP BY source),
 corpus AS (SELECT token, COUNT(*) AS c FROM tok2 GROUP BY token),
 grand AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM corpus)
-SELECT source, COUNT(DISTINCT st.token) AS n_terms,
-       ROUND(SUM((cs * 1.0 / ts) * ln((cs * 1.0 / ts) / (c * 1.0 / t))), 6)
-         AS kl_divergence
-FROM st JOIN stot USING (source) JOIN corpus USING (token) CROSS JOIN grand
-GROUP BY source ORDER BY source
+,
+klagg AS (
+  SELECT source, COUNT(DISTINCT st.token) AS n_terms,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list((CAST(cs AS DOUBLE) / ts)
+                  * ln((CAST(cs AS DOUBLE) / ts) / (CAST(c AS DOUBLE) / t))
+                  ORDER BY st.token)),
+             (a, b) -> a + b) AS klsum
+  FROM st JOIN stot USING (source) JOIN corpus USING (token) CROSS JOIN grand
+  GROUP BY source
+)
+SELECT source, n_terms,
+       (SIGN(klsum) * FLOOR(ABS(klsum) * 1e6 + 0.5) / 1e6 + 0.0) AS kl_divergence
+FROM klagg ORDER BY source
 """
 
 
@@ -4731,7 +4758,7 @@ lagt AS (
 """.strip(),
     """
 pw AS (
-  SELECT topic, "partition", ROUND(total_msgs / span_sec, 6) AS msgs_per_sec
+  SELECT topic, "partition", FLOOR(total_msgs / span_sec * 1e6 + 0.5) / 1e6 AS msgs_per_sec
   FROM partition_wl, span
 )
 """.strip(),
@@ -5046,7 +5073,7 @@ s AS (
        LATERAL unnest(range(1, 257)) AS u(k)
 )
 SELECT media_id, window_idx, COUNT(*) AS n_samples,
-       ROUND(sqrt(SUM(v * v) * 1.0 / COUNT(*)), 6) AS rms,
+       FLOOR(sqrt(SUM(v * v) * 1.0 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS rms,
        CAST(MAX(ABS(v)) AS BIGINT) AS peak
 FROM s GROUP BY media_id, window_idx
 ORDER BY media_id, window_idx
@@ -5618,9 +5645,9 @@ dots AS (
     """
 SELECT q_id, rank, c_id, cosine FROM (
   SELECT d.q_id, d.c_id,
-         ROUND(d.dot / (nq.n * nc.n), 6) AS cosine,
+         (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) AS cosine,
          ROW_NUMBER() OVER (PARTITION BY d.q_id
-                            ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rank
+                            ORDER BY (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rank
   FROM dots d
   JOIN nrm nq ON nq.vec_id = d.q_id
   JOIN nrm nc ON nc.vec_id = d.c_id
@@ -5755,9 +5782,11 @@ calc AS (
   FROM per_src p JOIN exact e USING (source)
 )
 SELECT source, n_rows, v_nonempty,
-       ROUND(est, 4) AS est_distinct,
+       FLOOR(est * 1e4 + 0.5) / 1e4 AS est_distinct,
        true_distinct,
-       ROUND((ROUND(est, 4) - true_distinct) / true_distinct, 6) AS rel_error
+       (SIGN((FLOOR(est * 1e4 + 0.5) / 1e4 - true_distinct) / true_distinct)
+        * FLOOR(ABS((FLOOR(est * 1e4 + 0.5) / 1e4 - true_distinct) / true_distinct) * 1e6 + 0.5)
+        / 1e6 + 0.0) AS rel_error
 FROM calc ORDER BY source
 """
 
@@ -5808,7 +5837,7 @@ END
 # production shape: register build + estimate, no exact side
 _HLL_ORDERS_SQL = f"""
 WITH {_HLL_ORDERS_CTES}
-SELECT flag, v_nonempty, ROUND({_HLL_EST_CASE}, 4) AS est_distinct
+SELECT flag, v_nonempty, FLOOR(({_HLL_EST_CASE}) * 1e4 + 0.5) / 1e4 AS est_distinct
 FROM per_g p ORDER BY flag
 """
 
@@ -5828,9 +5857,11 @@ calc AS (
   FROM per_g p JOIN exact e USING (flag)
 )
 SELECT flag, n_rows, v_nonempty,
-       ROUND(est, 4) AS est_distinct,
+       FLOOR(est * 1e4 + 0.5) / 1e4 AS est_distinct,
        true_distinct,
-       ROUND((ROUND(est, 4) - true_distinct) / true_distinct, 6) AS rel_error
+       (SIGN((FLOOR(est * 1e4 + 0.5) / 1e4 - true_distinct) / true_distinct)
+        * FLOOR(ABS((FLOOR(est * 1e4 + 0.5) / 1e4 - true_distinct) / true_distinct) * 1e6 + 0.5)
+        / 1e6 + 0.0) AS rel_error
 FROM calc ORDER BY flag
 """
 
@@ -5882,7 +5913,7 @@ bf AS (
   SELECT q_id, c_id FROM (
     SELECT d.q_id, d.c_id,
            ROW_NUMBER() OVER (PARTITION BY d.q_id
-                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+                              ORDER BY (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rn
     FROM bfdots d
     JOIN nrm nq ON nq.vec_id = d.q_id
     JOIN nrm nc ON nc.vec_id = d.c_id
@@ -5910,7 +5941,7 @@ sann AS (
   SELECT q_id, c_id FROM (
     SELECT d.q_id, d.c_id,
            ROW_NUMBER() OVER (PARTITION BY d.q_id
-                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+                              ORDER BY (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rn
     FROM sdots d
     JOIN nrm nq ON nq.vec_id = d.q_id
     JOIN nrm nc ON nc.vec_id = d.c_id
@@ -5947,7 +5978,7 @@ mann AS (
   SELECT q_id, c_id FROM (
     SELECT d.q_id, d.c_id,
            ROW_NUMBER() OVER (PARTITION BY d.q_id
-                              ORDER BY ROUND(d.dot / (nq.n * nc.n), 6) DESC, d.c_id) AS rn
+                              ORDER BY (SIGN(d.dot / (nq.n * nc.n)) * FLOOR(ABS(d.dot / (nq.n * nc.n)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS rn
     FROM mdots d
     JOIN nrm nq ON nq.vec_id = d.q_id
     JOIN nrm nc ON nc.vec_id = d.c_id
@@ -6358,9 +6389,11 @@ calc AS (
   FROM per_day p JOIN exact e USING (day)
 )
 SELECT day, v_nonempty,
-       ROUND(est, 4) AS est_distinct,
+       FLOOR(est * 1e4 + 0.5) / 1e4 AS est_distinct,
        true_distinct,
-       ROUND((ROUND(est, 4) - true_distinct) / true_distinct, 6) AS rel_error
+       (SIGN((FLOOR(est * 1e4 + 0.5) / 1e4 - true_distinct) / true_distinct)
+        * FLOOR(ABS((FLOOR(est * 1e4 + 0.5) / 1e4 - true_distinct) / true_distinct) * 1e6 + 0.5)
+        / 1e6 + 0.0) AS rel_error
 FROM calc ORDER BY day
 """
 
@@ -6448,8 +6481,8 @@ _PROFILE_SQL = (
         f"COUNT(DISTINCT {c}) AS {c}_nd, "
         f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}_nn"
         + (
-            f", ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS {c}_mn"
-            f", ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS {c}_mx"
+            f", (SIGN(CAST(MIN({c}) AS DOUBLE)) * FLOOR(ABS(CAST(MIN({c}) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0.0) AS {c}_mn"
+            f", (SIGN(CAST(MAX({c}) AS DOUBLE)) * FLOOR(ABS(CAST(MAX({c}) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0.0) AS {c}_mx"
             if num
             else ""
         )
@@ -6519,8 +6552,8 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
         ]
         if num:
-            aggs.append(F.round(F.min(c).cast("double"), 6).alias("min_num"))
-            aggs.append(F.round(F.max(c).cast("double"), 6).alias("max_num"))
+            aggs.append(round6s(F.min(c).cast("double")).alias("min_num"))
+            aggs.append(round6s(F.max(c).cast("double")).alias("max_num"))
         branch = li.select(c).agg(*aggs).select(
             F.lit(c).alias("col_name"),
             "n_nulls",
@@ -6589,7 +6622,9 @@ per_col AS (
   SELECT col_name,
          SUM(CASE WHEN j IS NOT NULL THEN 1 ELSE 0 END) AS v_nonempty,
          SUM(CASE WHEN j IS NOT NULL THEN power(2.0, -mj) END) AS s_present,
-         SUM(nn) AS nn, ROUND(MIN(mn), 6) AS min_num, ROUND(MAX(mx), 6) AS max_num
+         SUM(nn) AS nn,
+         (SIGN(MIN(mn)) * FLOOR(ABS(MIN(mn)) * 1e6 + 0.5) / 1e6 + 0.0) AS min_num,
+         (SIGN(MAX(mx)) * FLOOR(ABS(MAX(mx)) * 1e6 + 0.5) / 1e6 + 0.0) AS max_num
   FROM regs GROUP BY col_name
 ),
 calc AS (
@@ -6603,7 +6638,7 @@ calc AS (
          END AS est
   FROM per_col
 )
-SELECT col_name, CAST(nn AS BIGINT) AS n_nulls, ROUND(est, 4) AS n_distinct_est,
+SELECT col_name, CAST(nn AS BIGINT) AS n_nulls, FLOOR(est * 1e4 + 0.5) / 1e4 AS n_distinct_est,
        min_num, max_num
 FROM calc ORDER BY col_name
 """.strip()
@@ -6634,14 +6669,34 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HIST_QUANTILES_SQL = """
-WITH stats AS (
-  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n_rows,
-         ROUND(quantile_cont(value, 0.5), 6) AS ex50,
-         ROUND(quantile_cont(value, 0.95), 6) AS ex95,
-         ROUND(quantile_cont(value, 0.99), 6) AS ex99
-  FROM events GROUP BY event_type
+def _hist_ex_sql(p: int) -> str:
+    return f"""
+         MAX(CASE WHEN rn = (n - 1) * {p} // 100 + 1 THEN val END) AS a{p},
+         MAX(CASE WHEN rn = (n - 1) * {p} // 100 + 2 THEN val END) AS b{p},
+         MAX((n - 1) * {p} % 100) AS r{p}""".rstrip()
+
+
+def _hist_ex_out(p: int) -> str:
+    x = f"a{p} + COALESCE((b{p} - a{p}) * (CAST(r{p} AS DOUBLE) / 100.0), 0.0)"
+    return f"(SIGN({x}) * FLOOR(ABS({x}) * 1e6 + 0.5) / 1e6 + 0.0) AS ex{p}"
+
+
+_HIST_QUANTILES_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value AS val,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
 ),
+stats0 AS (
+  SELECT event_type, MIN(val) AS mn, MAX(val) AS mx, COUNT(*) AS n_rows,{_hist_ex_sql(50)},{_hist_ex_sql(95)},{_hist_ex_sql(99)}
+  FROM ranked GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, mn, mx, n_rows,
+         {_hist_ex_out(50)}, {_hist_ex_out(95)}, {_hist_ex_out(99)}
+  FROM stats0
+),""" + """
 hist AS (
   SELECT e.event_type,
          CASE WHEN s.mx > s.mn
@@ -6670,7 +6725,9 @@ picked AS (
   GROUP BY 1, 2, 3, 4, 5, 6
 )
 SELECT event_type, q,
-       ROUND(mn + (pick + 0.5) * (mx - mn) / 256, 6) AS est_value,
+       (SIGN(mn + (pick + 0.5) * (mx - mn) / 256)
+        * FLOOR(ABS(mn + (pick + 0.5) * (mx - mn) / 256) * 1e6 + 0.5) / 1e6
+        + 0.0) AS est_value,
        exact_value, n_rows
 FROM picked ORDER BY event_type, q
 """
@@ -6721,7 +6778,10 @@ hits AS (
     "dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY token)",
     f"""
 scored AS (
-  SELECT t.doc_id, ROUND(SUM({_BM25_CONTRIB}), 6) AS bm25
+  SELECT t.doc_id,
+         FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list({_BM25_CONTRIB} ORDER BY t.token)), (a, b) -> a + b)
+             * 1e6 + 0.5) / 1e6 AS bm25
   FROM tf t JOIN dfreq d USING (token) JOIN dl l USING (doc_id) CROSS JOIN corpus c
   GROUP BY t.doc_id
 )
@@ -6772,7 +6832,10 @@ _HYBRID_PARTS = (
     "tf AS (SELECT doc_id AS c_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token)",
     f"""
 lex AS (
-  SELECT q.q_id, t.c_id, ROUND(SUM({_BM25_CONTRIB}), 6) AS bm25
+  SELECT q.q_id, t.c_id,
+         FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list({_BM25_CONTRIB} ORDER BY t.token)), (a, b) -> a + b)
+             * 1e6 + 0.5) / 1e6 AS bm25
   FROM tf t JOIN qtok q USING (token)
   JOIN dl l ON l.doc_id = t.c_id
   JOIN dfreq d USING (token)
@@ -6790,7 +6853,7 @@ lrank AS (
   ) WHERE l_rank <= 10
 )
 """.strip(),
-    "nrms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)",
+    "nrms AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b)) AS nrm FROM embeddings)",
     """
 dots AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
@@ -6803,7 +6866,7 @@ vrank AS (
   SELECT q_id, c_id, v_rank FROM (
     SELECT d.q_id, d.c_id,
            ROW_NUMBER() OVER (PARTITION BY d.q_id
-                              ORDER BY ROUND(d.dot / (nq.nrm * nc.nrm), 6) DESC, d.c_id) AS v_rank
+                              ORDER BY (SIGN(d.dot / (nq.nrm * nc.nrm)) * FLOOR(ABS(d.dot / (nq.nrm * nc.nrm)) * 1e6 + 0.5) / 1e6 + 0.0) DESC, d.c_id) AS v_rank
     FROM dots d
     JOIN nrms nq ON nq.vec_id = d.q_id
     JOIN nrms nc ON nc.vec_id = d.c_id
@@ -6819,8 +6882,8 @@ fused AS (
   SELECT COALESCE(l.q_id, v.q_id) AS q_id,
          COALESCE(l.c_id, v.c_id) AS c_id,
          v.v_rank, l.l_rank,
-         ROUND(COALESCE(1.0 / (60 + v.v_rank), 0.0)
-               + COALESCE(1.0 / (60 + l.l_rank), 0.0), 9) AS rrf
+         FLOOR((COALESCE(1.0 / (60 + v.v_rank), 0.0)
+               + COALESCE(1.0 / (60 + l.l_rank), 0.0)) * 1e9 + 0.5) / 1e9 AS rrf
   FROM lrank l FULL OUTER JOIN vrank v
     ON l.q_id = v.q_id AND l.c_id = v.c_id
 )
@@ -7136,7 +7199,10 @@ uni AS (
 ),
 n1 AS (SELECT SUM(cu) AS n1 FROM uni)
 SELECT p.doc_id, COUNT(*) AS n_bigrams,
-       ROUND(AVG(-LN(0.75 * (bc.cab / ua.cu) + 0.25 * (ub.cu / n1.n1))), 6)
+       FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(-LN(0.75 * (bc.cab / ua.cu) + 0.25 * (ub.cu / n1.n1))
+                  ORDER BY p.a, p.b)), (x, y) -> x + y)
+             / COUNT(*) * 1e6 + 0.5) / 1e6
          AS cross_entropy
 FROM pairs p
 JOIN bc ON bc.a = p.a AND bc.b = p.b
@@ -7174,7 +7240,9 @@ pri AS (SELECT lang AS plang, COUNT(DISTINCT doc_id) AS nl FROM tr GROUP BY lang
 ntr AS (SELECT SUM(nl) AS n FROM pri),
 scored AS (
   SELECT te.doc_id, te.lang, p.plang,
-         SUM(te.tf * LN((COALESCE(ct.c, 0) + 1.0) / (cl.ctot + v.v))) AS ll_tok
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(te.tf * LN((COALESCE(ct.c, 0) + 1.0) / (cl.ctot + v.v))
+                  ORDER BY te.token)), (x, y) -> x + y) AS ll_tok
   FROM te CROSS JOIN (SELECT plang FROM pri) p
   LEFT JOIN ctok ct ON ct.plang = p.plang AND ct.token = te.token
   JOIN cl ON cl.plang = p.plang
@@ -7183,7 +7251,9 @@ scored AS (
 ),
 ll AS (
   SELECT s.doc_id, s.lang, s.plang,
-         ROUND(s.ll_tok + LN(CAST(p.nl AS DOUBLE) / n.n), 6) AS ll
+         (SIGN(s.ll_tok + LN(CAST(p.nl AS DOUBLE) / n.n))
+          * FLOOR(ABS(s.ll_tok + LN(CAST(p.nl AS DOUBLE) / n.n)) * 1e6 + 0.5)
+          / 1e6 + 0.0) AS ll
   FROM scored s JOIN pri p ON p.plang = s.plang CROSS JOIN ntr n
 ),
 pred AS (
@@ -7267,12 +7337,12 @@ per_pair AS (
     """
 est AS (
   SELECT src_a, src_b, n_synopsis,
-         ROUND(CASE WHEN n_synopsis < 64 THEN CAST(n_synopsis AS DOUBLE)
-                    ELSE 63.0 * 1152921504606846976.0 / hk END, 4) AS union_est,
-         ROUND(n_both / n_synopsis, 6) AS jaccard_est,
-         ROUND((n_both / n_synopsis)
+         FLOOR((CASE WHEN n_synopsis < 64 THEN CAST(n_synopsis AS DOUBLE)
+                     ELSE 63.0 * 1152921504606846976.0 / hk END) * 1e4 + 0.5) / 1e4 AS union_est,
+         FLOOR(n_both / n_synopsis * 1e6 + 0.5) / 1e6 AS jaccard_est,
+         FLOOR((n_both / n_synopsis)
                * (CASE WHEN n_synopsis < 64 THEN CAST(n_synopsis AS DOUBLE)
-                       ELSE 63.0 * 1152921504606846976.0 / hk END), 4) AS inter_est
+                       ELSE 63.0 * 1152921504606846976.0 / hk END) * 1e4 + 0.5) / 1e4 AS inter_est
   FROM per_pair
 )
 """.strip(),
@@ -7368,7 +7438,65 @@ def q_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cdc_chunk_dedup", None)
+# The Gear CDC boundary walk IS SQL-expressible (r11, converting a
+# permanently-rows-only row to a full hash gate): the 16-bit Gear
+# state forgets bytes >15 positions back and min_size >= 16 keeps
+# every testable position reset-independent, so h at position i is a
+# PURE 16-term windowed integer sum — 15 LAG terms over one per-doc
+# ordered window — and only its low mask_bits matter for the cut test
+# (mask_bits=5 < 16, so the & 0xFFFF never touches the tested bits).
+# The sequential cut walk is a WITH RECURSIVE whose step advances
+# every document one chunk per iteration (set-oriented recursion:
+# depth = max chunks/doc, width = #docs). Gear table, byte
+# extraction (ascii over the pure-ASCII fixture payloads — guarded by
+# tests/test_fixture_ascii.py), chunk md5s: all engine-portable.
+_CDC_LAG_TERMS = " + ".join(
+    f"COALESCE(LAG(g, {k}) OVER w, 0) * {1 << k}" for k in range(1, 16)
+)
+
+_CDC_CHUNK_DEDUP_SQL = f"""
+WITH RECURSIVE
+ascii_docs AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+gear AS (
+  SELECT b, ('0x' || substr(md5(chr(CAST(b AS INT))), 1, 8))::BIGINT & 65535 AS g
+  FROM (SELECT unnest(range(1, 128)) AS b)
+),
+pos AS (
+  SELECT d.media_id, t.i, g.g
+  FROM ascii_docs d, LATERAL unnest(range(0, d.n)) AS t(i)
+  JOIN gear g ON g.b = ascii(substr(d.text, CAST(t.i + 1 AS INT), 1))
+),
+hh AS (
+  SELECT media_id, i, g + {_CDC_LAG_TERMS} AS hsum
+  FROM pos WINDOW w AS (PARTITION BY media_id ORDER BY i)
+),
+cand AS (SELECT media_id, i FROM hh WHERE hsum % 32 = 0 AND i >= 15),
+walk AS (
+  SELECT d.media_id, 0 AS ci, 0 AS start,
+         COALESCE((SELECT MIN(c.i) + 1 FROM cand c
+                   WHERE c.media_id = d.media_id AND c.i >= 15 AND c.i < LEAST(64, d.n)),
+                  LEAST(64, d.n)) AS fin, d.n AS n
+  FROM ascii_docs d WHERE d.n > 0
+  UNION ALL
+  SELECT w.media_id, w.ci + 1, w.fin,
+         COALESCE((SELECT MIN(c.i) + 1 FROM cand c
+                   WHERE c.media_id = w.media_id AND c.i >= w.fin + 15 AND c.i < LEAST(w.fin + 64, w.n)),
+                  LEAST(w.fin + 64, w.n)), w.n
+  FROM walk w WHERE w.fin < w.n
+),
+chunks AS (
+  SELECT w.media_id, w.ci AS chunk_idx, w.start, w.fin - w.start AS length,
+         md5(substr(d.text, w.start + 1, w.fin - w.start)) AS chunk_hash
+  FROM walk w JOIN ascii_docs d USING (media_id)
+)
+SELECT chunk_hash, COUNT(DISTINCT media_id) AS n_media, COUNT(*) AS n_occur,
+       MAX(length) AS chunk_bytes, (COUNT(*) - 1) * MAX(length) AS dedupable_bytes
+FROM chunks GROUP BY chunk_hash HAVING COUNT(DISTINCT media_id) >= 2
+ORDER BY chunk_hash
+"""
+
+
+@register("cdc_chunk_dedup", _CDC_CHUNK_DEDUP_SQL)
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk dedup over binary payloads (Gear CDC,
     FastCDC family — Xia USENIX ATC'16): variable-size chunks whose
@@ -7380,8 +7508,10 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit Gear state makes boundaries reset-independent, so the
     rolling scan vectorizes to 16 shifted numpy adds per Arrow batch —
     no per-byte Python; only (hash, length) identities shuffle into
-    one hash-keyed aggregation. Rows-only driver check: the rolling
-    boundary walk is not SQL-expressible; boundaries are pinned
+    one hash-keyed aggregation. FULLY hash-gated as of r11: the same
+    reset-independence makes the oracle expressible (windowed LAG sum
+    + WITH RECURSIVE cut walk, see _CDC_CHUNK_DEDUP_SQL) — this row
+    was previously rows-only; boundaries additionally stay pinned
     byte-for-byte against an oblivious per-byte Python reference in
     tests/test_cdc_chunking.py, shift-resilience property included."""
     from ureplicator_spark.operators.multimodal import (
@@ -7393,7 +7523,37 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_dedup(documents_as_media(load_table(spark, sf_dir, "documents")))
 
 
-@register("cdc_incremental_dedup", None)
+# Same recursive chunk reconstruction, restricted to the 80/20
+# index/batch split — chunk boundaries are per-payload local state,
+# so the oracle's full recompute provably equals the probe against
+# the persisted index (append ≡ rebuild pinned in
+# tests/test_chunk_index.py); the bucket pruning in
+# sources/chunk_index.py is a partition optimization, not semantics.
+_CDC_INCR_SQL = _CDC_CHUNK_DEDUP_SQL[: _CDC_CHUNK_DEDUP_SQL.rindex("SELECT chunk_hash")] + """
+, newch AS (SELECT * FROM chunks WHERE media_id % 10 >= 8),
+corpch AS (SELECT * FROM chunks WHERE media_id % 10 < 8),
+new_tot AS (SELECT media_id, CAST(SUM(length) AS BIGINT) AS new_bytes
+            FROM newch GROUP BY media_id),
+shared AS (
+  SELECT DISTINCT n.media_id AS new_media, c.media_id AS corpus_media,
+         n.chunk_idx AS new_chunk_idx, n.length AS length
+  FROM newch n JOIN corpch c
+    ON n.chunk_hash = c.chunk_hash AND n.media_id <> c.media_id
+),
+sagg AS (
+  SELECT new_media, corpus_media, COUNT(*) AS shared_chunks,
+         CAST(SUM(length) AS BIGINT) AS shared_bytes
+  FROM shared GROUP BY new_media, corpus_media
+)
+SELECT a.new_media, a.corpus_media, a.shared_chunks, a.shared_bytes,
+       FLOOR(CAST(a.shared_bytes AS DOUBLE) / t.new_bytes * 1e6 + 0.5) / 1e6
+         AS containment
+FROM sagg a JOIN new_tot t ON t.media_id = a.new_media
+ORDER BY new_media, corpus_media
+"""
+
+
+@register("cdc_incremental_dedup", _CDC_INCR_SQL)
 def q_cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental payload dedup against a persisted CDC chunk index —
     the lifecycle query (build 80% corpus index -> probe the 20%
@@ -7402,11 +7562,13 @@ def q_cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per corpus snapshot; the probe chunks ONLY the batch, collects its
     <=64 bucket ids driver-side and statically prunes the bucket
     partitions before the chunk_hash equi-join — the corpus is never
-    re-chunked (sources/chunk_index.py). Rows-only: the Gear boundary
-    walk is non-SQL-expressible; the probe is pinned against an
-    oblivious full-recompute in tests/test_chunk_index.py, and
-    append≡rebuild + byte-identical-copy containment=1.0 are pinned
-    there too."""
+    re-chunked (sources/chunk_index.py). FULLY hash-gated as of r11
+    (with cdc_chunk_dedup): the oracle re-derives every payload's
+    chunks via the recursive Gear walk and computes the restricted
+    batch×corpus overlap — valid because chunk boundaries are
+    per-payload local state (append ≡ rebuild pinned in
+    tests/test_chunk_index.py, along with byte-identical-copy
+    containment=1.0)."""
     import shutil
     import tempfile
 
@@ -7519,7 +7681,7 @@ _DRIFT_SQL = _with(
     _COMP_CTE,
     """
 q AS (
-  SELECT vec_id, i, CAST(round(x * 1000) AS BIGINT) AS q FROM comp
+  SELECT vec_id, i, CAST(SIGN(x * 1000) * FLOOR(ABS(x * 1000) + 0.5) AS BIGINT) AS q FROM comp
 )""".strip(),
     """
 per AS (

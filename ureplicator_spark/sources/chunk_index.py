@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f
+
 from ureplicator_spark.caching import pin
 from ureplicator_spark.operators.multimodal import cdc_chunk_payloads
 
@@ -205,7 +207,7 @@ def incremental_payload_dedup(
             "corpus_media",
             "shared_chunks",
             "shared_bytes",
-            F.round(F.col("shared_bytes") / F.col("new_bytes"), 6).alias(
+            round6f(F.col("shared_bytes") / F.col("new_bytes")).alias(
                 "containment"
             ),
         )

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6s
+
 from ureplicator_spark.operators.similarity import _components, norms
 
 
@@ -115,7 +117,7 @@ def build_ivf_index(
         .select(
             "vec_id",
             "cent_id",
-            F.round(F.try_divide(F.col("dot"), F.col("norm") * F.col("cn")), 6).alias("cosine"),
+            round6s(F.try_divide(F.col("dot"), F.col("norm") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
@@ -172,9 +174,8 @@ def append_to_ivf_index(
         "embedding",
         "norm",
         "cent_id",
-        F.round(
-            F.try_divide(_dot(F.col("v_emb"), F.col("c_emb")), F.col("norm") * F.col("cn")),
-            6,
+        round6s(
+            F.try_divide(_dot(F.col("v_emb"), F.col("c_emb")), F.col("norm") * F.col("cn"))
         ).alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
@@ -218,9 +219,8 @@ def search_ivf_index(
         .select(
             "q_id",
             "cent_id",
-            F.round(
-                _dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("cn")),
-                6,
+            round6s(
+                _dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("cn"))
             ).alias("ccos"),
         )
     )
@@ -238,9 +238,8 @@ def search_ivf_index(
     score = cand.join(F.broadcast(q), "q_id").select(
         "q_id",
         F.col("vec_id").alias("c_id"),
-        F.round(
-            F.try_divide(_dot(F.col("q_emb"), F.col("embedding")), F.col("qn") * F.col("norm")),
-            6,
+        round6s(
+            F.try_divide(_dot(F.col("q_emb"), F.col("embedding")), F.col("qn") * F.col("norm"))
         ).alias("cosine"),
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))

@@ -45,6 +45,8 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f
+
 from ureplicator_spark.caching import release_checkpoint
 from ureplicator_spark.functions import md5_long
 from ureplicator_spark.streaming.ivm import _commit_version, _require_view, read_view
@@ -177,7 +179,22 @@ def search_lexical_index(
         postings.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(bm25_contribution(k1, b)), 6).alias("bm25"))
+        .agg(
+            round6f(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("token"),
+                                bm25_contribution(k1, b).alias("w"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, s: a + s["w"],
+                )
+            ).alias("bm25")
+        )
     )
     top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(top_k)
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6s
+
 
 def _int_components(embeddings: DataFrame, qscale: int) -> DataFrame:
     """(vec_id, i, q): 1-based integer-quantized component view."""
@@ -41,7 +43,7 @@ def _int_components(embeddings: DataFrame, qscale: int) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("i0") + 1).alias("i"),
-        F.round(F.col("x").cast("double") * qscale).cast("long").alias("q"),
+        round6s(F.col("x").cast("double") * qscale, 0).cast("long").alias("q"),
     )
 
 

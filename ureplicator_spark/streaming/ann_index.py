@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ureplicator_spark.functions import round6f
 from pyspark.sql.streaming import StreamingQuery
 
 from ureplicator_spark.fsutil import (
@@ -123,7 +125,7 @@ def list_stats(spark: SparkSession, root: str) -> DataFrame:
         .select(
             "cent_id",
             "n_vecs",
-            F.round(F.col("n_vecs") / F.lit(float(total or 1)), 6).alias("share"),
+            round6f(F.col("n_vecs") / F.lit(float(total or 1))).alias("share"),
         )
         .orderBy("cent_id")
     )

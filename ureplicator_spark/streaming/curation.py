@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f
+
 
 def doc_quality_columns(docs: DataFrame) -> DataFrame:
     """Columnar quality signals computable without any aggregation —
@@ -41,7 +43,7 @@ def doc_quality_columns(docs: DataFrame) -> DataFrame:
     return docs.select(
         "*",
         F.size(toks).alias("n_tokens"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        round6f(distinct_ratio).alias("distinct_ratio"),
     )
 
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ureplicator_spark.functions import round6f
+
 from ureplicator_spark.operators.sketch import HLL_M, _estimate, _registers
 from ureplicator_spark.streaming.ivm import _commit_version, _require_view, read_view
 
@@ -108,7 +110,7 @@ def hll_estimates(
     regs = _require_view(spark, table_path, "HLL register")
     per_g, est = _estimate(regs, [group_col], m)
     return per_g.select(
-        group_col, "v_nonempty", F.round(est, 4).alias("est_distinct")
+        group_col, "v_nonempty", round6f(est, 4).alias("est_distinct")
     ).orderBy(group_col)
 
 
@@ -196,7 +198,7 @@ def kmv_estimates(
         F.col("n_synopsis") < k, F.col("n_synopsis").cast("double")
     ).otherwise(F.lit(float(k - 1) * float(1 << 60)) / F.col("hk"))
     return per_g.select(
-        group_col, "n_synopsis", F.round(est, 4).alias("est_distinct")
+        group_col, "n_synopsis", round6f(est, 4).alias("est_distinct")
     ).orderBy(group_col)
 
 

@@ -26,6 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ureplicator_spark.functions import round6f
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 NO_PROGRESS_OUTPUT_SCHEMA = (
@@ -113,8 +115,8 @@ def streaming_workload_windows(
         .select(
             "topic",
             F.col("win.start").cast("long").alias("window_start"),
-            F.round(F.col("window_bytes") / win_sec, 6).alias("bytes_per_sec"),
-            F.round(F.col("window_msgs") / win_sec, 6).alias("msgs_per_sec"),
+            round6f(F.col("window_bytes") / win_sec).alias("bytes_per_sec"),
+            round6f(F.col("window_msgs") / win_sec).alias("msgs_per_sec"),
         )
     )
 
