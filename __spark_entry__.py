@@ -35,6 +35,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     # missing sketch-family member; merge/gauge pinned in
     # tests/test_gauge_parity.py.
     "workload_quantile_sketch",
+    # NEW: frame-sequence (shot-level) near-dup — per-frame dHash
+    # sequences + 4-frame shingles; a re-cut clip (leading frames
+    # trimmed) re-aligns with its source like CDC chunks re-align
+    # after a byte edit. Completes the perceptual multimodal family.
+    "media_frame_signatures", "media_frame_near_pairs",
     # NEW: the daily-ingest TEXT dedup lifecycle gated end-to-end (the
     # media_incremental_dedup discipline): edited re-crawl batch
     # probes the standing MinHash band sections; oracle recomputes the

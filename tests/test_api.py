@@ -101,7 +101,9 @@ def test_backup_archive_percentiles(engine, tmp_path):
     assert replayed.select("topic").distinct().collect()[0][0] == "click"
 
     pct = {r.topic: r for r in engine.workload_percentiles().collect()}
-    assert all(r.p50 <= r.p95 <= r.p99 <= r.max_size for r in pct.values())
+    # HDR-sketch reads (r11): monotone by construction; the top-bucket
+    # hi bound dominates every estimate
+    assert all(r.p50 <= r.p95 <= r.p99 <= r.max_size_est for r in pct.values())
 
 
 def test_log_derived_observer_matches_inventory(spark, sf_dir):

@@ -282,3 +282,75 @@ def test_media_index_lifecycle(spark, sf_dir, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="section missing"):
         index_fingerprints(spark, str(tmp_path / "nope"))
+
+
+def test_frame_hashes_fused_variants_equal_standalone(spark, sf_dir):
+    """The fused original+trimmed hasher must equal composing the trim
+    with the standalone frame hasher (one kernel or they drift), and a
+    trimmed clip's frame f must equal the original's frame f + trim."""
+    from ureplicator_spark.operators.multimodal import (
+        CLIP_TRIM_FRAMES,
+        FRAME_STRIDE,
+        documents_as_media,
+        video_frame_hashes,
+        video_frame_hashes_with_variants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = documents_as_media(docs)
+    fused = {
+        (r.media_id, r.frame_idx): r.fhash
+        for r in video_frame_hashes_with_variants(media).collect()
+    }
+    orig = {
+        (r.media_id, r.frame_idx): r.fhash
+        for r in video_frame_hashes(media).collect()
+    }
+    cut = CLIP_TRIM_FRAMES * FRAME_STRIDE
+    trimmed = media.select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        F.expr(f"substring(payload, {cut + 1})").alias("payload"),
+    )
+    standalone_var = {
+        (r.media_id, r.frame_idx): r.fhash
+        for r in video_frame_hashes(trimmed).collect()
+    }
+    assert {k: v for k, v in fused.items() if k[0] < 10_000_000} == orig
+    assert {k: v for k, v in fused.items() if k[0] >= 10_000_000} == standalone_var
+    # frame alignment: variant frame f == original frame f + trim
+    for (mid, f), v in standalone_var.items():
+        assert v == orig[(mid - 10_000_000, f + CLIP_TRIM_FRAMES)]
+
+
+def test_frame_near_pairs_catch_recut_clips(spark, sf_dir):
+    """Every re-cut variant with >= shingle-size frames must pair with
+    its source at overlap 1.0 (all its shingles come from the source's
+    suffix) — the capability whole-payload hashes cannot provide."""
+    from ureplicator_spark.operators.multimodal import (
+        CLIP_TRIM_FRAMES,
+        FRAME_SHINGLE_K,
+        FRAME_STRIDE,
+        documents_as_media,
+        frame_shingle_near_pairs,
+        video_frame_hashes_with_variants,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = documents_as_media(docs)
+    pairs = {
+        (r.media_a, r.media_b): r.overlap
+        for r in frame_shingle_near_pairs(
+            video_frame_hashes_with_variants(media)
+        ).collect()
+    }
+    # docs with enough bytes that the VARIANT has k+1 full frames
+    # (>= 2 shingles — min_shared filters single-shingle matches)
+    need = (FRAME_SHINGLE_K + 1 + CLIP_TRIM_FRAMES) * FRAME_STRIDE
+    planted = [
+        r.doc_id
+        for r in docs.select("doc_id", "n_chars").collect()
+        if r.n_chars >= need
+    ]
+    assert len(planted) > 50
+    for did in planted:
+        assert pairs.get((did, did + 10_000_000)) == 1.0, did

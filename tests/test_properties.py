@@ -785,3 +785,32 @@ def test_audio_fp_matches_python_on_random_payloads(spark, payloads):
     got = {r.media_id: r.dhash for r in audio_fingerprint(media).collect()}
     want = {i: _py_audio_fp(p) for i, p in enumerate(payloads)}
     assert got == want
+
+
+@given(payloads=st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=8))
+@SETTINGS
+def test_frame_hashes_match_python_on_random_payloads(spark, payloads):
+    """Per-frame dHash sequences on ARBITRARY bytes equal composing
+    the oblivious Python dHash with fixed-stride frame slicing —
+    including payloads shorter than one frame (no rows) and exact
+    multiples of the stride (no dropped tail)."""
+    from test_dhash import _py_dhash
+
+    from ureplicator_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        video_frame_hashes,
+    )
+
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r.media_id, r.frame_idx): r.fhash
+        for r in video_frame_hashes(media).collect()
+    }
+    want = {}
+    for i, p in enumerate(payloads):
+        for f in range(len(p) // FRAME_STRIDE):
+            want[(i, f)] = _py_dhash(p[f * FRAME_STRIDE : (f + 1) * FRAME_STRIDE])
+    assert got == want

@@ -323,13 +323,24 @@ class Engine:
         return WL.whitelist_candidates(src, dst_topics, current, bl, exclude_regex)
 
     def workload_percentiles(self) -> DataFrame:
-        """Per-topic payload-size distribution (capacity signal)."""
+        """Per-topic payload-size distribution (capacity signal) —
+        served from the mergeable HDR sketch (r11): bounded register
+        state per topic, SUM-mergeable across partitions/windows, and
+        integer-exact reads, so the endpoint answers at any log size
+        without a per-topic sort (the exact interpolated twin stays in
+        the gated `workload_percentiles` registry query)."""
+        from ureplicator_spark.operators.sketch import hdr_quantiles, hdr_registers
+
         log = self._require_log()
-        return log.groupBy("topic").agg(
-            F.round(F.percentile("value_size", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("value_size", F.lit(0.95)), 6).alias("p95"),
-            F.round(F.percentile("value_size", F.lit(0.99)), 6).alias("p99"),
-            F.max("value_size").alias("max_size"),
+        regs = hdr_registers(log, "value_size", ["topic"])
+        return hdr_quantiles(regs, ["topic"], percentiles=(50, 95, 99, 100)).select(
+            "topic",
+            F.col("p50_est").alias("p50"),
+            F.col("p95_est").alias("p95"),
+            F.col("p99_est").alias("p99"),
+            # hi bound of the top bucket: >= exact max, within 2^-5
+            F.col("p100_est").alias("max_size_est"),
+            "n_records",
         )
 
     # -- state backup (S12, ClusterInfoBackupManager) -------------------------

@@ -806,3 +806,187 @@ def audio_fingerprint_with_variants(
     return fan_out(media.select("media_id", "payload")).mapInPandas(
         fp_batches, schema=DHASH_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-sequence (shot-level) near-dup — completes the perceptual
+# family: image = whole-payload dHash, audio = energy-delta
+# fingerprint, video-like = per-frame dHash SEQUENCES compared by
+# frame shingles, so a re-cut clip (leading frames trimmed) still
+# matches its source even though no whole-payload hash survives the
+# edit. The shingle idea is winnowing/k-gram dedup applied to the
+# frame-hash sequence instead of the token stream.
+# ---------------------------------------------------------------------------
+
+FRAME_STRIDE = 32     # bytes per stub "frame" (fixture docs are 48-553 B)
+FRAME_SHINGLE_K = 4   # consecutive frames per shingle
+CLIP_TRIM_FRAMES = 2  # the re-cut variant drops this many leading frames
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fhash", T.LongType(), False),
+    ]
+)
+
+
+def _frame_hash_rows(buf, mid: int, stride: int, w: int, h: int, powers):
+    """dHash of every FULL stride-byte frame of ``buf`` (the tail
+    remainder is dropped — both engines see the same frame set)."""
+    n = buf.shape[0] // stride
+    return [
+        (mid, f, _dhash_from_samples(buf[f * stride : (f + 1) * stride], w, h, powers))
+        for f in range(n)
+    ]
+
+
+def video_frame_hashes(
+    media: DataFrame, stride: int = FRAME_STRIDE, w: int = DHASH_W, h: int = DHASH_H
+) -> DataFrame:
+    """(media_id, frame_idx, fhash): per-frame 64-bit dHash over fixed
+    stride-byte frames — the shot-signature table a video pipeline
+    materializes once per item. Map-only mapInPandas (one Arrow pass,
+    zero shuffles); output is ~n_bytes/stride rows of 12 bytes each,
+    so the signature table is ~0.4% of the payload bytes at any
+    corpus size."""
+    import numpy as np
+
+    powers = np.int64(1) << np.arange(w * h - 1, dtype=np.int64)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) < stride:
+                    continue
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                rows.extend(_frame_hash_rows(buf, int(mid), stride, w, h, powers))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "fhash"]
+            ).astype({"media_id": "int64", "frame_idx": "int32", "fhash": "int64"})
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        hash_batches, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def video_frame_hashes_with_variants(
+    media: DataFrame,
+    stride: int = FRAME_STRIDE,
+    trim_frames: int = CLIP_TRIM_FRAMES,
+    id_offset: int = 10_000_000,
+    w: int = DHASH_W,
+    h: int = DHASH_H,
+) -> DataFrame:
+    """Fused original + RE-CUT-clip frame hashes in ONE Arrow
+    round-trip (the image_dhash_with_variants discipline): the
+    variant (id = original + ``id_offset``) is the payload with its
+    first ``trim_frames`` frames cut — recomputed from the trimmed
+    buffer, bit-identical to materializing the trim and re-hashing
+    (pinned in tests/test_dhash.py)."""
+    import numpy as np
+
+    powers = np.int64(1) << np.arange(w * h - 1, dtype=np.int64)
+    cut = trim_frames * stride
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) < stride:
+                    continue
+                if int(mid) >= id_offset:
+                    raise ValueError(
+                        f"media_id {mid} collides with id_offset={id_offset} "
+                        "variant space"
+                    )
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                rows.extend(_frame_hash_rows(buf, int(mid), stride, w, h, powers))
+                trimmed = buf[cut:]
+                if trimmed.shape[0] >= stride:
+                    rows.extend(
+                        _frame_hash_rows(
+                            trimmed, int(mid) + id_offset, stride, w, h, powers
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "fhash"]
+            ).astype({"media_id": "int64", "frame_idx": "int32", "fhash": "int64"})
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        hash_batches, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def frame_shingle_near_pairs(
+    frame_hashes: DataFrame,
+    k: int = FRAME_SHINGLE_K,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Shot-level near-pairs from frame-hash sequences: md5 shingles
+    of ``k`` CONSECUTIVE frame hashes, distinct per item, then a
+    shingle-keyed equi-join — a trimmed/re-cut clip re-aligns with its
+    source after the edit exactly like CDC chunks re-align after a
+    byte insertion, but at the perceptual-frame level.
+
+    Output: (media_a, media_b, shared_shingles, n_a, n_b, overlap)
+    with overlap = shared / least(n_a, n_b) (containment of the
+    smaller side), floor-chained.
+
+    Scale shape: sequences collect per media_id (bounded by
+    n_bytes/stride — per-item state, never cross-item), shingles
+    explode to ~frames-per-item rows, and candidates come from the
+    shingle equi-join — bucketed by construction, never all-pairs;
+    the same discipline as every banded join in this family."""
+    from ureplicator_spark.functions import round6f
+
+    seqs = frame_hashes.groupBy("media_id").agg(
+        F.array_sort(F.collect_list(F.struct("frame_idx", "fhash"))).alias("seq")
+    )
+    hstr = F.transform(F.col("seq"), lambda s: s["fhash"].cast("string"))
+    grams = (
+        seqs.filter(F.size("seq") >= k)
+        .select(
+            "media_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("seq") - k),
+                    lambda i: F.md5(F.concat_ws(",", F.slice(hstr, i + 1, k))),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    counts = grams.groupBy("media_id").agg(F.count("*").alias("n_grams"))
+    shared = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+    ca = counts.select(F.col("media_id").alias("media_a"), F.col("n_grams").alias("n_a"))
+    cb = counts.select(F.col("media_id").alias("media_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(ca, "media_a")
+        .join(cb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            round6f(
+                F.col("shared_shingles") / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("overlap"),
+        )
+        .orderBy("media_a", "media_b")
+    )

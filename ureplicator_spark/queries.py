@@ -8542,3 +8542,135 @@ def q_workload_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     regs = hdr_registers(FX.records(spark, sf_dir), "value_size", ["topic"])
     return hdr_quantiles(regs, ["topic"])
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline (r11): frame-sequence (shot-level) near-dup — completes
+# the perceptual multimodal family (image dHash, audio energy-delta,
+# video-like frame sequences). Reference for the construction:
+# winnowing/k-gram shingling applied to per-frame dHash sequences.
+# ---------------------------------------------------------------------------
+
+# Per-frame dHash over fixed 32-byte frames: the whole-payload dHash
+# cell machinery parameterized by frame offset — every frame is
+# exactly FRAME_STRIDE bytes, so the 72-cell grid offsets are
+# CONSTANTS (j*32//72) and only the frame base offset varies.
+_FRAME_HASHES_CTE = """
+g AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 32
+),
+fcells AS (SELECT media_id, text, n, 0 AS foffs FROM g),
+frames AS (
+  SELECT media_id, text, foffs, unnest(range(0, (n - foffs) // 32)) AS f
+  FROM fcells
+),
+fbits AS (
+  SELECT media_id, foffs, f, k, CASE WHEN px1 < px2 THEN 1 ELSE 0 END AS b
+  FROM (
+    SELECT media_id, foffs, f, k,
+      ascii(substr(text, CAST(foffs + f * 32 + (((k // 8) * 9 + (k % 8)) * 32 // 72) + 1 AS INT), 1)) AS px1,
+      ascii(substr(text, CAST(foffs + f * 32 + (((k // 8) * 9 + (k % 8) + 1) * 32 // 72) + 1 AS INT), 1)) AS px2
+    FROM (SELECT media_id, text, foffs, f, unnest(range(0, 64)) AS k FROM frames)
+  )
+),
+fhashes AS (
+  SELECT media_id, CAST(f AS INT) AS frame_idx,
+         CAST(SUM(CASE WHEN k < 63 THEN CAST(b AS BIGINT) << k ELSE 0 END) AS BIGINT)
+         + CASE WHEN MAX(CASE WHEN k = 63 THEN b ELSE 0 END) = 1
+                THEN -9223372036854775808 ELSE 0 END AS fhash
+  FROM fbits GROUP BY media_id, f
+)
+""".strip()
+
+_FRAME_SIG_SQL = _with(
+    _FRAME_HASHES_CTE,
+    "SELECT media_id, frame_idx, fhash FROM fhashes ORDER BY media_id, frame_idx",
+)
+
+
+@register("media_frame_signatures", _FRAME_SIG_SQL)
+def q_media_frame_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame 64-bit dHash sequence over fixed 32-byte frames — the
+    shot-signature table a video pipeline materializes once per item
+    (~12 bytes per frame, ~0.4% of payload bytes at any scale).
+    Map-only mapInPandas, zero shuffles; the oracle reproduces every
+    frame hash from the byte stream (fixed frame size makes the
+    72-cell dHash grid offsets compile-time constants)."""
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        video_frame_hashes,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return video_frame_hashes(media).orderBy("media_id", "frame_idx")
+
+
+_FRAME_PAIRS_SQL = _with(
+    _FRAME_HASHES_CTE.replace(
+        "fcells AS (SELECT media_id, text, n, 0 AS foffs FROM g)",
+        "fcells AS (SELECT media_id, text, n, 0 AS foffs FROM g\n"
+        "           UNION ALL\n"
+        "           SELECT media_id + 10000000, text, n, 64 FROM g\n"
+        "           WHERE n - 64 >= 32)",
+    ),
+    """
+seqs AS (
+  SELECT media_id, list(CAST(fhash AS VARCHAR) ORDER BY frame_idx) AS seq
+  FROM fhashes GROUP BY media_id
+)
+""".strip(),
+    """
+grams AS (
+  SELECT DISTINCT media_id, gram FROM (
+    SELECT media_id,
+           unnest(list_transform(range(0, len(seq) - 3),
+                  i -> md5(array_to_string(
+                         list_slice(seq, CAST(i + 1 AS INT), CAST(i + 4 AS INT)),
+                         ',')))) AS gram
+    FROM seqs WHERE len(seq) >= 4
+  )
+)
+""".strip(),
+    "gcounts AS (SELECT media_id, COUNT(*) AS n_grams FROM grams GROUP BY media_id)",
+    """
+gshared AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS shared_shingles
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.media_id < b.media_id
+  GROUP BY a.media_id, b.media_id HAVING COUNT(*) >= 2
+)
+""".strip(),
+    """
+SELECT s.media_a, s.media_b, s.shared_shingles,
+       ca.n_grams AS n_a, cb.n_grams AS n_b,
+       FLOOR(CAST(s.shared_shingles AS DOUBLE) / LEAST(ca.n_grams, cb.n_grams)
+             * 1e6 + 0.5) / 1e6 AS overlap
+FROM gshared s
+JOIN gcounts ca ON ca.media_id = s.media_a
+JOIN gcounts cb ON cb.media_id = s.media_b
+ORDER BY media_a, media_b
+""",
+)
+
+
+@register("media_frame_near_pairs", _FRAME_PAIRS_SQL)
+def q_media_frame_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-level near-dup: md5 shingles of 4 CONSECUTIVE frame hashes
+    over originals ∪ RE-CUT variants (first 2 frames trimmed, fresh
+    ids) — a trimmed clip re-aligns with its source at the next frame
+    boundary exactly like CDC chunks re-align after a byte edit, so
+    the pair survives an edit that kills every whole-payload hash.
+    Hashing is FUSED (one Arrow round-trip emits original + variant
+    frames; bit-identical to trimming then re-hashing, pinned in
+    tests/test_dhash.py); candidates come from the shingle equi-join —
+    bucketed by construction, never all-pairs."""
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        frame_shingle_near_pairs,
+        video_frame_hashes_with_variants,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return frame_shingle_near_pairs(video_frame_hashes_with_variants(media))
