@@ -125,7 +125,7 @@ EXTENDED_QUERIES = [
     # round-11 additions: the mergeable HDR quantile sketch, its exact
     # gauge twin, and the hash-gated incremental TEXT dedup lifecycle.
     "workload_quantile_sketch", "workload_percentiles",
-    "text_incremental_dedup",
+    "text_incremental_dedup", "cdc_incremental_dedup",
     # round-11: shot-level near-dup — per-frame dHash sequences +
     # frame shingles catch re-cut clips no whole-payload hash survives.
     "media_frame_signatures", "media_frame_near_pairs",

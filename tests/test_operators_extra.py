@@ -1559,17 +1559,24 @@ def test_bm25_matches_oblivious_reference(spark, sf_dir):
     n = len(toks)
     avgdl = sum(len(t) for t in toks.values()) / n
     df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    def micro6(x: float) -> int:
+        # the operator's r11 exactness contract: per-term integer
+        # micro-units (6-dp floor chain kept in integer form)
+        return int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x)) if x else 0
+
     scored = []
     for doc_id, t in toks.items():
-        s = 0.0
+        s6 = 0
         for q in terms:
             tf = t.count(q)
             if tf == 0 or df[q] == 0:
                 continue
             idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
-            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
-        if s > 0:
-            scored.append((round(s, 6), doc_id))
+            s6 += micro6(
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            )
+        if s6 > 0:
+            scored.append((s6 / 1e6, doc_id))
     want = sorted(scored, key=lambda x: (-x[0], x[1]))[:10]
 
     got = [
@@ -1697,13 +1704,22 @@ def test_bigram_lm_matches_hand_computation(spark):
         for a, b in zip(t, t[1:]):
             big[(a, b)] = big.get((a, b), 0) + 1
     n1 = sum(uni.values())
+    def micro6(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x)) if x else 0
+
     want = {}
     for i, t in toks.items():
         ps = [
             0.75 * (big[(a, b)] / uni[a]) + 0.25 * (uni[b] / n1)
             for a, b in zip(t, t[1:])
         ]
-        want[i] = (len(ps), round(sum(-math.log(p) for p in ps) / len(ps), 6))
+        # r11 exactness contract: per-term micro-units, exact integer
+        # sum, one division, 6-dp floor chain
+        s6 = sum(micro6(-math.log(p)) for p in ps)
+        want[i] = (
+            len(ps),
+            math.floor(s6 / (len(ps) * 1e6) * 1e6 + 0.5) / 1e6,
+        )
     got = {
         r.doc_id: (r.n_bigrams, r.cross_entropy)
         for r in bigram_lm_score(docs).collect()

@@ -260,6 +260,14 @@ def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
         # recall gauges: broadcast only the vec_id<n_queries slice.
         "similarity_ann_recall",
         "similarity_multiprobe_recall",
+        # multiprobe/filtered ANN: the hint is on the query-side norm
+        # slice (vec_id < n_queries). Before r11 the norm derivation
+        # contained a per-vector Aggregate the detector treated as
+        # reducing (it wasn't — per-vector keys grow with the corpus);
+        # the r11 map-only array-fold norms make the lineage honest
+        # and the bounded-slice exemption applies like its siblings'.
+        "similarity_multiprobe_ann",
+        "similarity_filtered_ann",
         # PQ family: broadcast sides are the m·k·(dim/m)-row codebook
         # (size fixed by m/k, refreshed from per-code aggregates) and
         # the vec_id<n_queries LUT slice — never the corpus.

@@ -91,6 +91,24 @@ def round6s(x: Column, k: int = 6) -> Column:
     )
 
 
+def micro6(x: Column) -> Column:
+    """Integer MICRO-UNITS of a deterministic double: ``sign(x) ·
+    floor(|x|·1e6 + 0.5)`` as BIGINT — the 6-dp floor chain kept in
+    integer form. Summing micro-units is EXACT integer arithmetic
+    (order-free, map-side combinable), so a per-term quantize →
+    integer SUM → one final /1e6 replaces both the order-dependent
+    SUM(double) AND the collect+sort canonical fold — the shape that
+    scales (a sorted-list fold per group re-materializes every term).
+    Quantization error ≤ 5e-7 per term, identical on both engines.
+    SQL twin: :func:`sql_micro6`."""
+    return (F.signum(x) * F.floor(F.abs(x) * 1e6 + F.lit(0.5))).cast("long")
+
+
+def sql_micro6(x: str) -> str:
+    """DuckDB twin of :func:`micro6`."""
+    return f"CAST(SIGN({x}) * FLOOR(ABS({x}) * 1e6 + 0.5) AS BIGINT)"
+
+
 def sql_round6f(x: str, k: int = 6) -> str:
     """DuckDB twin of :func:`round6f` (embed in oracle SQL)."""
     return f"FLOOR(({x}) * 1e{k} + 0.5) / 1e{k}"

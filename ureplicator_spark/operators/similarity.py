@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ureplicator_spark.functions import round6f, round6s
+from ureplicator_spark.functions import micro6, round6f, round6s
 
 from ureplicator_spark.caching import pin
 from ureplicator_spark.functions import md5_long
@@ -1434,20 +1434,11 @@ def more_like_this_ranks(
         .crossJoin(F.broadcast(corpus))
         .groupBy("q_id", "c_id")
         .agg(
-            round6f(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("token"),
-                                bm25_contribution(k1, b).alias("w"),
-                            )
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda a, s: a + s["w"],
-                )
-            ).alias("bm25")
+            # r11 exactness v2: per-term contributions quantize to
+            # integer micro-units, summed exactly (order-free,
+            # plain-SUM plan — see text.dsir_weights)
+            (F.sum(micro6(bm25_contribution(k1, b))).cast("double") / 1e6)
+            .alias("bm25")
         )
     )
     wl = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "c_id")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ureplicator_spark.functions import round6f, round6s
+from ureplicator_spark.functions import micro6, round6f, round6s
 
 from ureplicator_spark.caching import pin
 from ureplicator_spark.functions import md5_long
@@ -863,24 +863,20 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
     # grand total rolls up from the vocab-sized model table, not a
     # second pass over the token stream
     total = model.agg(F.sum("c").alias("t"))
-    # refold (r11 audit): AVG(-ln(c/t)) folds doubles in partition
-    # order. Decompose exactly — cross_entropy = ln(t) - (Σ ln c)/n
-    # with Σ ln c = Σ_{distinct c} m_c·ln(c) — and fold the per-doc
-    # (c, m_c) terms in canonical c order on both engines; the only
-    # remaining doubles are one ln per distinct count and one final
-    # division, chained to 6 dp.
-    tc = (
-        tok.join(F.broadcast(model), "token")
-        .groupBy("doc_id", "c")
-        .agg(F.count("*").alias("m"))
-    )
-    per = tc.groupBy("doc_id").agg(
-        F.sum("m").cast("long").alias("n_tokens"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("c", "m"))),
-            F.lit(0.0),
-            lambda a, s: a + s["m"] * F.log(s["c"]),
-        ).alias("_slc"),
+    # r11 exactness v2: cross_entropy = ln(t) - (Σ ln c)/n decomposed
+    # exactly; ln(c) quantizes to integer micro-units ON THE MODEL
+    # (vocabulary-sized, once), so the per-doc Σ is exact integer
+    # arithmetic — order-free, plain-SUM plan (see dsir_weights for
+    # the collect-fold-vs-micro history). One ln + one division at
+    # the end, chained to 6 dp.
+    model6 = model.select("token", micro6(F.log(F.col("c"))).alias("lnc6"))
+    per = (
+        tok.join(F.broadcast(model6), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lnc6").alias("_slc6"),
+        )
     )
     return (
         per.crossJoin(F.broadcast(total))
@@ -888,7 +884,8 @@ def unigram_lm_score(documents: DataFrame) -> DataFrame:
             "doc_id",
             "n_tokens",
             round6f(
-                F.log(F.col("t")) - F.col("_slc") / F.col("n_tokens")
+                F.log(F.col("t"))
+                - F.col("_slc6").cast("double") / (F.col("n_tokens") * 1e6)
             ).alias("cross_entropy"),
         )
         .orderBy("doc_id")
@@ -935,12 +932,19 @@ def dsir_weights(
     tot = counts.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )
+    # r11 exactness v2: the n_buckets-row MODEL quantizes log_ratio to
+    # integer micro-units ONCE (micro6 — the 6-dp floor chain kept in
+    # integer form); the per-doc score is then an EXACT integer
+    # Σ cnt·lr6 — order-free, map-side combinable, no double fold and
+    # no per-group list materialization (the first refold collected
+    # and sorted per-doc term lists; measured 1.44 s vs the original
+    # 0.6 s at sf0.1 — the micro-unit sum restores the plain-SUM plan)
     model = counts.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        (
+        micro6(
             F.log((F.col("ct") + 1) / (F.col("tt") + n_buckets))
             - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets))
-        ).alias("log_ratio"),
+        ).alias("lr6"),
     )
     return (
         pre.filter(~is_target)
@@ -948,23 +952,9 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
-            # canonical-order fold by bucket (r11 audit): SUM(double)
-            # over the per-doc bucket terms is partition-order-
-            # dependent; ≤256 bounded terms per doc
-            round6s(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "bucket",
-                                (F.col("cnt") * F.col("log_ratio")).alias("term"),
-                            )
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda a, s: a + s["term"],
-                )
-            ).alias("log_weight"),
+            (F.sum(F.col("cnt") * F.col("lr6")).cast("double") / 1e6).alias(
+                "log_weight"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -1000,19 +990,13 @@ def source_unigram_kl(documents: DataFrame) -> DataFrame:
             # st rows are already distinct per (source, token), so a
             # plain count == countDistinct without the Expand+exchange
             F.count("*").alias("n_terms"),
-            # canonical-order fold by token (r11 audit): the KL term
-            # sum over the vocabulary is partition-order-dependent
-            round6s(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("token", (ps * F.log(ps / pc)).alias("term"))
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda a, s: a + s["term"],
-                )
-            ).alias("kl_divergence"),
+            # r11 exactness v2: each KL term quantizes to integer
+            # micro-units, the vocabulary sum is exact integer
+            # arithmetic — order-free with a plain-SUM plan (see
+            # dsir_weights for the fold-vs-micro history)
+            (F.sum(micro6(ps * F.log(ps / pc))).cast("double") / 1e6).alias(
+                "kl_divergence"
+            ),
         )
         .orderBy("source")
     )
@@ -1534,20 +1518,11 @@ def bm25_scores(
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
-            round6f(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("token"),
-                                bm25_contribution(k1, b).alias("w"),
-                            )
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda a, s: a + s["w"],
-                )
-            ).alias("bm25")
+            # r11 exactness v2: per-term contributions quantize to
+            # integer micro-units, summed exactly (order-free,
+            # plain-SUM plan — see dsir_weights)
+            (F.sum(micro6(bm25_contribution(k1, b))).cast("double") / 1e6)
+            .alias("bm25")
         )
     )
 
@@ -1660,19 +1635,12 @@ def bigram_lm_score(documents: DataFrame, lam: float = 0.75) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            # canonical-order fold by bigram (r11 audit): AVG(double)
-            # folds in partition order; terms per doc are doc-bounded
+            # r11 exactness v2: each -ln p term quantizes to integer
+            # micro-units; the per-doc sum is exact integer arithmetic
+            # — order-free, plain-SUM plan (see dsir_weights)
             round6f(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("a", "b", (-F.log(p)).alias("term"))
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["term"],
-                )
-                / F.count("*")
+                F.sum(micro6(-F.log(p))).cast("double")
+                / (F.count("*") * 1e6)
             ).alias("cross_entropy"),
         )
         .orderBy("doc_id")
@@ -1721,8 +1689,13 @@ def nb_lang_confusion(documents: DataFrame) -> DataFrame:
     )
     ntr = pri.agg(F.sum("nl").alias("n"))
 
-    ll_tok = F.col("tf") * F.log(
-        (F.coalesce("c", F.lit(0)) + 1.0) / (F.col("ctot") + F.col("v"))
+    # r11 exactness v2: ln of the smoothed token probability
+    # quantizes to integer micro-units per (plang, token) — the MODEL
+    # side, L×V rows — so the per-(doc, plang) log-likelihood is an
+    # exact integer Σ tf·lnp6: order-free, plain-SUM plan (see
+    # dsir_weights for the fold-vs-micro history)
+    lnp6 = micro6(
+        F.log((F.coalesce("c", F.lit(0)) + 1.0) / (F.col("ctot") + F.col("v")))
     )
     scored = (
         te.crossJoin(F.broadcast(pri.select("plang")))
@@ -1730,16 +1703,7 @@ def nb_lang_confusion(documents: DataFrame) -> DataFrame:
         .join(F.broadcast(cl), "plang")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id", "lang", "plang")
-        .agg(
-            # canonical-order fold by token (r11 audit)
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct("token", ll_tok.alias("term")))
-                ),
-                F.lit(0.0),
-                lambda acc, s: acc + s["term"],
-            ).alias("ll_tok")
-        )
+        .agg(F.sum(F.col("tf") * lnp6).alias("ll_tok6"))
     )
     ll = (
         scored.join(F.broadcast(pri), "plang")
@@ -1749,7 +1713,7 @@ def nb_lang_confusion(documents: DataFrame) -> DataFrame:
             "lang",
             "plang",
             round6s(
-                F.col("ll_tok")
+                F.col("ll_tok6").cast("double") / 1e6
                 + F.log(F.col("nl").cast("double") / F.col("n"))
             ).alias("ll"),
         )

@@ -4540,19 +4540,17 @@ _PERPLEXITY_SQL = _with(
     _TOK_CTE,
     "model AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)",
     "total AS (SELECT COUNT(*) AS t FROM tok)",
-    "tc AS (SELECT doc_id, c, COUNT(*) AS m FROM tok JOIN model USING (token)"
-    " GROUP BY doc_id, c)",
+    "m6 AS (SELECT token, CAST(SIGN(ln(c)) * FLOOR(ABS(ln(c)) * 1e6 + 0.5) AS BIGINT) AS lnc6 FROM model)",
     """
 per AS (
-  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
-         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m * ln(c) ORDER BY c)),
-                     (a, b) -> a + b) AS slc
-  FROM tc GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lnc6) AS BIGINT) AS slc6
+  FROM tok JOIN m6 USING (token) GROUP BY doc_id
 )
 """.strip(),
     """
 SELECT doc_id, n_tokens,
-       FLOOR((ln(t) - slc / n_tokens) * 1e6 + 0.5) / 1e6 AS cross_entropy
+       FLOOR((ln(t) - CAST(slc6 AS DOUBLE) / (n_tokens * 1e6)) * 1e6 + 0.5) / 1e6
+         AS cross_entropy
 FROM per CROSS JOIN total ORDER BY doc_id
 """,
 )
@@ -4595,24 +4593,16 @@ dsir_counts AS (
     """
 dsir_model AS (
   SELECT bucket,
-         ln((ct + 1) / (tt + 256.0)) - ln((cr + 1) / (tr + 256.0)) AS log_ratio
+         CAST(SIGN(ln((ct + 1) / (tt + 256.0)) - ln((cr + 1) / (tr + 256.0))) * FLOOR(ABS(ln((ct + 1) / (tt + 256.0)) - ln((cr + 1) / (tr + 256.0))) * 1e6 + 0.5) AS BIGINT) AS lr6
   FROM dsir_counts CROSS JOIN dsir_tot
 )
 """.strip(),
     """
-dsir_agg AS (
-  SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
-         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list(p.cnt * m.log_ratio ORDER BY p.bucket)), (a, b) -> a + b) AS slw
-  FROM dsir_pre p JOIN dsir_model m USING (bucket)
-  WHERE p.source <> 'src0'
-  GROUP BY p.doc_id
-)
-""".strip(),
-    """
-SELECT doc_id, n_tokens,
-       (SIGN(slw) * FLOOR(ABS(slw) * 1e6 + 0.5) / 1e6 + 0.0) AS log_weight
-FROM dsir_agg ORDER BY doc_id
+SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(p.cnt * m.lr6) AS DOUBLE) / 1e6 AS log_weight
+FROM dsir_pre p JOIN dsir_model m USING (bucket)
+WHERE p.source <> 'src0'
+GROUP BY p.doc_id ORDER BY p.doc_id
 """,
 )
 
@@ -4638,20 +4628,11 @@ st AS (SELECT source, token, COUNT(*) AS cs FROM tok2 GROUP BY source, token),
 stot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ts FROM st GROUP BY source),
 corpus AS (SELECT token, COUNT(*) AS c FROM tok2 GROUP BY token),
 grand AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM corpus)
-,
-klagg AS (
-  SELECT source, COUNT(DISTINCT st.token) AS n_terms,
-         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list((CAST(cs AS DOUBLE) / ts)
-                  * ln((CAST(cs AS DOUBLE) / ts) / (CAST(c AS DOUBLE) / t))
-                  ORDER BY st.token)),
-             (a, b) -> a + b) AS klsum
-  FROM st JOIN stot USING (source) JOIN corpus USING (token) CROSS JOIN grand
-  GROUP BY source
-)
-SELECT source, n_terms,
-       (SIGN(klsum) * FLOOR(ABS(klsum) * 1e6 + 0.5) / 1e6 + 0.0) AS kl_divergence
-FROM klagg ORDER BY source
+
+SELECT source, COUNT(DISTINCT st.token) AS n_terms,
+       CAST(SUM(CAST(SIGN((CAST(cs AS DOUBLE) / ts) * ln((CAST(cs AS DOUBLE) / ts) / (CAST(c AS DOUBLE) / t))) * FLOOR(ABS((CAST(cs AS DOUBLE) / ts) * ln((CAST(cs AS DOUBLE) / ts) / (CAST(c AS DOUBLE) / t))) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS kl_divergence
+FROM st JOIN stot USING (source) JOIN corpus USING (token) CROSS JOIN grand
+GROUP BY source ORDER BY source
 """
 
 
@@ -6779,9 +6760,9 @@ hits AS (
     f"""
 scored AS (
   SELECT t.doc_id,
-         FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list({_BM25_CONTRIB} ORDER BY t.token)), (a, b) -> a + b)
-             * 1e6 + 0.5) / 1e6 AS bm25
+         CAST(SUM(CAST(SIGN({_BM25_CONTRIB})
+                  * FLOOR(ABS({_BM25_CONTRIB}) * 1e6 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e6 AS bm25
   FROM tf t JOIN dfreq d USING (token) JOIN dl l USING (doc_id) CROSS JOIN corpus c
   GROUP BY t.doc_id
 )
@@ -6833,9 +6814,9 @@ _HYBRID_PARTS = (
     f"""
 lex AS (
   SELECT q.q_id, t.c_id,
-         FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list({_BM25_CONTRIB} ORDER BY t.token)), (a, b) -> a + b)
-             * 1e6 + 0.5) / 1e6 AS bm25
+         CAST(SUM(CAST(SIGN({_BM25_CONTRIB})
+                  * FLOOR(ABS({_BM25_CONTRIB}) * 1e6 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e6 AS bm25
   FROM tf t JOIN qtok q USING (token)
   JOIN dl l ON l.doc_id = t.c_id
   JOIN dfreq d USING (token)
@@ -7199,10 +7180,8 @@ uni AS (
 ),
 n1 AS (SELECT SUM(cu) AS n1 FROM uni)
 SELECT p.doc_id, COUNT(*) AS n_bigrams,
-       FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list(-LN(0.75 * (bc.cab / ua.cu) + 0.25 * (ub.cu / n1.n1))
-                  ORDER BY p.a, p.b)), (x, y) -> x + y)
-             / COUNT(*) * 1e6 + 0.5) / 1e6
+       FLOOR(CAST(SUM(CAST(SIGN(-LN(0.75 * (bc.cab / ua.cu) + 0.25 * (ub.cu / n1.n1))) * FLOOR(ABS(-LN(0.75 * (bc.cab / ua.cu) + 0.25 * (ub.cu / n1.n1))) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1e6) * 1e6 + 0.5) / 1e6
          AS cross_entropy
 FROM pairs p
 JOIN bc ON bc.a = p.a AND bc.b = p.b
@@ -7240,9 +7219,7 @@ pri AS (SELECT lang AS plang, COUNT(DISTINCT doc_id) AS nl FROM tr GROUP BY lang
 ntr AS (SELECT SUM(nl) AS n FROM pri),
 scored AS (
   SELECT te.doc_id, te.lang, p.plang,
-         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list(te.tf * LN((COALESCE(ct.c, 0) + 1.0) / (cl.ctot + v.v))
-                  ORDER BY te.token)), (x, y) -> x + y) AS ll_tok
+         CAST(SUM(te.tf * CAST(SIGN(LN((COALESCE(ct.c, 0) + 1.0) / (cl.ctot + v.v))) * FLOOR(ABS(LN((COALESCE(ct.c, 0) + 1.0) / (cl.ctot + v.v))) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ll_tok6
   FROM te CROSS JOIN (SELECT plang FROM pri) p
   LEFT JOIN ctok ct ON ct.plang = p.plang AND ct.token = te.token
   JOIN cl ON cl.plang = p.plang
@@ -7251,8 +7228,8 @@ scored AS (
 ),
 ll AS (
   SELECT s.doc_id, s.lang, s.plang,
-         (SIGN(s.ll_tok + LN(CAST(p.nl AS DOUBLE) / n.n))
-          * FLOOR(ABS(s.ll_tok + LN(CAST(p.nl AS DOUBLE) / n.n)) * 1e6 + 0.5)
+         (SIGN(CAST(s.ll_tok6 AS DOUBLE) / 1e6 + LN(CAST(p.nl AS DOUBLE) / n.n))
+          * FLOOR(ABS(CAST(s.ll_tok6 AS DOUBLE) / 1e6 + LN(CAST(p.nl AS DOUBLE) / n.n)) * 1e6 + 0.5)
           / 1e6 + 0.0) AS ll
   FROM scored s JOIN pri p ON p.plang = s.plang CROSS JOIN ntr n
 ),

@@ -45,7 +45,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ureplicator_spark.functions import round6f
+from ureplicator_spark.functions import micro6, round6f
 
 from ureplicator_spark.caching import release_checkpoint
 from ureplicator_spark.functions import md5_long
@@ -180,20 +180,11 @@ def search_lexical_index(
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(
-            round6f(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("token"),
-                                bm25_contribution(k1, b).alias("w"),
-                            )
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda a, s: a + s["w"],
-                )
-            ).alias("bm25")
+            # r11 exactness v2: per-term contributions quantize to
+            # integer micro-units, summed exactly (order-free,
+            # plain-SUM plan — see text.dsir_weights)
+            (F.sum(micro6(bm25_contribution(k1, b))).cast("double") / 1e6)
+            .alias("bm25")
         )
     )
     top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(top_k)
