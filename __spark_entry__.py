@@ -40,6 +40,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     # trimmed) re-aligns with its source like CDC chunks re-align
     # after a byte edit. Completes the perceptual multimodal family.
     "media_frame_signatures", "media_frame_near_pairs",
+    # NEW: the shot-level incremental-dedup lifecycle — re-cut batch
+    # probes the standing frame-shingle section; completes the
+    # incremental triple (exact-chunk / whole-payload perceptual /
+    # frame-sequence).
+    "media_frame_incremental_dedup",
     # NEW: the daily-ingest TEXT dedup lifecycle gated end-to-end (the
     # media_incremental_dedup discipline): edited re-crawl batch
     # probes the standing MinHash band sections; oracle recomputes the

@@ -354,3 +354,50 @@ def test_frame_near_pairs_catch_recut_clips(spark, sf_dir):
     assert len(planted) > 50
     for did in planted:
         assert pairs.get((did, did + 10_000_000)) == 1.0, did
+
+
+def test_incremental_frame_dedup_equals_restricted_from_scratch(
+    spark, sf_dir, tmp_path
+):
+    """The standing-index shot-level probe must equal the from-scratch
+    near-pair operator over corpus ∪ batch restricted to cross pairs
+    (same shingles, same counts, same overlap)."""
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        frame_shingle_near_pairs,
+        video_frame_hashes,
+    )
+    from ureplicator_spark.sources.media_index import (
+        build_media_index,
+        incremental_frame_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = documents_as_media(docs)
+    root = str(tmp_path / "midx")
+    build_media_index(media, root)
+
+    batch = media.filter(F.col("media_id") % 5 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        F.expr("substring(payload, 65)").alias("payload"),
+    )
+    got = {
+        (r.new_media, r.corpus_media): (
+            r.shared_shingles, r.n_new, r.n_corpus, r.overlap
+        )
+        for r in incremental_frame_dedup(spark, root, batch).collect()
+    }
+
+    full = frame_shingle_near_pairs(
+        video_frame_hashes(
+            media.select("media_id", "payload").unionByName(batch)
+        )
+    )
+    want = {}
+    for r in full.collect():
+        # pairs are a < b, so corpus (< 10M) is media_a, batch media_b
+        if r.media_b >= 10_000_000 and r.media_a < 10_000_000:
+            want[(r.media_b, r.media_a)] = (
+                r.shared_shingles, r.n_b, r.n_a, r.overlap
+            )
+    assert got == want and got

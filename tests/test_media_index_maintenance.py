@@ -59,7 +59,7 @@ def test_streaming_media_index_applies_once_and_matches_rebuild(
     # maintained ≡ from-scratch, BOTH sections
     full = str(tmp_path / "full_idx")
     build_media_index(media, full)
-    for section in ("dhash", "audiofp"):
+    for section in ("dhash", "audiofp", "framesig", "framegram"):
         got = {
             tuple(r) for r in spark.read.parquet(f"{root}/{section}").collect()
         }
@@ -85,3 +85,15 @@ def test_streaming_media_index_applies_once_and_matches_rebuild(
         for r in incremental_media_dedup(spark, full, probe_batch).collect()
     }
     assert got_pairs == want_pairs and got_pairs
+
+    # the SHOT-LEVEL probe too: a re-cut batch answers identically
+    # against the maintained and the from-scratch frame-gram sections
+    from ureplicator_spark.sources.media_index import incremental_frame_dedup
+
+    recut = documents_as_media(docs.filter("doc_id < 100")).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        F.expr("substring(payload, 65)").alias("payload"),
+    )
+    got_f = {tuple(r) for r in incremental_frame_dedup(spark, root, recut).collect()}
+    want_f = {tuple(r) for r in incremental_frame_dedup(spark, full, recut).collect()}
+    assert got_f == want_f and got_f

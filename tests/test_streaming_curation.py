@@ -687,3 +687,73 @@ def test_streaming_kmv_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path)
     merge_kmv_batch(spark, table, half_a_keyed, "source", "token", 16)
     again = {(r.source, r.h) for r in read_view(spark, table).collect()}
     assert again == want
+
+
+def test_streaming_hdr_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path):
+    """Streamed HDR quantile-register maintenance must equal the
+    one-shot batch build (SUM-merge is exact, not approximate), a
+    replayed batch id must no-op (SUM is NOT idempotent — the managed
+    high-water mark carries the guard), and the estimate fold must
+    equal the batch quantile read."""
+    from pyspark.sql import functions as F
+
+    from ureplicator_spark import fixtures as FX
+    from ureplicator_spark.operators.sketch import hdr_quantiles, hdr_registers
+    from ureplicator_spark.streaming.ivm import read_view
+    from ureplicator_spark.streaming.sketches import (
+        hdr_quantile_estimates,
+        merge_hdr_batch,
+        streaming_hdr_maintenance,
+    )
+
+    rec = FX.records(spark, sf_dir).select("topic", "value_size")
+
+    feed_dir = str(tmp_path / "feed")
+    for name, part in (
+        ("a", rec.filter(F.col("value_size") % 2 == 0)),
+        ("b", rec.filter(F.col("value_size") % 2 == 1)),
+    ):
+        part.coalesce(1).write.parquet(f"{feed_dir}/{name}")
+
+    table = str(tmp_path / "hdr")
+    stream = (
+        spark.readStream.schema("topic string, value_size int")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    streaming_hdr_maintenance(
+        stream, table, str(tmp_path / "ckpt"), "value_size", ["topic"],
+        available_now=True,
+    ).awaitTermination(300)
+
+    got = {
+        (r.topic, r.bucket_key): r.cnt for r in read_view(spark, table).collect()
+    }
+    want = {
+        (r.topic, r.bucket_key): r.cnt
+        for r in hdr_registers(rec, "value_size", ["topic"]).collect()
+    }
+    assert got == want and got
+
+    # replayed batch id (<= high-water mark): no-op
+    merge_hdr_batch(
+        spark, table, rec.limit(50), "value_size", ["topic"], batch_id=0
+    )
+    again = {
+        (r.topic, r.bucket_key): r.cnt for r in read_view(spark, table).collect()
+    }
+    assert again == want
+
+    # estimate fold == the batch quantile read
+    got_q = {
+        tuple(r)
+        for r in hdr_quantile_estimates(spark, table, ["topic"]).collect()
+    }
+    want_q = {
+        tuple(r)
+        for r in hdr_quantiles(
+            hdr_registers(rec, "value_size", ["topic"]), ["topic"]
+        ).collect()
+    }
+    assert got_q == want_q and got_q

@@ -919,6 +919,34 @@ def video_frame_hashes_with_variants(
     )
 
 
+def frame_shingles(
+    frame_hashes: DataFrame, k: int = FRAME_SHINGLE_K
+) -> DataFrame:
+    """DISTINCT md5 shingles of ``k`` consecutive frame hashes per
+    item — the shot-level signature set both the near-pair query and
+    the standing media index persist/probe (one construction or they
+    drift). Per-item local state: an item's shingles depend only on
+    its own frame sequence, so the persisted section appends exactly
+    (append ≡ rebuild, the fingerprint-section discipline)."""
+    seqs = frame_hashes.groupBy("media_id").agg(
+        F.array_sort(F.collect_list(F.struct("frame_idx", "fhash"))).alias("seq")
+    )
+    hstr = F.transform(F.col("seq"), lambda s: s["fhash"].cast("string"))
+    return (
+        seqs.filter(F.size("seq") >= k)
+        .select(
+            "media_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("seq") - k),
+                    lambda i: F.md5(F.concat_ws(",", F.slice(hstr, i + 1, k))),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
 def frame_shingle_near_pairs(
     frame_hashes: DataFrame,
     k: int = FRAME_SHINGLE_K,
@@ -941,23 +969,7 @@ def frame_shingle_near_pairs(
     the same discipline as every banded join in this family."""
     from ureplicator_spark.functions import round6f
 
-    seqs = frame_hashes.groupBy("media_id").agg(
-        F.array_sort(F.collect_list(F.struct("frame_idx", "fhash"))).alias("seq")
-    )
-    hstr = F.transform(F.col("seq"), lambda s: s["fhash"].cast("string"))
-    grams = (
-        seqs.filter(F.size("seq") >= k)
-        .select(
-            "media_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("seq") - k),
-                    lambda i: F.md5(F.concat_ws(",", F.slice(hstr, i + 1, k))),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-    )
+    grams = frame_shingles(frame_hashes, k)
     counts = grams.groupBy("media_id").agg(F.count("*").alias("n_grams"))
     shared = (
         grams.alias("a")

@@ -8651,3 +8651,86 @@ def q_media_frame_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return frame_shingle_near_pairs(video_frame_hashes_with_variants(media))
+
+
+_FRAME_INCR_SQL = _with(
+    _FRAME_HASHES_CTE.replace(
+        "fcells AS (SELECT media_id, text, n, 0 AS foffs FROM g)",
+        "fcells AS (SELECT media_id, text, n, 0 AS foffs FROM g\n"
+        "           UNION ALL\n"
+        "           SELECT media_id + 10000000, text, n, 64 FROM g\n"
+        "           WHERE media_id % 5 = 0 AND n - 64 >= 32)",
+    ),
+    """
+seqs AS (
+  SELECT media_id, list(CAST(fhash AS VARCHAR) ORDER BY frame_idx) AS seq
+  FROM fhashes GROUP BY media_id
+)
+""".strip(),
+    """
+grams AS (
+  SELECT DISTINCT media_id, gram FROM (
+    SELECT media_id,
+           unnest(list_transform(range(0, len(seq) - 3),
+                  i -> md5(array_to_string(
+                         list_slice(seq, CAST(i + 1 AS INT), CAST(i + 4 AS INT)),
+                         ',')))) AS gram
+    FROM seqs WHERE len(seq) >= 4
+  )
+)
+""".strip(),
+    """
+fshared AS (
+  SELECT a.media_id AS new_media, b.media_id AS corpus_media,
+         COUNT(*) AS shared_shingles
+  FROM grams a JOIN grams b ON a.gram = b.gram
+  WHERE a.media_id >= 10000000 AND b.media_id < 10000000
+  GROUP BY a.media_id, b.media_id HAVING COUNT(*) >= 2
+)
+""".strip(),
+    "fcounts AS (SELECT media_id, COUNT(*) AS n_grams FROM grams GROUP BY media_id)",
+    """
+SELECT s.new_media, s.corpus_media, s.shared_shingles,
+       ca.n_grams AS n_new, cb.n_grams AS n_corpus,
+       FLOOR(CAST(s.shared_shingles AS DOUBLE) / LEAST(ca.n_grams, cb.n_grams)
+             * 1e6 + 0.5) / 1e6 AS overlap
+FROM fshared s
+JOIN fcounts ca ON ca.media_id = s.new_media
+JOIN fcounts cb ON cb.media_id = s.corpus_media
+ORDER BY new_media, corpus_media
+""",
+)
+
+
+@register("media_frame_incremental_dedup", _FRAME_INCR_SQL)
+def q_media_frame_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest SHOT-LEVEL dedup lifecycle, gated end-to-end:
+    a batch of RE-CUT clips (every 5th corpus item with its first 2
+    frames trimmed, fresh ids) probes the STANDING frame-shingle
+    section — the batch is frame-hashed and shingled locally, the
+    corpus side is persisted (media_id, gram) rows joined by shingle,
+    and the corpus payloads are never re-read. Completes the
+    incremental-dedup lifecycle triple: exact-chunk
+    (cdc_incremental_dedup), whole-payload perceptual
+    (media_incremental_dedup), and shot-level sequence (this row).
+    Oracle recomputes the restricted batch×corpus shingle join from
+    the byte stream — valid because frame shingles are per-item local
+    state (append ≡ rebuild + probe ≡ from-scratch pinned in
+    tests/test_media_index_maintenance.py)."""
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        guard_media_id_space,
+    )
+    from ureplicator_spark.sources.media_index import incremental_frame_dedup
+
+    from ureplicator_spark.sources.parquet import load_table
+
+    root = ensure_standing_media_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    batch = documents_as_media(docs).select(
+        (guard_media_id_space(F.col("media_id"), 10_000_000) + 10_000_000).alias(
+            "media_id"
+        ),
+        F.expr("substring(payload, 65)").alias("payload"),
+    )
+    return incremental_frame_dedup(spark, root, batch)

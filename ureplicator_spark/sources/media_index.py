@@ -10,8 +10,10 @@ item however large the payloads are.
 
 Layout:
 
-    <root>/dhash/     (media_id, dhash)  image difference hashes
-    <root>/audiofp/   (media_id, dhash)  acoustic energy-delta hashes
+    <root>/dhash/     (media_id, dhash)      image difference hashes
+    <root>/audiofp/   (media_id, dhash)      acoustic energy-delta hashes
+    <root>/framesig/  (media_id, frame_idx, fhash)  per-frame dHashes
+    <root>/framegram/ (media_id, gram)       distinct 4-frame shingles
 
 The probe is the banding pigeonhole join from
 ``operators/multimodal.dhash_near_pairs``: batch fingerprints (small)
@@ -27,10 +29,20 @@ from pyspark.sql import functions as F
 from ureplicator_spark.fsutil import fs_exists
 from ureplicator_spark.operators.multimodal import (
     audio_fingerprint,
+    frame_shingles,
     image_dhash,
+    video_frame_hashes,
 )
 
+# 64-bit whole-payload fingerprint kinds (the Hamming-banded probe)
 _SECTIONS = {"dhash": image_dhash, "audiofp": audio_fingerprint}
+# shot-level sections: per-frame hash sequence + its distinct shingle
+# set (the equi-join probe) — all four are per-item local state, so
+# every section appends exactly (append == rebuild)
+_FRAME_SECTIONS = {
+    "framesig": video_frame_hashes,
+    "framegram": lambda media: frame_shingles(video_frame_hashes(media)),
+}
 
 
 def build_media_index(media: DataFrame, root: str, mode: str = "overwrite") -> None:
@@ -38,7 +50,7 @@ def build_media_index(media: DataFrame, root: str, mode: str = "overwrite") -> N
     (map-only mapInPandas), persist the 16-byte-per-item hash rows.
     ``mode='append'`` folds a batch in — per-item local state, so the
     appended index equals a full rebuild over old ∪ batch."""
-    for section, hasher in _SECTIONS.items():
+    for section, hasher in {**_SECTIONS, **_FRAME_SECTIONS}.items():
         hasher(media).write.mode(mode).parquet(f"{root}/{section}")
 
 
@@ -48,9 +60,8 @@ def append_to_media_index(batch_media: DataFrame, root: str) -> None:
 
 
 def index_fingerprints(spark: SparkSession, root: str, kind: str = "dhash") -> DataFrame:
-    """The persisted (media_id, dhash) rows for ``kind``. Fails loudly
-    when absent."""
-    if kind not in _SECTIONS:
+    """The persisted rows for ``kind``. Fails loudly when absent."""
+    if kind not in _SECTIONS and kind not in _FRAME_SECTIONS:
         raise ValueError(f"unknown fingerprint kind {kind!r}")
     path = f"{root}/{kind}"
     if not fs_exists(spark, path):
@@ -85,6 +96,11 @@ def incremental_media_dedup(
             f"pigeonhole needs n_bands >= max_hamming+1 "
             f"({n_bands} < {max_hamming + 1})"
         )
+    if kind not in _SECTIONS:
+        raise ValueError(
+            f"kind {kind!r} is not a 64-bit banded fingerprint; "
+            "shot-level probes use incremental_frame_dedup"
+        )
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     hasher = _SECTIONS[kind]
@@ -118,5 +134,72 @@ def incremental_media_dedup(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .orderBy("new_media", "corpus_media")
+    )
+
+
+def incremental_frame_dedup(
+    spark: SparkSession,
+    root: str,
+    batch_media: DataFrame,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Shot-level overlap of a NEW payload batch against the persisted
+    frame-shingle section: (new_media, corpus_media, shared_shingles,
+    n_new, n_corpus, overlap) — the re-cut-clip lifecycle twin of
+    :func:`incremental_media_dedup`. The batch is frame-hashed and
+    shingled locally (it is small); the corpus side is the standing
+    ``framegram`` rows, probed by a shingle-keyed equi-join — never
+    batch × corpus, and the corpus payloads are never re-read.
+    Self-pairs are excluded so re-probing after an append stays clean;
+    corpus-side shingle counts aggregate only the candidate items'
+    rows (pair-bounded), not the whole section."""
+    from ureplicator_spark.caching import pin
+    from ureplicator_spark.functions import round6f
+    from ureplicator_spark.operators.multimodal import (
+        frame_shingles,
+        video_frame_hashes,
+    )
+
+    new_grams = pin(frame_shingles(video_frame_hashes(batch_media)))
+    corpus = index_fingerprints(spark, root, "framegram")
+    shared = (
+        new_grams.alias("n")
+        .join(
+            corpus.alias("c"),
+            (F.col("n.gram") == F.col("c.gram"))
+            & (F.col("n.media_id") != F.col("c.media_id")),
+        )
+        .groupBy(
+            F.col("n.media_id").alias("new_media"),
+            F.col("c.media_id").alias("corpus_media"),
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+    n_new = new_grams.groupBy(F.col("media_id").alias("new_media")).agg(
+        F.count("*").alias("n_new")
+    )
+    cand_corpus = shared.select(
+        F.col("corpus_media").alias("media_id")
+    ).distinct()
+    n_corpus = (
+        corpus.join(cand_corpus, "media_id")
+        .groupBy(F.col("media_id").alias("corpus_media"))
+        .agg(F.count("*").alias("n_corpus"))
+    )
+    return (
+        shared.join(n_new, "new_media")
+        .join(n_corpus, "corpus_media")
+        .select(
+            "new_media",
+            "corpus_media",
+            "shared_shingles",
+            "n_new",
+            "n_corpus",
+            round6f(
+                F.col("shared_shingles") / F.least(F.col("n_new"), F.col("n_corpus"))
+            ).alias("overlap"),
+        )
         .orderBy("new_media", "corpus_media")
     )

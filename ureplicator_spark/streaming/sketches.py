@@ -215,3 +215,96 @@ def kmv_pair_estimates(
 
     regs = _require_view(spark, table_path, "KMV synopsis")
     return kmv_pairwise_estimates(regs, group_col, k).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# Streaming HDR-histogram quantile sketch maintenance (r11): the
+# quantile counterpart of the HLL/KMV maintainers. HDR registers merge
+# by SUM — associative and map-side combinable like the batch build,
+# but NOT idempotent (contrast MAX/set-union above), so replayed
+# batches are skipped via the managed batch-id high-water mark that
+# `ivm._commit_version` stamps into the committed version name — the
+# same replay contract as the IVM +/- deltas.
+# ---------------------------------------------------------------------------
+
+
+def merge_hdr_batch(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    m: int | None = None,
+    batch_id: int = -1,
+) -> None:
+    """SUM-merge one batch's HDR registers into the persisted table
+    (register-count sized, never data sized). ``batch_id`` >= 0 is a
+    managed apply: a replayed id <= the high-water mark no-ops."""
+    from ureplicator_spark.operators.sketch import HDR_M_BITS, hdr_registers
+    from ureplicator_spark.streaming.ivm import _last_applied
+
+    if batch_id >= 0 and batch_id <= _last_applied(spark, table_path):
+        return  # replayed batch: already summed, no-op
+    newregs = hdr_registers(batch, value_col, group_cols, m or HDR_M_BITS)
+    cur = read_view(spark, table_path)
+    if cur is not None:
+        merged = (
+            cur.unionByName(newregs)
+            .groupBy(*group_cols, "bucket_key")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = newregs
+    _commit_version(spark, table_path, merged, batch_id)
+
+
+def streaming_hdr_maintenance(
+    keyed_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str],
+    m: int | None = None,
+    available_now: bool = False,
+):
+    """Continuously maintain per-group HDR quantile registers from a
+    stream — live percentiles in O(registers) state however many rows
+    flow; `hdr_quantile_estimates` reads them on demand."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.head(1):
+                merge_hdr_batch(
+                    batch_df.sparkSession,
+                    table_path,
+                    batch_df,
+                    value_col,
+                    group_cols,
+                    m,
+                    batch_id,
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = keyed_stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hdr_quantile_estimates(
+    spark: SparkSession,
+    table_path: str,
+    group_cols: list[str],
+    percentiles: tuple[int, ...] = (50, 95, 99),
+    m: int | None = None,
+) -> DataFrame:
+    """Fold the maintained HDR registers to per-group nearest-rank
+    quantile estimates on demand (register-count sized)."""
+    from ureplicator_spark.operators.sketch import HDR_M_BITS, hdr_quantiles
+
+    regs = _require_view(spark, table_path, "HDR register")
+    return hdr_quantiles(regs, group_cols, percentiles, m or HDR_M_BITS)
