@@ -56,7 +56,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     # interpolates explicitly from order stats; the LM/DSIR/KL/BM25/NB
     # families fold their double terms in canonical order.
     "workload_percentiles", "workload_running_stats",
-    "histogram_quantiles", "doc_perplexity_proxy",
+    "histogram_quantiles", "event_value_outliers", "doc_perplexity_proxy",
     "dsir_importance_weights", "source_unigram_kl",
     "text_bm25_search", "bm25_index_search", "similarity_hybrid_rrf",
     "doc_bigram_perplexity", "nb_lang_confusion", "workload_capacity_forecast",

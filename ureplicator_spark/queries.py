@@ -6209,22 +6209,42 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_docs(load_table(spark, sf_dir, "documents"))
 
 
-_MAD_SQL = """
-WITH med AS (
-  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+# medians via EXPLICIT order statistics (the histogram_quantiles
+# discipline): (v[(n+1)//2] + v[n//2+1]) / 2 — one shared IEEE
+# formula; engine median()/percentile() interpolation internals are
+# out of the loop, and the ROUNDs are floor chains.
+_MAD_MED = "(MAX(CASE WHEN rn = (n + 1) // 2 THEN {v} END) + MAX(CASE WHEN rn = n // 2 + 1 THEN {v} END)) / 2"
+
+_MAD_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, {_MAD_MED.format(v="value")} AS med
+  FROM ranked GROUP BY event_type
 ),
 dev AS (
   SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
   FROM events e JOIN med m USING (event_type)
 ),
+ranked2 AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
 mad AS (
-  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+  SELECT event_type, {_MAD_MED.format(v="adev")} AS mad
+  FROM ranked2 GROUP BY event_type
 )
 SELECT d.event_type,
        COUNT(*) AS n_events,
-       ROUND(ANY_VALUE(d.med), 6) AS med,
-       ROUND(ANY_VALUE(m.mad), 6) AS mad,
-       CAST(SUM(CASE WHEN ROUND(d.adev, 6) > ROUND(3 * m.mad, 6)
+       (SIGN(ANY_VALUE(d.med)) * FLOOR(ABS(ANY_VALUE(d.med)) * 1e6 + 0.5) / 1e6 + 0.0) AS med,
+       FLOOR(ANY_VALUE(m.mad) * 1e6 + 0.5) / 1e6 AS mad,
+       CAST(SUM(CASE WHEN FLOOR(d.adev * 1e6 + 0.5) > FLOOR(3 * m.mad * 1e6 + 0.5)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type ORDER BY d.event_type
@@ -6243,24 +6263,42 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over raw events, no driver collect."""
     from ureplicator_spark.sources.parquet import load_table
 
+    from pyspark.sql import Window
+
+    def _median(df, col):
+        # explicit order-statistic midpoint (v[(n+1)//2] + v[n//2+1])/2
+        # — one shared IEEE formula on both engines; F.percentile /
+        # median() interpolation internals are out of the loop (the
+        # histogram_quantiles discipline, r11 audit)
+        w = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col).alias("val"),
+            F.row_number().over(w.orderBy(col)).alias("rn"),
+            F.count("*").over(w).alias("n"),
+        )
+        lo = F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("val")))
+        hi = F.max(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("val")))
+        return ranked.groupBy("event_type").agg(((lo + hi) / 2).alias(col + "_med"))
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
+    med = _median(ev, "value").withColumnRenamed("value_med", "med")
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
     )
-    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    mad = _median(dev, "adev").withColumnRenamed("adev_med", "mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.any_value("med"), 6).alias("med"),
-            F.round(F.any_value("mad"), 6).alias("mad"),
+            round6s(F.any_value("med")).alias("med"),
+            round6f(F.any_value("mad")).alias("mad"),
             F.sum(
                 F.when(
-                    F.round(F.col("adev"), 6) > F.round(3 * F.col("mad"), 6), 1
+                    F.floor(F.col("adev") * 1e6 + F.lit(0.5))
+                    > F.floor(3 * F.col("mad") * 1e6 + F.lit(0.5)),
+                    1,
                 ).otherwise(0)
             )
             .cast("long")
