@@ -44,7 +44,7 @@ _CHANGED_SINCE_LAST_CHECK = [
     # probes the standing frame-shingle section; completes the
     # incremental triple (exact-chunk / whole-payload perceptual /
     # frame-sequence).
-    "media_frame_incremental_dedup",
+    "media_frame_incremental_dedup", "media_frame_dedup_clusters",
     # NEW: the daily-ingest TEXT dedup lifecycle gated end-to-end (the
     # media_incremental_dedup discipline): edited re-crawl batch
     # probes the standing MinHash band sections; oracle recomputes the

@@ -129,7 +129,7 @@ EXTENDED_QUERIES = [
     # round-11: shot-level near-dup — per-frame dHash sequences +
     # frame shingles catch re-cut clips no whole-payload hash survives.
     "media_frame_signatures", "media_frame_near_pairs",
-    "media_frame_incremental_dedup",
+    "media_frame_incremental_dedup", "media_frame_dedup_clusters",
 ]
 
 

@@ -8772,3 +8772,83 @@ def q_media_frame_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("substring(payload, 65)").alias("payload"),
     )
     return incremental_frame_dedup(spark, root, batch)
+
+
+_FRAME_CLUSTERS_SQL = "WITH RECURSIVE " + _with(
+    _FRAME_HASHES_CTE.replace(
+        "fcells AS (SELECT media_id, text, n, 0 AS foffs FROM g)",
+        "fcells AS (SELECT media_id, text, n, 0 AS foffs FROM g\n"
+        "           UNION ALL\n"
+        "           SELECT media_id + 10000000, text, n, 64 FROM g\n"
+        "           WHERE n - 64 >= 32)",
+    ),
+    """
+seqs AS (
+  SELECT media_id, list(CAST(fhash AS VARCHAR) ORDER BY frame_idx) AS seq
+  FROM fhashes GROUP BY media_id
+)
+""".strip(),
+    """
+grams AS (
+  SELECT DISTINCT media_id, gram FROM (
+    SELECT media_id,
+           unnest(list_transform(range(0, len(seq) - 3),
+                  i -> md5(array_to_string(
+                         list_slice(seq, CAST(i + 1 AS INT), CAST(i + 4 AS INT)),
+                         ',')))) AS gram
+    FROM seqs WHERE len(seq) >= 4
+  )
+)
+""".strip(),
+    """
+fpairs AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.media_id < b.media_id
+  GROUP BY a.media_id, b.media_id HAVING COUNT(*) >= 2
+)
+""".strip(),
+    """
+edges AS (
+  SELECT media_a AS src, media_b AS dst FROM fpairs
+  UNION SELECT media_b, media_a FROM fpairs
+),
+reach AS (
+  SELECT src, src AS node FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node
+)
+""".strip(),
+    """
+SELECT src AS media_id, MIN(node) AS cluster_id, (src = MIN(node)) AS is_keeper
+FROM reach GROUP BY src ORDER BY media_id
+""".strip(),
+)[5:]  # _with emits "WITH "; the recursive reach CTE needs "WITH RECURSIVE "
+
+
+@register("media_frame_dedup_clusters", _FRAME_CLUSTERS_SQL)
+def q_media_frame_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-level duplicate CLUSTERS: connected components over the
+    frame-shingle near-pairs (originals ∪ re-cut variants), min-id
+    label propagation, keep-one retention — the pairs → clusters →
+    retention shape every dedup family in this engine ends with
+    (text fuzzy clusters, image dHash clusters, now frame sequences).
+    Keepers are the min media_id per component, i.e. each clip
+    family's original by id construction. O(cluster diameter)
+    label-prop rounds over pair-sized edges."""
+    from ureplicator_spark.operators.dedup import duplicate_clusters
+    from ureplicator_spark.operators.multimodal import (
+        documents_as_media,
+        frame_shingle_near_pairs,
+        video_frame_hashes_with_variants,
+    )
+    from ureplicator_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    pairs = frame_shingle_near_pairs(
+        video_frame_hashes_with_variants(media)
+    ).select(F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b"))
+    return (
+        duplicate_clusters(pairs)
+        .select(F.col("doc_id").alias("media_id"), "cluster_id", "is_keeper")
+        .orderBy("media_id")
+    )
