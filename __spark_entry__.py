@@ -29,41 +29,57 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
-    # --- r11 ---
-    # NEW: mergeable HDR-histogram quantile sketch (integer registers,
-    # nearest-rank reads by integer cross-multiplication) — the
-    # missing sketch-family member; merge/gauge pinned in
-    # tests/test_gauge_parity.py.
-    "workload_quantile_sketch",
-    # NEW: frame-sequence (shot-level) near-dup — per-frame dHash
-    # sequences + 4-frame shingles; a re-cut clip (leading frames
-    # trimmed) re-aligns with its source like CDC chunks re-align
-    # after a byte edit. Completes the perceptual multimodal family.
+    # --- r12 ---
+    # FIXED: the two r11 driver-red rows. Root cause (VERDICT r11): the
+    # oracle SQL left integer SUM outputs uncast, so DuckDB exported
+    # HUGEINT -> Arrow decimal128(38,0) while Spark emits int64 —
+    # values identical, hashes different. CAST(... AS BIGINT) added at
+    # all four sites (p50/p95/p99_x100, and the windowed n/cum feeding
+    # n_records); the local harness now fetches oracle results through
+    # Arrow and LINTS for uncast decimal128 (tests/oracle_harness.py),
+    # so this class can no longer pass locally.
+    "workload_quantile_sketch", "workload_percentiles",
+    # DRIVER-ATTESTATION BACKLOG (r11 changed 85 queries but the window
+    # held 50): the 35 names below carried only local attestation after
+    # r11 — CDC pair first (their WITH-RECURSIVE oracles have never
+    # been driver-seen), then the media floor-chain family, then the
+    # rest in r11 order.
+    "cdc_chunk_dedup", "cdc_incremental_dedup",
+    "media_dhash", "media_dhash_near_pairs",
+    "media_audio_fingerprint", "media_audio_near_pairs",
+    "media_incremental_dedup", "media_dedup_clusters",
+    "approx_distinct_orders", "approx_distinct_tokens",
+    "approx_distinct_users_rolling", "table_profile_approx",
+    "cms_token_counts", "kmv_source_overlap",
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_exact_substring",
+    "dedup_signal_agreement", "dedup_jaccard_prefix_join", "corpus_health",
+    "text_token_stats", "text_quality_score", "corpus_mix",
+    "text_repetition_stats", "benchmark_contamination", "token_count_bpe",
+    "corpus_mix_weights", "token_pmi_collocations", "weighted_sample_docs",
+    "curation_pipeline", "text_tfidf_top_terms", "multimodal_pcm_energy",
+    "lag_weighted_assignment",
+    # (bpe_learn_merges / bpe_segment_stats remain permanently
+    # rows-only — genuinely non-SQL sequential shapes.)
+    "bpe_learn_merges", "bpe_segment_stats",
+    # --- r12 changed queries are appended here as the round proceeds ---
+    # Hot-shingle cap (max_df=50) added to the frame-shingle joins —
+    # the stop-shingle discipline winnowing already had; degenerate
+    # (constant-payload) corpora no longer go quadratic in a shingle
+    # bucket. Cap mirrored in all three oracles; values unchanged on
+    # this data (no shingle near df=50), re-gate per discipline.
+    "media_frame_near_pairs", "media_frame_incremental_dedup",
+    "media_frame_dedup_clusters",
+    # --- r11 changed, driver-GREEN in CORRECTNESS_r11 (fill the
+    # remaining window slots after the backlog; attested but most
+    # recently touched) ---
     "media_frame_signatures", "media_frame_near_pairs",
-    # NEW: the shot-level incremental-dedup lifecycle — re-cut batch
-    # probes the standing frame-shingle section; completes the
-    # incremental triple (exact-chunk / whole-payload perceptual /
-    # frame-sequence).
     "media_frame_incremental_dedup", "media_frame_dedup_clusters",
-    # NEW: the daily-ingest TEXT dedup lifecycle gated end-to-end (the
-    # media_incremental_dedup discipline): edited re-crawl batch
-    # probes the standing MinHash band sections; oracle recomputes the
-    # restricted LSH join.
     "text_incremental_dedup",
-    # r11 ROUND-audit REFOLDS (semantic-shape changes; see SCALE.md
-    # round-11 table): percentiles now pure-integer ×100 fixed-point;
-    # running stats fold integer window bytes; the histogram gauge
-    # interpolates explicitly from order stats; the LM/DSIR/KL/BM25/NB
-    # families fold their double terms in canonical order.
-    "workload_percentiles", "workload_running_stats",
-    "histogram_quantiles", "event_value_outliers", "doc_perplexity_proxy",
-    "dsir_importance_weights", "source_unigram_kl",
+    "workload_running_stats", "histogram_quantiles", "event_value_outliers",
+    "doc_perplexity_proxy", "dsir_importance_weights", "source_unigram_kl",
     "text_bm25_search", "bm25_index_search", "similarity_hybrid_rrf",
     "doc_bigram_perplexity", "nb_lang_confusion", "workload_capacity_forecast",
     "workload_trend", "offset_progression",
-    # r11 norm refold (map-only array fold — also removes the norm
-    # shuffle) + sign-aware cosine chains + quantizer chains: the
-    # whole embedding family re-gates.
     "similarity_knn_bruteforce", "similarity_lsh_ann", "similarity_multiprobe_ann",
     "dedup_embedding_cosine", "embedding_quantize_int8",
     "label_centroids", "embedding_label_outliers",
@@ -72,42 +88,11 @@ _CHANGED_SINCE_LAST_CHECK = [
     "similarity_multiprobe_recall", "similarity_ann_recall",
     "similarity_filtered_ann", "similarity_pq_adc",
     "similarity_pq_recall", "embedding_kmeans",
-    # r11 floor-chain conversions with changed oracle SQL (values
-    # identical off rounding boundaries; re-gate per discipline) —
-    # the rest of the registry follows in natural order and the full
-    # 177-query × {sf0.001, sf0.01} local parity suite plus the
-    # PARITY_SF01 sweep gate everything regardless of window size.
     "workload_windows", "workload_max_lookback", "partition_workload",
     "expected_workers", "lag_time_estimate", "top_partitions_by_workload",
     "event_props_stats", "q1_pricing_summary", "promo_revenue_monthly",
     "part_small_qty_revenue", "event_transitions", "q8_market_share",
-    "dedup_ngram_jaccard", "dedup_containment", "dedup_exact_substring",
-    "dedup_signal_agreement", "dedup_jaccard_prefix_join", "corpus_health",
-    "text_token_stats", "text_quality_score", "corpus_mix",
-    "text_repetition_stats", "benchmark_contamination", "token_count_bpe",
-    "corpus_mix_weights", "token_pmi_collocations", "weighted_sample_docs",
-    "curation_pipeline", "text_tfidf_top_terms", "multimodal_pcm_energy",
-    "kmv_source_overlap", "lag_weighted_assignment", "cms_token_counts",
-    "approx_distinct_orders", "approx_distinct_tokens",
-    "approx_distinct_users_rolling", "table_profile_approx",
-    # r11 media-family change (advisor hardening): the id-space guard
-    # (media_id vs id_offset collision now fails loudly) touched every
-    # media plan; values unchanged, re-gate per discipline.
-    "media_dhash", "media_dhash_near_pairs",
-    "media_audio_fingerprint", "media_audio_near_pairs",
-    "media_incremental_dedup", "media_dedup_clusters",
-    # r11 CONVERTED from rows-only to fully hash-gated: the Gear-CDC
-    # reset-independence that vectorizes the Spark side also makes the
-    # oracle expressible — windowed LAG sum for the rolling hash +
-    # WITH RECURSIVE cut walk (set-oriented: every doc advances one
-    # chunk per iteration). Two of the five permanent no_oracle rows
-    # retired.
-    "cdc_chunk_dedup", "cdc_incremental_dedup",
-    # never driver-attested (rows-only set — the genuinely non-SQL
-    # shapes left: sequential global-argmax merge learning, driver
-    # d×d eigh; pinned vs Python/NumPy references in pytest).
-    "bpe_learn_merges", "bpe_segment_stats",
-    # Everything below is already driver-attested (r01-r10 cumulative)
+    # Everything below is already driver-attested (r01-r11 cumulative)
     # and fills the remaining window slots naturally in registry
     # order.
 ]

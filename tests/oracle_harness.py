@@ -12,12 +12,21 @@ import duckdb
 from ureplicator_spark.sources.parquet import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str):
+def run_oracle(sql: str, sf_dir: str, with_arrow_schema: bool = False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    if with_arrow_schema:
+        # Fetch through Arrow so we see the SAME dtypes the driver's
+        # hash gate sees (DuckDB HUGEINT -> decimal128(38,0), which
+        # hash-mismatches a Spark BIGINT even when values agree).
+        tbl = con.execute(sql).fetch_arrow_table()
+        con.close()
+        cols = tbl.column_names
+        rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+        return cols, rows, tbl.schema
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
@@ -53,7 +62,27 @@ def compare(spark_df, sql: str, sf_dir: str, sort_rows: bool = True) -> list[str
     problems: list[str] = []
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
-    o_cols, o_rows = run_oracle(sql, sf_dir)
+    o_cols, o_rows, o_schema = run_oracle(sql, sf_dir, with_arrow_schema=True)
+
+    # Dtype lint: an oracle column exported as Arrow decimal (DuckDB
+    # HUGEINT from an uncast SUM) hash-mismatches at the driver even
+    # when _norm makes the values compare equal here. Fail loudly
+    # unless the Spark side is genuinely DecimalType too.
+    import pyarrow.types as pat
+    from pyspark.sql.types import DecimalType
+
+    s_types = {f.name: f.dataType for f in spark_df.schema.fields}
+    for field in o_schema:
+        if pat.is_decimal(field.type) and not isinstance(
+            s_types.get(field.name), DecimalType
+        ):
+            problems.append(
+                f"oracle dtype lint: column '{field.name}' is Arrow "
+                f"{field.type} (uncast DuckDB HUGEINT SUM?) but Spark emits "
+                f"{s_types.get(field.name)}; CAST(... AS BIGINT) in the oracle SQL"
+            )
+    if problems:
+        return problems
 
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")

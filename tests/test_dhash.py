@@ -401,3 +401,28 @@ def test_incremental_frame_dedup_equals_restricted_from_scratch(
                 r.shared_shingles, r.n_b, r.n_a, r.overlap
             )
     assert got == want and got
+
+
+def test_frame_pair_hot_shingle_cap_bounds_degenerate_corpus(spark):
+    """A degenerate corpus — many items with IDENTICAL payloads, so
+    ONE shingle set is shared by all of them — must not go quadratic:
+    with max_df below the duplicate-family size every hot shingle is
+    dropped (0 pairs); with max_df at/above it the full C(n, 2) pair
+    set appears. This is the stop-shingle cap's bound, mirroring
+    winnowing_overlap_pairs' max_df."""
+    from ureplicator_spark.operators.multimodal import (
+        frame_shingle_near_pairs,
+        video_frame_hashes,
+    )
+
+    payload = bytes((i * 37 + (i // 32) * 11) % 251 for i in range(32 * 8))
+    media = spark.createDataFrame(
+        [(i, bytearray(payload)) for i in range(5)],
+        "media_id long, payload binary",
+    )
+    hashes = video_frame_hashes(media)
+    capped = frame_shingle_near_pairs(hashes, max_df=2).collect()
+    assert capped == []
+    uncapped = frame_shingle_near_pairs(hashes, max_df=50).collect()
+    assert len(uncapped) == 5 * 4 // 2
+    assert all(r.overlap == 1.0 for r in uncapped)

@@ -73,6 +73,26 @@ def test_production_estimates_agree_with_gauge(spark, sf):
     assert prod_est == gauge_est and prod_est
 
 
+def test_cms_unseen_probe_answers_zero(spark):
+    """A Count-Min point query for a key ABSENT from the corpus must
+    answer 0 (empty buckets), not overestimate from partial counter
+    coverage and not vanish from the result — the left-join +
+    COALESCE(cnt, 0) contract. Small corpus so the absent key's d
+    buckets are deterministically empty (fixed md5 hashing)."""
+    from ureplicator_spark.operators.sketch import cms_estimate
+
+    keyed = spark.createDataFrame(
+        [(t,) for t in ["alpha", "beta", "gamma", "delta"] * 3], "token string"
+    )
+    probes = spark.createDataFrame(
+        [("alpha",), ("never-in-corpus",)], "token string"
+    )
+    est = {r["token"]: r["est_count"] for r in cms_estimate(keyed, probes, "token").collect()}
+    assert set(est) == {"alpha", "never-in-corpus"}
+    assert est["never-in-corpus"] == 0
+    assert est["alpha"] >= 3
+
+
 def test_standing_pq_model_equals_from_scratch(spark, tmp_path):
     """The persisted PQ model serves the code table, ADC search and
     recall gauge EXACTLY as the from-scratch training path does

@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -951,6 +951,7 @@ def frame_shingle_near_pairs(
     frame_hashes: DataFrame,
     k: int = FRAME_SHINGLE_K,
     min_shared: int = 2,
+    max_df: int = 50,
 ) -> DataFrame:
     """Shot-level near-pairs from frame-hash sequences: md5 shingles
     of ``k`` CONSECUTIVE frame hashes, distinct per item, then a
@@ -965,16 +966,29 @@ def frame_shingle_near_pairs(
     Scale shape: sequences collect per media_id (bounded by
     n_bytes/stride — per-item state, never cross-item), shingles
     explode to ~frames-per-item rows, and candidates come from the
-    shingle equi-join — bucketed by construction, never all-pairs;
-    the same discipline as every banded join in this family."""
+    shingle equi-join — bucketed by construction, never all-pairs.
+    Shingles shared by more than ``max_df`` items are dropped before
+    the join (stop-shingles — same discipline as the winnowing
+    ``max_df`` cap): a degenerate corpus (constant-byte payloads →
+    one hot shingle across thousands of items) would otherwise make
+    that shingle's bucket quadratic; the cap bounds every bucket's
+    pair fan-out at C(max_df, 2). The df count is a window over the
+    gram-partitioning the join itself needs, so cap + join share one
+    exchange. ``n_a``/``n_b`` stay UNCAPPED (an item's true signature
+    size — the containment denominator)."""
     from ureplicator_spark.functions import round6f
 
     grams = frame_shingles(frame_hashes, k)
     counts = grams.groupBy("media_id").agg(F.count("*").alias("n_grams"))
+    capped = (
+        grams.withColumn("df", F.count("*").over(Window.partitionBy("gram")))
+        .filter(F.col("df") <= max_df)
+        .select("media_id", "gram")
+    )
     shared = (
-        grams.alias("a")
+        capped.alias("a")
         .join(
-            grams.alias("b"),
+            capped.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )

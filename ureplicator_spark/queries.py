@@ -2019,11 +2019,11 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pctl_x100_sql_term(p: int) -> str:
     return f"""
-       SUM(CASE WHEN rn = (n - 1) * {p} // 100 + 1
+       CAST(SUM(CASE WHEN rn = (n - 1) * {p} // 100 + 1
                      THEN value_size * (100 - (n - 1) * {p} % 100)
                 WHEN rn = (n - 1) * {p} // 100 + 2 AND (n - 1) * {p} % 100 > 0
                      THEN value_size * ((n - 1) * {p} % 100)
-                ELSE 0 END) AS p{p}_x100""".rstrip()
+                ELSE 0 END) AS BIGINT) AS p{p}_x100""".rstrip()
 
 
 _PCTL_SQL = _with(
@@ -8515,8 +8515,8 @@ hkeys AS (
     """
 hcum AS (
   SELECT topic, bucket_key, cnt,
-         SUM(cnt) OVER (PARTITION BY topic ORDER BY bucket_key) AS cum,
-         SUM(cnt) OVER (PARTITION BY topic) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY topic ORDER BY bucket_key) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY topic) AS BIGINT) AS n,
          CASE WHEN bucket_key < 32 THEN bucket_key
               ELSE ((bucket_key % 32 + 32) << ((bucket_key // 32)::INT - 5))
                    + (1::BIGINT << ((bucket_key // 32)::INT - 5)) - 1
@@ -8649,10 +8649,15 @@ grams AS (
 )
 """.strip(),
     "gcounts AS (SELECT media_id, COUNT(*) AS n_grams FROM grams GROUP BY media_id)",
+    # stop-shingle cap (max_df = 50): mirrors frame_shingle_near_pairs —
+    # grams shared by more than 50 items are dropped before the pair
+    # join; n_a/n_b denominators stay uncapped.
+    "gcapped AS (SELECT media_id, gram FROM (SELECT media_id, gram,"
+    " COUNT(*) OVER (PARTITION BY gram) AS df FROM grams) WHERE df <= 50)",
     """
 gshared AS (
   SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS shared_shingles
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.media_id < b.media_id
+  FROM gcapped a JOIN gcapped b ON a.gram = b.gram AND a.media_id < b.media_id
   GROUP BY a.media_id, b.media_id HAVING COUNT(*) >= 2
 )
 """.strip(),
@@ -8717,12 +8722,19 @@ grams AS (
   )
 )
 """.strip(),
+    # corpus-side stop-shingle cap (max_df = 50): mirrors
+    # incremental_frame_dedup — the standing section is the unbounded
+    # side; grams held by more than 50 corpus items are dropped before
+    # the probe join. n_corpus denominators stay uncapped.
+    "ccapped AS (SELECT media_id, gram FROM (SELECT media_id, gram,"
+    " COUNT(*) OVER (PARTITION BY gram) AS df FROM grams"
+    " WHERE media_id < 10000000) WHERE df <= 50)",
     """
 fshared AS (
   SELECT a.media_id AS new_media, b.media_id AS corpus_media,
          COUNT(*) AS shared_shingles
-  FROM grams a JOIN grams b ON a.gram = b.gram
-  WHERE a.media_id >= 10000000 AND b.media_id < 10000000
+  FROM grams a JOIN ccapped b ON a.gram = b.gram
+  WHERE a.media_id >= 10000000
   GROUP BY a.media_id, b.media_id HAVING COUNT(*) >= 2
 )
 """.strip(),
@@ -8800,10 +8812,13 @@ grams AS (
   )
 )
 """.strip(),
+    # stop-shingle cap (max_df = 50), mirroring frame_shingle_near_pairs
+    "gcapped AS (SELECT media_id, gram FROM (SELECT media_id, gram,"
+    " COUNT(*) OVER (PARTITION BY gram) AS df FROM grams) WHERE df <= 50)",
     """
 fpairs AS (
   SELECT a.media_id AS media_a, b.media_id AS media_b
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.media_id < b.media_id
+  FROM gcapped a JOIN gcapped b ON a.gram = b.gram AND a.media_id < b.media_id
   GROUP BY a.media_id, b.media_id HAVING COUNT(*) >= 2
 )
 """.strip(),

@@ -23,7 +23,7 @@ batch × corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ureplicator_spark.fsutil import fs_exists
@@ -143,6 +143,7 @@ def incremental_frame_dedup(
     root: str,
     batch_media: DataFrame,
     min_shared: int = 2,
+    max_df: int = 50,
 ) -> DataFrame:
     """Shot-level overlap of a NEW payload batch against the persisted
     frame-shingle section: (new_media, corpus_media, shared_shingles,
@@ -151,9 +152,14 @@ def incremental_frame_dedup(
     shingled locally (it is small); the corpus side is the standing
     ``framegram`` rows, probed by a shingle-keyed equi-join — never
     batch × corpus, and the corpus payloads are never re-read.
-    Self-pairs are excluded so re-probing after an append stays clean;
-    corpus-side shingle counts aggregate only the candidate items'
-    rows (pair-bounded), not the whole section."""
+    Corpus shingles held by more than ``max_df`` items are dropped
+    before the probe (stop-shingles, mirroring
+    frame_shingle_near_pairs): the standing section is the unbounded
+    side, and one hot shingle there would fan every batch probe out
+    to its full posting list. Self-pairs are excluded so re-probing
+    after an append stays clean; corpus-side shingle counts aggregate
+    only the candidate items' rows (pair-bounded) and stay UNCAPPED —
+    the true signature size is the containment denominator."""
     from ureplicator_spark.caching import pin
     from ureplicator_spark.functions import round6f
     from ureplicator_spark.operators.multimodal import (
@@ -163,10 +169,15 @@ def incremental_frame_dedup(
 
     new_grams = pin(frame_shingles(video_frame_hashes(batch_media)))
     corpus = index_fingerprints(spark, root, "framegram")
+    corpus_capped = (
+        corpus.withColumn("df", F.count("*").over(Window.partitionBy("gram")))
+        .filter(F.col("df") <= max_df)
+        .select("media_id", "gram")
+    )
     shared = (
         new_grams.alias("n")
         .join(
-            corpus.alias("c"),
+            corpus_capped.alias("c"),
             (F.col("n.gram") == F.col("c.gram"))
             & (F.col("n.media_id") != F.col("c.media_id")),
         )
