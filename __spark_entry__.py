@@ -69,6 +69,22 @@ _CHANGED_SINCE_LAST_CHECK = [
     # this data (no shingle near df=50), re-gate per discipline.
     "media_frame_near_pairs", "media_frame_incremental_dedup",
     "media_frame_dedup_clusters",
+    # Bloom probe restructured (r11 VERDICT perf item: 4.2x oracle):
+    # the benchmark's bit positions now fold into a literal m-bit
+    # bitmask (model-sized driver state, the lang-model precedent) and
+    # membership is tested map-side — the k-way explode, the bit
+    # equi-join, the (doc_id, shingle) re-aggregate, and two of three
+    # per-doc groupBys are gone; one broadcast join + one shuffle
+    # remain. Same values (oracle SQL untouched); ~2.7x faster
+    # same-session. Re-gate per discipline.
+    "bloom_decontamination",
+    # Signed-centroid refold (r11 advisor): label centroid components
+    # now an order-canonical micro6 integer mean with SIGN-AWARE 6dp
+    # rounding (round6s) instead of round6f(AVG(x)) — AVG(double) was
+    # partition-order-dependent and round6f half-toward-+inf on
+    # negative means. Oracle mirrors; values identical off rounding
+    # boundaries; re-gate per discipline.
+    "label_centroids", "embedding_label_outliers",
     # --- r11 changed, driver-GREEN in CORRECTNESS_r11 (fill the
     # remaining window slots after the backlog; attested but most
     # recently touched) ---

@@ -34,6 +34,51 @@ def run_oracle(sql: str, sf_dir: str, with_arrow_schema: bool = False):
     return cols, rows
 
 
+_CDC_CHUNK_CACHE: dict[str, str] = {}
+
+
+def cdc_cached_sql(name: str, sf_dir: str):
+    """Parity-sweep accelerator for the two Gear-CDC oracles: their
+    WITH RECURSIVE chunk reconstruction (~25 s at sf0.1) is shared
+    verbatim, so materialize the `chunks` CTE ONCE per (session, sf)
+    to a temp parquet and rewrite each oracle to read it. Returns the
+    rewritten SQL for the two CDC names, None for anything else. The
+    registered SQL strings stay self-contained — the driver still
+    runs the raw recursive form; this is local-gate plumbing only."""
+    from ureplicator_spark import queries as Q
+
+    tails = {
+        "cdc_chunk_dedup": Q._CDC_DEDUP_TAIL,
+        "cdc_incremental_dedup": Q._CDC_INCR_TAIL,
+    }
+    tail = tails.get(name)
+    if tail is None:
+        return None
+    path = _CDC_CHUNK_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        fd = tempfile.NamedTemporaryFile(
+            prefix="cdc_chunks_", suffix=".parquet", delete=False
+        )
+        path = fd.name
+        fd.close()
+        con = duckdb.connect()
+        try:
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            con.execute(
+                f"COPY ({Q._CDC_RECON_PREFIX} SELECT * FROM chunks) "
+                f"TO '{path}' (FORMAT PARQUET)"
+            )
+        finally:
+            con.close()
+        _CDC_CHUNK_CACHE[sf_dir] = path
+    return f"WITH chunks AS (SELECT * FROM read_parquet('{path}'))\n{tail}"
+
+
 def _norm(v):
     """Normalize a cell for cross-engine comparison."""
     if v is None:

@@ -102,8 +102,12 @@ def test_backup_archive_percentiles(engine, tmp_path):
 
     pct = {r.topic: r for r in engine.workload_percentiles().collect()}
     # HDR-sketch reads (r11): monotone by construction; the top-bucket
-    # hi bound dominates every estimate
-    assert all(r.p50 <= r.p95 <= r.p99 <= r.max_size_est for r in pct.values())
+    # hi bound dominates every estimate. All columns carry the _est
+    # suffix — the estimate contract (<= 2^-5 high) is in the name.
+    assert all(
+        r.p50_est <= r.p95_est <= r.p99_est <= r.max_size_est
+        for r in pct.values()
+    )
 
 
 def test_log_derived_observer_matches_inventory(spark, sf_dir):

@@ -42,3 +42,29 @@ def test_documents_text_is_pure_ascii(sf_dir: str) -> None:
         "the media_* oracle byte reconstruction (ascii(substr(text, ...))) "
         "is invalid for this corpus; the Spark side hashes utf-8 bytes."
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_documents_text_has_no_nul_bytes(sf_dir: str) -> None:
+    """The Gear-CDC oracle's gear CTE maps bytes 1..127 and inner-joins
+    positions on it; a NUL byte passes the octet_length == length
+    ASCII check above but would silently DROP its position from the
+    join and desync every LAG window downstream. Fail loudly here
+    instead (r11 advisor)."""
+    con = duckdb.connect()
+    try:
+        n_bad, sample = con.execute(
+            f"""
+            SELECT COUNT(*), MIN(doc_id)
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE position(chr(0) IN text) > 0
+            """
+        ).fetchone()
+    finally:
+        con.close()
+    assert n_bad == 0, (
+        f"{sf_dir}: {n_bad} document(s) contain NUL (first doc_id={sample}) — "
+        "the CDC oracle's gear table covers bytes 1..127 only; a NUL "
+        "position would vanish from the inner join and desync the "
+        "rolling-hash windows."
+    )

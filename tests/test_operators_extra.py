@@ -2060,3 +2060,24 @@ def test_source_length_psi_hand_computed(spark):
     )
     for r in source_length_psi(same).collect():
         assert r["psi"] == 0.0 and r["band"] == "stable", r
+
+
+def test_norms_null_embedding_produces_no_row(spark):
+    """norms() contract: a NULL embedding yields NO output row (the
+    explode-era inner-join semantics), not a (vec_id, NULL) row — the
+    map-only r11 refold must not widen the relation silently."""
+    from pyspark.sql import types as T
+
+    from ureplicator_spark.operators.similarity import norms
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, None), (2, [0.0, 0.0])], schema
+    )
+    got = {r.vec_id: r.norm for r in norms(emb).collect()}
+    assert got == {0: 5.0, 2: 0.0}

@@ -13,7 +13,7 @@ import os
 import pytest
 
 from ureplicator_spark.queries import QUERIES
-from tests.oracle_harness import compare
+from tests.oracle_harness import cdc_cached_sql, compare
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 if os.environ.get("PARITY_SF01"):
@@ -28,5 +28,8 @@ def test_query_matches_oracle(spark, name, sf):
     assert df.count() >= 0  # runs
     if sql is None:
         pytest.skip("no SQL oracle (non-SQL-expressible op); rows-only check")
+    # CDC pair: run against the per-session cached chunk reconstruction
+    # (the ~25 s recursive walk at sf0.1 otherwise runs twice per sweep)
+    sql = cdc_cached_sql(name, sf) or sql
     problems = compare(df, sql, sf)
     assert not problems, f"{name}@{sf}: " + "; ".join(problems)

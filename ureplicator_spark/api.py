@@ -333,11 +333,14 @@ class Engine:
 
         log = self._require_log()
         regs = hdr_registers(log, "value_size", ["topic"])
+        # every quantile column keeps its _est suffix: all four are
+        # HDR-bucket upper bounds (<= 2^-5 relative error high), NOT
+        # exact order statistics — the name is the estimate contract
         return hdr_quantiles(regs, ["topic"], percentiles=(50, 95, 99, 100)).select(
             "topic",
-            F.col("p50_est").alias("p50"),
-            F.col("p95_est").alias("p95"),
-            F.col("p99_est").alias("p99"),
+            "p50_est",
+            "p95_est",
+            "p99_est",
             # hi bound of the top bucket: >= exact max, within 2^-5
             F.col("p100_est").alias("max_size_est"),
             "n_records",

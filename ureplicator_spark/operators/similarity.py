@@ -41,9 +41,14 @@ def norms(embeddings: DataFrame) -> DataFrame:
     any engine. SUM over the exploded component view was partition-
     order-dependent (f32×f32 products are exact in double; their sum
     is not), the r11 ROUND-audit refold class. SQL twin: list_reduce
-    over list_transform, same left fold from 0.0."""
+    over list_transform, same left fold from 0.0.
+
+    NULL embeddings produce NO row (the explode-era inner-join
+    contract, re-pinned after the r11 map-only refold silently turned
+    them into (vec_id, NULL) rows — r11 advisor). Pinned in
+    tests/test_operators_extra.py."""
     sq = F.transform("embedding", lambda v: v.cast("double") * v.cast("double"))
-    return embeddings.select(
+    return embeddings.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, v: a + v)).alias("norm"),
     )
@@ -433,12 +438,20 @@ def _label_scores(embeddings: DataFrame) -> DataFrame:
     own label centroid. Centroids are one (label, i) aggregation
     (K*dims rows, tiny) broadcast back against the component view; the
     centroid components are rounded to 1e-6 BEFORE the dot product so
-    every engine scores identical inputs."""
+    every engine scores identical inputs.
+
+    Centroid mean is ORDER-CANONICAL (r11 advisor): per-component
+    micro6 integer quantize → exact integer SUM (order-free, map-side
+    combinable) → ONE double division → round6s (sign-aware —
+    embedding components are signed; round6f's half-toward-+inf on a
+    negative mean was the advisory). AVG(double) was partition-order-
+    dependent near rounding boundaries even with a mirrored SQL twin."""
     comp = _components(embeddings)
     labeled = comp.join(embeddings.select("vec_id", "label"), "vec_id")
-    cent = (
-        labeled.groupBy("label", "i")
-        .agg(round6f(F.avg("x"), 6).alias("cx"))
+    cent = labeled.groupBy("label", "i").agg(
+        round6s(
+            F.sum(micro6(F.col("x"))) / (F.count("*") * F.lit(1e6))
+        ).alias("cx")
     )
     # cnorm folds the k×dim centroid squares in index order (bounded)
     cnorm = cent.groupBy("label").agg(

@@ -447,70 +447,88 @@ def bloom_contamination(
     a set of at most m bit positions, never the benchmark corpus.
     All bit positions are salted-md5 integers — engine-exact.
 
-    Scale shape: filter build aggregates to <= m rows (DISTINCT bit
-    positions, broadcastable by construction); the corpus side is one
-    map-side k-way explode + broadcast semi-join + per-doc aggregate;
-    one shuffle on doc_id."""
-    from ureplicator_spark.caching import pin
+    Scale shape: TWO phases. Phase 1 folds the benchmark's salted bit
+    positions into the m-bit filter and collects it to the driver —
+    an <= m-row reduction (CONSTANT-size model state however large
+    the benchmark, the lang-model/BPE precedent). Phase 2 ships the
+    bitmask as a LITERAL array of m/64 longs inside the probe plan:
+    each corpus shingle computes its k salted-md5 bits and tests them
+    against the mask map-side (shiftright + AND — whole-stage
+    codegen), the exact-hit check is a broadcast left join on the
+    deduplicated benchmark shingles, and ALL THREE per-doc counts
+    (total / Bloom-flagged / exact) come out of ONE groupBy(doc_id)
+    with map-side partial aggregation. One shuffle total. The
+    previous shape (k-way explode -> bit equi-join -> (doc_id,
+    shingle) re-aggregate -> three per-doc groupBys) measured 4.2x
+    the columnar oracle at sf0.1; the row blowup and the extra
+    exchanges were the entire gap.
+
+    No pin: each side of the split is consumed exactly ONCE now
+    (phase 1 reduces the benchmark docs, phase 2 streams the corpus
+    straight into the single aggregate), so caching the shingle view
+    would only add a materialize+read round trip. The benchmark side
+    shingles a doc_id < 10 scan — parquet min/max pruning keeps that
+    to a handful of row groups."""
     from ureplicator_spark.operators.dedup import shingles
 
-    # pin: the shingle view feeds FOUR branches (benchmark set, probe
-    # explode, exact-hit join, per-doc totals) and Catalyst plans no
-    # shared scan across them — unpinned, the split/explode CPU ran 4x
-    # (measured ~1.75 s -> ~0.9 s warm at sf0.1). The caller's
-    # pin_scope releases it after the action (caching.py).
-    sh = pin(shingles(documents))  # already DISTINCT (doc_id, shingle)
-    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
-    corpus = sh.filter(F.col("doc_id") >= 10).select("doc_id", "shingle")
-
-    # Explode LITERAL hash ids and compute each salted bit AFTER the
-    # explode (Generate re-evaluates its generator child per output
-    # row, so exploding an array of k computed md5s hashed every
-    # shingle k×k times — the cms/hll melt lesson).
-    js = F.array(*[F.lit(j) for j in range(k)])
-
-    def probe(df, *keep):
-        salt = F.concat(
-            F.lit("bloom"), F.col("j").cast("string"), F.lit(":"), F.col("shingle")
-        )
-        bit = (
-            F.conv(F.substring(F.md5(salt), 1, 15), 16, 10).cast("long") % m
-        ).alias("bit")
-        return df.select(*keep, "shingle", F.explode(js).alias("j")).select(
-            *keep, "shingle", "j", bit
-        )
-
-    # no explicit broadcast hints here: bitset is <= m DISTINCT rows and
-    # bench is the deduplicated benchmark shingle set — both reductions
-    # AQE broadcasts at runtime from their measured size. A programmer
-    # hint on a distinct() is exactly what the 100 TB broadcast guard
-    # rejects (it cannot prove the reduction bounded), and hinting is
-    # unnecessary when the bound holds by construction.
-    bitset = probe(bench).select("bit").distinct()
-    probed = probe(corpus, "doc_id")
-    matched = (
-        probed.join(bitset, "bit")
-        .groupBy("doc_id", "shingle")
-        .agg(F.count("*").alias("n_set"))
-        .filter(F.col("n_set") == k)
-        .select("doc_id", "shingle")
+    # shingles() is DISTINCT (doc_id, shingle) by construction
+    bench = (
+        shingles(documents.filter(F.col("doc_id") < 10))
+        .select("shingle")
+        .distinct()
     )
-    exact_hits = corpus.join(bench, "shingle").select("doc_id", "shingle")
+    corpus = shingles(documents.filter(F.col("doc_id") >= 10)).select(
+        "doc_id", "shingle"
+    )
 
-    per_doc = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    flagged = matched.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
-    hits = exact_hits.groupBy("doc_id").agg(F.count("*").alias("n_exact"))
+    def bit_col(j: int):
+        salt = F.concat(F.lit(f"bloom{j}:"), F.col("shingle"))
+        return F.conv(F.substring(F.md5(salt), 1, 15), 16, 10).cast("long") % m
+
+    # Phase 1: k parallel one-md5-per-shingle projections (a union, NOT
+    # an explode of computed structs — Generate re-evaluates its
+    # generator child per output row, the cms/hll melt lesson), reduced
+    # to DISTINCT bits and collected: <= m integers of driver state.
+    bits_df = bench.select(bit_col(0).alias("bit"))
+    for j in range(1, k):
+        bits_df = bits_df.union(bench.select(bit_col(j).alias("bit")))
+    words = [0] * (m // 64)
+    for r in bits_df.distinct().collect():
+        words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
+    # two's-complement fold into signed 64-bit (LongType range)
+    mask_lit = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w) for w in words]
+    )
+
+    # Phase 2: map-side membership + one broadcast join + one groupBy.
+    probed = corpus.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"
+    ).select(
+        "doc_id",
+        "hit",
+        mask_lit.alias("mask"),
+        *[bit_col(j).alias(f"b{j}") for j in range(k)],
+    )
+    flag = F.expr(
+        " AND ".join(
+            f"((shiftright(element_at(mask, CAST(b{j} DIV 64 AS INT) + 1),"
+            f" CAST(b{j} % 64 AS INT)) & 1) = 1)"
+            for j in range(k)
+        )
+    )
     return (
-        per_doc.join(flagged, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(flag.cast("long")).alias("n_flagged"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_exact"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
-            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
-            (F.coalesce("n_flagged", F.lit(0)) - F.coalesce("n_exact", F.lit(0)))
-            .cast("long")
-            .alias("false_positives"),
+            "n_flagged",
+            "n_exact",
+            (F.col("n_flagged") - F.col("n_exact")).alias("false_positives"),
         )
         .orderBy("doc_id")
     )
