@@ -85,6 +85,14 @@ _CHANGED_SINCE_LAST_CHECK = [
     # negative means. Oracle mirrors; values identical off rounding
     # boundaries; re-gate per discipline.
     "label_centroids", "embedding_label_outliers",
+    # NEW (r12): exact-phrase retrieval — positional posting
+    # intersection, the lexical capability BM25's bag-of-words ranking
+    # cannot express. Batch shape + standing positional-index probe
+    # (bucket-pruned scan, corpus never re-read); one shared oracle,
+    # valid because positions are per-doc local state (append ≡
+    # rebuild + probe ≡ from-scratch pinned in
+    # tests/test_lexical_index.py).
+    "lexical_phrase_search", "phrase_index_search",
     # --- r11 changed, driver-GREEN in CORRECTNESS_r11 (fill the
     # remaining window slots after the backlog; attested but most
     # recently touched) ---

@@ -130,6 +130,9 @@ EXTENDED_QUERIES = [
     # frame shingles catch re-cut clips no whole-payload hash survives.
     "media_frame_signatures", "media_frame_near_pairs",
     "media_frame_incremental_dedup", "media_frame_dedup_clusters",
+    # round-12: exact-phrase retrieval — batch positional intersection
+    # and the bucket-pruned standing positional-index probe.
+    "lexical_phrase_search", "phrase_index_search",
 ]
 
 
@@ -283,6 +286,14 @@ def main() -> None:
     ensure_standing_media_index(spark, SF_DIR)
     media_index_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Standing positional postings (exact-phrase retrieval probes it):
+    # same amortized accounting (r12).
+    from ureplicator_spark.queries import ensure_standing_positional_index
+
+    t0 = time.perf_counter()
+    ensure_standing_positional_index(spark, SF_DIR)
+    pos_index_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -405,6 +416,7 @@ def main() -> None:
         "pq_build_sec": pq_build_sec,
         "evaltruth_build_sec": evaltruth_build_sec,
         "media_index_build_sec": media_index_build_sec,
+        "pos_index_build_sec": pos_index_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended

@@ -320,3 +320,61 @@ def test_concurrent_append_does_not_swallow_delete_decrement(
     assert {
         r.token: r.df for r in read_view(spark, root + "/stats").collect()
     } == want_df
+
+
+def test_positional_index_append_equals_rebuild_and_batch_op(
+    spark, docs, tmp_path
+):
+    """Phrase section lifecycle: build on 80%, append 20% — the probe
+    answers EXACTLY what (a) a fresh full build answers and (b) the
+    batch phrase_search operator derives from the corpus text.
+    Positions are per-doc local state, so both equalities are exact."""
+    from ureplicator_spark.operators.text import min_doc_phrase, phrase_search
+    from ureplicator_spark.sources.lexical_index import (
+        append_to_positional_index,
+        build_positional_index,
+        phrase_index_search,
+    )
+
+    terms = tuple(
+        r.term for r in min_doc_phrase(docs).orderBy("offset").collect()
+    )
+    assert len(terms) == 3
+
+    inc_root = str(tmp_path / "pos_inc")
+    build_positional_index(spark, docs.filter(F.col("doc_id") < SPLIT), inc_root)
+    append_to_positional_index(
+        spark, inc_root, docs.filter(F.col("doc_id") >= SPLIT)
+    )
+    full_root = str(tmp_path / "pos_full")
+    build_positional_index(spark, docs, full_root)
+
+    def rows(df):
+        return [(r.doc_id, r.n_occurrences, r.first_pos) for r in df.collect()]
+
+    got_inc = rows(phrase_index_search(spark, inc_root, terms))
+    got_full = rows(phrase_index_search(spark, full_root, terms))
+    got_batch = rows(phrase_search(docs, min_doc_phrase(docs)))
+    assert got_inc == got_full == got_batch and got_inc
+
+
+def test_phrase_search_scan_is_bucket_pruned(spark, docs, tmp_path):
+    """The positional probe's parquet scan must carry the tb partition
+    filter (static pruning to the phrase terms' buckets), like the
+    BM25 search scan."""
+    from ureplicator_spark.operators.text import min_doc_phrase
+    from ureplicator_spark.sources.lexical_index import (
+        _bucket_py,
+        build_positional_index,
+        phrase_index_search,
+    )
+
+    terms = tuple(
+        r.term for r in min_doc_phrase(docs).orderBy("offset").collect()
+    )
+    root = str(tmp_path / "pos")
+    build_positional_index(spark, docs, root)
+    plan = plan_string(phrase_index_search(spark, root, terms))
+    assert re.search(r"PartitionFilters: \[.*tb", plan), plan
+    for b in {_bucket_py(t) for t in terms}:
+        assert str(b) in plan

@@ -1729,3 +1729,65 @@ def nb_lang_confusion(documents: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "lang_pred")
     )
+
+
+def min_doc_phrase(
+    documents: DataFrame, start: int = 1, length: int = 3
+) -> DataFrame:
+    """The deterministic probe phrase used by the phrase-search gates:
+    tokens [start, start+length) of the LOWEST doc_id holding at least
+    start+length+1 tokens — (offset, term) rows, offset 0-based. Pure
+    plan (no collect); the anchored-subquery convention the CMS probe
+    set also uses, so any engine derives the same phrase."""
+    eligible = documents.filter(
+        F.size(F.split("text", " ")) >= start + length + 1
+    )
+    mindoc = eligible.agg(F.min("doc_id").alias("doc_id"))
+    return (
+        tokens(documents)
+        .join(F.broadcast(mindoc), "doc_id")
+        .filter(F.col("pos").between(start, start + length - 1))
+        .select((F.col("pos") - start).alias("offset"), F.col("token").alias("term"))
+    )
+
+
+def phrase_search(documents: DataFrame, phrase: DataFrame) -> DataFrame:
+    """EXACT-PHRASE retrieval by positional posting intersection —
+    the lexical capability BM25's bag-of-words scoring cannot express
+    (docs containing every query term in any order are not docs
+    containing the phrase). ``phrase`` is (offset, term), offset
+    0-based consecutive. Output: (doc_id, n_occurrences, first_pos)
+    for every document containing the phrase.
+
+    Algebra: each positional posting (doc_id, pos, token) matching a
+    phrase term votes for candidate start position pos - offset; a
+    start with votes from ALL offsets is an occurrence (the classic
+    positional-index phrase intersection, done as one equi-join + one
+    aggregate instead of k zipper merges).
+
+    Scale shape: the broadcast phrase join prunes the token stream to
+    the phrase terms' postings BEFORE any exchange — work is bounded
+    by the sum of the phrase terms' posting lengths, never a LIKE scan
+    over corpus strings. One shuffle on (doc_id, start) with map-side
+    partial counts, one on doc_id. The standing-index twin
+    (sources/lexical_index.phrase_index_search) additionally prunes
+    the postings SCAN to the terms' hash buckets."""
+    ph = F.broadcast(phrase)
+    nterms = F.broadcast(phrase.agg(F.count("*").alias("k")))
+    hits = (
+        tokens(documents)
+        .join(ph, F.col("token") == F.col("term"))
+        .select("doc_id", (F.col("pos") - F.col("offset")).alias("start"), "offset")
+        .groupBy("doc_id", "start")
+        .agg(F.count_distinct("offset").alias("n_off"))
+        .crossJoin(nterms)
+        .filter((F.col("n_off") == F.col("k")) & (F.col("start") >= 0))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -7184,6 +7184,111 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# Exact-phrase retrieval (r12): positional posting intersection — the
+# lexical capability BM25's bag-of-words scoring cannot express. One
+# oracle serves BOTH the batch operator and the standing-index probe:
+# positions are per-doc local state, so the persisted section equals a
+# fresh tokenization row-for-row (append ≡ rebuild pinned in
+# tests/test_lexical_index.py) and probe ≡ from-scratch follows. The
+# probe phrase is anchored: tokens [1, 4) of the lowest doc_id with
+# >= 5 tokens — the CMS probe-set convention, derivable on any engine.
+_PHRASE_SQL = """
+WITH tok AS (
+  SELECT d.doc_id, t.i AS pos,
+         list_extract(d.toks, CAST(t.i + 1 AS INT)) AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       LATERAL unnest(range(0, len(d.toks))) AS t(i)
+),
+mindoc AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+phrase AS (
+  SELECT pos - 1 AS "offset", token AS term
+  FROM tok JOIN mindoc USING (doc_id) WHERE pos BETWEEN 1 AND 3
+),
+kk AS (SELECT COUNT(*) AS k FROM phrase),
+hits AS (
+  SELECT t.doc_id, t.pos - p."offset" AS start,
+         COUNT(DISTINCT p."offset") AS n_off
+  FROM tok t JOIN phrase p ON t.token = p.term
+  GROUP BY t.doc_id, t.pos - p."offset"
+)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(h.start) AS BIGINT) AS first_pos
+FROM hits h, kk
+WHERE h.n_off = kk.k AND h.start >= 0
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+"""
+
+
+@register("lexical_phrase_search", _PHRASE_SQL)
+def q_lexical_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval, batch shape: the anchored 3-token probe
+    phrase intersects the corpus's positional postings — a broadcast
+    phrase join prunes the token stream to the phrase terms BEFORE any
+    exchange (work ~ sum of the terms' posting lengths, never a LIKE
+    scan over corpus strings), then one (doc_id, start) vote count and
+    one per-doc aggregate. `phrase_index_search` is the standing-index
+    twin that also prunes the postings SCAN to the terms' buckets."""
+    from ureplicator_spark.operators.text import min_doc_phrase, phrase_search
+    from ureplicator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, min_doc_phrase(docs))
+
+
+# Standing positional index, one per sf_dir per process — the phrase
+# twin of the BM25 postings (build amortized like lex_build_sec).
+_POS_STANDING: dict[str, str] = {}
+
+
+def ensure_standing_positional_index(spark: SparkSession, sf_dir: str) -> str:
+    root = _POS_STANDING.get(sf_dir)
+    if root is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from ureplicator_spark.sources.lexical_index import build_positional_index
+        from ureplicator_spark.sources.parquet import load_table
+
+        root = tempfile.mkdtemp(prefix="ureplicator_pos_standing_")
+        build_positional_index(
+            spark, load_table(spark, sf_dir, "documents"), root
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _POS_STANDING[sf_dir] = root
+    return root
+
+
+@register("phrase_index_search", _PHRASE_SQL)
+def q_phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over the STANDING positional section —
+    the production shape: the positions scan is statically pruned to
+    the phrase terms' tb buckets (driver-side literals, the BM25-search
+    discipline), the corpus text is never re-read, and work is O(sum
+    of the terms' posting lists) independent of corpus size. The probe
+    terms are collected once from the 3-row anchored phrase (model-
+    sized driver state — literals are exactly what enable the static
+    pruning). Provably equal to the batch `lexical_phrase_search`:
+    positions are per-doc local state, so the standing section is a
+    faithful materialization of the tokenization the batch op derives
+    (append ≡ rebuild pinned in tests/test_lexical_index.py)."""
+    from ureplicator_spark.operators.text import min_doc_phrase
+    from ureplicator_spark.sources.lexical_index import phrase_index_search
+    from ureplicator_spark.sources.parquet import load_table
+
+    root = ensure_standing_positional_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    terms = tuple(
+        r.term for r in min_doc_phrase(docs).orderBy("offset").collect()
+    )
+    return phrase_index_search(spark, root, terms)
+
+
 _ARM_OVERLAP_SQL = _with(
     *_HYBRID_PARTS,
     """

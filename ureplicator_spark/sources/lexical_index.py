@@ -440,3 +440,98 @@ def delete_from_lexical_index(
         "buckets_rewritten": buckets_rewritten,
         "removed_dirs": removed,
     }
+
+
+# ---------------------------------------------------------------------------
+# Positional postings section — exact-phrase retrieval over the
+# standing index (the positional twin of the BM25 postings above).
+# Positions are per-doc local state, so append ≡ rebuild EXACTLY
+# (pinned in tests/test_lexical_index.py); no stats views needed —
+# phrase intersection is a pure postings computation.
+# ---------------------------------------------------------------------------
+
+
+def _positional_postings(documents: DataFrame, n_buckets: int) -> DataFrame:
+    from ureplicator_spark.operators.text import tokens
+
+    return tokens(documents).select(
+        (md5_long("token", salt=_BUCKET_SALT) % n_buckets).alias("tb"),
+        "token",
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def build_positional_index(
+    spark: SparkSession,
+    documents: DataFrame,
+    root: str,
+    n_buckets: int = N_TOKEN_BUCKETS,
+) -> None:
+    """One corpus pass: (token, doc_id, pos) rows partitioned by the
+    SAME token-hash bucketing as the BM25 postings, so a phrase probe
+    statically prunes to its terms' buckets exactly like a BM25
+    search. The only corpus-sized exchange is the partitioned write."""
+    _positional_postings(documents, n_buckets).write.mode("overwrite").partitionBy(
+        "tb"
+    ).parquet(root + "/positions")
+
+
+def append_to_positional_index(
+    spark: SparkSession,
+    root: str,
+    new_documents: DataFrame,
+    n_buckets: int = N_TOKEN_BUCKETS,
+) -> None:
+    """Absorb a batch: tokenize ONLY the batch, append partition-wise.
+    O(batch); existing position files are never touched; positions
+    are per-doc local state so the appended index equals a fresh
+    build over corpus ∪ batch row-for-row."""
+    _positional_postings(new_documents, n_buckets).write.mode("append").partitionBy(
+        "tb"
+    ).parquet(root + "/positions")
+
+
+def phrase_index_search(
+    spark: SparkSession,
+    root: str,
+    phrase_terms: tuple[str, ...],
+    n_buckets: int = N_TOKEN_BUCKETS,
+) -> DataFrame:
+    """Exact-phrase retrieval over the persisted positional section
+    WITHOUT touching the corpus: (doc_id, n_occurrences, first_pos)
+    for documents containing ``phrase_terms`` consecutively. The
+    positions scan is statically pruned to the phrase terms' tb
+    buckets (driver-side literal filter, the BM25-search discipline),
+    then same intersection algebra as operators/text.phrase_search:
+    postings vote for start = pos - offset; starts with all k offsets
+    are occurrences. Work is O(sum of phrase-term posting lists),
+    independent of corpus size."""
+    terms = list(phrase_terms)
+    buckets = sorted({_bucket_py(t, n_buckets) for t in terms})
+    postings = (
+        spark.read.parquet(root + "/positions")
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("token").isin(*terms))
+    )
+    phrase = F.broadcast(
+        spark.createDataFrame(
+            [(off, t) for off, t in enumerate(terms)], "offset int, term string"
+        )
+    )
+    k = len(terms)
+    hits = (
+        postings.join(phrase, F.col("token") == F.col("term"))
+        .select("doc_id", (F.col("pos") - F.col("offset")).alias("start"), "offset")
+        .groupBy("doc_id", "start")
+        .agg(F.count_distinct("offset").alias("n_off"))
+        .filter((F.col("n_off") == k) & (F.col("start") >= 0))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
