@@ -43,7 +43,10 @@ _CHANGED_SINCE_LAST_CHECK = [
     # held 50): the 35 names below carried only local attestation after
     # r11 — CDC pair first (their WITH-RECURSIVE oracles have never
     # been driver-seen), then the media floor-chain family, then the
-    # rest in r11 order.
+    # rest in r11 order. (r12: cdc_incremental_dedup's 80%-corpus
+    # index build moved to ensure_standing_chunk_index — amortized
+    # like every other standing index, reported as
+    # chunk_index_build_sec; probe values unchanged, oracle untouched.)
     "cdc_chunk_dedup", "cdc_incremental_dedup",
     "media_dhash", "media_dhash_near_pairs",
     "media_audio_fingerprint", "media_audio_near_pairs",

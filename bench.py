@@ -294,6 +294,15 @@ def main() -> None:
     ensure_standing_positional_index(spark, SF_DIR)
     pos_index_build_sec = round(time.perf_counter() - t0, 3)
 
+    # Standing Gear-CDC chunk index (cdc_incremental_dedup probes it;
+    # the build ran INSIDE the timed query until r12 — it was the
+    # single most expensive bench row): same amortized accounting.
+    from ureplicator_spark.queries import ensure_standing_chunk_index
+
+    t0 = time.perf_counter()
+    ensure_standing_chunk_index(spark, SF_DIR)
+    chunk_index_build_sec = round(time.perf_counter() - t0, 3)
+
     pins_baseline = pinned_rdd_count()
 
     # Cold pass: single-shot by definition (first touch pays codegen +
@@ -417,6 +426,7 @@ def main() -> None:
         "evaltruth_build_sec": evaltruth_build_sec,
         "media_index_build_sec": media_index_build_sec,
         "pos_index_build_sec": pos_index_build_sec,
+        "chunk_index_build_sec": chunk_index_build_sec,
     }
 
     # Full detail to a FILE (not stdout): per-query warm/extended

@@ -378,3 +378,72 @@ def test_phrase_search_scan_is_bucket_pruned(spark, docs, tmp_path):
     assert re.search(r"PartitionFilters: \[.*tb", plan), plan
     for b in {_bucket_py(t) for t in terms}:
         assert str(b) in plan
+
+
+def test_positional_delete_equals_rebuild_on_survivors(spark, docs, tmp_path):
+    """RTBF on the positional section: positions reconstruct a doc's
+    text verbatim, so delete must remove every (token, pos) row. After
+    deleting a doc set, the section equals a fresh build over the
+    survivors ROW-FOR-ROW, and a repeated delete is a no-op."""
+    from ureplicator_spark.sources.lexical_index import (
+        build_positional_index,
+        delete_from_positional_index,
+    )
+
+    doomed = [r.doc_id for r in docs.select("doc_id").limit(5).collect()]
+    root = str(tmp_path / "pos")
+    build_positional_index(spark, docs, root)
+    res = delete_from_positional_index(spark, root, doomed)
+    assert res["deleted_docs"] == len(doomed) and res["buckets_rewritten"] > 0
+
+    surv_root = str(tmp_path / "pos_surv")
+    build_positional_index(
+        spark, docs.filter(~F.col("doc_id").isin(doomed)), surv_root
+    )
+
+    def rows(root_):
+        return sorted(
+            (r.tb, r.token, r.doc_id, r.pos)
+            for r in spark.read.parquet(root_ + "/positions").collect()
+        )
+
+    assert rows(root) == rows(surv_root) and rows(root)
+    again = delete_from_positional_index(spark, root, doomed)
+    assert again == {
+        "deleted_docs": 0, "buckets_rewritten": 0, "removed_dirs": 0,
+    }
+
+
+def test_positional_streaming_maintenance_applies_once_and_replays_noop(
+    spark, docs, tmp_path
+):
+    """The streaming positional maintainer appends each micro-batch
+    exactly once: after an availableNow pass over the corpus the
+    section equals a batch build row-for-row, and re-running over the
+    SAME checkpoint (a replay) changes nothing."""
+    from ureplicator_spark.sources.lexical_index import build_positional_index
+    from ureplicator_spark.streaming.lexical_index import (
+        maintain_positional_index,
+    )
+
+    src_dir = str(tmp_path / "src")
+    docs.write.parquet(src_dir)
+
+    root = str(tmp_path / "pos_stream")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second pass = restart over same checkpoint
+        q = maintain_positional_index(
+            spark.readStream.schema(docs.schema).parquet(src_dir), root, ckpt
+        )
+        q.awaitTermination()
+
+    batch_root = str(tmp_path / "pos_batch")
+    build_positional_index(spark, docs, batch_root)
+
+    def rows(root_):
+        return sorted(
+            (r.tb, r.token, r.doc_id, r.pos)
+            for r in spark.read.parquet(root_ + "/positions").collect()
+        )
+
+    assert rows(root) == rows(batch_root) and rows(root)

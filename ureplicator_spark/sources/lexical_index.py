@@ -195,16 +195,17 @@ def search_lexical_index(
 
 
 def _rewrite_postings_without(
-    spark: SparkSession, root: str, ids: list[int]
+    spark: SparkSession, root: str, ids: list[int], section: str = "postings"
 ) -> tuple[int, int]:
-    """Dynamic-overwrite every tb partition still holding any of
-    ``ids``; remove buckets emptied entirely. Idempotent: once the
-    rows are gone the affected-bucket set is empty and this is a
-    no-op — which is what makes the delete repairable after a crash
-    mid-rewrite. Returns (buckets_rewritten, removed_dirs)."""
+    """Dynamic-overwrite every tb partition of ``section`` still
+    holding any of ``ids``; remove buckets emptied entirely.
+    Idempotent: once the rows are gone the affected-bucket set is
+    empty and this is a no-op — which is what makes the delete
+    repairable after a crash mid-rewrite. Returns
+    (buckets_rewritten, removed_dirs)."""
     from ureplicator_spark.fsutil import delete_recursive
 
-    postings = spark.read.parquet(root + "/postings")
+    postings = spark.read.parquet(f"{root}/{section}")
     doomed = postings.filter(F.col("doc_id").isin(ids))
     buckets = sorted(r.tb for r in doomed.select("tb").distinct().collect())
     if not buckets:
@@ -221,7 +222,7 @@ def _rewrite_postings_without(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         survivors.write.mode("overwrite").partitionBy("tb").parquet(
-            root + "/postings"
+            f"{root}/{section}"
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
@@ -229,7 +230,7 @@ def _rewrite_postings_without(
 
     emptied = [b for b in buckets if b not in kept_buckets]
     for b in emptied:
-        delete_recursive(spark, f"{root}/postings/tb={b}")
+        delete_recursive(spark, f"{root}/{section}/tb={b}")
     return len(buckets), len(emptied)
 
 
@@ -535,3 +536,33 @@ def phrase_index_search(
         )
         .orderBy("doc_id")
     )
+
+
+def delete_from_positional_index(
+    spark: SparkSession, root: str, doc_ids: list[int]
+) -> dict:
+    """Right-to-be-forgotten for the positional section. Positions are
+    the most sensitive index shape — a doc's (token, pos) rows
+    reconstruct its text VERBATIM — so an RTBF request must cover
+    this section wherever it exists, not just the BM25 postings.
+
+    Much simpler than :func:`delete_from_lexical_index`: the section
+    carries no stats views, so the idempotent bucket rewrite IS the
+    whole delete — no intent/repair machinery needed (re-running
+    after a crash finds no doomed rows and no-ops). Discovery is one
+    positions scan (doc_id deliberately does not cluster the tb
+    layout); the rewrite touches only the tb partitions that actually
+    held the docs' rows."""
+    ids = [int(i) for i in doc_ids]
+    pos = spark.read.parquet(root + "/positions")
+    n_docs = pos.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id"
+    ).distinct().count()
+    rewritten, removed = _rewrite_postings_without(
+        spark, root, ids, section="positions"
+    )
+    return {
+        "deleted_docs": n_docs,
+        "buckets_rewritten": rewritten,
+        "removed_dirs": removed,
+    }

@@ -72,3 +72,43 @@ def maintain_lexical_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_positional_index(
+    documents_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    n_buckets: int = N_TOKEN_BUCKETS,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming maintenance for the POSITIONAL section (exact-phrase
+    retrieval): per micro-batch, tokenize only the batch and append
+    its (token, doc_id, pos) rows — O(batch), the corpus is never
+    re-tokenized. Phrase results are insensitive to duplicated rows
+    (the intersection counts DISTINCT offsets), but a replayed batch
+    would still break the append ≡ rebuild row-level equality and
+    bloat the section, so the same marker-directory guard applies:
+    a checkpoint-restart re-delivery no-ops."""
+    from ureplicator_spark.sources.lexical_index import append_to_positional_index
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            if batch_already_applied(spark, root, checkpoint_dir, batch_id):
+                return  # replayed batch: positions already appended
+            append_to_positional_index(spark, root, batch_df, n_buckets)
+            mkdirs(spark, batch_marker(root, checkpoint_dir, batch_id))
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        documents_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("positional-index-maintenance")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
