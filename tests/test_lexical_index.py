@@ -447,3 +447,26 @@ def test_positional_streaming_maintenance_applies_once_and_replays_noop(
         )
 
     assert rows(root) == rows(batch_root) and rows(root)
+
+
+def test_lexical_delete_also_clears_colocated_positions(spark, docs, tmp_path):
+    """RTBF coherence: when the BM25 postings and the positional
+    section share a root, one delete_from_lexical_index call must
+    clear BOTH — leaving (token, pos) rows behind would keep the
+    deleted docs' text reconstructible."""
+    from ureplicator_spark.sources.lexical_index import (
+        build_lexical_index,
+        build_positional_index,
+        delete_from_lexical_index,
+    )
+
+    root = str(tmp_path / "both")
+    build_lexical_index(spark, docs, root)
+    build_positional_index(spark, docs, root)
+
+    doomed = [r.doc_id for r in docs.select("doc_id").limit(3).collect()]
+    delete_from_lexical_index(spark, root, doomed)
+
+    pos = spark.read.parquet(root + "/positions")
+    assert pos.filter(F.col("doc_id").isin(doomed)).head(1) == []
+    assert pos.head(1)  # survivors intact

@@ -501,8 +501,13 @@ def bloom_contamination(
     )
 
     # Phase 2: map-side membership + one broadcast join + one groupBy.
+    # No explicit broadcast hint on the exact-hit side: bench is the
+    # deduplicated benchmark shingle set — AQE broadcasts it at
+    # runtime from its measured size, and a programmer hint on a
+    # distinct() is exactly what the 100 TB broadcast guard rejects
+    # (it cannot prove the reduction bounded).
     probed = corpus.join(
-        F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"
+        bench.withColumn("hit", F.lit(1)), "shingle", "left"
     ).select(
         "doc_id",
         "hit",

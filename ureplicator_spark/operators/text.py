@@ -1743,11 +1743,19 @@ def min_doc_phrase(
         F.size(F.split("text", " ")) >= start + length + 1
     )
     mindoc = eligible.agg(F.min("doc_id").alias("doc_id"))
+    # final groupBy(offset): one token per offset by construction
+    # (a single doc's positions are unique), so MIN is the identity —
+    # but it makes the reduction VISIBLE to the plan: the phrase's
+    # size is bounded by the offset key space {0..length-1}, which is
+    # what lets phrase_search broadcast it under the 100 TB broadcast
+    # guard (lineage through tokens(documents) alone proves nothing).
     return (
         tokens(documents)
         .join(F.broadcast(mindoc), "doc_id")
         .filter(F.col("pos").between(start, start + length - 1))
-        .select((F.col("pos") - start).alias("offset"), F.col("token").alias("term"))
+        .select((F.col("pos") - start).alias("offset"), "token")
+        .groupBy("offset")
+        .agg(F.min("token").alias("term"))
     )
 
 

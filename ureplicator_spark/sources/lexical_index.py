@@ -436,6 +436,13 @@ def delete_from_lexical_index(
     _apply_delete_stats(spark, root, deltas, n_del, dl_sum, tag)
     _clear_delete_markers(spark, root, tag)
     delete_recursive(spark, intent)
+    # A positional section colocated under this root holds the same
+    # docs' (token, pos) rows — text-reconstructible, so RTBF must
+    # clear it in the same call (idempotent rewrite; no stats).
+    from ureplicator_spark.fsutil import fs_exists
+
+    if fs_exists(spark, root + "/positions"):
+        delete_from_positional_index(spark, root, ids)
     return {
         "deleted_docs": n_del,
         "buckets_rewritten": buckets_rewritten,
