@@ -96,11 +96,18 @@ _CHANGED_SINCE_LAST_CHECK = [
     # rebuild + probe ≡ from-scratch pinned in
     # tests/test_lexical_index.py).
     "lexical_phrase_search", "phrase_index_search",
+    # norms() now filters NULL embeddings (contract pin, r11 advisor)
+    # — a plan-level touch to every cosine consumer; values unchanged
+    # on this data (no NULL embeddings) and the full-registry local
+    # parity suite is green, but the four most representative norms
+    # consumers take the remaining window slots for driver coverage
+    # of the change. The rest of the family follows in backlog order.
+    "similarity_knn_bruteforce", "dedup_embedding_cosine",
+    "similarity_ivf_ann", "similarity_lsh_ann",
     # --- r11 changed, driver-GREEN in CORRECTNESS_r11 (fill the
     # remaining window slots after the backlog; attested but most
     # recently touched) ---
-    "media_frame_signatures", "media_frame_near_pairs",
-    "media_frame_incremental_dedup", "media_frame_dedup_clusters",
+    "media_frame_signatures",
     "text_incremental_dedup",
     "workload_running_stats", "histogram_quantiles", "event_value_outliers",
     "doc_perplexity_proxy", "dsir_importance_weights", "source_unigram_kl",

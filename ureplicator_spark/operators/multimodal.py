@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -972,19 +972,24 @@ def frame_shingle_near_pairs(
     ``max_df`` cap): a degenerate corpus (constant-byte payloads →
     one hot shingle across thousands of items) would otherwise make
     that shingle's bucket quadratic; the cap bounds every bucket's
-    pair fan-out at C(max_df, 2). The df count is a window over the
-    gram-partitioning the join itself needs, so cap + join share one
-    exchange. ``n_a``/``n_b`` stay UNCAPPED (an item's true signature
-    size — the containment denominator)."""
+    pair fan-out at C(max_df, 2). The HOT-gram set (df > max_df) is a
+    map-side-combinable aggregate whose size is at most
+    |gram rows|/max_df — it anti-joins both sides as an AQE broadcast,
+    adding NO exchange to either join branch (a per-branch df window
+    re-shuffled the gram rows twice — measured in PLAN_REPORT before
+    this shape). ``n_a``/``n_b`` stay UNCAPPED (an item's true
+    signature size — the containment denominator)."""
     from ureplicator_spark.functions import round6f
 
     grams = frame_shingles(frame_hashes, k)
     counts = grams.groupBy("media_id").agg(F.count("*").alias("n_grams"))
-    capped = (
-        grams.withColumn("df", F.count("*").over(Window.partitionBy("gram")))
-        .filter(F.col("df") <= max_df)
-        .select("media_id", "gram")
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("gram")
     )
+    capped = grams.join(hot, "gram", "left_anti")
     shared = (
         capped.alias("a")
         .join(

@@ -23,7 +23,7 @@ batch × corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ureplicator_spark.fsutil import fs_exists
@@ -169,11 +169,17 @@ def incremental_frame_dedup(
 
     new_grams = pin(frame_shingles(video_frame_hashes(batch_media)))
     corpus = index_fingerprints(spark, root, "framegram")
-    corpus_capped = (
-        corpus.withColumn("df", F.count("*").over(Window.partitionBy("gram")))
-        .filter(F.col("df") <= max_df)
-        .select("media_id", "gram")
+    # hot-gram anti-join, not a df window: the aggregate is map-side
+    # combinable and its output (grams with df > max_df) is at most
+    # |section|/max_df rows — AQE broadcasts it, so the cap adds no
+    # exchange to the probe branch.
+    hot = (
+        corpus.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("gram")
     )
+    corpus_capped = corpus.join(hot, "gram", "left_anti")
     shared = (
         new_grams.alias("n")
         .join(
