@@ -469,10 +469,15 @@ def bloom_contamination(
     would only add a materialize+read round trip. The benchmark side
     shingles a doc_id < 10 scan — parquet min/max pruning keeps that
     to a handful of row groups."""
+    from ureplicator_spark.caching import pin
     from ureplicator_spark.operators.dedup import shingles
 
-    # shingles() is DISTINCT (doc_id, shingle) by construction
-    bench = (
+    # shingles() is DISTINCT (doc_id, shingle) by construction.
+    # bench is pinned: it feeds phase 1 (bit fold) and phase 2 (the
+    # exact-hit join) as two separate jobs — unpinned, each re-scans
+    # and re-shingles the benchmark row group. The pin holds the
+    # AGGREGATED shingle set (post-distinct), not the corpus.
+    bench = pin(
         shingles(documents.filter(F.col("doc_id") < 10))
         .select("shingle")
         .distinct()
@@ -485,15 +490,18 @@ def bloom_contamination(
         salt = F.concat(F.lit(f"bloom{j}:"), F.col("shingle"))
         return F.conv(F.substring(F.md5(salt), 1, 15), 16, 10).cast("long") % m
 
-    # Phase 1: k parallel one-md5-per-shingle projections (a union, NOT
-    # an explode of computed structs — Generate re-evaluates its
-    # generator child per output row, the cms/hll melt lesson), reduced
-    # to DISTINCT bits and collected: <= m integers of driver state.
-    bits_df = bench.select(bit_col(0).alias("bit"))
-    for j in range(1, k):
-        bits_df = bits_df.union(bench.select(bit_col(j).alias("bit")))
+    # Phase 1: ONE scan — the k salted bits explode AFTER the distinct
+    # aggregate, never before it. (A k-way union of per-bit selects
+    # re-scans the parquet k times, and the text-column decode of the
+    # benchmark row group dominated the whole query — measured ~3×
+    # the scan cost at sf0.1. The Generate re-evaluation caveat — the
+    # cms/hll melt lesson — is k×k md5s over the POST-aggregate
+    # shingle set, a few thousand rows, not the corpus.)
+    bits_df = bench.select(
+        F.explode(F.array(*[bit_col(j) for j in range(k)])).alias("bit")
+    ).distinct()
     words = [0] * (m // 64)
-    for r in bits_df.distinct().collect():
+    for r in bits_df.collect():
         words[r["bit"] >> 6] |= 1 << (r["bit"] & 63)
     # two's-complement fold into signed 64-bit (LongType range)
     mask_lit = F.array(
