@@ -814,3 +814,45 @@ def test_frame_hashes_match_python_on_random_payloads(spark, payloads):
         for f in range(len(p) // FRAME_STRIDE):
             want[(i, f)] = _py_dhash(p[f * FRAME_STRIDE : (f + 1) * FRAME_STRIDE])
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    phrase=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3),
+)
+@SETTINGS
+def test_phrase_search_matches_python_reference(spark, docs, phrase):
+    """phrase_search == an oblivious sliding-window scan on random
+    tiny-vocab corpora — repeated terms inside the phrase, overlapping
+    occurrences, phrase-at-position-0, and docs shorter than the
+    phrase all come from the generator."""
+    from ureplicator_spark.operators.text import phrase_search
+
+    docs_df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    phrase_df = spark.createDataFrame(
+        list(enumerate(phrase)), "offset int, term string"
+    )
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_search(docs_df, phrase_df).collect()
+    }
+
+    want = {}
+    for i, toks in enumerate(docs):
+        # split(" ") on a joined empty list yields [""] — mirror that
+        toks = " ".join(toks).split(" ")
+        starts = [
+            s
+            for s in range(len(toks) - len(phrase) + 1)
+            if toks[s : s + len(phrase)] == phrase
+        ]
+        if starts:
+            want[i] = (len(starts), min(starts))
+    assert got == want
