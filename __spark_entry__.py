@@ -62,8 +62,10 @@ _CHANGED_SINCE_LAST_CHECK = [
     "curation_pipeline", "text_tfidf_top_terms", "multimodal_pcm_energy",
     "lag_weighted_assignment",
     # (bpe_learn_merges / bpe_segment_stats remain permanently
-    # rows-only — genuinely non-SQL sequential shapes.)
-    "bpe_learn_merges", "bpe_segment_stats",
+    # rows-only — genuinely non-SQL sequential shapes; they yield
+    # their window slots to two more hash-gated norms-family
+    # consumers below and follow in natural registry order.)
+    "similarity_multiprobe_ann", "embedding_quantize_int8",
     # --- r12 changed queries are appended here as the round proceeds ---
     # Hot-shingle cap (max_df=50) added to the frame-shingle joins —
     # the stop-shingle discipline winnowing already had; degenerate
