@@ -213,3 +213,21 @@ def incremental_payload_dedup(
         )
         .orderBy("new_media", "corpus_media")
     )
+
+
+def delete_from_chunk_index(
+    spark: SparkSession, root: str, media_ids: list[int]
+) -> dict:
+    """Right-to-be-forgotten for the CDC chunk index: chunk hashes are
+    content-derived identities of a payload's byte ranges. Partition-
+    pruned rewrite of only the hash buckets holding the doomed items'
+    chunks. Chunk boundaries are per-payload local state, so removal
+    is exact (deleted-index ≡ rebuild-on-survivors row-for-row) and
+    idempotent; no derived stats exist."""
+    from ureplicator_spark.sources.rewrite import rewrite_partitioned_without
+
+    ids = [int(i) for i in media_ids]
+    rewritten, removed = rewrite_partitioned_without(
+        spark, root + "/chunks", "bucket", "media_id", ids
+    )
+    return {"buckets_rewritten": rewritten, "removed_dirs": removed}

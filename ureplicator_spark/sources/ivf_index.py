@@ -248,3 +248,26 @@ def search_ivf_index(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+def delete_from_ivf_index(
+    spark: SparkSession, root: str, vec_ids: list[int]
+) -> dict:
+    """Right-to-be-forgotten for the IVF index: the ``vectors``
+    section stores the RAW embedding per id — user content itself, so
+    deletion must reach it, not just the source table. Partition-
+    pruned rewrite of only the cent_id lists that held the doomed
+    vectors (each vector lives in exactly one list); the centroid
+    table is a k×dim MODEL, not member data, and k-means centroids are
+    not decrementable per-member — production re-trains centroids on
+    the next snapshot rebuild, exactly as it absorbs drift. Search
+    correctness after delete needs no centroid change: a pruned list
+    simply no longer returns the deleted ids. Idempotent; no derived
+    stats to repair."""
+    from ureplicator_spark.sources.rewrite import rewrite_partitioned_without
+
+    ids = [int(i) for i in vec_ids]
+    rewritten, removed = rewrite_partitioned_without(
+        spark, root + "/vectors", "cent_id", "vec_id", ids
+    )
+    return {"lists_rewritten": rewritten, "removed_dirs": removed}

@@ -220,3 +220,27 @@ def incremental_frame_dedup(
         )
         .orderBy("new_media", "corpus_media")
     )
+
+
+def delete_from_media_index(
+    spark: SparkSession, root: str, media_ids: list[int]
+) -> dict:
+    """Right-to-be-forgotten for the perceptual-fingerprint index:
+    every section (whole-payload dHash / acoustic hash, per-frame
+    hash sequences, frame shingles) is member-specific content-derived
+    data. The sections are deliberately bytes-per-item small and
+    unpartitioned, so each is a filtered full rewrite
+    (rewrite_plain_without — survivors checkpointed before the
+    overwrite). Fingerprints are per-item local state: the deleted
+    index equals a fresh build over the surviving items row-for-row,
+    and a repeated delete no-ops."""
+    from ureplicator_spark.sources.rewrite import rewrite_plain_without
+
+    ids = [int(i) for i in media_ids]
+    removed = {
+        section: rewrite_plain_without(
+            spark, f"{root}/{section}", "media_id", ids
+        )
+        for section in list(_SECTIONS) + list(_FRAME_SECTIONS)
+    }
+    return {"rows_removed": removed}

@@ -315,3 +315,22 @@ def search_ivfpq_index(
         .filter(F.col("rank") <= top_k)
         .select("q_id", "c_id", "adc_dist", "rank")
     )
+
+
+def delete_from_ivfpq_index(
+    spark: SparkSession, root: str, vec_ids: list[int]
+) -> dict:
+    """Right-to-be-forgotten for the IVF-PQ index: the ``codes``
+    section stores each vector's packed subquantizer codes — a lossy
+    but member-specific encoding of user content. Partition-pruned
+    rewrite of the affected cent_id lists; ``coarse`` and
+    ``codebook`` are MODELS (k×dim / m·k×subdim), not member rows, and
+    like the IVF centroids they are refreshed by the next snapshot
+    re-train rather than per-member decrement. Idempotent."""
+    from ureplicator_spark.sources.rewrite import rewrite_partitioned_without
+
+    ids = [int(i) for i in vec_ids]
+    rewritten, removed = rewrite_partitioned_without(
+        spark, root + "/codes", "cent_id", "vec_id", ids
+    )
+    return {"lists_rewritten": rewritten, "removed_dirs": removed}
