@@ -137,3 +137,47 @@ def test_media_index_delete_equals_rebuild_on_survivors(spark, sf_dir, tmp_path)
 
     again = delete_from_media_index(spark, root, doomed)
     assert all(n == 0 for n in again["rows_removed"].values())
+
+
+def test_minhash_index_delete_equals_rebuild_and_flags_kmv(
+    spark, sf_dir, tmp_path
+):
+    from ureplicator_spark.sources.minhash_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    doomed = [r.doc_id for r in docs.select("doc_id").limit(5).collect()]
+
+    root = str(tmp_path / "mh")
+    build_minhash_index(docs, root, shingle_arrays=True)
+    out = delete_from_minhash_index(spark, root, doomed)
+    assert out["kmv_requires_rebuild"] is True
+    assert out["band_partitions_rewritten"] >= 1
+    assert all(
+        out["rows_removed"][s] > 0
+        for s in ("signatures", "shingle_arrays", "winnow_fingerprints")
+    )
+
+    # per-doc sections == fresh build over survivors (signatures and
+    # bands and winnow are per-doc local state; shingle_arrays carries
+    # corpus-order ranks so only doc-row REMOVAL is checked for it)
+    surv = docs.filter(~F.col("doc_id").isin(doomed))
+    surv_root = str(tmp_path / "mh_surv")
+    build_minhash_index(surv, surv_root, shingle_arrays=True)
+    for section in ("signatures", "bands", "winnow_fingerprints"):
+        got = spark.read.parquet(f"{root}/{section}")
+        assert got.filter(F.col("doc_id").isin(doomed)).head(1) == [], section
+    assert sorted(
+        map(tuple, spark.read.parquet(root + "/signatures").collect())
+    ) == sorted(map(tuple, spark.read.parquet(surv_root + "/signatures").collect()))
+
+    pairs = spark.read.parquet(root + "/pairs")
+    assert pairs.filter(
+        F.col("doc_a").isin(doomed) | F.col("doc_b").isin(doomed)
+    ).head(1) == []
+
+    again = delete_from_minhash_index(spark, root, doomed)
+    assert again["band_partitions_rewritten"] == 0
+    assert all(n == 0 for n in again["rows_removed"].values())

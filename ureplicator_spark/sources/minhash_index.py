@@ -365,3 +365,58 @@ def incremental_dedup(
         )
         .orderBy("new_doc", "corpus_doc")
     )
+
+
+def delete_from_minhash_index(
+    spark: SparkSession, root: str, doc_ids: list[int]
+) -> dict:
+    """Right-to-be-forgotten for the standing dedup index: signatures,
+    band rows, shingle arrays and winnowing fingerprints are per-doc
+    content derivatives (the shingle array in particular is close to
+    a bag-of-ngrams of the text) — all are removed by rewrite. The
+    materialized ``pairs`` section references deleted docs on EITHER
+    side, so it filters on both columns. Returns per-section removal
+    counts.
+
+    Honest limits: the per-source KMV register/synopsis sections are
+    AGGREGATED sketches — a min-hash register set is not decrementable
+    per member (a deleted doc's shingle may or may not be the register
+    survivor another doc also produced). When those sections exist the
+    result carries ``kmv_requires_rebuild=True`` and the caller must
+    re-run ``refresh_kmv_synopses`` over the surviving corpus —
+    stated loudly instead of leaving the synopses silently stale
+    (the non-decrementable-sketch rule, sources/rewrite.py)."""
+    from ureplicator_spark.caching import release_checkpoint
+    from ureplicator_spark.sources.rewrite import (
+        rewrite_partitioned_without,
+        rewrite_plain_without,
+    )
+
+    ids = [int(i) for i in doc_ids]
+    out: dict = {"rows_removed": {}}
+    for section in ("signatures", "shingle_arrays", "winnow_fingerprints"):
+        out["rows_removed"][section] = rewrite_plain_without(
+            spark, f"{root}/{section}", "doc_id", ids
+        )
+    rewritten, removed = rewrite_partitioned_without(
+        spark, root + "/bands", "band", "doc_id", ids
+    )
+    out["band_partitions_rewritten"] = rewritten
+    out["removed_dirs"] = removed
+
+    pairs_path = root + "/pairs"
+    if fs_exists(spark, pairs_path):
+        pairs = spark.read.parquet(pairs_path)
+        doomed = pairs.filter(
+            F.col("doc_a").isin(ids) | F.col("doc_b").isin(ids)
+        ).count()
+        if doomed:
+            survivors = pairs.filter(
+                ~(F.col("doc_a").isin(ids) | F.col("doc_b").isin(ids))
+            ).localCheckpoint()
+            survivors.write.mode("overwrite").parquet(pairs_path)
+            release_checkpoint(survivors)
+        out["rows_removed"]["pairs"] = doomed
+
+    out["kmv_requires_rebuild"] = fs_exists(spark, root + "/kmv_synopses")
+    return out
