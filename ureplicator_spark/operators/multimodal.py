@@ -919,6 +919,80 @@ def video_frame_hashes_with_variants(
     )
 
 
+ALL_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.IntegerType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ]
+)
+
+# kind codes for the fused fingerprint pass (stable — persisted nowhere,
+# but shared between all_fingerprints and its section splits)
+FP_KIND_DHASH = 0
+FP_KIND_AUDIO = 1
+FP_KIND_FRAME = 2
+
+
+def all_fingerprints(
+    media: DataFrame,
+    w: int = DHASH_W,
+    h: int = DHASH_H,
+    n_windows: int = AUDIO_FP_WINDOWS,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Every per-item fingerprint kind from ONE Arrow round-trip:
+    (media_id, kind, frame_idx, fp) rows with kind ∈ {FP_KIND_DHASH,
+    FP_KIND_AUDIO, FP_KIND_FRAME}. Calls the SAME kernels as the
+    standalone hashers (:func:`_dhash_from_samples`,
+    :func:`_audio_fp_from_samples`, :func:`_frame_hash_rows`), so each
+    kind's rows are value-identical to the standalone operator's —
+    pinned in tests/test_dhash.py. Exists for the standing media-index
+    build, which previously shipped every payload across the
+    JVM/Python boundary once per section (4 full corpus passes — the
+    guide's 'move heavy bytes once' rule applied to the Arrow boundary
+    instead of the network). Map-only, zero shuffles."""
+    import numpy as np
+
+    dpow = np.int64(1) << np.arange(w * h - 1, dtype=np.int64)
+    apow = np.int64(1) << np.arange(n_windows - 2, dtype=np.int64)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int, int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                m = int(mid)
+                rows.append(
+                    (m, FP_KIND_DHASH, 0, _dhash_from_samples(arr, w, h, dpow))
+                )
+                rows.append(
+                    (m, FP_KIND_AUDIO, 0, _audio_fp_from_samples(arr, n_windows, apow))
+                )
+                if arr.shape[0] >= stride:
+                    rows.extend(
+                        (m, FP_KIND_FRAME, f, fh)
+                        for _, f, fh in _frame_hash_rows(arr, m, stride, w, h, dpow)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "frame_idx", "fp"]
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "kind": "int32",
+                    "frame_idx": "int32",
+                    "fp": "int64",
+                }
+            )
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        hash_batches, schema=ALL_FP_SCHEMA
+    )
+
+
 def frame_shingles(
     frame_hashes: DataFrame, k: int = FRAME_SHINGLE_K
 ) -> DataFrame:

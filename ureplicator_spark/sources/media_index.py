@@ -46,12 +46,39 @@ _FRAME_SECTIONS = {
 
 
 def build_media_index(media: DataFrame, root: str, mode: str = "overwrite") -> None:
-    """One corpus pass per fingerprint kind: hash every payload
-    (map-only mapInPandas), persist the 16-byte-per-item hash rows.
-    ``mode='append'`` folds a batch in — per-item local state, so the
-    appended index equals a full rebuild over old ∪ batch."""
-    for section, hasher in {**_SECTIONS, **_FRAME_SECTIONS}.items():
-        hasher(media).write.mode(mode).parquet(f"{root}/{section}")
+    """ONE corpus payload pass for every fingerprint kind: the fused
+    ``all_fingerprints`` mapInPandas emits dhash + audiofp + framesig
+    rows from a single Arrow round-trip (same kernels as the
+    standalone hashers — value-identical, pinned in tests), the
+    persisted hash rows are split into sections JVM-side, and the
+    framegram section derives from the already-computed framesig rows
+    instead of re-hashing every payload a fourth time. Previously each
+    section re-shipped the whole corpus across the JVM/Python boundary
+    (4 payload passes); payloads now cross once (r12 optimization —
+    the guide's 'move heavy bytes once', applied to the Arrow
+    boundary). ``mode='append'`` folds a batch in — per-item local
+    state, so the appended index equals a full rebuild over
+    old ∪ batch."""
+    from ureplicator_spark.operators.multimodal import (
+        FP_KIND_AUDIO,
+        FP_KIND_DHASH,
+        FP_KIND_FRAME,
+        all_fingerprints,
+    )
+
+    fused = all_fingerprints(media).persist()
+    try:
+        for section, kind in (("dhash", FP_KIND_DHASH), ("audiofp", FP_KIND_AUDIO)):
+            fused.filter(F.col("kind") == kind).select(
+                "media_id", F.col("fp").alias("dhash")
+            ).write.mode(mode).parquet(f"{root}/{section}")
+        framesig = fused.filter(F.col("kind") == FP_KIND_FRAME).select(
+            "media_id", "frame_idx", F.col("fp").alias("fhash")
+        )
+        framesig.write.mode(mode).parquet(f"{root}/framesig")
+        frame_shingles(framesig).write.mode(mode).parquet(f"{root}/framegram")
+    finally:
+        fused.unpersist()
 
 
 def append_to_media_index(batch_media: DataFrame, root: str) -> None:
