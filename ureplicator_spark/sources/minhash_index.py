@@ -70,16 +70,57 @@ def build_minhash_index(
     (snapshot builds only — appends never write this section, they
     invalidate it)."""
     wide = minhash_wide(documents, n_hashes).persist()
-    wide.write.mode(mode).parquet(root + "/signatures")
-    _banded(wide, n_bands, n_hashes).write.mode(mode).partitionBy("band").parquet(
-        root + "/bands"
-    )
-    wide.unpersist()
-    if shingle_arrays and mode != "append":
+
+    def _sig_chain() -> None:
+        from ureplicator_spark.fsutil import cluster_for_partitioned_write
+
+        wide.write.mode(mode).parquet(root + "/signatures")
+        # clustered by band: one file per band directory instead of
+        # one per (task, band) — guide §6, the chunk-index measurement
+        cluster_for_partitioned_write(
+            _banded(wide, n_bands, n_hashes), "band", "doc_id"
+        ).write.mode(mode).partitionBy("band").parquet(root + "/bands")
+
+    if not (shingle_arrays and mode != "append"):
+        _sig_chain()
+        wide.unpersist()
+        return
+
+    # Full snapshot build: six section jobs with a three-chain
+    # dependency DAG — (signatures → bands → pairs), (shingle_arrays →
+    # kmv), (winnow) — run as concurrent driver threads so each
+    # chain's stage tails back-fill the others' idle cores (guide
+    # §2.6: a single local/cluster job rarely saturates the executors
+    # through its stage barriers; independent jobs overlap for free).
+    # Writes target disjoint section directories; chains only share
+    # the persisted `wide`, whose first materialization is
+    # thread-safe. Measured at sf0.1: 5.8 s warm / ~17 s cold
+    # sequential → bounded by the longest chain.
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = documents.sparkSession
+
+    def _pairs_chain() -> None:
+        _sig_chain()
+        refresh_pairs(spark, root)
+
+    def _shingle_chain() -> None:
         refresh_shingle_arrays(documents, root)
-        refresh_pairs(documents.sparkSession, root)
         refresh_kmv_synopses(documents, root)
+
+    def _winnow_chain() -> None:
         refresh_winnow_fingerprints(documents, root)
+
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(c)
+                for c in (_pairs_chain, _shingle_chain, _winnow_chain)
+            ]
+            for f in futures:
+                f.result()
+    finally:
+        wide.unpersist()
 
 
 def refresh_shingle_arrays(documents: DataFrame, root: str) -> None:
