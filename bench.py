@@ -192,12 +192,53 @@ def main() -> None:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return jmap.size()
 
-    # JVM/codegen warmup (not data-dependent): one tiny job through the
-    # scan→shuffle→noop path so the first timed query isn't paying JIT
-    # + executor startup.
+    # JVM/codegen warmup (not data-dependent): tiny SYNTHETIC jobs
+    # through the operator classes the bench exercises, so the first
+    # timed queries aren't paying generic JIT (Janino, parquet-mr,
+    # window/join exec, Python worker fork + numpy import) on top of
+    # their own codegen. r12: the single range→groupBy warmup left the
+    # stated goal unmet — on a slow-single-thread host the first cold
+    # query paid ~4.5 s of shared JIT (measured: q1 cold 4.5 s after
+    # the old warmup vs 1.9 s after this one, warm 0.9 s either way).
+    # Everything here is spark.range-derived; no benchmark table is
+    # touched, nothing a timed query computes is precomputed.
     spark.range(1_000_000).groupBy((F_col_id() % 10).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    _warm_dir = tempfile.mkdtemp(prefix="ureplicator_bench_warm_")
+    _syn = spark.range(1_000_000).select(
+        "id", (F.col("id") % 97).alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    _syn.write.mode("overwrite").parquet(_warm_dir + "/t")
+    _p = spark.read.parquet(_warm_dir + "/t")
+    _w = Window.partitionBy("k").orderBy("id")
+    (
+        _p.join(_p.groupBy("k").agg(F.count("*").alias("c")), "k")
+        .join(F.broadcast(spark.range(97).select(F.col("id").alias("k"))), "k")
+        .select(
+            "id", "k", "c",
+            F.row_number().over(_w).alias("rn"),
+            F.explode(F.split("s", "a")).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.sum("c"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    def _py_warm(batches):
+        import numpy as np  # noqa: F401 — warm the worker-side import
+
+        yield from batches
+
+    _p.limit(10_000).mapInPandas(_py_warm, schema=_p.schema).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    shutil.rmtree(_warm_dir, ignore_errors=True)
 
     # One-off, reported separately as ivf_build_sec (NOT in the headline
     # total, which times the production search shape — but visible so

@@ -686,49 +686,62 @@ def semantic_dedup_pairs(
             )
         )
     )
-    comp = _components(embeddings)
-    nr = norms(embeddings)
-    # Pair list FIRST (N²/k rows), then fetch components per pair —
-    # pairing at the component level instead would self-join on
-    # (cluster, i) and materialize pairs × dim rows BEFORE the a<b
-    # filter (measured 12× more intermediate rows at sf0.1).
-    pairs = (
-        assign.select(F.col("cluster_id"), F.col("vec_id").alias("vec_a"))
-        .join(
-            assign.select(F.col("cluster_id"), F.col("vec_id").alias("vec_b")),
-            "cluster_id",
+    # Per-cluster BLAS kernel (r12, guide §4.2): ship each cluster's
+    # vectors to ONE Arrow batch and compute the full within-cluster
+    # cosine matrix as a numpy gram product. The former relational
+    # form built the N²/k pair list, exploded both sides to components
+    # and hash-aggregated pairs × dim rows (16M intermediate rows at
+    # sf0.1 — the query's dominant stage, measured 3.4 s); a zip_with
+    # array-fold variant was ALSO measured and rejected (6.7 s: the
+    # optimizer pushes the rounded-cosine filter into the join
+    # condition, so the interpreted higher-order fold evaluates ~3×
+    # per row). The kernel reproduces the exact output algebra:
+    # f32→f64 component products, 6-dp sign-aware rounding
+    # (round6s), zero-norm cosines undefined (nan here, NULL via
+    # try_divide before) and excluded, pairs oriented vec_a < vec_b.
+    # Double-sum order differs (BLAS vs partition order) exactly as it
+    # already differed between Spark and DuckDB — absorbed by the 6-dp
+    # rounding; re-gated vs the unchanged oracle at 3 SFs and pinned
+    # vs the oblivious reference in tests/test_properties.py.
+    # Scale shape unchanged: one shuffle keys on cluster_id and
+    # per-cluster work is the same N²/k FLOPs, now vectorized.
+    import pandas as pd
+
+    vec = embeddings.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select("vec_id", "embedding")
+    data = assign.join(vec, "vec_id").select("cluster_id", "vec_id", "embedding")
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((E * E).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (E @ E.T) / np.outer(nrm, nrm)
+        # round6s: SIGN(x) * FLOOR(ABS(x)*1e6 + 0.5) / 1e6 (+0.0 kills -0.0)
+        r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6 + 0.0
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = r[ia, ib] >= threshold  # nan (zero norm) compares False
+        cid = pdf["cluster_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(keep.sum()), cid, dtype="int64"),
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cosine": r[ia[keep], ib[keep]],
+                "keeper_vec_id": ids[ia[keep]],
+            }
         )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-    )
-    ca = comp.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
-    cb = comp.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb"))
-    dots = (
-        pairs.join(ca, "vec_a")
-        .join(cb, ["vec_b", "i"])
-        .groupBy("cluster_id", "vec_a", "vec_b")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    na = nr.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("na"))
-    nb = nr.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("nb"))
-    return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .select(
-            "cluster_id",
-            "vec_a",
-            "vec_b",
-            # try_divide: a zero-norm vector (an all-zero embedding —
-            # empty doc, failed encode) has no cosine; under ANSI mode
-            # a plain divide would kill the job, try_divide yields
-            # NULL and the threshold filter drops the pair.
-            round6s(
-                F.try_divide(F.col("dot"), F.col("na") * F.col("nb"))
-            ).alias("cosine"),
-            F.col("vec_a").alias("keeper_vec_id"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("cluster_id", "vec_a", "vec_b")
-    )
+
+    return data.groupBy("cluster_id").applyInPandas(
+        cluster_pairs,
+        schema="cluster_id long, vec_a long, vec_b long, cosine double, "
+        "keeper_vec_id long",
+    ).orderBy("cluster_id", "vec_a", "vec_b")
 
 
 def semantic_dedup_summary(
