@@ -370,11 +370,25 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # second time (measured: ~2.5 s of the loop at sf0.1)
         .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
+    # Round 1 fused into the label init (r12): labels start as the
+    # identity, so the first round's join is algebraically a no-op —
+    # min over the neighborhood of identity labels is just min(dst) —
+    # and the distinct + join + agg collapse into ONE groupBy:
+    # label₁(v) = least(v, min neighbor). Exactly the state the loop
+    # formerly reached after its first iteration; the loop then
+    # continues from round 2. Saves a corpus-keyed join + a distinct
+    # exchange in every duplicate_clusters consumer (4 gated queries).
+    labels = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.least(F.min("dst"), F.col("src")).alias("cluster_id"))
+        .localCheckpoint()
     )
-    prev = None
-    for _ in range(max_iter):
+    if labels.filter(F.col("cluster_id") != F.col("doc_id")).count() == 0:
+        release_checkpoint(edges)
+        adopt_checkpoint(labels)
+        return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+    prev = labels
+    for _ in range(max_iter - 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")

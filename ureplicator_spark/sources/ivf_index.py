@@ -126,15 +126,18 @@ def build_ivf_index(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id")
     )
-    (
+    from ureplicator_spark.fsutil import cluster_for_partitioned_write
+
+    # clustered by list: one file per cent_id directory instead of one
+    # per (task, cent_id) — guide §6, the chunk-index measurement
+    cluster_for_partitioned_write(
         embeddings.select("vec_id", "embedding")
         .join(nrm, "vec_id")
         .join(assign, "vec_id")
-        .select("vec_id", "embedding", "norm", "cent_id")
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(root + "/vectors")
-    )
+        .select("vec_id", "embedding", "norm", "cent_id"),
+        "cent_id",
+        "vec_id",
+    ).write.mode("overwrite").partitionBy("cent_id").parquet(root + "/vectors")
 
 
 def append_to_ivf_index(
@@ -186,7 +189,11 @@ def append_to_ivf_index(
     )
     obs = Observation()
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
-    assigned.write.mode("append").partitionBy("cent_id").parquet(root + "/vectors")
+    from ureplicator_spark.fsutil import cluster_for_partitioned_write
+
+    cluster_for_partitioned_write(assigned, "cent_id", "vec_id").write.mode(
+        "append"
+    ).partitionBy("cent_id").parquet(root + "/vectors")
     return int(obs.get["n"])
 
 
