@@ -29,6 +29,27 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
+    # --- r12 OPTIMIZATION round (values identical, oracle SQL
+    # untouched; the Spark-side computation path changed, so these
+    # lead the window per the re-gate discipline) ---
+    # SemDeDup scoring: per-cluster numpy gram kernel replaced the
+    # pairs×dim explode + hash aggregate (3.5 -> 1.1 s at sf0.1).
+    "dedup_semantic_pairs", "dedup_semantic_summary",
+    # Frame hasher vectorized across frames (bit-identical kernel,
+    # property-pinned); standing media index now builds all sections
+    # from ONE fused payload pass (section contents pinned identical).
+    "media_frame_signatures", "media_frame_near_pairs",
+    "media_frame_incremental_dedup", "media_frame_dedup_clusters",
+    "media_incremental_dedup", "media_dedup_clusters",
+    # duplicate_clusters round-1 fusion (identity-label round folded
+    # into the init aggregation — same fixpoint, one less join).
+    "fuzzy_dedup_clusters", "dedup_keep_best", "dedup_cluster_stats",
+    "dedup_token_savings", "curation_pipeline",
+    # Clustered partitioned index writes (one file per partition dir;
+    # same rows) under these standing-index probes.
+    "cdc_incremental_dedup", "bm25_index_search", "phrase_index_search",
+    "similarity_ivf_incremental", "text_incremental_dedup",
+    "kmv_source_overlap",
     # --- r12 ---
     # FIXED: the two r11 driver-red rows. Root cause (VERDICT r11): the
     # oracle SQL left integer SUM outputs uncast, so DuckDB exported

@@ -98,18 +98,30 @@ def build_minhash_index(
     # sequential → bounded by the longest chain.
     from concurrent.futures import ThreadPoolExecutor
 
+    from ureplicator_spark.caching import pin_scope
+
     spark = documents.sparkSession
 
+    # Each chain runs under its OWN pin scope: pin_scope is
+    # thread-local, so pins the section builders create inside a pool
+    # thread would otherwise escape the caller's scope and leak past
+    # the build (caught by test_api.py's cache-hygiene gauge). The
+    # pinned intermediates are build-internal — every section is on
+    # parquet when the chain returns — so releasing at chain end is
+    # exactly the invocation-scoped contract.
     def _pairs_chain() -> None:
-        _sig_chain()
-        refresh_pairs(spark, root)
+        with pin_scope():
+            _sig_chain()
+            refresh_pairs(spark, root)
 
     def _shingle_chain() -> None:
-        refresh_shingle_arrays(documents, root)
-        refresh_kmv_synopses(documents, root)
+        with pin_scope():
+            refresh_shingle_arrays(documents, root)
+            refresh_kmv_synopses(documents, root)
 
     def _winnow_chain() -> None:
-        refresh_winnow_fingerprints(documents, root)
+        with pin_scope():
+            refresh_winnow_fingerprints(documents, root)
 
     try:
         with ThreadPoolExecutor(max_workers=3) as pool:
