@@ -1070,9 +1070,16 @@ def frame_shingle_near_pairs(
     re-shuffled the gram rows twice — measured in PLAN_REPORT before
     this shape). ``n_a``/``n_b`` stay UNCAPPED (an item's true
     signature size — the containment denominator)."""
+    from ureplicator_spark.caching import pin
     from ureplicator_spark.functions import round6f
 
-    grams = frame_shingles(frame_hashes, k)
+    # pin(): four branches read the shingle table (counts, hot-gram
+    # df, both self-join sides) and their exchanges hash on DIFFERENT
+    # keys (media_id / gram), so exchange reuse cannot dedup the
+    # upstream — without the pin the frame-hash Python pass and the
+    # sequence collect ran once per branch (the dedup.py shingles
+    # discipline; caller's pin_scope releases it).
+    grams = pin(frame_shingles(frame_hashes, k))
     counts = grams.groupBy("media_id").agg(F.count("*").alias("n_grams"))
     hot = (
         grams.groupBy("gram")

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from ureplicator_spark.functions import round6s
 
-from ureplicator_spark.operators.similarity import _components, norms
 
 
 def _dot(a, b):
@@ -45,20 +44,62 @@ def _dot(a, b):
     )
 
 
+def _assign_to_lists(centroids: DataFrame, vectors: DataFrame) -> DataFrame:
+    """(vec_id, embedding, norm, cent_id): every vector assigned to
+    its nearest centroid list — cosine against the broadcast centroid
+    arrays rounded to 6 decimals, ties to the lower cent_id, norms by
+    the same map-only array fold as ``operators.similarity.norms``
+    (inline, so the vectors are scanned exactly once; NULL embeddings
+    drop, matching the norms() inner-join contract). ONE map pass +
+    the per-vector argmax window; shared by build and append."""
+    v = (
+        vectors.filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v_emb"),
+        )
+        .withColumn("norm", F.sqrt(_dot(F.col("v_emb"), F.col("v_emb"))))
+    )
+    scored = v.crossJoin(
+        F.broadcast(
+            centroids.select("cent_id", F.col("embedding").alias("c_emb"), "cn")
+        )
+    ).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "cent_id",
+        round6s(
+            F.try_divide(_dot(F.col("v_emb"), F.col("c_emb")), F.col("norm") * F.col("cn"))
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", "cent_id")
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame, root: str, n_centroids: int = 8, trained: bool = False
 ) -> None:
     """One-pass index build: assign every vector to its nearest
     centroid list and persist (vec_id, embedding, norm) partitioned by
-    list. The assignment math runs on the component view (the same
-    relational formulation the oracle-gated inline query uses); the
-    persisted rows keep the array form.
+    list. Assignment is the same array formulation as
+    ``append_to_ivf_index`` (one map pass over the vectors — inline
+    array-fold norm, zip_with dot against the broadcast persisted
+    centroids — then the per-vector argmax window), so append ≡
+    rebuild holds by shared construction; the r12 rewrite dropped the
+    exploded-component join + hash re-aggregation the build carried
+    (one corpus-sized shuffle and two extra self-joins removed; the
+    round-6 cosine absorbs the fold-vs-hash summation order exactly as
+    it already did between build and append).
 
     ``trained=True`` swaps the deterministic vec_id<k pick for Lloyd
     k-means centroids — the offline-trained coarse quantizer a
     production IVF deployment uses."""
-    comp = _components(embeddings)
-    nrm = norms(embeddings)
     if trained:
         from ureplicator_spark.operators.similarity import kmeans_centroids
 
@@ -86,57 +127,26 @@ def build_ivf_index(
                 F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), F.lit(1e-12)
             ).alias("cn"),
         )
-        cent_comp_for_assign = cent_comp
-        ncent = cent.select("cent_id", "cn")
     else:
-        cent = (
-            embeddings.filter(F.col("vec_id") < n_centroids)
-            .join(nrm, "vec_id")
-            .select(
-                F.col("vec_id").alias("cent_id"),
-                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
-                    "embedding"
-                ),
-                F.col("norm").alias("cn"),
-            )
+        cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
         )
-        cent_comp_for_assign = comp.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), "i", F.col("x").alias("cx")
+        cent = cent.withColumn(
+            "cn", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
         )
-        ncent = cent.select("cent_id", "cn")
     cent.write.mode("overwrite").parquet(root + "/centroids")
 
-    adot = (
-        comp.join(F.broadcast(cent_comp_for_assign), "i")
-        .groupBy("vec_id", "cent_id")
-        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
-    )
-    ascore = (
-        adot.join(F.broadcast(ncent), "cent_id")
-        .join(nrm, "vec_id")
-        .select(
-            "vec_id",
-            "cent_id",
-            round6s(F.try_divide(F.col("dot"), F.col("norm") * F.col("cn"))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cent_id"))
-    assign = (
-        ascore.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
+    # assign against the PERSISTED centroids (read back, like append):
+    # the expensive trained-centroid subtree runs once, and both paths
+    # broadcast the identical double-array rows a probe session reads
+    centroids = embeddings.sparkSession.read.parquet(root + "/centroids")
     from ureplicator_spark.fsutil import cluster_for_partitioned_write
 
     # clustered by list: one file per cent_id directory instead of one
     # per (task, cent_id) — guide §6, the chunk-index measurement
     cluster_for_partitioned_write(
-        embeddings.select("vec_id", "embedding")
-        .join(nrm, "vec_id")
-        .join(assign, "vec_id")
-        .select("vec_id", "embedding", "norm", "cent_id"),
-        "cent_id",
-        "vec_id",
+        _assign_to_lists(centroids, embeddings), "cent_id", "vec_id"
     ).write.mode("overwrite").partitionBy("cent_id").parquet(root + "/vectors")
 
 
@@ -152,7 +162,7 @@ def append_to_ivf_index(
 
     The assignment math mirrors ``build_ivf_index`` (cosine against
     the persisted centroids, rounded to 6, ties to the lower cent_id;
-    norms from the same component formulation), so appended vectors
+    norms by the same inline array fold), so appended vectors
     land where a full rebuild would put them. Cost is
     O(new · n_centroids) — never touches existing lists' files.
 
@@ -163,30 +173,8 @@ def append_to_ivf_index(
     are no-ops."""
     from pyspark.sql import Observation
 
-    centroids = spark.read.parquet(root + "/centroids").select(
-        "cent_id", F.col("embedding").alias("c_emb"), "cn"
-    )
-    nrm = norms(new_embeddings)
-    v = new_embeddings.select(
-        "vec_id",
-        "embedding",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v_emb"),
-    ).join(nrm, "vec_id")
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "embedding",
-        "norm",
-        "cent_id",
-        round6s(
-            F.try_divide(_dot(F.col("v_emb"), F.col("c_emb")), F.col("norm") * F.col("cn"))
-        ).alias("ccos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "norm", "cent_id")
-    )
+    centroids = spark.read.parquet(root + "/centroids")
+    assigned = _assign_to_lists(centroids, new_embeddings)
     obs = Observation()
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
     from ureplicator_spark.fsutil import cluster_for_partitioned_write
