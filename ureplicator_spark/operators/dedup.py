@@ -362,7 +362,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
+        # No distinct (r12): min-label propagation is idempotent under
+        # duplicate edges — min over a repeated neighbor is the min —
+        # so deduping here only cost a full edge-set exchange + agg
+        # before the checkpoint; every caller passes canonical
+        # (a < b) grouped pairs anyway.
         # checkpoint BEFORE deriving labels: both the per-round joins
         # and the initial label table must read the materialized edge
         # set — deriving labels from the pre-checkpoint lineage made

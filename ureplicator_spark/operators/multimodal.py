@@ -1010,6 +1010,30 @@ def all_fingerprints(
     )
 
 
+def frame_shingle_arrays(
+    frame_hashes: DataFrame, k: int = FRAME_SHINGLE_K
+) -> DataFrame:
+    """(media_id, grams): each item's DISTINCT md5 shingle set of
+    ``k`` consecutive frame hashes as ONE array row. array_distinct
+    runs BEFORE any explode: the sequence collect leaves one row per
+    media_id, so per-item set semantics are a map-only array dedup —
+    the post-explode (media_id, gram) DISTINCT this replaces was a
+    full exchange of the gram rows for the identical result (r12)."""
+    seqs = frame_hashes.groupBy("media_id").agg(
+        F.array_sort(F.collect_list(F.struct("frame_idx", "fhash"))).alias("seq")
+    )
+    hstr = F.transform(F.col("seq"), lambda s: s["fhash"].cast("string"))
+    return seqs.filter(F.size("seq") >= k).select(
+        "media_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("seq") - k),
+                lambda i: F.md5(F.concat_ws(",", F.slice(hstr, i + 1, k))),
+            )
+        ).alias("grams"),
+    )
+
+
 def frame_shingles(
     frame_hashes: DataFrame, k: int = FRAME_SHINGLE_K
 ) -> DataFrame:
@@ -1019,22 +1043,8 @@ def frame_shingles(
     drift). Per-item local state: an item's shingles depend only on
     its own frame sequence, so the persisted section appends exactly
     (append ≡ rebuild, the fingerprint-section discipline)."""
-    seqs = frame_hashes.groupBy("media_id").agg(
-        F.array_sort(F.collect_list(F.struct("frame_idx", "fhash"))).alias("seq")
-    )
-    hstr = F.transform(F.col("seq"), lambda s: s["fhash"].cast("string"))
-    return (
-        seqs.filter(F.size("seq") >= k)
-        .select(
-            "media_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("seq") - k),
-                    lambda i: F.md5(F.concat_ws(",", F.slice(hstr, i + 1, k))),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+    return frame_shingle_arrays(frame_hashes, k).select(
+        "media_id", F.explode("grams").alias("gram")
     )
 
 
@@ -1078,9 +1088,13 @@ def frame_shingle_near_pairs(
     # keys (media_id / gram), so exchange reuse cannot dedup the
     # upstream — without the pin the frame-hash Python pass and the
     # sequence collect ran once per branch (the dedup.py shingles
-    # discipline; caller's pin_scope releases it).
-    grams = pin(frame_shingles(frame_hashes, k))
-    counts = grams.groupBy("media_id").agg(F.count("*").alias("n_grams"))
+    # discipline; caller's pin_scope releases it). The cache holds the
+    # per-item ARRAY rows: per-item size() is then map-only (the
+    # counts groupBy exchange disappears) and each branch's explode is
+    # pure row expansion over already-hashed strings.
+    arr = pin(frame_shingle_arrays(frame_hashes, k))
+    grams = arr.select("media_id", F.explode("grams").alias("gram"))
+    counts = arr.select("media_id", F.size("grams").alias("n_grams"))
     hot = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("df"))
