@@ -50,6 +50,9 @@ _CHANGED_SINCE_LAST_CHECK = [
     "cdc_incremental_dedup", "bm25_index_search", "phrase_index_search",
     "similarity_ivf_incremental", "text_incremental_dedup",
     "kmv_source_overlap",
+    # Dense-arm pin (the arm fed two branches and recomputed; now
+    # cached per invocation — same rows).
+    "retrieval_arm_overlap",
     # --- r12 ---
     # FIXED: the two r11 driver-red rows. Root cause (VERDICT r11): the
     # oracle SQL left integer SUM outputs uncast, so DuckDB exported

@@ -1493,7 +1493,11 @@ def retrieval_arm_overlap(
     lex = more_like_this_ranks(documents, n_queries, k, k1, b).select(
         "q_id", "c_id"
     )
-    den = cosine_knn(embeddings, n_queries=n_queries, k=k).select("q_id", "c_id")
+    # pin(): the dense arm feeds BOTH the intersection and the q_id
+    # spine and the two branches share no exchange, so without it the
+    # whole brute-force scoring pipeline ran twice per invocation; the
+    # cached relation is Q·k rows (caller's pin_scope releases it).
+    den = pin(cosine_knn(embeddings, n_queries=n_queries, k=k).select("q_id", "c_id"))
     common = lex.join(den, ["q_id", "c_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_common")
     )
