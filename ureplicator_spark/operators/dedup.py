@@ -382,12 +382,27 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # formerly reached after its first iteration; the loop then
     # continues from round 2. Saves a corpus-keyed join + a distinct
     # exchange in every duplicate_clusters consumer (4 gated queries).
+    # Convergence counts ride the checkpoint jobs as Observations
+    # (r12): localCheckpoint materializes the plan, which fills an
+    # observe() aggregate — so the separate count() action (a full
+    # re-scan of the labels blocks per round at scale) disappears.
+    # Control flow only; no query result reads these numbers.
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
     labels = (
         edges.groupBy(F.col("src").alias("doc_id"))
         .agg(F.least(F.min("dst"), F.col("src")).alias("cluster_id"))
+        .observe(
+            obs0,
+            F.coalesce(
+                F.sum((F.col("cluster_id") != F.col("doc_id")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
+        )
         .localCheckpoint()
     )
-    if labels.filter(F.col("cluster_id") != F.col("doc_id")).count() == 0:
+    if int(obs0.get["changed"]) == 0:
         release_checkpoint(edges)
         adopt_checkpoint(labels)
         return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
@@ -401,8 +416,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # localCheckpoint truncates lineage each round — without it the
         # plan doubles per iteration and Catalyst re-analysis alone
         # takes minutes after ~15 rounds (deep-cluster corpora). The
-        # checkpoint job doubles as the materialization the `changed`
-        # count needs anyway, so it costs no extra pass.
+        # checkpoint job doubles as the materialization, and the
+        # `changed` count rides it as an Observation.
+        obs = Observation()
         updated = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
@@ -411,6 +427,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
                 ).alias("new_cluster_id"),
                 "cluster_id",
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (F.col("new_cluster_id") != F.col("cluster_id")).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
@@ -421,7 +446,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if prev is not None:
             release_checkpoint(prev)
         prev = updated
-        changed = updated.filter(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        changed = int(obs.get["changed"])
         labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break
