@@ -1,8 +1,8 @@
-"""Round-12 optimization measurement helper.
+"""Optimization measurement helper (plans round via $PLANS_ROUND, default r13).
 
 Usage:
-  python scripts/opt_measure.py before q1 q2 ...   # time + dump plans/r12/<q>_before.txt
-  python scripts/opt_measure.py after  q1 q2 ...   # time + dump plans/r12/<q>_after.txt
+  python scripts/opt_measure.py before q1 q2 ...   # time + dump plans/<round>/<q>_before.txt
+  python scripts/opt_measure.py after  q1 q2 ...   # time + dump plans/<round>/<q>_after.txt
   python scripts/opt_measure.py time   q1 q2 ...   # time only (no plan dump)
 
 Each query is timed with the noop sink (guide §1.4) inside pin_scope,
@@ -44,7 +44,8 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r12")
+    rnd = os.environ.get("PLANS_ROUND", "r13")
+    plans_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", rnd)
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in names:

@@ -528,6 +528,50 @@ def test_semantic_dedup_matches_reference(spark, vecs, threshold):
     assert got == expected
 
 
+def test_semantic_dedup_blocked_kernel_giant_cluster(spark, monkeypatch):
+    """The r13 blocked gram kernel == the oblivious O(n²) reference on
+    ONE giant skewed cluster (k=1 puts every vector in a single
+    applyInPandas group — the skew case the blocking exists for), with
+    the block size shrunk so the kernel runs dozens of row blocks.
+    Integer components keep every dot exactly representable, so the
+    comparison is exact, not tolerance-based. A zero vector rides
+    along to pin the undefined-cosine exclusion across block edges."""
+    import math
+    import random
+
+    from ureplicator_spark.operators import similarity as SIM
+
+    rng = random.Random(13)
+    n, dim = 257, 8
+    vecs = [[float(rng.randint(-4, 4)) for _ in range(dim)] for _ in range(n)]
+    vecs[100] = [0.0] * dim  # zero norm: excluded by both sides
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # force many blocks: B = 600 // 257 = 2 rows per block
+    monkeypatch.setattr(SIM, "_PAIR_BLOCK_CELLS", 600)
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in SIM.semantic_dedup_pairs(df, k=1, iters=1, threshold=0.3).collect()
+    }
+
+    expected = {}
+    for a in range(n):
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        if na == 0:
+            continue
+        for b in range(a + 1, n):
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            if nb == 0:
+                continue
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            c = dot / (na * nb)
+            c = math.copysign(1, c) * math.floor(abs(c) * 1e6 + 0.5) / 1e6 + 0.0
+            if c >= 0.3:
+                expected[(a, b)] = c
+    assert got == expected
+
+
 @given(
     old_rows=st.dictionaries(
         st.integers(0, 30), st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 5)),

@@ -26,6 +26,11 @@ from ureplicator_spark.functions import md5_long
 
 N_PLANES = 8
 
+# SemDeDup pair-kernel block size, in f64 cells of the (block × cluster)
+# cosine slab (4M cells = 32 MB). Bounds the per-worker peak regardless
+# of cluster skew; tests shrink it to force the multi-block path.
+_PAIR_BLOCK_CELLS = 4 << 20
+
 
 def _components(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(vec_id, i, x) 1-based component view, double precision."""
@@ -606,42 +611,19 @@ def kmeans_assignments(
     updates; init = first ``k`` vectors). Shared core for the cluster
     summary and the SemDeDup within-cluster dedup pass.
 
-    Scale shape: centroids are a k×dim table that BROADCASTS into the
-    assignment join; the corpus never shuffles for assignment — the
-    only corpus-wide exchanges are the per-vector argmin and the
-    per-(cluster, dim) update aggregates, one pair per iteration."""
-    comp = _components(embeddings).select(
-        "vec_id", "i", round6s(F.col("x") * qscale, 0).cast("long").alias("q")
-    )
-    cents = comp.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster_id"), "i", F.col("q").alias("c")
-    )
-    best = None
-    for it in range(iters):
-        dist = (
-            comp.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", "cluster_id")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
-        )
-        best = (
-            dist.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
-            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"), F.col("m.dist").alias("dist"))
-        )
-        if it < iters - 1:
-            upd = (
-                comp.join(best.select("vec_id", "cluster_id"), "vec_id")
-                .groupBy("cluster_id", "i")
-                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
-            )
-            # exact floor division: subtract the non-negative remainder
-            # first so the quotient is an exact integer in both engines
-            cents = upd.select(
-                "cluster_id",
-                "i",
-                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
-            )
-    return best
+    Scale shape (r13, guide §4.2 — operators/lloyd.py): the k×dim
+    centroid model lives in the task closure; each update round is ONE
+    map pass emitting per-partition integer partial sums (order-free,
+    exact), and the returned assignment is ONE map pass with no
+    exchange at all — the corpus never shuffles. The former
+    exploded-component formulation (broadcast join + hash aggregate
+    over N·dim·k rows, three exchanges per round, lazily re-executed
+    by every consumer action) computed the identical integers; value
+    identity is pinned in tests/test_properties.py and the consumer
+    oracle gates."""
+    from ureplicator_spark.operators.lloyd import lloyd_assignments
+
+    return lloyd_assignments(embeddings, k, iters, qscale)
 
 
 def semantic_dedup_pairs(
@@ -720,20 +702,45 @@ def semantic_dedup_pairs(
         ids = ids[order]
         E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
         nrm = np.sqrt((E * E).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = (E @ E.T) / np.outer(nrm, nrm)
-        # round6s: SIGN(x) * FLOOR(ABS(x)*1e6 + 0.5) / 1e6 (+0.0 kills -0.0)
-        r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6 + 0.0
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = r[ia, ib] >= threshold  # nan (zero norm) compares False
         cid = pdf["cluster_id"].iloc[0]
+        n = len(ids)
+        # r13 (guide §5 — bound worker memory against cluster skew):
+        # the cluster's embedding matrix still arrives whole (N/k × dim
+        # — linear, the applyInPandas group), but the (N/k)² cosine
+        # matrix is never materialized at once. Rows are processed in
+        # blocks of B = _PAIR_BLOCK_CELLS // n, so peak extra memory is
+        # B·n f64 cells (~32 MB) no matter how skewed the Lloyd
+        # clusters come out. Each block computes the same f64
+        # dot/outer-norm ratio over the same vectors (a BLAS gemm over
+        # a row block has the same reduction dim as the full gram),
+        # absorbed by the same 6-dp rounding — re-gated vs the
+        # unchanged oracle at 3 SFs, skew-block identity pinned in
+        # tests/test_properties.py.
+        B = max(1, _PAIR_BLOCK_CELLS // max(n, 1))
+        out_a = [np.empty(0, dtype=ids.dtype)]
+        out_b = [np.empty(0, dtype=ids.dtype)]
+        out_c = [np.empty(0, dtype="float64")]
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (E[s:e] @ E.T) / np.outer(nrm[s:e], nrm)
+            # round6s: SIGN(x)*FLOOR(ABS(x)*1e6 + 0.5)/1e6 (+0.0 kills -0.0)
+            r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6 + 0.0
+            keep = r >= threshold  # nan (zero norm) compares False
+            ia, ib = np.nonzero(keep)
+            up = ib > ia + s  # strict upper triangle: vec_a < vec_b
+            ia, ib = ia[up], ib[up]
+            out_a.append(ids[ia + s])
+            out_b.append(ids[ib])
+            out_c.append(r[ia, ib])
+        vec_a = np.concatenate(out_a)
         return pd.DataFrame(
             {
-                "cluster_id": np.full(int(keep.sum()), cid, dtype="int64"),
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cosine": r[ia[keep], ib[keep]],
-                "keeper_vec_id": ids[ia[keep]],
+                "cluster_id": np.full(len(vec_a), cid, dtype="int64"),
+                "vec_a": vec_a,
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+                "keeper_vec_id": vec_a,
             }
         )
 
@@ -921,40 +928,25 @@ def kmeans_centroids(
     trained coarse quantizer `sources/ivf_index.py` persists when
     built with ``trained=True``. Runs the same integer-exact loop as
     :func:`kmeans_clusters`, then one last mean update from the final
-    assignment so the persisted centroids reflect every pass."""
-    comp = _components(embeddings).select(
-        "vec_id", "i", round6s(F.col("x") * qscale, 0).cast("long").alias("q")
-    )
-    cents = comp.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster_id"), "i", F.col("q").alias("c")
-    )
-    best = None
-    for it in range(iters):
-        dist = (
-            comp.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", "cluster_id")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
-        )
-        best = (
-            dist.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
-            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
-        )
-        upd = (
-            comp.join(best, "vec_id")
-            .groupBy("cluster_id", "i")
-            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
-        )
-        cents = upd.select(
-            "cluster_id",
-            "i",
-            ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
-        )
-    return cents.select(
-        F.col("cluster_id").alias("cent_id"),
-        "i",
-        (F.col("c") / F.lit(float(qscale))).alias("cx"),
-    )
+    assignment so the persisted centroids reflect every pass.
+
+    r13: the loop runs through the vectorized kernel
+    (operators/lloyd.py, ``update_last=True`` = the extra final
+    update this variant always did); the returned model is k×dim
+    driver rows — the same rows the exploded-component loop emitted,
+    pinned identical in tests/test_properties.py."""
+    from ureplicator_spark.operators.lloyd import lloyd_train
+
+    ids, C = lloyd_train(embeddings, k, iters, qscale, update_last=True)
+    spark = embeddings.sparkSession
+    if C is None:
+        return spark.createDataFrame([], "cent_id long, i int, cx double")
+    rows = [
+        (int(cid), i + 1, float(C[j, i]) / float(qscale))
+        for j, cid in enumerate(ids)
+        for i in range(C.shape[1])
+    ]
+    return spark.createDataFrame(rows, "cent_id long, i int, cx double")
 
 
 def _pq_components(embeddings: DataFrame, m: int, dim: int, qscale: int) -> DataFrame:
@@ -969,42 +961,34 @@ def _pq_components(embeddings: DataFrame, m: int, dim: int, qscale: int) -> Data
     )
 
 
-def _pq_lloyd(comp, k: int, iters: int):
-    """Shared per-subspace integer Lloyd: init = first k vectors'
-    subvectors, exact squared-L2 assignment, floor-div centroid
-    updates. Returns (best, cents): per-(vec, sub) code assignment
-    with its distance, and the final codebook — the single training
-    path both pq_train_codes and pq_adc_search rely on, so the
-    published code table and the searched code table can never
-    desynchronize."""
-    cents = comp.filter(F.col("vec_id") < k).select(
-        "sub", F.col("vec_id").alias("code"), "i", F.col("q").alias("c")
+def _pq_model_np(embeddings: DataFrame, m: int, k: int, iters: int,
+                 dim: int, qscale: int):
+    """Shared per-subspace integer Lloyd (r13 — vectorized through
+    operators/lloyd.py): init = first k vectors' subvectors, exact
+    squared-L2 assignment, floor-div codebook updates. Returns (best,
+    cents): the per-(vec, sub) code assignment with its distance as
+    ONE map pass, and the final codebook as m·k·(dim/m) driver rows —
+    the single training path both pq_train_codes and pq_adc_search
+    rely on, so the published code table and the searched code table
+    can never desynchronize. The former exploded-component loop
+    (broadcast join + hash aggregate over N·dim·k rows per round)
+    computed the identical integers; value identity is pinned in
+    tests/test_properties.py and the PQ oracle gates."""
+    from ureplicator_spark.operators.lloyd import pq_assignments, pq_lloyd_train
+
+    books = pq_lloyd_train(embeddings, m, k, iters, dim, qscale)
+    best = pq_assignments(embeddings, books, m, dim, qscale)
+    subdim = dim // m
+    rows = [
+        (s, int(code), s * subdim + i + 1, int(C[j, i]))
+        for s in range(m)
+        for j, code in enumerate(books[s][0])
+        for C in (books[s][1],)
+        for i in range(subdim)
+    ]
+    cents = embeddings.sparkSession.createDataFrame(
+        rows, "sub long, code long, i int, c long"
     )
-    best = None
-    for it in range(iters):
-        dist = (
-            comp.join(F.broadcast(cents), ["sub", "i"])
-            .groupBy("vec_id", "sub", "code")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
-        )
-        best = (
-            dist.groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("dist", "code")).alias("m"))
-            .select(
-                "vec_id", "sub",
-                F.col("m.code").alias("code"), F.col("m.dist").alias("dist"),
-            )
-        )
-        if it < iters - 1:
-            upd = (
-                comp.join(best.select("vec_id", "sub", "code"), ["vec_id", "sub"])
-                .groupBy("sub", "code", "i")
-                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
-            )
-            cents = upd.select(
-                "sub", "code", "i",
-                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
-            )
     return best, cents
 
 
@@ -1020,8 +1004,7 @@ def pq_train_model(
     (vec_id, sub, code, dist) per subvector, codebook = (sub, code, i,
     c). The pair the standing persisted model stores; training is a
     corpus-snapshot pipeline stage (Jégou TPAMI'11), probes read it."""
-    comp = _pq_components(embeddings, m, dim, qscale)
-    return _pq_lloyd(comp, k, iters)
+    return _pq_model_np(embeddings, m, k, iters, dim, qscale)
 
 
 def pq_train_codes(
@@ -1077,10 +1060,9 @@ def pq_adc_search(
     the only corpus-sized exchange is the per-(query, candidate) sum.
     The full float corpus is never touched after training — that is
     the point of PQ."""
-    comp = _pq_components(embeddings, m, dim, qscale)
-    # one shared training path (_pq_lloyd) keeps the codes this search
-    # scans identical to the codes pq_train_codes publishes
-    best, cents = _pq_lloyd(comp, k, iters)
+    # one shared training path (_pq_model_np) keeps the codes this
+    # search scans identical to the codes pq_train_codes publishes
+    best, cents = _pq_model_np(embeddings, m, k, iters, dim, qscale)
     return pq_adc_search_from(
         best.select("vec_id", "sub", "code"), cents, embeddings,
         n_queries=n_queries, top_k=top_k, m=m, dim=dim, qscale=qscale,
@@ -1143,8 +1125,7 @@ def pq_adc_recall(
     The exact side is brute force over a bounded query batch (offline
     evaluation, deliberately O(Q·N)); the ADC side is the production
     search shape. One row per query, ordered."""
-    comp = _pq_components(embeddings, m, dim, qscale)
-    best, cents = _pq_lloyd(comp, k, iters)
+    best, cents = _pq_model_np(embeddings, m, k, iters, dim, qscale)
     return pq_adc_recall_from(
         best.select("vec_id", "sub", "code"), cents, embeddings,
         n_queries=n_queries, top_k=top_k, m=m, dim=dim, qscale=qscale,

@@ -73,94 +73,87 @@ def build_ivfpq_index(
     Lloyd over the RESIDUAL components (init = first ``k`` vectors'
     residuals). Codes are stored as one array<int> per vector,
     partitioned by coarse list for pruned probes."""
-    comp = _int_components(embeddings, qscale)
-
-    # ---- coarse quantizer (integer Lloyd over full vectors)
-    cents = comp.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), "i", F.col("q").alias("c")
+    from ureplicator_spark.operators.lloyd import (
+        _assign_np,
+        _quantize_np,
+        _vec_rows,
+        lloyd_train,
+        pq_lloyd_train,
     )
-    assign = None
-    for it in range(iters):
-        dist = (
-            comp.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", "cent_id")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
-        )
-        assign = _argmin_assign(dist, ["vec_id"], "cent_id").select("vec_id", "cent_id")
-        if it < iters - 1:
-            upd = (
-                comp.join(assign, "vec_id")
-                .groupBy("cent_id", "i")
-                .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
-            )
-            cents = upd.select(
-                "cent_id", "i",
-                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
-            )
-    cents.write.mode("overwrite").parquet(root + "/coarse")
 
-    # ---- residual components (q - coarse centroid, per dim)
+    spark = embeddings.sparkSession
+
+    # ---- coarse quantizer: integer Lloyd through the vectorized
+    # kernel (r13, guide §4.2 — operators/lloyd.py): iters−1 update
+    # rounds, each ONE map pass + a k·dim partial-sum collect; the
+    # persisted cents pair with the final assignment exactly as the
+    # exploded-component loop's did. Value identity (coarse/codebook/
+    # codes files, search, append-over-build) pinned in
+    # tests/test_plans.py's numpy-reference gate and the r13 A/B.
+    cids, CC = lloyd_train(embeddings, n_centroids, iters, qscale,
+                           update_last=False)
+    coarse_rows = [
+        (int(cid), i + 1, int(CC[j, i]))
+        for j, cid in enumerate(cids)
+        for i in range(CC.shape[1])
+    ]
+    spark.createDataFrame(
+        coarse_rows, "cent_id long, i int, c long"
+    ).write.mode("overwrite").parquet(root + "/coarse")
+
+    # ---- PQ codebook over residuals (per-subspace integer Lloyd in
+    # residual mode: every pass quantizes, subtracts the nearest
+    # coarse centroid, and trains on q − c)
+    books = pq_lloyd_train(embeddings, m, k, iters, dim, qscale,
+                           coarse=(cids, CC))
     subdim = dim // m
-    resid = (
-        comp.join(assign, "vec_id")
-        .join(F.broadcast(cents), ["cent_id", "i"])
-        .select(
-            "vec_id",
-            "cent_id",
-            F.expr(f"(i - 1) div {subdim}").alias("sub"),
-            "i",
-            (F.col("q") - F.col("c")).alias("r"),
-        )
-    )
-    resid = resid.localCheckpoint()  # shared by codebook training AND encoding
+    cb_rows = [
+        (s, int(code), s * subdim + i + 1, int(C[j, i]))
+        for s in range(m)
+        for j, code in enumerate(books[s][0])
+        for C in (books[s][1],)
+        for i in range(subdim)
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub long, code long, i int, c long"
+    ).write.mode("overwrite").parquet(root + "/codebook")
 
-    # ---- PQ codebook over residuals (per-subspace integer Lloyd)
-    cb = resid.filter(F.col("vec_id") < k).select(
-        "sub", F.col("vec_id").alias("code"), "i", F.col("r").alias("c")
-    )
-    codes = None
-    for it in range(iters):
-        dist = (
-            resid.join(F.broadcast(cb), ["sub", "i"])
-            .groupBy("vec_id", "sub", "code")
-            .agg(F.sum((F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))).alias("dist"))
-        )
-        codes = _argmin_assign(dist, ["vec_id", "sub"], "code").select(
-            "vec_id", "sub", "code"
-        )
-        if it < iters - 1:
-            upd = (
-                resid.join(codes, ["vec_id", "sub"])
-                .groupBy("sub", "code", "i")
-                .agg(F.sum("r").alias("s"), F.count("*").alias("n"))
-            )
-            cb = upd.select(
-                "sub", "code", "i",
-                ((F.col("s") - F.pmod("s", "n")) / F.col("n")).cast("long").alias("c"),
-            )
-    cb.write.mode("overwrite").parquet(root + "/codebook")
+    # ---- encode: ONE map pass → (vec_id, codes array<int>, cent_id);
+    # the former groupBy+collect_list+join packing is pure row algebra
+    # inside the kernel now. One writer task per list, as before.
+    vec = _vec_rows(embeddings)
+    code_ids = [b[0] for b in books]
+    mats = [b[1] for b in books]
 
-    # ---- persist codes as array<int> per vector, partitioned by list
-    packed = (
-        codes.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
-        .select("vec_id", F.expr("transform(sc, s -> CAST(s.code AS INT))").alias("codes"))
-        .join(assign, "vec_id")
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _quantize_np(pdf["embedding"].to_numpy(), qscale)
+            ca, _ = _assign_np(Q, CC)
+            R = Q - CC[ca]
+            per_sub = []
+            for s in range(m):
+                a, _d = _assign_np(R[:, s * subdim : (s + 1) * subdim], mats[s])
+                per_sub.append(code_ids[s][a].astype(np.int32))
+            packed = np.column_stack(per_sub)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().astype("int64"),
+                    "codes": list(packed),
+                    "cent_id": cids[ca],
+                }
+            )
+
+    packed = vec.mapInPandas(
+        encode, schema="vec_id long, codes array<int>, cent_id long"
     )
-    # one writer task per list → one file per cent_id directory (a
-    # 32-shuffle-partition write would scatter each tiny list across
-    # 32 files and tax every pruned read with file-listing overhead)
     packed.repartition("cent_id").write.mode("overwrite").partitionBy(
         "cent_id"
     ).parquet(root + "/codes")
-    # deterministic release (the codes write was the last reader):
-    # leaving it to the async ContextCleaner pinned a corpus-sized
-    # residual table until some later GC — and made any concurrent
-    # persistent-RDD gauge (bench, cache-hygiene tests) see the
-    # population deflate mid-measurement
-    from ureplicator_spark.caching import release_checkpoint
-
-    release_checkpoint(resid)
 
     # persist the build geometry: the search must window residuals with
     # the SAME m/dim split (and quantization scale) the codes used — a
