@@ -29,6 +29,32 @@ from ureplicator_spark.queries import QUERIES  # noqa: E402
 # sf0.001 and sf0.01, so the driver window is a sample, not the only
 # correctness gate.
 _CHANGED_SINCE_LAST_CHECK = [
+    # --- r13 OPTIMIZATION round (values identical, oracle SQL
+    # untouched; the Spark-side computation path changed, so these
+    # lead the window per the re-gate discipline) ---
+    # SemDeDup kernel: per-cluster cosine matrix now computed in
+    # bounded row blocks (skew-proof worker memory; same algebra).
+    "dedup_semantic_pairs", "dedup_semantic_summary",
+    # Integer Lloyd vectorized (operators/lloyd.py): standing kmeans /
+    # PQ models and the IVF-PQ build now train via numpy map passes —
+    # persisted model contents verified bit-identical.
+    "embedding_kmeans", "embedding_pq_codes",
+    "similarity_pq_adc", "similarity_pq_recall",
+    # table_profile: union-of-11 single-distinct branches -> typed
+    # two-branch melt (22 -> 4 exchanges; exact aggregates, measured
+    # ~1.8x faster; values identical, oracle SQL untouched).
+    "table_profile",
+    # duplicate_clusters convergence reads now go through a bounded
+    # poll with an explicit-count fallback (control flow only).
+    "fuzzy_dedup_clusters", "dedup_keep_best", "dedup_cluster_stats",
+    "dedup_token_savings", "media_dedup_clusters",
+    "media_frame_dedup_clusters", "curation_pipeline",
+    # Partitioned index writes: files_per_partition now size-derived
+    # (1 at local SFs — same files, same rows; the knob scales with
+    # corpus bytes at 100 TB).
+    "cdc_incremental_dedup", "bm25_index_search", "phrase_index_search",
+    "similarity_ivf_incremental", "text_incremental_dedup",
+    "kmv_source_overlap",
     # --- r12 OPTIMIZATION round (values identical, oracle SQL
     # untouched; the Spark-side computation path changed, so these
     # lead the window per the re-gate discipline) ---

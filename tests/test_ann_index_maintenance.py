@@ -46,6 +46,7 @@ def _expected_assignments(root: str, appended: pd.DataFrame) -> dict[int, int]:
     return out
 
 
+@pytest.mark.slow
 def test_append_places_vectors_like_a_rebuild_would(spark, emb, tmp_path):
     root = str(tmp_path / "ivf")
     build_ivf_index(emb.filter(F.col("vec_id") < SPLIT), root)
@@ -73,6 +74,7 @@ def test_append_places_vectors_like_a_rebuild_would(spark, emb, tmp_path):
     assert res.filter(F.col("c_id") >= SPLIT).count() >= 0  # plan executes
 
 
+@pytest.mark.slow
 def test_streaming_maintenance_applies_once_and_replays_noop(
     spark, emb, tmp_path
 ):
@@ -170,6 +172,7 @@ def _expected_pq_codes(root: str, appended: pd.DataFrame, meta: dict):
     return out
 
 
+@pytest.mark.slow
 def test_pq_append_encodes_with_persisted_quantizers(spark, emb, tmp_path):
     import json
 

@@ -177,6 +177,7 @@ def test_admin_observer_without_dependency_raises_clearly():
         KafkaAdminTopicObserver("broker:9092")
 
 
+@pytest.mark.slow
 def test_cache_hygiene_bounded_across_invocations(spark, sf_dir):
     """Service-mode cache growth must be bounded: repeated REST-style
     invocations of a cache-pinning query (the prefix join persists its

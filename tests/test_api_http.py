@@ -73,6 +73,7 @@ def test_offset_and_lag_routes(server):
     assert code == 200 and len(np_rows) >= 1
 
 
+@pytest.mark.slow
 def test_admin_validation_and_blacklist(server):
     code, val = _call(server, "GET", "/validation")
     assert code == 200 and sum(r["n_partitions"] for r in val) == 20

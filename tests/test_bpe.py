@@ -89,6 +89,20 @@ def test_bpe_overlap_and_tie_semantics(spark):
     assert any((m[1], m[2]) == ("aa", "a</w>") for m in got)
 
 
+def test_bpe_driver_and_distributed_loops_agree(spark, sf_dir, monkeypatch):
+    """The r13 vocab-size cutover: the driver-side merge loop (the
+    default at fixture vocab sizes) and the distributed per-iteration
+    Spark loop must produce the identical merge table — same pairs,
+    same counts, same order."""
+    from ureplicator_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    default_path = _spark_merges(docs, 8)
+    monkeypatch.setattr(B, "BPE_DRIVER_VOCAB_MAX", 0)  # force distributed
+    distributed = _spark_merges(docs, 8)
+    assert default_path == distributed
+
+
 def test_bpe_stops_when_pairs_exhausted(spark):
     # single-letter words collapse to one symbol after the first merge
     df = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")

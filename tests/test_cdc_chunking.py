@@ -6,6 +6,7 @@ CDC's reason to exist."""
 
 from __future__ import annotations
 
+import pytest
 import hashlib
 
 from ureplicator_spark.operators.multimodal import (
@@ -49,6 +50,7 @@ def _pseudo_bytes(n: int, seed: str) -> bytes:
     return bytes(out[:n])
 
 
+@pytest.mark.slow
 def test_cdc_matches_reference_on_corpus(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = documents_as_media(docs)

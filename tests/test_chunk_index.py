@@ -30,6 +30,7 @@ def _media(spark, sf_dir):
     return documents_as_media(docs)
 
 
+@pytest.mark.slow
 def test_append_equals_single_build(spark, sf_dir, tmp_root):
     media = _media(spark, sf_dir)
     a = media.filter("media_id % 2 = 0")
@@ -48,6 +49,7 @@ def test_append_equals_single_build(spark, sf_dir, tmp_root):
     assert inc == full
 
 
+@pytest.mark.slow
 def test_probe_matches_oblivious_recompute(spark, sf_dir, tmp_root):
     media = _media(spark, sf_dir)
     corpus = media.filter("media_id % 10 < 8")
@@ -96,6 +98,7 @@ def test_probe_matches_oblivious_recompute(spark, sf_dir, tmp_root):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_exact_copy_has_containment_one(spark, sf_dir, tmp_root):
     media = _media(spark, sf_dir)
     corpus = media.filter("media_id < 100")
@@ -110,6 +113,7 @@ def test_exact_copy_has_containment_one(spark, sf_dir, tmp_root):
     assert hit and hit[0]["containment"] == 1.0
 
 
+@pytest.mark.slow
 def test_probe_scan_is_bucket_pruned(spark, sf_dir, tmp_root):
     """The index scan must prune at the partition level to the
     batch's bucket ids — the chunk-index analog of the lexical
@@ -129,6 +133,7 @@ def test_probe_scan_is_bucket_pruned(spark, sf_dir, tmp_root):
     assert m, f"no bucket partition filter in plan:\n{plan}"
 
 
+@pytest.mark.slow
 def test_compaction_preserves_probe_and_shrinks_files(spark, sf_dir, tmp_root):
     """append×N → compact → identical index rows + identical probe
     output, with strictly fewer data files per compacted bucket (the

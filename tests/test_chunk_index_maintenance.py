@@ -4,6 +4,7 @@ dedup probe exactly like a from-scratch build."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ureplicator_spark.caching import pin_scope
@@ -22,6 +23,7 @@ def _media(spark, sf_dir):
     return documents_as_media(docs).select("media_id", "payload")
 
 
+@pytest.mark.slow
 def test_streaming_maintenance_applies_once_and_replays_noop(
     spark, sf_dir, tmp_path
 ):
@@ -68,6 +70,7 @@ def test_streaming_maintenance_applies_once_and_replays_noop(
     assert got == want
 
 
+@pytest.mark.slow
 def test_maintained_index_answers_probe_like_batch_build(
     spark, sf_dir, tmp_path
 ):

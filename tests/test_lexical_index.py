@@ -159,6 +159,7 @@ def test_delete_makes_index_equal_rebuild_on_survivors(spark, docs, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_torn_delete_is_repaired_exactly_once(spark, docs, tmp_path):
     """The r8 crash contract: a delete that dies between the intent
     commit and the stats commits is completed by repair_lexical_index
@@ -250,6 +251,7 @@ def test_torn_delete_is_repaired_exactly_once(spark, docs, tmp_path):
     assert tuple(read_view(spark, root + "/corpus").collect()[0]) == want_corpus
 
 
+@pytest.mark.slow
 def test_concurrent_append_does_not_swallow_delete_decrement(
     spark, docs, tmp_path
 ):
@@ -449,6 +451,7 @@ def test_positional_streaming_maintenance_applies_once_and_replays_noop(
     assert rows(root) == rows(batch_root) and rows(root)
 
 
+@pytest.mark.slow
 def test_lexical_delete_also_clears_colocated_positions(spark, docs, tmp_path):
     """RTBF coherence: when the BM25 postings and the positional
     section share a root, one delete_from_lexical_index call must

@@ -5,6 +5,7 @@ append ≡ rebuild extends to the streaming path)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ureplicator_spark.operators.multimodal import documents_as_media
@@ -22,6 +23,7 @@ def _media(spark, sf_dir):
     return documents_as_media(docs).select("media_id", "payload")
 
 
+@pytest.mark.slow
 def test_streaming_media_index_applies_once_and_matches_rebuild(
     spark, sf_dir, tmp_path
 ):

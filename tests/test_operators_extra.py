@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ureplicator_spark import fixtures as FX
@@ -719,6 +721,7 @@ def test_minhash_index_incremental_dedup(spark, sf_dir, tmp_path):
     assert again.count() >= pairs.count()
 
 
+@pytest.mark.slow
 def test_minhash_index_standing_probes(spark, sf_dir, tmp_path):
     """The standing-index probes (r9) equal their from-scratch twins
     over the same corpus — LSH pairs from persisted signatures, and

@@ -5,6 +5,7 @@ a pushdown/broadcast/shuffle regression that correctness tests can't see.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ureplicator_spark import fixtures as FX
@@ -228,6 +229,7 @@ def test_q20_single_wide_shuffle_and_broadcast_dims(spark, sf_dir):
     assert_max_shuffles(df, 3)
 
 
+@pytest.mark.slow
 def test_no_forced_broadcast_of_sf_growing_tables(spark, sf_dir):
     """The 100 TB broadcast guard: no query may carry a programmer
     broadcast hint on customer/supplier/orders/lineitem/documents/

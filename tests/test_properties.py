@@ -10,6 +10,7 @@ single-row groups), not volume.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -391,6 +392,7 @@ def test_containment_matches_reference(spark, docs, threshold):
         max_size=12,
     )
 )
+@pytest.mark.slow
 @SETTINGS
 def test_kmeans_matches_reference(spark, vecs):
     """Integer-exact Lloyd == an oblivious Python implementation of
@@ -473,6 +475,7 @@ def test_shard_packing_matches_reference(spark, sizes, budget, id_stride):
     ),
     threshold=st.sampled_from([0.3, 0.7, 0.95]),
 )
+@pytest.mark.slow
 @SETTINGS
 def test_semantic_dedup_matches_reference(spark, vecs, threshold):
     """SemDeDup == an oblivious Python implementation of the same spec
@@ -528,6 +531,7 @@ def test_semantic_dedup_matches_reference(spark, vecs, threshold):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_semantic_dedup_blocked_kernel_giant_cluster(spark, monkeypatch):
     """The r13 blocked gram kernel == the oblivious O(n²) reference on
     ONE giant skewed cluster (k=1 puts every vector in a single
@@ -658,6 +662,7 @@ def test_prefix_join_positional_prune_is_lossless(spark, docs):
     ),
     threshold=st.sampled_from([0.5, 0.75, 0.9, 1.0]),
 )
+@pytest.mark.slow
 @SETTINGS
 def test_containment_prefix_filter_is_lossless(spark, docs, threshold):
     """The r8 asymmetric prefix filter (A-prefix × B-full candidates
@@ -702,6 +707,7 @@ def test_containment_prefix_filter_is_lossless(spark, docs, threshold):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_lexical_index_append_equals_single_build(spark, tmp_path_factory, texts, split):
     """The incremental-index invariant, randomized: building on any
     prefix and appending the rest must produce byte-identical search

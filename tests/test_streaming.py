@@ -458,6 +458,7 @@ def test_compact_survives_racing_compactor(spark, record_dir, tmp_path, monkeypa
     assert got2 == want
 
 
+@pytest.mark.slow
 def test_streaming_archive_sink_layout_and_pruning(spark, record_dir, tmp_path):
     """start_archive writes the sources/archive.py layout from the
     stream: rows preserved under the DESTINATION topic names,

@@ -258,6 +258,7 @@ def test_streaming_shard_feed_continues_cumsum_across_batches(spark, tmp_path):
     assert state["cum_before"] == 35  # 5 docs x 7 tokens before batch 2
 
 
+@pytest.mark.slow
 def test_streaming_cdc_apply_converges_archive(spark, sf_dir, tmp_path):
     """End-to-end CDC loop: archive holds snapshot A; the delta
     between A and target B (computed by snapshot_diff, payloads joined
@@ -614,6 +615,7 @@ def test_missing_maintained_views_raise_descriptive_errors(spark, tmp_path):
         hll_estimates(spark, str(tmp_path / "nope2"), "topic")
 
 
+@pytest.mark.slow
 def test_streaming_kmv_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path):
     """Streamed KMV maintenance must equal the one-shot batch synopsis
     (set-union idempotence: no replay guard needed), and re-merging an
@@ -689,6 +691,7 @@ def test_streaming_kmv_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path)
     assert again == want
 
 
+@pytest.mark.slow
 def test_streaming_hdr_matches_batch_and_replay_is_noop(spark, sf_dir, tmp_path):
     """Streamed HDR quantile-register maintenance must equal the
     one-shot batch build (SUM-merge is exact, not approximate), a

@@ -36,6 +36,63 @@ def cluster_for_partitioned_write(
     )
 
 
+def derived_files_per_partition(
+    source: DataFrame,
+    n_partitions: int,
+    target_bytes: int = 512 << 20,
+    cap: int = 4096,
+) -> int:
+    """``files_per_partition`` for :func:`cluster_for_partitioned_write`,
+    derived from the SOURCE relation's physical input size:
+    ``ceil(input_bytes / (n_partitions · target_bytes))`` clamped to
+    [1, ``cap``] — the guide §6 file-size band (128 MB–1 GB, target
+    512 MB) instead of the local-mode constant 1 that at 100 TB would
+    mean ONE writer task and one multi-TB file per partition
+    directory.
+
+    The estimate is the on-disk (compressed) size of the scan feeding
+    the write — the derived index is a projection of that corpus, so
+    this over-estimates mildly and errs toward a few more, smaller
+    files, never toward giant ones. Local fixtures are KB-scale, so
+    every local build keeps files_per_partition == 1 (bench numbers
+    and file-count tests unchanged). Files that cannot be stat'ed
+    cheaply fall back to 1 — the conservative pre-r13 behavior."""
+    import math
+    import os as _os
+
+    try:
+        files = source.inputFiles()
+    except Exception:
+        return 1
+    if not files:
+        return 1
+    total = 0
+    try:
+        local = [p for p in files if p.startswith(("file:", "/"))]
+        if len(local) == len(files):
+            total = sum(
+                _os.path.getsize(p.removeprefix("file:")) for p in local
+            )
+        else:
+            # remote store: stat a bounded sample through the Hadoop
+            # FileSystem and scale up (the driver must not loop a
+            # per-file RPC over millions of entries)
+            sample = files[:1024]
+            got = 0
+            for f in sample:
+                fs, p, _ = _fs(source.sparkSession, f)
+                got += fs.getFileStatus(p).getLen()
+            total = int(got * (len(files) / len(sample)))
+    except Exception:
+        return 1
+    if total <= target_bytes:
+        # any partition count yields 1 — the local-mode fast path skips
+        # resolving n_partitions (which may be a deferred count job)
+        return 1
+    n = n_partitions() if callable(n_partitions) else n_partitions
+    return max(1, min(cap, math.ceil(total / (max(1, int(n)) * target_bytes))))
+
+
 def _fs(spark: SparkSession, path: str):
     """Return (FileSystem, Path, jvm) for ``path`` on whatever
     filesystem its scheme names (local, HDFS, S3A, ...)."""

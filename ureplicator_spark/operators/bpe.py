@@ -48,6 +48,22 @@ from ureplicator_spark.functions import fan_out
 
 END_OF_WORD = "</w>"
 
+# Vocabulary-size cutover for the merge LOOP (r13, guide §1.2 — fix
+# the distributed algorithm first): below this many distinct words the
+# loop runs driver-side on the collected (syms, cnt) table; above it,
+# the per-iteration Spark jobs remain. The loop's state is the
+# distinct-word table — Heaps-law bounded, NOT corpus-sized — and
+# every reference BPE trainer holds exactly this table in memory; what
+# must stay distributed is the one corpus-sized pass that builds it
+# (_word_counts), and it does. At 100 TB (|V| ~ 10^6-10^8) the
+# distributed loop takes over. 100k rows of short symbol arrays is a
+# few MB of driver state (the lang-model/centroid precedent); the
+# driver loop is O(num_merges · |V| · word_len) pure Python, ~10^8
+# ops at the cutover — still far under the ~0.5 s/iteration job
+# constant it replaces. Value identity (same tie-breaks, same
+# left-to-right rewrite) is pinned in tests/test_bpe.py.
+BPE_DRIVER_VOCAB_MAX = 100_000
+
 
 def _word_counts(documents: DataFrame) -> DataFrame:
     """(syms, cnt): distinct lowercase whitespace words as initial
@@ -115,17 +131,70 @@ def _top_pair(words: DataFrame):
     return rows[0] if rows else None
 
 
+def _learn_merges_driver(
+    words: list[tuple[list[str], int]], num_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge loop on the collected word table — the EXACT algebra
+    of the distributed rounds: every adjacent position counts
+    (weighted by word frequency), argmax by count DESC then (l, r)
+    ASC (Python str comparison == Spark's UTF8 binary order — UTF-8 is
+    codepoint-order-preserving), and the rewrite is the same
+    left-to-right non-overlapping scan as :func:`_apply_merge` (the
+    freshly fused symbol is not re-matched as ``left``)."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        (left, right), pair_count = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        fused = left + right
+        merges.append((step, left, right, fused, pair_count))
+        for idx, (syms, cnt) in enumerate(words):
+            acc: list[str] = []
+            changed = False
+            for x in syms:
+                if acc and acc[-1] == left and x == right:
+                    acc[-1] = fused
+                    changed = True
+                else:
+                    acc.append(x)
+            if changed:
+                words[idx] = (acc, cnt)
+    return merges
+
+
 def learn_bpe_merges(documents: DataFrame, num_merges: int = 12) -> DataFrame:
     """Learn the first ``num_merges`` BPE merge rules from the corpus.
 
     Returns (step, left, right, merged, pair_count) — the ordered
     merge table a tokenizer ships. Stops early (fewer rows) if the
     word table runs out of adjacent pairs.
-    """
+
+    The corpus collapses to the distinct-word table in one distributed
+    pass either way; the merge LOOP cuts over at
+    ``BPE_DRIVER_VOCAB_MAX`` between the driver-side scan (small
+    vocabularies: 12 iterations of Spark job constants over a
+    model-sized table was the entire cost) and the per-iteration Spark
+    jobs (Heaps-law-sized vocabularies at 100 TB)."""
     from ureplicator_spark.caching import release_checkpoint
 
     spark = documents.sparkSession
     cur = _word_counts(documents).localCheckpoint(eager=True)
+    if cur.count() <= BPE_DRIVER_VOCAB_MAX:
+        rows = cur.collect()
+        release_checkpoint(cur)
+        merges = _learn_merges_driver(
+            [(list(r["syms"]), int(r["cnt"])) for r in rows], num_merges
+        )
+        return spark.createDataFrame(
+            merges,
+            "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+        )
     prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, num_merges + 1):

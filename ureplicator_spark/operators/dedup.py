@@ -343,6 +343,33 @@ def ngram_jaccard_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
     return top_k_ranked(j, top_k, F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
 
 
+def _changed_from_observation(obs, fallback):
+    """The `changed` metric from a checkpoint-materialized Observation.
+
+    Polls the non-blocking JVM accessor (getOrEmpty) under a 30 s
+    deadline instead of Observation.get's unbounded wait; the eager
+    localCheckpoint() has already executed the plan, so the listener
+    normally lands the metric before the first poll (measured ~10 ms).
+    If it never lands — a Spark-internals change, not a current
+    behavior — ``fallback()`` recomputes the count explicitly (the
+    pre-r12 shape: one extra scan, never a hang). getOrEmpty throws on
+    Spark 4.1.2 while the metric row is still the unset placeholder;
+    that is treated as "not yet"."""
+    import time
+
+    jo = obs._jo
+    deadline = time.monotonic() + 30.0
+    while time.monotonic() < deadline:
+        try:
+            if not jo.getOrEmpty().isEmpty():
+                return int(obs.get["changed"])
+        except Exception:
+            pass
+        time.sleep(0.01)
+    return int(fallback())
+
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters
     (label propagation to the min doc_id; the step that turns pairwise
@@ -383,10 +410,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # continues from round 2. Saves a corpus-keyed join + a distinct
     # exchange in every duplicate_clusters consumer (4 gated queries).
     # Convergence counts ride the checkpoint jobs as Observations
-    # (r12): localCheckpoint materializes the plan, which fills an
-    # observe() aggregate — so the separate count() action (a full
-    # re-scan of the labels blocks per round at scale) disappears.
-    # Control flow only; no query result reads these numbers.
+    # (r12): an EAGER localCheckpoint() runs the plan synchronously,
+    # and the QueryExecutionListener that fills observe() aggregates
+    # fires before the metric read below — verified on PySpark 4.1.2
+    # including the empty-input case — so the separate count() action
+    # (a full re-scan of the labels blocks per round at scale)
+    # disappears. Control flow only; no query result reads these
+    # numbers. Because Observation.get blocks WITHOUT a timeout, the
+    # reads go through _changed_from_observation (r12 advisor): a
+    # bounded poll of the non-blocking accessor, falling back to the
+    # pre-r12 explicit count if a future Spark change ever stopped the
+    # checkpoint from publishing the metric — degraded speed, never a
+    # hung loop.
     from pyspark.sql import Observation
 
     obs0 = Observation()
@@ -402,7 +437,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         .localCheckpoint()
     )
-    if int(obs0.get["changed"]) == 0:
+    changed0 = _changed_from_observation(
+        obs0,
+        lambda: labels.filter(F.col("cluster_id") != F.col("doc_id")).count(),
+    )
+    if changed0 == 0:
         release_checkpoint(edges)
         adopt_checkpoint(labels)
         return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
@@ -446,7 +485,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if prev is not None:
             release_checkpoint(prev)
         prev = updated
-        changed = int(obs.get["changed"])
+        changed = _changed_from_observation(
+            obs,
+            lambda u=updated: u.filter(
+                F.col("new_cluster_id") != F.col("cluster_id")
+            ).count(),
+        )
         labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break

@@ -6546,66 +6546,72 @@ _PROFILE_SQL = (
 @register("table_profile", _PROFILE_SQL)
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling report over lineitem: per column, null count,
-    EXACT distinct count, and (numeric columns) rounded min/max — the
+    EXACT distinct count, and (numeric columns) rounded min/max - the
     data-quality check a 100 TB ingest runs before anything else.
 
-    Deliberately NOT one wide multi-COUNT(DISTINCT) aggregate: Spark
-    plans k distinct aggregates via Expand, replicating every input
-    row k times through the first shuffle AND re-evaluating the
-    non-distinct aggregates over the replicated stream — an 11x scan
-    amplification that measured 47x the oracle at sf0.1 (r5 verdict).
-    A first rewrite melted rows to (col_name, string value) structs;
-    still an 11x explode plus a string cast per cell (~25x the oracle,
-    r6 verdict). This version is a UNION of 11 independent per-column
-    aggregates: each branch has exactly ONE distinct aggregate, which
-    Spark plans Expand-free (planAggregateWithOneDistinct: partial
-    group-by the column, shuffle only the per-partition-distinct
-    values, final merge), and parquet column pruning gives each branch
-    a one-column ReadSchema — total I/O is one full-width scan, with
-    zero explode, zero casts to string, and the min/max/null partials
-    riding the same two-phase aggregate. Branch results are 1 row
-    each; the union is control-plane sized.
+    Shape history (all value-identical; the oracle SQL never changed):
+    a single wide multi-COUNT(DISTINCT) aggregate plans via Expand
+    (11x row replication, 47x the oracle, r5); a string-cast melt kept
+    the explode but paid a string render per cell (~25x, r6); r6-r12
+    ran a UNION of 11 per-column single-distinct aggregates (each
+    branch Expand-free with a one-column ReadSchema, 22 exchanges).
+    r13 re-measured the TYPED two-branch melt against the union
+    (rep-interleaved, same process): melt min 4.80 s vs union 8.89 s
+    at sf0.1 - the union's 22 tiny stages are scheduling-constant
+    bound, while the melt is one scan + 2 single-distinct aggregates
+    (4 exchanges, PLAN_REPORT). Values stay exact:
 
-    Shape chosen by measurement (sf0.1, warm medians, this host):
-    union-of-11 ≈ 1.5 s; a typed 3-way melt (native values, no string
-    cast) ≈ 1.8 s; a single struct-valued melt (3 stages) ≈ 3.3 s; the
-    r6 string-melt ≈ 5.3 s. The irreducible term is the one high-
-    cardinality branch — count_distinct over 583k distinct doubles
-    (l_extendedprice) alone measures 0.5-0.7 s, i.e. Spark's row-based
-    hash-aggregate constant, not a plan defect; every other branch
-    overlaps it. At 100 TB the per-branch fixed costs amortize and the
-    plan stays one pruned scan per column with map-side-bounded
-    shuffles.
+    * numeric branch: every int/double column casts to DOUBLE before
+      the distinct - injective below 2^53, and TPC-H keys stay orders
+      of magnitude under that at any plausible SF (l_orderkey is
+      ~6e11 at SF 100k vs 2^53~9e15), so COUNT(DISTINCT cast) equals
+      COUNT(DISTINCT col); MIN/MAX commute with the monotone cast.
+    * string branch: l_returnflag/l_linestatus pass through;
+      l_shipdate casts timestamp->string (microsecond-exact render,
+      injective).
+
+    At 100 TB the bytes are the same either way (each branch's partial
+    aggregate ships only per-partition-distinct values); the melt
+    simply stops paying 22 stage constants per profile.
     """
-    from functools import reduce
-
     from ureplicator_spark.sources.parquet import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    branches = []
-    for c, num in _PROFILE_COLS:
-        aggs = [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+    num_cols = [c for c, num in _PROFILE_COLS if num]
+    str_cols = [c for c, num in _PROFILE_COLS if not num]
+
+    def melted(cols: list[str], cast: str) -> DataFrame:
+        cells = li.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast(cast).alias("v"),
+                    )
+                    for c in cols
+                ])
+            ).alias("s")
+        ).select("s.col_name", "s.v")
+        return cells.groupBy("col_name").agg(
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_nulls"),
-            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
-        ]
-        if num:
-            aggs.append(round6s(F.min(c).cast("double")).alias("min_num"))
-            aggs.append(round6s(F.max(c).cast("double")).alias("max_num"))
-        branch = li.select(c).agg(*aggs).select(
-            F.lit(c).alias("col_name"),
-            "n_nulls",
-            "n_distinct",
-            (F.col("min_num") if num else F.lit(None).cast("double")).alias(
-                "min_num"
-            ),
-            (F.col("max_num") if num else F.lit(None).cast("double")).alias(
-                "max_num"
-            ),
+            F.count_distinct("v").cast("long").alias("n_distinct"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
         )
-        branches.append(branch)
-    return reduce(DataFrame.unionByName, branches).orderBy("col_name")
+
+    num_branch = melted(num_cols, "double").select(
+        "col_name", "n_nulls", "n_distinct",
+        round6s(F.col("mn").cast("double")).alias("min_num"),
+        round6s(F.col("mx").cast("double")).alias("max_num"),
+    )
+    str_branch = melted(str_cols, "string").select(
+        "col_name", "n_nulls", "n_distinct",
+        F.lit(None).cast("double").alias("min_num"),
+        F.lit(None).cast("double").alias("max_num"),
+    )
+    return num_branch.unionByName(str_branch).orderBy("col_name")
 
 
 # Canonical hash input per lineitem column type for the PORTABLE HLL

@@ -62,7 +62,7 @@ def build_chunk_index(
     media: DataFrame,
     root: str,
     mode: str = "overwrite",
-    files_per_bucket: int = 1,
+    files_per_bucket: int | None = None,
     **chunk_kw,
 ) -> None:
     """One corpus pass: chunk every payload, persist identity rows
@@ -73,8 +73,15 @@ def build_chunk_index(
     bucket is too coarse) — the unclustered write scattered every
     bucket across every task: 2048 files / 6.3 s vs 64 / 1.9 s at
     sf0.1."""
-    from ureplicator_spark.fsutil import cluster_for_partitioned_write
+    from ureplicator_spark.fsutil import (
+        cluster_for_partitioned_write,
+        derived_files_per_partition,
+    )
 
+    if files_per_bucket is None:
+        # size-derived (guide §6): stays 1 at local SFs, grows with the
+        # corpus so bucket files stay in the 128 MB-1 GB band at scale
+        files_per_bucket = derived_files_per_partition(media, N_BUCKETS)
     cluster_for_partitioned_write(
         _bucketed_chunks(media, **chunk_kw), "bucket", "chunk_hash", files_per_bucket
     ).write.mode(mode).partitionBy("bucket").parquet(root + "/chunks")

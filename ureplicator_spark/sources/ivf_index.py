@@ -141,12 +141,17 @@ def build_ivf_index(
     # the expensive trained-centroid subtree runs once, and both paths
     # broadcast the identical double-array rows a probe session reads
     centroids = embeddings.sparkSession.read.parquet(root + "/centroids")
-    from ureplicator_spark.fsutil import cluster_for_partitioned_write
+    from ureplicator_spark.fsutil import (
+        cluster_for_partitioned_write,
+        derived_files_per_partition,
+    )
 
     # clustered by list: one file per cent_id directory instead of one
-    # per (task, cent_id) — guide §6, the chunk-index measurement
+    # per (task, cent_id) — guide §6, the chunk-index measurement;
+    # file count per list size-derived (1 at local SFs)
     cluster_for_partitioned_write(
-        _assign_to_lists(centroids, embeddings), "cent_id", "vec_id"
+        _assign_to_lists(centroids, embeddings), "cent_id", "vec_id",
+        derived_files_per_partition(embeddings, n_centroids),
     ).write.mode("overwrite").partitionBy("cent_id").parquet(root + "/vectors")
 
 
@@ -177,11 +182,17 @@ def append_to_ivf_index(
     assigned = _assign_to_lists(centroids, new_embeddings)
     obs = Observation()
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
-    from ureplicator_spark.fsutil import cluster_for_partitioned_write
+    from ureplicator_spark.fsutil import (
+        cluster_for_partitioned_write,
+        derived_files_per_partition,
+    )
 
-    cluster_for_partitioned_write(assigned, "cent_id", "vec_id").write.mode(
-        "append"
-    ).partitionBy("cent_id").parquet(root + "/vectors")
+    cluster_for_partitioned_write(
+        assigned, "cent_id", "vec_id",
+        # n lists resolved lazily: the local fast path (batch bytes
+        # under one target file) never pays the count job
+        derived_files_per_partition(new_embeddings, lambda: centroids.count()),
+    ).write.mode("append").partitionBy("cent_id").parquet(root + "/vectors")
     return int(obs.get["n"])
 
 

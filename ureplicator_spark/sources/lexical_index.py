@@ -48,7 +48,10 @@ from pyspark.sql import functions as F
 from ureplicator_spark.functions import micro6, round6f
 
 from ureplicator_spark.caching import release_checkpoint
-from ureplicator_spark.fsutil import cluster_for_partitioned_write
+from ureplicator_spark.fsutil import (
+    cluster_for_partitioned_write,
+    derived_files_per_partition,
+)
 from ureplicator_spark.functions import md5_long
 from ureplicator_spark.streaming.ivm import _commit_version, _require_view, read_view
 
@@ -127,7 +130,8 @@ def build_lexical_index(
     by bucket so each tb directory gets one file instead of one per
     shuffle task (guide §6; the chunk-index measurement)."""
     cluster_for_partitioned_write(
-        _postings(documents, n_buckets), "tb", "token"
+        _postings(documents, n_buckets), "tb", "token",
+        derived_files_per_partition(documents, n_buckets),
     ).write.mode("overwrite").partitionBy("tb").parquet(root + "/postings")
     _merge_stats(spark, root, documents)
 
@@ -144,7 +148,8 @@ def append_to_lexical_index(
     doc ids are append-only (batch-distinct counts sum to the global
     distinct count when no doc spans batches)."""
     cluster_for_partitioned_write(
-        _postings(new_documents, n_buckets), "tb", "token"
+        _postings(new_documents, n_buckets), "tb", "token",
+        derived_files_per_partition(new_documents, n_buckets),
     ).write.mode("append").partitionBy("tb").parquet(root + "/postings")
     _merge_stats(spark, root, new_documents)
 
@@ -485,7 +490,8 @@ def build_positional_index(
     search. The only corpus-sized exchange is the partitioned write,
     clustered by bucket (one file per tb directory — guide §6)."""
     cluster_for_partitioned_write(
-        _positional_postings(documents, n_buckets), "tb", "token"
+        _positional_postings(documents, n_buckets), "tb", "token",
+        derived_files_per_partition(documents, n_buckets),
     ).write.mode("overwrite").partitionBy("tb").parquet(root + "/positions")
 
 
@@ -500,7 +506,8 @@ def append_to_positional_index(
     are per-doc local state so the appended index equals a fresh
     build over corpus ∪ batch row-for-row."""
     cluster_for_partitioned_write(
-        _positional_postings(new_documents, n_buckets), "tb", "token"
+        _positional_postings(new_documents, n_buckets), "tb", "token",
+        derived_files_per_partition(new_documents, n_buckets),
     ).write.mode("append").partitionBy("tb").parquet(root + "/positions")
 
 

@@ -72,13 +72,18 @@ def build_minhash_index(
     wide = minhash_wide(documents, n_hashes).persist()
 
     def _sig_chain() -> None:
-        from ureplicator_spark.fsutil import cluster_for_partitioned_write
+        from ureplicator_spark.fsutil import (
+            cluster_for_partitioned_write,
+            derived_files_per_partition,
+        )
 
         wide.write.mode(mode).parquet(root + "/signatures")
         # clustered by band: one file per band directory instead of
-        # one per (task, band) — guide §6, the chunk-index measurement
+        # one per (task, band) — guide §6, the chunk-index measurement;
+        # file count per band size-derived (1 at local SFs)
         cluster_for_partitioned_write(
-            _banded(wide, n_bands, n_hashes), "band", "doc_id"
+            _banded(wide, n_bands, n_hashes), "band", "doc_id",
+            derived_files_per_partition(documents, n_bands),
         ).write.mode(mode).partitionBy("band").parquet(root + "/bands")
 
     if not (shingle_arrays and mode != "append"):
