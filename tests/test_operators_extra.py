@@ -2084,3 +2084,23 @@ def test_norms_null_embedding_produces_no_row(spark):
     )
     got = {r.vec_id: r.norm for r in norms(emb).collect()}
     assert got == {0: 5.0, 2: 0.0}
+
+
+def test_values_df_roundtrips_hostile_strings_and_floats(spark):
+    """values_df (the VALUES LocalRelation that replaced hot-path
+    createDataFrame calls in r13) must round-trip payloads exactly:
+    backslashes (Spark's default parser C-escapes string literals, so
+    a raw backslash must be doubled), quotes, newlines, unicode, and
+    shortest-repr doubles."""
+    from ureplicator_spark.functions import values_df
+
+    rows = [
+        (1, "back\\slash", 0.1),
+        (2, "new\nline\tand'quote'", -1.5e-7),
+        (3, "unié中", 2.0 / 3.0),
+        (4, "\\n literal not newline", 1e300),
+    ]
+    got = sorted(
+        tuple(r) for r in values_df(spark, rows, "k int, s string, x double").collect()
+    )
+    assert got == sorted(rows)

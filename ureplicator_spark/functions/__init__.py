@@ -250,7 +250,11 @@ def values_df(spark, rows, cols: str):
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # backslash FIRST: Spark's default (non-ANSI) parser treats
+            # \ as a C-style escape inside string literals, so a raw
+            # payload backslash must be doubled or the literal silently
+            # decodes (\n -> newline) — verified on 4.1.2
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         return repr(v)
 
     rows_sql = ", ".join(

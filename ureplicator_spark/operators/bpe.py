@@ -131,6 +131,26 @@ def _top_pair(words: DataFrame):
     return rows[0] if rows else None
 
 
+_MERGE_SCHEMA = "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+
+
+def _merge_table(spark, merges):
+    """The ≤num_merges-row merge table as a JVM LocalRelation.
+
+    ``createDataFrame(list)`` plans as applySchemaToPythonRDD and
+    launches Python workers inside every job that evaluates the plan —
+    measured 1.1 s warm / 5 s cold for TWELVE rows (the entire
+    driver-loop saving handed back). ``values_df`` plans a VALUES
+    clause: constant-folded, zero Python involvement."""
+    from ureplicator_spark.functions import values_df
+
+    if not merges:
+        return spark.createDataFrame([], _MERGE_SCHEMA)
+    return values_df(
+        spark, merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
 def _learn_merges_driver(
     words: list[tuple[list[str], int]], num_merges: int
 ) -> list[tuple[int, str, str, str, int]]:
@@ -191,10 +211,7 @@ def learn_bpe_merges(documents: DataFrame, num_merges: int = 12) -> DataFrame:
         merges = _learn_merges_driver(
             [(list(r["syms"]), int(r["cnt"])) for r in rows], num_merges
         )
-        return spark.createDataFrame(
-            merges,
-            "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
-        )
+        return _merge_table(spark, merges)
     prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, num_merges + 1):
@@ -222,9 +239,7 @@ def learn_bpe_merges(documents: DataFrame, num_merges: int = 12) -> DataFrame:
     if prev is not None:
         release_checkpoint(prev)
     release_checkpoint(cur)
-    return spark.createDataFrame(
-        merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
-    )
+    return _merge_table(spark, merges)
 
 
 def segment_with_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:

@@ -946,7 +946,13 @@ def kmeans_centroids(
         for j, cid in enumerate(ids)
         for i in range(C.shape[1])
     ]
-    return spark.createDataFrame(rows, "cent_id long, i int, cx double")
+    # VALUES LocalRelation (functions.values_df): createDataFrame's
+    # Python-RDD plan re-launches Python workers in every consumer job;
+    # the k·dim literal rows constant-fold instead. float repr/parse
+    # round-trips exactly (shortest-repr + correctly-rounded parse).
+    from ureplicator_spark.functions import values_df
+
+    return values_df(spark, rows, "cent_id long, i int, cx double")
 
 
 def _pq_components(embeddings: DataFrame, m: int, dim: int, qscale: int) -> DataFrame:
@@ -986,8 +992,18 @@ def _pq_model_np(embeddings: DataFrame, m: int, k: int, iters: int,
         for C in (books[s][1],)
         for i in range(subdim)
     ]
-    cents = embeddings.sparkSession.createDataFrame(
-        rows, "sub long, code long, i int, c long"
+    # VALUES LocalRelation — same rationale as kmeans_centroids: the
+    # codebook is model-sized literal rows read by every ADC consumer
+    from ureplicator_spark.functions import values_df
+
+    cents = (
+        values_df(
+            embeddings.sparkSession, rows, "sub long, code long, i int, c long"
+        )
+        if rows
+        else embeddings.sparkSession.createDataFrame(
+            [], "sub long, code long, i int, c long"
+        )
     )
     return best, cents
 

@@ -1683,9 +1683,19 @@ def nb_lang_confusion(documents: DataFrame) -> DataFrame:
         F.count("*").alias("c")
     )
     cl = ctok.groupBy("plang").agg(F.sum("c").alias("ctot"))
-    v = tr.agg(F.countDistinct("token").alias("v"))
-    pri = tr.groupBy(F.col("lang").alias("plang")).agg(
-        F.countDistinct("doc_id").alias("nl")
+    # r13 §2.4: v and pri used to each re-explode and re-aggregate the
+    # TRAIN corpus (two extra corpus-sized passes + exchanges). The
+    # distinct train vocabulary is exactly ctok's distinct token set
+    # (model-sized, L·V rows), and the per-lang distinct train doc
+    # count is doc-level state — every non-NULL text yields ≥1 token
+    # row (split('', ' ') -> [''], in Spark and DuckDB alike), and a
+    # NULL text yields none, so filtering documents on text IS NOT
+    # NULL reproduces the token-derived doc set without the explode.
+    v = ctok.agg(F.countDistinct("token").alias("v"))
+    pri = (
+        documents.filter((F.col("doc_id") % 10 < 8) & F.col("text").isNotNull())
+        .groupBy(F.col("lang").alias("plang"))
+        .agg(F.countDistinct("doc_id").alias("nl"))
     )
     ntr = pri.agg(F.sum("nl").alias("n"))
 

@@ -7164,7 +7164,15 @@ def ensure_standing_lang_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()
         ]
         _LANG_MODEL_STANDING[sf_dir] = rows
-    return spark.createDataFrame(rows, "plang string, g string, rl int")
+    if not rows:
+        return spark.createDataFrame([], "plang string, g string, rl int")
+    # VALUES LocalRelation, not createDataFrame: the Python-RDD plan
+    # launches Python workers inside every consumer job (measured
+    # ~3 s per re-entry for these 320 rows); the literal relation is
+    # constant-folded and instantly broadcastable (functions.values_df)
+    from ureplicator_spark.functions import values_df
+
+    return values_df(spark, rows, "plang string, g string, rl int")
 
 
 @register("bm25_index_search", _BM25_INDEX_SQL)
@@ -7554,9 +7562,9 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     STANDING merge table (trained once per corpus snapshot, reported
     as ``bpe_build_sec``); the from-scratch loop stays pinned in
     pytest."""
-    return spark.createDataFrame(
-        ensure_standing_bpe_merges(spark, sf_dir), _BPE_MERGES_SCHEMA
-    )
+    from ureplicator_spark.operators.bpe import _merge_table
+
+    return _merge_table(spark, ensure_standing_bpe_merges(spark, sf_dir))
 
 
 @register("bpe_segment_stats", None)

@@ -97,8 +97,12 @@ def build_ivfpq_index(
         for j, cid in enumerate(cids)
         for i in range(CC.shape[1])
     ]
-    spark.createDataFrame(
-        coarse_rows, "cent_id long, i int, c long"
+    from ureplicator_spark.functions import values_df
+
+    (
+        values_df(spark, coarse_rows, "cent_id long, i int, c long")
+        if coarse_rows
+        else spark.createDataFrame([], "cent_id long, i int, c long")
     ).write.mode("overwrite").parquet(root + "/coarse")
 
     # ---- PQ codebook over residuals (per-subspace integer Lloyd in
@@ -114,8 +118,10 @@ def build_ivfpq_index(
         for C in (books[s][1],)
         for i in range(subdim)
     ]
-    spark.createDataFrame(
-        cb_rows, "sub long, code long, i int, c long"
+    (
+        values_df(spark, cb_rows, "sub long, code long, i int, c long")
+        if cb_rows
+        else spark.createDataFrame([], "sub long, code long, i int, c long")
     ).write.mode("overwrite").parquet(root + "/codebook")
 
     # ---- encode: ONE map pass → (vec_id, codes array<int>, cent_id);
