@@ -572,29 +572,23 @@ def test_zorder_write_tightens_stats_on_every_clustered_column(spark, sf_dir, tm
     assert spark.read.parquet(zpath).count() == ev.count()
 
 
-def test_table_profile_is_expand_free_with_typed_branches(spark, sf_dir):
-    """table_profile's scale contract (r13 shape — typed two-branch
-    melt): NO Expand operator anywhere (the multi-distinct rewrite
-    that replicates every row k× through the first shuffle — each
-    branch carries exactly ONE distinct aggregate so Spark plans it
-    Expand-free), exactly two branch scans whose ReadSchemas are
-    disjoint and together cover all 11 profiled columns (total I/O is
-    one full-width scan), and few exchanges (the union-of-11 shape it
-    replaced paid 22)."""
+def test_table_profile_is_expand_free_with_one_column_branches(spark, sf_dir):
+    """table_profile's scale contract (r7 shape, re-confirmed by the
+    r13 double A/B — the typed melt was measured-and-rejected on a
+    healthy host): NO Expand operator anywhere (the multi-distinct
+    rewrite that replicates every row 11x through the first shuffle),
+    and every parquet scan reads exactly ONE column (the union's
+    branches must each prune to their own column, so total I/O is one
+    full-width scan)."""
     from ureplicator_spark.plans.inspect import plan_string
 
     df = QUERIES["table_profile"][0](spark, sf_dir)
     plan = plan_string(df)
     assert "Expand" not in plan, "multi-distinct Expand is back"
     schemas = read_schemas(df)
-    assert len(schemas) == 2, f"expected 2 typed branch scans, got {schemas}"
-    cols: list[str] = []
+    assert len(schemas) >= 11, f"expected 11 one-column scans, got {schemas}"
     for s in schemas:
-        cols.extend(c for c in s.replace("struct<", "").split(",") if "l_" in c)
-    assert len(cols) == 11, f"branches must cover all 11 columns once: {schemas}"
-    # 2 per single-distinct branch + the 11-row output sort's range
-    # exchange (the union shape paid 22 + the sort)
-    assert_max_shuffles(df, 5)
+        assert s.count("l_") == 1, f"branch scan reads >1 column: {s}"
 
 
 def test_prefix_join_verification_has_no_token_level_pair_join(spark, sf_dir):

@@ -6555,63 +6555,47 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode but paid a string render per cell (~25x, r6); r6-r12
     ran a UNION of 11 per-column single-distinct aggregates (each
     branch Expand-free with a one-column ReadSchema, 22 exchanges).
-    r13 re-measured the TYPED two-branch melt against the union
-    (rep-interleaved, same process): melt min 4.80 s vs union 8.89 s
-    at sf0.1 - the union's 22 tiny stages are scheduling-constant
-    bound, while the melt is one scan + 2 single-distinct aggregates
-    (4 exchanges, PLAN_REPORT). Values stay exact:
-
-    * numeric branch: every int/double column casts to DOUBLE before
-      the distinct - injective below 2^53, and TPC-H keys stay orders
-      of magnitude under that at any plausible SF (l_orderkey is
-      ~6e11 at SF 100k vs 2^53~9e15), so COUNT(DISTINCT cast) equals
-      COUNT(DISTINCT col); MIN/MAX commute with the monotone cast.
-    * string branch: l_returnflag/l_linestatus pass through;
-      l_shipdate casts timestamp->string (microsecond-exact render,
-      injective).
-
-    At 100 TB the bytes are the same either way (each branch's partial
-    aggregate ships only per-partition-distinct values); the melt
-    simply stops paying 22 stage constants per profile.
+    r13 measured a TYPED two-branch melt TWICE: on the throttled
+    round-start host it won (melt 4.80 s vs union 8.89 s min-of-7
+    interleaved — inflated stage constants penalized the union's 22
+    tiny stages), but re-measured on a healthy host the union won
+    rep-for-rep (union 1.68 s vs melt 2.53 s min-of-7 interleaved,
+    6/7 aligned reps) — the branches are independent subtrees whose
+    stages overlap inside one job, while the melt funnels 11x N rows
+    through two hash aggregates. Measured-and-rejected: the union
+    stays. At 100 TB the shuffled bytes are identical either way
+    (per-partition-distinct values); total scan I/O is one full-width
+    scan in both shapes (each union branch prunes to its own column).
     """
+    from functools import reduce
+
     from ureplicator_spark.sources.parquet import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    num_cols = [c for c, num in _PROFILE_COLS if num]
-    str_cols = [c for c, num in _PROFILE_COLS if not num]
-
-    def melted(cols: list[str], cast: str) -> DataFrame:
-        cells = li.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col(c).cast(cast).alias("v"),
-                    )
-                    for c in cols
-                ])
-            ).alias("s")
-        ).select("s.col_name", "s.v")
-        return cells.groupBy("col_name").agg(
-            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+    branches = []
+    for c, num in _PROFILE_COLS:
+        aggs = [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_nulls"),
-            F.count_distinct("v").cast("long").alias("n_distinct"),
-            F.min("v").alias("mn"),
-            F.max("v").alias("mx"),
+            F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+        ]
+        if num:
+            aggs.append(round6s(F.min(c).cast("double")).alias("min_num"))
+            aggs.append(round6s(F.max(c).cast("double")).alias("max_num"))
+        branch = li.select(c).agg(*aggs).select(
+            F.lit(c).alias("col_name"),
+            "n_nulls",
+            "n_distinct",
+            (F.col("min_num") if num else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col("max_num") if num else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
         )
-
-    num_branch = melted(num_cols, "double").select(
-        "col_name", "n_nulls", "n_distinct",
-        round6s(F.col("mn").cast("double")).alias("min_num"),
-        round6s(F.col("mx").cast("double")).alias("max_num"),
-    )
-    str_branch = melted(str_cols, "string").select(
-        "col_name", "n_nulls", "n_distinct",
-        F.lit(None).cast("double").alias("min_num"),
-        F.lit(None).cast("double").alias("max_num"),
-    )
-    return num_branch.unionByName(str_branch).orderBy("col_name")
+        branches.append(branch)
+    return reduce(DataFrame.unionByName, branches).orderBy("col_name")
 
 
 # Canonical hash input per lineitem column type for the PORTABLE HLL
