@@ -238,6 +238,47 @@ def main() -> None:
     _p.limit(10_000).mapInPandas(_py_warm, schema=_p.schema).write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # Standing-build codegen warmup (r13, measurement fix — guide §1):
+    # the minhash signature fold and the media section chain compile
+    # very large generated classes; their FIRST compile in a session
+    # measured 6-66 s depending on C2 state (~4 s steady-state), i.e.
+    # the reported *_build_sec was mostly a one-off JIT/codegen storm,
+    # not the build (r13: four back-to-back builds in one process ran
+    # 64.8 / 17.3 / 4.5 / 4.1 s on an idle host). Build each index once
+    # over TINY SYNTHETIC parquet docs with the production schema (same
+    # plan shapes -> codegen cache + C2 warm) so the timed builds below
+    # report the build itself. Synthetic data only — no benchmark table
+    # is touched, nothing a timed build or query computes is
+    # precomputed; outputs are deleted immediately.
+    _syn_docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.md5((F.col("id") * 37 + i).cast("string")) for i in range(12)]
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("syn").alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    _syn_docs.write.mode("overwrite").parquet(_warm_dir + "/docs")
+    _fake_docs = spark.read.parquet(_warm_dir + "/docs")
+    from ureplicator_spark.operators.multimodal import documents_as_media
+    from ureplicator_spark.sources.media_index import build_media_index
+    from ureplicator_spark.sources.minhash_index import build_minhash_index
+
+    build_minhash_index(_fake_docs, _warm_dir + "/mh", shingle_arrays=True)
+    build_media_index(documents_as_media(_fake_docs), _warm_dir + "/media")
+    _syn_emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), i -> cast(pmod(vec_id * i, 97) as float) / 97.0)"
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    from ureplicator_spark.operators.lloyd import lloyd_assignments
+
+    lloyd_assignments(_syn_emb, k=8, iters=2, qscale=1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
     shutil.rmtree(_warm_dir, ignore_errors=True)
 
     # One-off, reported separately as ivf_build_sec (NOT in the headline

@@ -68,15 +68,36 @@ def build_media_index(media: DataFrame, root: str, mode: str = "overwrite") -> N
 
     fused = all_fingerprints(media).persist()
     try:
-        for section, kind in (("dhash", FP_KIND_DHASH), ("audiofp", FP_KIND_AUDIO)):
-            fused.filter(F.col("kind") == kind).select(
-                "media_id", F.col("fp").alias("dhash")
-            ).write.mode(mode).parquet(f"{root}/{section}")
+        # Materialize the fused Arrow pass ONCE before fanning out the
+        # section writes: concurrent first-touch would run the payload
+        # hash pass per thread instead of filling the cache once.
+        fused.count()
         framesig = fused.filter(F.col("kind") == FP_KIND_FRAME).select(
             "media_id", "frame_idx", F.col("fp").alias("fhash")
         )
-        framesig.write.mode(mode).parquet(f"{root}/framesig")
-        frame_shingles(framesig).write.mode(mode).parquet(f"{root}/framegram")
+        # The four section writes are independent jobs over the cached
+        # fused rows targeting disjoint directories — run them from a
+        # small driver pool so each write's commit/stage tail
+        # back-fills the others' idle cores (guide §2.6; the minhash
+        # build-chain precedent). framegram derives from the cached
+        # framesig ROWS, not the framesig file, so ordering is free.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w(df, name):
+            df.write.mode(mode).parquet(f"{root}/{name}")
+
+        jobs = [
+            (fused.filter(F.col("kind") == FP_KIND_DHASH).select(
+                "media_id", F.col("fp").alias("dhash")), "dhash"),
+            (fused.filter(F.col("kind") == FP_KIND_AUDIO).select(
+                "media_id", F.col("fp").alias("dhash")), "audiofp"),
+            (framesig, "framesig"),
+            (frame_shingles(framesig), "framegram"),
+        ]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [pool.submit(_w, df, name) for df, name in jobs]
+            for f in futures:
+                f.result()
     finally:
         fused.unpersist()
 
