@@ -40,9 +40,10 @@ _CHANGED_SINCE_LAST_CHECK = [
     # persisted model contents verified bit-identical.
     "embedding_kmeans", "embedding_pq_codes",
     "similarity_pq_adc", "similarity_pq_recall",
-    # table_profile: union-of-11 single-distinct branches -> typed
-    # two-branch melt (22 -> 4 exchanges; exact aggregates, measured
-    # ~1.8x faster; values identical, oracle SQL untouched).
+    # table_profile: a typed two-branch melt was shipped mid-round,
+    # then MEASURED-AND-REJECTED on an idle host (union ahead 12/13
+    # aligned reps) and reverted to the union-of-11 shape — the window
+    # slot re-attests the net-unchanged path after the round's churn.
     "table_profile",
     # duplicate_clusters convergence reads now go through a bounded
     # poll with an explicit-count fallback (control flow only).

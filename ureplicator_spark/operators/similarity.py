@@ -1444,6 +1444,13 @@ def more_like_this_ranks(
     tf = tok.groupBy(F.col("doc_id").alias("c_id"), "token").agg(
         F.count("*").alias("tf")
     )
+    # MEASURED-AND-REJECTED (r13): deriving dl/df/qtok from the tf
+    # aggregate (dl = Σ tf, df = tf's per-token row count) to "share"
+    # one corpus explode does NOT share it in practice — column pruning
+    # gives each consumer a differently-projected copy of the tf
+    # subtree, so exchange reuse never fires, the executed plan gains
+    # exchanges (15→17) and the interleaved A/B read a wash-to-worse
+    # (old min 1.336/med 1.529 s vs new 1.376/1.683 s at sf0.1).
     # qtok (n_queries docs' bags) and the 1-row corpus scalar keep
     # their hints — bounded regardless of SF. dfreq is the FULL
     # vocabulary df table, which grows with the corpus: no hint (r7

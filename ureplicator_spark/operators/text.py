@@ -1511,6 +1511,12 @@ def bm25_scores(
     )
     hits = tok.filter(F.col("token").isin(*query_terms))
     tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # MEASURED-AND-REJECTED (r13): dfreq = tf.groupBy(token).count()
+    # (sharing tf's explode instead of re-aggregating `hits`) measured
+    # a wash-to-worse (old min 1.184/med 1.726 s vs new 1.511/2.106 s
+    # interleaved at sf0.1, executed exchanges 8 both ways) — column
+    # pruning re-projects the tf subtree per consumer, so nothing is
+    # actually shared, and the chained rollup only adds depth.
     dfreq = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     return (
         tf.join(F.broadcast(dfreq), "token")
