@@ -82,24 +82,35 @@ def curation_pipeline_report(
         .filter(F.col("doc_id") != F.col("kept_doc"))
         .select("doc_id")
     )
-    final = exsurv.join(dropped, "doc_id", "left_anti")
 
     n_tok = (
         F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
     )
-    per_source = lambda df, cnt: df.groupBy("source").agg(F.count("*").alias(cnt))
-    report = (
-        per_source(documents, "n_input")
-        .join(per_source(gated, "n_gated"), "source", "left")
-        .join(per_source(exsurv, "n_exact"), "source", "left")
-        .join(
-            final.groupBy("source").agg(
-                F.count("*").alias("n_final"),
-                F.sum(n_tok).alias("tokens_final"),
-            ),
-            "source",
-            "left",
-        )
+    # Funnel accounting in ONE corpus pass (r13, guide §2.4): the four
+    # per-source rollups each re-scanned documents and re-derived
+    # gated/exsurv from the pinned id sets (4 scans + 5 id joins + an
+    # anti-join + 4 aggregates + 3 result joins). Every count is a
+    # predicate over membership in the three narrow id sets, so tag
+    # each document with left-join flags and aggregate once — a LINEAR
+    # chain (scan → 3 id joins → 1 aggregate), not a branching reuse
+    # shape, so nothing is recomputed and nothing depends on exchange
+    # reuse. Set algebra: keeper_ids ⊆ ok_ids by construction and
+    # clusters emit one row per doc_id, so the flags compose exactly:
+    # gated = _g, exact = _g ∧ _e, final = exact ∧ ¬dropped.
+    flags = (
+        documents.join(ok_ids.withColumn("_g", F.lit(1)), "doc_id", "left")
+        .join(keeper_ids.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(dropped.withColumn("_d", F.lit(1)), "doc_id", "left")
+    )
+    is_g = F.col("_g").isNotNull()
+    is_e = is_g & F.col("_e").isNotNull()
+    is_f = is_e & F.col("_d").isNull()
+    report = flags.groupBy("source").agg(
+        F.count("*").alias("n_input"),
+        F.count(F.when(is_g, 1)).alias("n_gated"),
+        F.count(F.when(is_e, 1)).alias("n_exact"),
+        F.count(F.when(is_f, 1)).alias("n_final"),
+        F.sum(F.when(is_f, n_tok)).alias("tokens_final"),
     )
     z = lambda c: F.coalesce(F.col(c), F.lit(0))
     return report.select(
